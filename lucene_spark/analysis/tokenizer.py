@@ -1,0 +1,95 @@
+"""StandardAnalyzer-equivalent tokenization (UAX#29 word break subset).
+
+Reference semantics (all under /root/reference/):
+- lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:50-53,84-97
+  — pipeline = StandardTokenizer → LowerCaseFilter → StopFilter with an
+  EMPTY default stopword set (CharArraySet.EMPTY_SET), so by default no
+  stopwords are removed. We match that default.
+- lucene/core/src/java/org/apache/lucene/analysis/standard/StandardTokenizerImpl.jflex:211-252
+  — UAX#29 word-break rules. A word token is a sequence of letter runs
+  and digit runs (WB5/8/9/10) where:
+    * MidLetter ∪ MidNumLet ∪ Single_Quote join letter–letter (WB6/7),
+    * MidNum ∪ MidNumLet ∪ Single_Quote join digit–digit (WB11/12),
+    * ExtendNumLet (e.g. ``_``) glues at edges and between runs (WB13a/b).
+- lucene/core/src/java/org/apache/lucene/analysis/standard/StandardTokenizer.java:152-166
+  — tokens longer than maxTokenLength (default 255) are DROPPED, not
+  chopped; the skipped token still consumes a position.
+
+Scope: letter/number word rules over all Unicode letters/digits, plus
+single-codepoint CJK ideograph/hiragana tokens. Not implemented (out of
+fixture scope, documented): emoji sequences, regional indicators,
+Hebrew double-quote rules, SE-Asian segmentation, Extend/Format/ZWJ
+absorption. The fixture corpus (source code) exercises none of these.
+
+Everything is vectorized: the hot path is ``tokenize_series`` running
+``re.findall`` over a pandas Series inside an Arrow-batched pandas UDF —
+no per-row Python in the Spark plan (input_hint requirement).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+MAX_TOKEN_LENGTH = 255  # StandardTokenizer.java:39-60 (DEFAULT_MAX_TOKEN_LENGTH)
+
+# ASCII + BMP members of the UAX#29 classes we implement
+# (Unicode 12.1 WordBreakProperty.txt values, as used by Lucene 9's grammar).
+_SINGLE_QUOTE = "'"
+_MID_LETTER = ":··״‧︓﹕："
+_MID_NUM_LET = ".‘’․﹒＇．"
+_MID_NUM = ",;;։،؍٬߸⁄︐︔﹐﹔，；"
+_EXTEND_NUM_LET = "_ ‿⁀⁔︳︴﹍﹎﹏＿"
+
+_L_JOIN = re.escape(_MID_LETTER + _MID_NUM_LET + _SINGLE_QUOTE)
+_N_JOIN = re.escape(_MID_NUM + _MID_NUM_LET + _SINGLE_QUOTE)
+_ENL = re.escape(_EXTEND_NUM_LET)
+
+# CJK single-char token types (IDEOGRAPHIC / HIRAGANA): one token per char.
+_CJK = "一-鿿㐀-䶿豈-﫿ぁ-ゖ"
+
+# L = any Unicode letter (approximates WB:ALetter ∪ Hebrew_Letter for our
+# scope), N = any Unicode decimal digit (WB:Numeric). CJK chars are
+# excluded from L because they are not ALetter — they tokenize per-char.
+_L = rf"[^\W\d_{_ENL}{_CJK}]"
+_N = r"\d"
+# A run must contain at least one letter/digit: bare ExtendNumLet ("___")
+# is not a word per the grammar (StandardTokenizerImpl.jflex:238-252 —
+# every alternative requires a letter/numeric/katakana core).
+_RUN = rf"[{_ENL}]*(?:{_L}|{_N})(?:{_L}|{_N}|[{_ENL}])*"
+_JOINER = rf"(?:(?<={_L})[{_L_JOIN}](?={_L})|(?<={_N})[{_N_JOIN}](?={_N}))"
+
+_TOKEN_RE = re.compile(rf"{_RUN}(?:{_JOINER}{_RUN})*|[{_CJK}]")
+
+
+def _raw_tokens(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text)
+
+
+def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+    """StandardAnalyzer(text): UAX#29 words → drop >255 → lowercase."""
+    return [t.lower() for t in _raw_tokens(text) if len(t) <= max_token_length]
+
+
+def tokenize_with_positions(
+    text: str, max_token_length: int = MAX_TOKEN_LENGTH
+) -> tuple[list[str], list[int]]:
+    """Tokens plus Lucene positions (dropped over-length tokens still
+    consume a position — StandardTokenizer.java:158-166)."""
+    toks, positions = [], []
+    for pos, t in enumerate(_raw_tokens(text)):
+        if len(t) <= max_token_length:
+            toks.append(t.lower())
+            positions.append(pos)
+    return toks, positions
+
+
+def tokenize_series(texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH) -> pd.Series:
+    """Vectorized batch tokenization for pandas UDFs (Arrow path)."""
+    # str.findall is the pandas-vectorized regex scan; the lowercase +
+    # length filter runs on the token lists (tiny vs the regex cost).
+    raw = texts.fillna("").str.findall(_TOKEN_RE)
+    if max_token_length is None:
+        return raw.map(lambda ts: [t.lower() for t in ts])
+    return raw.map(lambda ts: [t.lower() for t in ts if len(t) <= max_token_length])

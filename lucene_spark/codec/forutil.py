@@ -1,0 +1,206 @@
+"""FOR/varint-style posting-list compression (numpy kernels).
+
+Semantics follow Lucene's Lucene90 postings format (reference:
+lucene/core/src/java/org/apache/lucene/codecs/lucene90/Lucene90PostingsWriter.java:211-272,
+ForUtil.java:32, Lucene90PostingsFormat.java:44-59,141-143):
+
+- doc IDs are stored as deltas (gaps) from the previous doc ID,
+- full blocks of 128 values are bit-packed with a per-block bit width
+  (frame-of-reference; we use plain FOR, not PFOR-with-exceptions),
+- the tail (< 128 entries) is VInt-coded with Lucene's freq-parity
+  trick: ``(delta << 1) | (tf == 1)`` followed by ``tf`` only when
+  tf != 1 (Lucene90PostingsFormat.java:196-211),
+- per full block we retain the last doc ID (the skip-list role:
+  MultiLevelSkipListWriter.java:53 → here a plain array enabling
+  random access / block skipping without decoding).
+
+The byte layout itself is ours (this is not a file-format port); the
+*properties* — 128-value blocks, per-block width, delta gaps, varint
+tail — match the reference so compression behavior is comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # ForUtil.java:32
+
+
+def _write_varint(out: bytearray, v: int) -> None:
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    result = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if b < 0x80:
+            return result, pos
+        shift += 7
+
+
+def _pack_bits(vals: np.ndarray, width: int) -> bytes:
+    """Bit-pack ``vals`` (all < 2**width) at ``width`` bits each."""
+    if width == 0:
+        return b""
+    bits = np.unpackbits(vals.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
+    return np.packbits(bits[:, 64 - width :].reshape(-1)).tobytes()
+
+
+def _unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=n * width).reshape(n, width)
+    out = np.zeros((n, 64), dtype=np.uint8)
+    out[:, 64 - width :] = bits
+    return np.packbits(out, axis=1).view(">u8").ravel().astype(np.uint64)
+
+
+def _width(vals: np.ndarray) -> int:
+    m = int(vals.max()) if len(vals) else 0
+    return int(m).bit_length()
+
+
+def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray | None = None) -> tuple[bytes, np.ndarray]:
+    """Encode one posting list (doc gaps + term freqs + norm bytes).
+
+    Parameters: ``doc_ids`` strictly-increasing int64, ``tfs`` positive
+    int32, ``norms`` 0..255 norm bytes (inlined so BM25 scoring needs no
+    norms join — Lucene reads .nvd per doc during scoring; the columnar
+    equivalent is carrying the byte next to the freq). Returns
+    ``(blob, block_last_docids)`` where ``block_last_docids`` has one
+    entry per *full* 128-block (the skip-list role: block-level random
+    access / WAND skipping without decoding).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.zeros(len(doc_ids), dtype=np.int64) if norms is None else np.asarray(norms, dtype=np.int64)
+    n = len(doc_ids)
+    if n == 0:
+        return b"\x00", np.empty(0, dtype=np.int64)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0] + 1  # gap from virtual doc -1 → always >= 1
+    if n > 1:
+        gaps = np.diff(doc_ids)
+        if (gaps <= 0).any():
+            raise ValueError("doc_ids must be strictly increasing")
+        deltas[1:] = gaps.astype(np.uint64)
+
+    out = bytearray()
+    _write_varint(out, n)
+    n_full = n // BLOCK_SIZE
+    # last doc of EVERY block (incl. the tail) — the skip-list entries;
+    # exact ends are what lets WAND map blocks to doc intervals.
+    block_last = doc_ids[BLOCK_SIZE - 1 :: BLOCK_SIZE].copy()
+    if n % BLOCK_SIZE:
+        block_last = np.append(block_last, doc_ids[-1])
+    for b in range(n_full):
+        lo, hi = b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE
+        for arr in (deltas[lo:hi], tfs[lo:hi].astype(np.uint64), norms[lo:hi].astype(np.uint64)):
+            w = _width(arr)
+            out.append(w)
+            out += _pack_bits(arr, w)
+    # VInt tail with freq-parity trick (Lucene90PostingsFormat.java:196-211)
+    for i in range(n_full * BLOCK_SIZE, n):
+        d, f = int(deltas[i]), int(tfs[i])
+        _write_varint(out, (d << 1) | (1 if f == 1 else 0))
+        if f != 1:
+            _write_varint(out, f)
+        out.append(int(norms[i]))
+    return bytes(out), block_last
+
+
+def unpack_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode ``pack_postings`` output → (doc_ids int64, tfs int32, norms uint8)."""
+    n, pos = _read_varint(blob, 0)
+    if n == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32), np.empty(0, dtype=np.uint8))
+    deltas = np.empty(n, dtype=np.uint64)
+    tfs = np.empty(n, dtype=np.int64)
+    norms = np.empty(n, dtype=np.int64)
+    n_full = n // BLOCK_SIZE
+    for b in range(n_full):
+        lo = b * BLOCK_SIZE
+        for dest in (deltas, tfs, norms):
+            w = blob[pos]
+            pos += 1
+            nbytes = (BLOCK_SIZE * w + 7) // 8
+            dest[lo : lo + BLOCK_SIZE] = _unpack_bits(blob[pos : pos + nbytes], BLOCK_SIZE, w)
+            pos += nbytes
+    for i in range(n_full * BLOCK_SIZE, n):
+        v, pos = _read_varint(blob, pos)
+        deltas[i] = v >> 1
+        if v & 1:
+            tfs[i] = 1
+        else:
+            tfs[i], pos = _read_varint(blob, pos)
+        norms[i] = blob[pos]
+        pos += 1
+    doc_ids = np.cumsum(deltas.astype(np.int64)) - 1
+    return doc_ids, tfs.astype(np.int32), norms.astype(np.uint8)
+
+
+def decode_blocks(blob: bytes, blocks: list[int], block_last: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Selectively decode only the given 128-blocks (sorted indices;
+    ``n_full`` means the VInt tail). This is the skip-list payoff
+    (MultiLevelSkipListWriter.java:53 → block-boundary arrays here):
+    non-competitive blocks are *skipped over* — header walk only, no
+    bit-unpacking — which is what makes block-max WAND pruning pay.
+
+    ``block_last`` (from the index, one entry per block incl. tail)
+    provides the absolute doc-id base for each block so deltas can be
+    rebased without decoding precursors.
+    """
+    n, pos = _read_varint(blob, 0)
+    n_full = n // BLOCK_SIZE
+    wanted = set(int(b) for b in blocks)
+    out_docs, out_tfs, out_norms = [], [], []
+    for b in range(n_full):
+        if b in wanted:
+            arrs = []
+            for _ in range(3):
+                w = blob[pos]
+                pos += 1
+                nbytes = (BLOCK_SIZE * w + 7) // 8
+                arrs.append(_unpack_bits(blob[pos : pos + nbytes], BLOCK_SIZE, w).astype(np.int64))
+                pos += nbytes
+            deltas, tfs, norms = arrs
+            base = int(block_last[b - 1]) if b > 0 else -1
+            docs = base + np.cumsum(deltas)
+            out_docs.append(docs)
+            out_tfs.append(tfs)
+            out_norms.append(norms)
+        else:
+            for _ in range(3):  # skip: header walk only
+                w = blob[pos]
+                pos += 1 + (BLOCK_SIZE * w + 7) // 8
+    if n_full in wanted and n > n_full * BLOCK_SIZE:
+        cnt = n - n_full * BLOCK_SIZE
+        deltas = np.empty(cnt, dtype=np.int64)
+        tfs = np.empty(cnt, dtype=np.int64)
+        norms = np.empty(cnt, dtype=np.int64)
+        for i in range(cnt):
+            v, pos = _read_varint(blob, pos)
+            deltas[i] = v >> 1
+            tfs[i] = 1 if (v & 1) else 0
+            if not (v & 1):
+                tfs[i], pos = _read_varint(blob, pos)
+            norms[i] = blob[pos]
+            pos += 1
+        base = int(block_last[n_full - 1]) if n_full > 0 else -1
+        out_docs.append(base + np.cumsum(deltas))
+        out_tfs.append(tfs)
+        out_norms.append(norms)
+    if not out_docs:
+        return (np.empty(0, dtype=np.int64),) * 3
+    return (
+        np.concatenate(out_docs),
+        np.concatenate(out_tfs),
+        np.concatenate(out_norms),
+    )

@@ -1,0 +1,2 @@
+from lucene_spark.index.builder import IndexBuilder, IndexConfig, assign_doc_ids  # noqa: F401
+from lucene_spark.index.reader import SearchIndex  # noqa: F401

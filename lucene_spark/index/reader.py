@@ -1,0 +1,124 @@
+"""SearchIndex — opens the index tables and serves the read path.
+
+The term dictionary role (Lucene's block-tree .tim/.tip,
+Lucene90BlockTreeTermsWriter.java:152-202) is played by the term-
+bucketed, term-sorted parquet tables: a point lookup is a Catalyst
+filter that prunes buckets/row-groups via parquet dictionary + min/max
+stats; prefix/wildcard/fuzzy expansion is a JVM-side predicate scan of
+``term_stats`` (startswith / rlike / levenshtein — all whole-stage
+codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_spark.codec.forutil import unpack_postings
+from lucene_spark.search.similarity import BM25Stats
+
+MAX_EXPANSION = 1024  # IndexSearcher.maxClauseCount analogue
+
+
+@dataclass
+class PostingList:
+    """Decoded (or decodable) posting data for one (term, chunk)."""
+
+    term: str
+    chunk_id: int
+    df: int
+    docs: np.ndarray
+    tfs: np.ndarray
+    norms: np.ndarray
+
+
+class SearchIndex:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+
+    @cached_property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/postings")
+
+    @cached_property
+    def term_stats_df(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/term_stats")
+
+    @cached_property
+    def norms(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/norms")
+
+    @cached_property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/docs")
+
+    @cached_property
+    def stats(self) -> BM25Stats:
+        row = self.spark.read.parquet(f"{self.index_dir}/collection_stats").first()
+        return BM25Stats(doc_count=row["doc_count"], sum_total_term_freq=row["sum_ttf"])
+
+    # ---- term dictionary ---------------------------------------------------
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (df, ttf); point lookups pushed to the parquet scan."""
+        if not terms:
+            return {}
+        rows = self.term_stats_df.filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: (r["df"], r["ttf"]) for r in rows}
+
+    def expand_terms(self, kind: str, arg, limit: int = MAX_EXPANSION) -> list[str]:
+        """MultiTermQuery expansion against the term dictionary
+        (MultiTermQuery.java:55-93; AutomatonTermsEnum ∩ dictionary →
+        here a Catalyst predicate on the sorted term table)."""
+        t = self.term_stats_df
+        if kind == "prefix":
+            cond = F.col("term").startswith(arg)
+        elif kind == "regexp":
+            cond = F.col("term").rlike(f"^(?:{arg})$")
+        elif kind == "fuzzy":
+            term, max_edits, prefix_len = arg
+            cond = F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+            if prefix_len:
+                cond = cond & F.col("term").startswith(term[:prefix_len])
+            # cheap length pre-filter keeps the levenshtein scan tight
+            cond = cond & (F.length("term") >= len(term) - max_edits) & (
+                F.length("term") <= len(term) + max_edits
+            )
+        else:
+            raise ValueError(kind)
+        return [r["term"] for r in t.filter(cond).select("term").orderBy("term").limit(limit).collect()]
+
+    # ---- postings ------------------------------------------------------------
+
+    def postings_rows(self, terms: list[str]) -> DataFrame:
+        return self.postings.filter(F.col("term").isin(list(terms)))
+
+    def collect_postings(self, terms: list[str]) -> dict[str, PostingList]:
+        """Driver-mode read: decode and concatenate all chunks per term
+        (chunk rows are doc-range ordered by chunk_id)."""
+        out: dict[str, PostingList] = {}
+        if not terms:
+            return out
+        rows = self.postings_rows(terms).orderBy("term", "chunk_id").collect()
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        for term, rs in by_term.items():
+            parts = [unpack_postings(bytes(r["blob"])) for r in rs]
+            docs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            norms = np.concatenate([p[2] for p in parts])
+            order = np.argsort(docs, kind="stable")
+            if not (np.diff(docs) > 0).all():
+                docs, tfs, norms = docs[order], tfs[order], norms[order]
+            out[term] = PostingList(term, -1, len(docs), docs, tfs, norms.astype(np.int64))
+        return out
+
+    def all_doc_ids(self) -> np.ndarray:
+        rows = self.norms.select("doc_id").orderBy("doc_id").collect()
+        return np.array([r["doc_id"] for r in rows], dtype=np.int64)

@@ -1,0 +1,233 @@
+"""Query AST + Lucene-equivalent logical rewrites.
+
+Node set mirrors the reference query classes (lucene/core/src/java/org/
+apache/lucene/search/): TermQuery, BooleanQuery/BooleanClause,
+PhraseQuery, PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery,
+TermInSetQuery, SynonymQuery, DisjunctionMaxQuery, BoostQuery,
+ConstantScoreQuery, MatchAll/MatchNoDocsQuery.
+
+``rewrite`` ports the algebraic simplifications of
+BooleanQuery.rewrite (BooleanQuery.java:241-398) and runs them to a
+fixpoint, the way IndexSearcher.rewrite loops until the query stops
+changing (IndexSearcher.java:765-774). These rewrites are OURS (query
+AST level), deliberately not Catalyst rules: they run on the driver in
+microseconds before any Spark plan is built.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional
+
+
+class Occur(Enum):
+    MUST = "+"
+    FILTER = "#"
+    SHOULD = ""
+    MUST_NOT = "-"
+
+
+class Query:
+    """Marker base class (immutable, hashable nodes)."""
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[tuple[Occur, Query], ...]
+    minimum_should_match: int = 0
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: tuple[str, ...]
+    slop: int = 0
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # Lucene wildcard syntax: * (any run), ? (one char)
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    pattern: str
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2  # FuzzyQuery.java:52-54 defaultMaxEdits
+    prefix_length: int = 0
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    terms: tuple[str, ...]
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    terms: tuple[str, ...]
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    queries: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    reason: str = ""
+
+
+def _rewrite_boolean(q: BooleanQuery) -> Query:
+    """One pass of BooleanQuery.rewrite (BooleanQuery.java:241-398)."""
+    clauses = [(occ, rewrite(sub)) for occ, sub in q.clauses]
+
+    # drop clauses that can never match / flatten MatchNoDocs
+    out: list[tuple[Occur, Query]] = []
+    for occ, sub in clauses:
+        if isinstance(sub, MatchNoDocsQuery):
+            if occ in (Occur.MUST, Occur.FILTER):
+                return MatchNoDocsQuery("MUST/FILTER clause never matches")
+            continue  # SHOULD/MUST_NOT MatchNoDocs: drop
+        if isinstance(sub, MatchAllDocsQuery) and occ is Occur.MUST_NOT:
+            return MatchNoDocsQuery("MUST_NOT MatchAllDocs")
+        out.append((occ, sub))
+    clauses = out
+
+    # dedup FILTER / MUST_NOT / SHOULD (BooleanQuery.java:292-330)
+    seen: set[tuple[Occur, Query]] = set()
+    deduped: list[tuple[Occur, Query]] = []
+    for occ, sub in clauses:
+        key = (occ, sub)
+        if occ in (Occur.FILTER, Occur.MUST_NOT, Occur.SHOULD) and key in seen:
+            continue
+        seen.add(key)
+        deduped.append((occ, sub))
+    clauses = deduped
+
+    positives = {s for o, s in clauses if o in (Occur.MUST, Occur.FILTER)}
+    negatives = {s for o, s in clauses if o is Occur.MUST_NOT}
+    if positives & negatives:
+        return MatchNoDocsQuery("same query MUST and MUST_NOT")
+
+    # drop MatchAllDocs FILTER when another positive clause exists
+    if any(o in (Occur.MUST, Occur.FILTER) and not isinstance(s, MatchAllDocsQuery) for o, s in clauses):
+        clauses = [(o, s) for o, s in clauses if not (o is Occur.FILTER and isinstance(s, MatchAllDocsQuery))]
+
+    if not clauses:
+        return MatchNoDocsQuery("empty BooleanQuery")
+    if not any(o is not Occur.MUST_NOT for o, s in clauses):
+        return MatchNoDocsQuery("only MUST_NOT clauses")
+
+    # single-clause unwrap (BooleanQuery.java:241-268)
+    if len(clauses) == 1 and q.minimum_should_match <= 1:
+        occ, sub = clauses[0]
+        if occ in (Occur.MUST, Occur.SHOULD):
+            return sub
+        if occ is Occur.FILTER:
+            return BoostQuery(ConstantScoreQuery(sub), 0.0)
+
+    new = BooleanQuery(tuple(clauses), q.minimum_should_match)
+    return new
+
+
+def rewrite(q: Query) -> Query:
+    """Rewrite to fixpoint (IndexSearcher.java:765-774)."""
+    for _ in range(16):
+        nq = _rewrite_once(q)
+        if nq == q:
+            return q
+        q = nq
+    return q
+
+
+def _rewrite_once(q: Query) -> Query:
+    if isinstance(q, BooleanQuery):
+        return _rewrite_boolean(q)
+    if isinstance(q, BoostQuery):
+        inner = rewrite(q.query)
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        if isinstance(inner, BoostQuery):  # fold nested boosts
+            return BoostQuery(inner.query, q.boost * inner.boost)
+        if q.boost == 1.0:
+            return inner
+        return BoostQuery(inner, q.boost)
+    if isinstance(q, ConstantScoreQuery):
+        inner = rewrite(q.query)
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        if isinstance(inner, ConstantScoreQuery):
+            return inner
+        return ConstantScoreQuery(inner)
+    if isinstance(q, DisjunctionMaxQuery):
+        subs = tuple(rewrite(s) for s in q.queries)
+        subs = tuple(s for s in subs if not isinstance(s, MatchNoDocsQuery))
+        if not subs:
+            return MatchNoDocsQuery("empty DisjunctionMax")
+        if len(subs) == 1:
+            return subs[0]
+        return DisjunctionMaxQuery(subs, q.tie_breaker)
+    if isinstance(q, SynonymQuery) and len(q.terms) == 1:
+        return TermQuery(q.terms[0], q.field)
+    if isinstance(q, TermInSetQuery):
+        if not q.terms:
+            return MatchNoDocsQuery("empty TermInSet")
+    if isinstance(q, PhraseQuery) and len(q.terms) == 1:
+        return TermQuery(q.terms[0], q.field)
+    return q
+
+
+def extract_terms(q: Query) -> set[str]:
+    """All literal terms mentioned by the (rewritten) query."""
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, (SynonymQuery, TermInSetQuery)):
+        return set(q.terms)
+    if isinstance(q, BooleanQuery):
+        return set().union(*(extract_terms(s) for _, s in q.clauses)) if q.clauses else set()
+    if isinstance(q, DisjunctionMaxQuery):
+        return set().union(*(extract_terms(s) for s in q.queries)) if q.queries else set()
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return extract_terms(q.query)
+    return set()

@@ -1,0 +1,302 @@
+"""Searcher — the IndexSearcher equivalent.
+
+Query lifecycle (mirrors SURVEY §3.1 / IndexSearcher.java:451-492):
+1. parse → AST rewrite to fixpoint        (driver, microseconds)
+2. MultiTermQuery expansion against the term dictionary
+   (Catalyst predicate scan on term_stats — JVM-side)
+3. Weight creation: fetch GLOBAL df/ttf + collection stats, fold
+   boosts, build the float32 norm-inverse cache
+4. Execution:
+   - driver mode: posting rows of the query's terms are point-read
+     (partition-pruned parquet filter), kernels score on the driver.
+     Right for interactive top-k — the query job is shuffle-free.
+   - distributed mode: hot-term chunk rows stay on executors; an
+     applyInPandas over chunk_id groups scores each doc-range "leaf"
+     (Spark partitions ARE Lucene's leaf slices, IndexSearcher.java:128)
+     with small-term posting arrays broadcast into the kernel; each
+     leaf emits its local top-k and a TakeOrderedAndProject merges —
+     the TopDocs.merge step (TopDocs.java:202-215).
+5. Tie-break everywhere: score desc, doc_id asc (HitQueue.java:78-84).
+
+Pure disjunctions of terms take the block-max WAND path (the
+Boolean2ScorerSupplier TOP_SCORES branch, Boolean2ScorerSupplier.java:141-247);
+everything else is evaluated exhaustively by the vectorized kernels
+(correct for all shapes; pruning for conjunctions is a later milestone).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from lucene_spark.index.reader import MAX_EXPANSION, SearchIndex
+from lucene_spark.search import ast as A
+from lucene_spark.search.kernels import (
+    BoolSpec,
+    ChunkContext,
+    NoneSpec,
+    TermSpec,
+    compile_query,
+    evaluate,
+    spec_terms,
+    top_k_from_arrays,
+)
+from lucene_spark.search.parser import parse_query
+from lucene_spark.search.wand import PostingSource, wand_top_k
+
+
+@dataclass
+class TopDocs:
+    hits: list[tuple[int, float]]  # (doc_id, score), rank order
+    total_hits: int
+    relation: str  # "EQUAL_TO" | "GREATER_THAN_OR_EQUAL_TO"
+    info: dict
+
+
+class Searcher:
+    def __init__(self, index: SearchIndex, total_hits_threshold: int = 1000):
+        self.index = index
+        self.total_hits_threshold = total_hits_threshold
+
+    # ---- query preparation -------------------------------------------------
+
+    def _expand_multiterm(self, q: A.Query) -> A.Query:
+        """Rewrite MultiTermQuery nodes into constant-score TermInSet
+        (CONSTANT_SCORE_REWRITE, MultiTermQuery.java:55-93)."""
+        if isinstance(q, A.PrefixQuery):
+            terms = self.index.expand_terms("prefix", q.prefix)
+            return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
+        if isinstance(q, A.WildcardQuery):
+            from lucene_spark.testing.oracle import wildcard_to_regex
+
+            terms = self.index.expand_terms("regexp", wildcard_to_regex(q.pattern))
+            return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
+        if isinstance(q, A.RegexpQuery):
+            terms = self.index.expand_terms("regexp", q.pattern)
+            return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
+        if isinstance(q, A.FuzzyQuery):
+            terms = self.index.expand_terms("fuzzy", (q.term, q.max_edits, q.prefix_length))
+            return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
+        if isinstance(q, A.BooleanQuery):
+            return A.BooleanQuery(
+                tuple((o, self._expand_multiterm(s)) for o, s in q.clauses), q.minimum_should_match
+            )
+        if isinstance(q, A.BoostQuery):
+            return A.BoostQuery(self._expand_multiterm(q.query), q.boost)
+        if isinstance(q, A.ConstantScoreQuery):
+            return A.ConstantScoreQuery(self._expand_multiterm(q.query))
+        if isinstance(q, A.DisjunctionMaxQuery):
+            return A.DisjunctionMaxQuery(tuple(self._expand_multiterm(s) for s in q.queries), q.tie_breaker)
+        return q
+
+    def prepare(self, query: str | A.Query):
+        q = parse_query(query) if isinstance(query, str) else A.rewrite(query)
+        q = A.rewrite(self._expand_multiterm(q))
+        terms = sorted(A.extract_terms(q))
+        stats = self.index.stats
+        tstats = self.index.term_stats(terms)
+        term_df = {t: df for t, (df, _) in tstats.items()}
+        spec = compile_query(q, stats, term_df)
+        return q, spec, stats
+
+    # ---- search -------------------------------------------------------------
+
+    def search(self, query: str | A.Query, k: int = 10, mode: str = "driver") -> TopDocs:
+        q, spec, stats = self.prepare(query)
+        if isinstance(spec, NoneSpec) or k <= 0:
+            return TopDocs([], 0, "EQUAL_TO", {})
+        cache = stats.cache()
+        if mode == "distributed":
+            return self._search_distributed(spec, k, cache)
+        if self._is_pure_term_disjunction(spec):
+            return self._search_wand(spec, k, cache)
+        return self._search_exhaustive(spec, k, cache)
+
+    @staticmethod
+    def _is_pure_term_disjunction(spec) -> bool:
+        if isinstance(spec, TermSpec):
+            return True
+        return (
+            isinstance(spec, BoolSpec)
+            and not spec.musts
+            and not spec.filters
+            and not spec.nots
+            and spec.msm <= 1
+            and all(isinstance(s, TermSpec) for s in spec.shoulds)
+            and len(spec.shoulds) > 0
+        )
+
+    def _search_wand(self, spec, k: int, cache) -> TopDocs:
+        term_specs = [spec] if isinstance(spec, TermSpec) else list(spec.shoulds)
+        rows = self.index.postings_rows([t.term for t in term_specs]).orderBy("term", "chunk_id").collect()
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(
+                (
+                    bytes(r["blob"]),
+                    np.array(r["block_last"], dtype=np.int64),
+                    np.array(r["imp_block"], dtype=np.int64),
+                    np.array(r["imp_freq"], dtype=np.int64),
+                    np.array(r["imp_norm"], dtype=np.int64),
+                    int(r["df"]),
+                )
+            )
+        sources = [
+            PostingSource(ts.weight, cache, by_term[ts.term]) for ts in term_specs if ts.term in by_term
+        ]
+        if not sources:
+            return TopDocs([], 0, "EQUAL_TO", {})
+        hits, info = wand_top_k(sources, k, self.total_hits_threshold)
+        relation = "GREATER_THAN_OR_EQUAL_TO" if info.get("pruned_intervals") else "EQUAL_TO"
+        return TopDocs(hits, info["hits_seen"], relation, info)
+
+    def _driver_context(self, spec, cache) -> ChunkContext:
+        terms = sorted(spec_terms(spec))
+        plists = self.index.collect_postings(terms)
+        arrays = {t: (p.docs, p.tfs, p.norms) for t, p in plists.items()}
+        all_docs = self.index.all_doc_ids() if _needs_all_docs(spec) else None
+        return ChunkContext(arrays, cache, all_docs)
+
+    def _search_exhaustive(self, spec, k: int, cache) -> TopDocs:
+        ctx = self._driver_context(spec, cache)
+        docs, scores = evaluate(spec, ctx)
+        return TopDocs(top_k_from_arrays(docs, scores, k), len(docs), "EQUAL_TO", {})
+
+    def count(self, query: str | A.Query) -> int:
+        """TotalHitCountCollector equivalent."""
+        q, spec, stats = self.prepare(query)
+        if isinstance(spec, NoneSpec):
+            return 0
+        ctx = self._driver_context(spec, stats.cache())
+        docs, _ = evaluate(spec, ctx)
+        return len(docs)
+
+    # ---- distributed execution ----------------------------------------------
+
+    def _search_distributed(self, spec, k: int, cache) -> TopDocs:
+        """Leaf-parallel search: one applyInPandas group per doc-range
+        chunk of the hot terms; small-term arrays ride along broadcast
+        (they are ≤ docs_per_chunk entries each by construction)."""
+        import pyspark.sql.functions as F
+
+        index = self.index
+        terms = sorted(spec_terms(spec))
+        if not terms:
+            return self._search_exhaustive(spec, k, cache)
+        rows_df = index.postings_rows(terms)
+        # hot terms: >1 chunk row or chunk_id > 0
+        chunk_counts = (
+            rows_df.groupBy("term")
+            .agg(F.count("*").alias("n"), F.max("chunk_id").alias("maxc"))
+            .collect()
+        )
+        hot_terms = {r["term"] for r in chunk_counts if r["n"] > 1 or r["maxc"] > 0}
+        small_terms = [t for t in terms if t not in hot_terms]
+        small = index.collect_postings(small_terms)
+        small_arrays = {t: (p.docs, p.tfs, p.norms) for t, p in small.items()}
+        if not hot_terms:
+            ctx = ChunkContext(small_arrays, cache, index.all_doc_ids() if _needs_all_docs(spec) else None)
+            docs, scores = evaluate(spec, ctx)
+            return TopDocs(top_k_from_arrays(docs, scores, k), len(docs), "EQUAL_TO", {})
+
+        from lucene_spark.codec.forutil import unpack_postings
+
+        spec_b = spec
+        cache_b = cache
+        kk = k
+        manifest = _read_manifest(index)
+        dpc = int(manifest.get("docs_per_chunk", 1 << 17))
+
+        # chunks needed: hot rows' chunks ∪ chunks containing small-term docs
+        small_chunks = set()
+        for t, (d, _, _) in small_arrays.items():
+            small_chunks |= set((d // dpc).tolist())
+
+        hot_rows = rows_df.filter(F.col("term").isin(list(hot_terms)))
+
+        def score_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            chunk_id = int(key[0])
+            lo, hi = chunk_id * dpc, (chunk_id + 1) * dpc
+            arrays = {}
+            for _, r in pdf.iterrows():
+                if r["term"] is None:
+                    continue
+                d, t, nm = unpack_postings(bytes(r["blob"]))
+                arrays[r["term"]] = (d, t, nm.astype(np.int64))
+            for t, (d, tf, nm) in small_arrays.items():
+                i0, i1 = np.searchsorted(d, lo), np.searchsorted(d, hi)
+                arrays[t] = (d[i0:i1], tf[i0:i1], nm[i0:i1])
+            ctx = ChunkContext(arrays, cache_b, None)
+            docs, scores = evaluate(spec_b, ctx)
+            top = top_k_from_arrays(docs, scores, kk)
+            if not top:
+                return pd.DataFrame({"chunk_id": [], "doc_id": [], "score": [], "n_matched": []})
+            return pd.DataFrame(
+                {
+                    "chunk_id": chunk_id,
+                    "doc_id": [d for d, _ in top],
+                    "score": [s for _, s in top],
+                    "n_matched": len(docs),
+                }
+            )
+
+        spark = index.spark
+        extra = sorted(small_chunks)
+        extra_df = spark.createDataFrame([(int(c),) for c in extra], "chunk_id long") if extra else None
+        grouped_src = hot_rows
+        if extra_df is not None:
+            pad = extra_df.withColumn("term", F.lit(None).cast("string"))
+            for c in ["df", "ttf"]:
+                pad = pad.withColumn(c, F.lit(None).cast("long"))
+            pad = (
+                pad.withColumn("blob", F.lit(None).cast("binary"))
+                .withColumn("block_last", F.lit(None).cast("array<long>"))
+                .withColumn("imp_block", F.lit(None).cast("array<int>"))
+                .withColumn("imp_freq", F.lit(None).cast("array<int>"))
+                .withColumn("imp_norm", F.lit(None).cast("array<int>"))
+            )
+            grouped_src = hot_rows.select(
+                "chunk_id", "term", "df", "ttf", "blob", "block_last", "imp_block", "imp_freq", "imp_norm"
+            ).unionByName(
+                pad.select(
+                    "chunk_id", "term", "df", "ttf", "blob", "block_last", "imp_block", "imp_freq", "imp_norm"
+                )
+            )
+        result = grouped_src.groupBy("chunk_id").applyInPandas(
+            score_chunk, schema="chunk_id long, doc_id long, score float, n_matched long"
+        ).persist()
+        # global merge: TakeOrderedAndProject (TopDocs.merge role)
+        top_rows = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        total = (
+            result.groupBy("chunk_id").agg(F.max("n_matched").alias("m")).agg(F.sum("m")).first()[0]
+        )
+        result.unpersist()
+        hits = [(r["doc_id"], r["score"]) for r in top_rows]
+        return TopDocs(hits, int(total or 0), "EQUAL_TO", {"mode": "distributed"})
+
+
+def _needs_all_docs(spec) -> bool:
+    from lucene_spark.search.kernels import AllSpec
+
+    if isinstance(spec, AllSpec):
+        return True
+    if isinstance(spec, BoolSpec):
+        return any(
+            _needs_all_docs(s) for g in (spec.musts, spec.shoulds, spec.filters, spec.nots) for s in g
+        )
+    if isinstance(spec, tuple) and spec and spec[0] == "const":
+        return _needs_all_docs(spec[1])
+    return False
+
+
+def _read_manifest(index: SearchIndex) -> dict:
+    import json
+    import os
+
+    path = os.path.join(index.index_dir, "manifest.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)
+    return {}

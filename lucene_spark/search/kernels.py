@@ -1,0 +1,310 @@
+"""Vectorized scoring kernels (numpy) + query compilation.
+
+The Scorer layer of the reference (Boolean2ScorerSupplier picking
+ConjunctionScorer / DisjunctionSumScorer / ReqExclScorer / WANDScorer,
+lucene/core/src/java/org/apache/lucene/search/Boolean2ScorerSupplier.java:141-247)
+re-expressed block-at-a-time: doc-at-a-time iterators with galloping
+``advance()`` become sorted-array set operations (np.intersect1d /
+searchsorted membership), scores are float32 arrays, and boolean sums
+accumulate in float64 before a final float32 cast — exactly the
+double-accumulate-then-cast of DisjunctionSumScorer/ConjunctionScorer.
+
+``compile_query`` captures global statistics into weights on the driver
+(the Weight-creation step, TermQuery.java:56-100 / IndexSearcher.java:947)
+producing a plain-dataclass spec tree that is cheap to ship into
+executor-side kernels (distributed mode) or evaluate on the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lucene_spark.search import ast as A
+from lucene_spark.search.similarity import BM25Stats, idf, score_freqs
+
+EMPTY_I = np.empty(0, dtype=np.int64)
+EMPTY_F = np.empty(0, dtype=np.float32)
+
+
+# ---- compiled scorer specs (plain, picklable) -------------------------------
+
+
+@dataclass(frozen=True)
+class TermSpec:
+    term: str
+    weight: float  # float32 value: boost * idf
+
+
+@dataclass(frozen=True)
+class SynonymSpec:
+    terms: tuple[str, ...]
+    weight: float
+
+
+@dataclass(frozen=True)
+class ConstSpec:
+    """Constant-score doc-set (MultiTermQuery CONSTANT_SCORE rewrite)."""
+
+    terms: tuple[str, ...]
+    boost: float
+
+
+@dataclass(frozen=True)
+class AllSpec:
+    boost: float
+
+
+@dataclass(frozen=True)
+class NoneSpec:
+    pass
+
+
+@dataclass(frozen=True)
+class BoolSpec:
+    musts: tuple = ()
+    shoulds: tuple = ()
+    filters: tuple = ()
+    nots: tuple = ()
+    msm: int = 0
+
+
+@dataclass(frozen=True)
+class DisMaxSpec:
+    subs: tuple
+    tie: float
+
+
+@dataclass(frozen=True)
+class PhraseSpec:
+    terms: tuple[str, ...]
+    weight: float
+    slop: int = 0
+
+
+def compile_query(q: A.Query, stats: BM25Stats, term_df: dict[str, int], boost: float = 1.0):
+    """AST (+ global stats) → spec tree. ``term_df`` maps term → df;
+    missing terms score nothing. Boost folds into weights as float32
+    (BM25Scorer weight = boost * idf, BM25Similarity.java:236-238)."""
+    b32 = np.float32(boost)
+    if isinstance(q, A.MatchNoDocsQuery):
+        return NoneSpec()
+    if isinstance(q, A.MatchAllDocsQuery):
+        return AllSpec(float(b32))
+    if isinstance(q, A.BoostQuery):
+        return compile_query(q.query, stats, term_df, float(np.float32(b32 * np.float32(q.boost))))
+    if isinstance(q, A.ConstantScoreQuery):
+        inner = q.query
+        if isinstance(inner, A.TermInSetQuery):
+            terms = tuple(t for t in inner.terms if term_df.get(t))
+            return ConstSpec(terms, float(b32)) if terms else NoneSpec()
+        if isinstance(inner, A.TermQuery):
+            return ConstSpec((inner.term,), float(b32)) if term_df.get(inner.term) else NoneSpec()
+        # generic: score inner, replace scores by boost
+        sub = compile_query(inner, stats, term_df, 1.0)
+        return ("const", sub, float(b32))
+    if isinstance(q, A.TermQuery):
+        df = term_df.get(q.term, 0)
+        if df == 0:
+            return NoneSpec()
+        return TermSpec(q.term, float(stats.term_weight(df, float(b32))))
+    if isinstance(q, A.SynonymQuery):
+        dfs = [term_df[t] for t in q.terms if term_df.get(t)]
+        if not dfs:
+            return NoneSpec()
+        w = np.float32(b32 * idf(max(dfs), stats.doc_count))
+        return SynonymSpec(tuple(t for t in q.terms if term_df.get(t)), float(w))
+    if isinstance(q, A.TermInSetQuery):
+        terms = tuple(t for t in q.terms if term_df.get(t))
+        return ConstSpec(terms, float(b32)) if terms else NoneSpec()
+    if isinstance(q, A.PhraseQuery):
+        if any(not term_df.get(t) for t in q.terms):
+            return NoneSpec()
+        total = float(np.sum([float(idf(term_df[t], stats.doc_count)) for t in q.terms]))
+        return PhraseSpec(q.terms, float(np.float32(b32 * np.float32(total))), q.slop)
+    if isinstance(q, A.DisjunctionMaxQuery):
+        subs = tuple(compile_query(s, stats, term_df, float(b32)) for s in q.queries)
+        subs = tuple(s for s in subs if not isinstance(s, NoneSpec))
+        return DisMaxSpec(subs, q.tie_breaker) if subs else NoneSpec()
+    if isinstance(q, A.BooleanQuery):
+        musts, shoulds, filters, nots = [], [], [], []
+        for occ, sub in q.clauses:
+            spec = compile_query(sub, stats, term_df, float(b32) if occ is not A.Occur.FILTER else 1.0)
+            if occ is A.Occur.MUST:
+                if isinstance(spec, NoneSpec):
+                    return NoneSpec()
+                musts.append(spec)
+            elif occ is A.Occur.FILTER:
+                if isinstance(spec, NoneSpec):
+                    return NoneSpec()
+                filters.append(spec)
+            elif occ is A.Occur.SHOULD:
+                if not isinstance(spec, NoneSpec):
+                    shoulds.append(spec)
+            else:
+                if not isinstance(spec, NoneSpec):
+                    nots.append(spec)
+        if not musts and not filters and not shoulds:
+            return NoneSpec()
+        return BoolSpec(tuple(musts), tuple(shoulds), tuple(filters), tuple(nots), q.minimum_should_match)
+    raise TypeError(f"cannot compile {type(q)}")
+
+
+def spec_terms(spec) -> set[str]:
+    if isinstance(spec, (TermSpec,)):
+        return {spec.term}
+    if isinstance(spec, (SynonymSpec, ConstSpec, PhraseSpec)):
+        return set(spec.terms)
+    if isinstance(spec, BoolSpec):
+        out: set[str] = set()
+        for group in (spec.musts, spec.shoulds, spec.filters, spec.nots):
+            for s in group:
+                out |= spec_terms(s)
+        return out
+    if isinstance(spec, DisMaxSpec):
+        out = set()
+        for s in spec.subs:
+            out |= spec_terms(s)
+        return out
+    if isinstance(spec, tuple) and spec and spec[0] == "const":
+        return spec_terms(spec[1])
+    return set()
+
+
+# ---- evaluation --------------------------------------------------------------
+
+
+def _membership(sorted_docs: np.ndarray, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For each cand doc, (mask present in sorted_docs, index into it)."""
+    idx = np.searchsorted(sorted_docs, cand)
+    idx_c = np.minimum(idx, max(len(sorted_docs) - 1, 0))
+    mask = (len(sorted_docs) > 0) & (idx < len(sorted_docs))
+    if len(sorted_docs):
+        mask = mask & (sorted_docs[idx_c] == cand)
+    else:
+        mask = np.zeros(len(cand), dtype=bool)
+    return mask, idx_c
+
+
+class ChunkContext:
+    """Posting arrays visible to a kernel evaluation: term →
+    (docs sorted int64, tfs, norms), plus the norm-inverse cache and
+    (optionally) the full doc-id domain for MatchAllDocs."""
+
+    def __init__(self, arrays: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]], cache: np.ndarray, all_docs: np.ndarray | None = None):
+        self.arrays = arrays
+        self.cache = cache
+        self.all_docs = all_docs if all_docs is not None else EMPTY_I
+
+    def term(self, t: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self.arrays.get(t, (EMPTY_I, EMPTY_I, EMPTY_I))
+
+
+def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
+    """→ (docs sorted int64, scores float32) over the context's domain."""
+    if isinstance(spec, NoneSpec):
+        return EMPTY_I, EMPTY_F
+    if isinstance(spec, AllSpec):
+        return ctx.all_docs, np.full(len(ctx.all_docs), np.float32(spec.boost), dtype=np.float32)
+    if isinstance(spec, TermSpec):
+        docs, tfs, norms = ctx.term(spec.term)
+        if not len(docs):
+            return EMPTY_I, EMPTY_F
+        return docs, score_freqs(np.float32(spec.weight), tfs, norms, ctx.cache)
+    if isinstance(spec, SynonymSpec):
+        # union with per-doc tf sums (SynonymQuery.java:196-212)
+        parts = [ctx.term(t) for t in spec.terms]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return EMPTY_I, EMPTY_F
+        docs = np.unique(np.concatenate([p[0] for p in parts]))
+        tf_sum = np.zeros(len(docs), dtype=np.int64)
+        norms_out = np.zeros(len(docs), dtype=np.int64)
+        for d, t, nm in parts:
+            mask, idx = _membership(d, docs)
+            tf_sum[mask] += t[idx[mask]]
+            norms_out[mask] = nm[idx[mask]]
+        return docs, score_freqs(np.float32(spec.weight), tf_sum, norms_out, ctx.cache)
+    if isinstance(spec, ConstSpec):
+        parts = [ctx.term(t)[0] for t in spec.terms]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return EMPTY_I, EMPTY_F
+        docs = np.unique(np.concatenate(parts))
+        return docs, np.full(len(docs), np.float32(spec.boost), dtype=np.float32)
+    if isinstance(spec, tuple) and spec and spec[0] == "const":
+        docs, _ = evaluate(spec[1], ctx)
+        return docs, np.full(len(docs), np.float32(spec[2]), dtype=np.float32)
+    if isinstance(spec, DisMaxSpec):
+        subs = [evaluate(s, ctx) for s in spec.subs]
+        subs = [s for s in subs if len(s[0])]
+        if not subs:
+            return EMPTY_I, EMPTY_F
+        docs = np.unique(np.concatenate([s[0] for s in subs]))
+        mx = np.zeros(len(docs), dtype=np.float64)
+        sm = np.zeros(len(docs), dtype=np.float64)
+        for d, sc in subs:
+            mask, idx = _membership(d, docs)
+            v = sc[idx[mask]].astype(np.float64)
+            sm[mask] += v
+            np.maximum.at(mx, np.nonzero(mask)[0], v)
+        return docs, (mx + (sm - mx) * spec.tie).astype(np.float32)
+    if isinstance(spec, BoolSpec):
+        return _evaluate_bool(spec, ctx)
+    if isinstance(spec, PhraseSpec):
+        raise NotImplementedError("phrase evaluation requires the positions index (milestone)")
+    raise TypeError(type(spec))
+
+
+def _evaluate_bool(spec: BoolSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
+    musts = [evaluate(s, ctx) for s in spec.musts]
+    filters = [evaluate(s, ctx)[0] for s in spec.filters]
+    shoulds = [evaluate(s, ctx) for s in spec.shoulds]
+    nots = [evaluate(s, ctx)[0] for s in spec.nots]
+
+    if musts or filters:
+        cand: np.ndarray | None = None
+        for d, _ in musts:
+            cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        for d in filters:
+            cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+    else:
+        msm = max(spec.msm, 1)
+        alldocs = np.concatenate([d for d, _ in shoulds]) if shoulds else EMPTY_I
+        uniq, counts = np.unique(alldocs, return_counts=True)
+        cand = uniq[counts >= msm]
+    if spec.msm > 0 and (musts or filters) and shoulds:
+        alldocs = np.concatenate([d for d, _ in shoulds])
+        uniq, counts = np.unique(alldocs, return_counts=True)
+        ok = uniq[counts >= spec.msm]
+        cand = np.intersect1d(cand, ok, assume_unique=True)
+    for d in nots:
+        if len(d) and len(cand):
+            cand = cand[~np.isin(cand, d, assume_unique=False)]
+    if not len(cand):
+        return EMPTY_I, EMPTY_F
+    acc = np.zeros(len(cand), dtype=np.float64)  # double accumulation
+    for d, sc in musts + shoulds:
+        mask, idx = _membership(d, cand)
+        acc[mask] += sc[idx[mask]].astype(np.float64)
+    return cand, acc.astype(np.float32)
+
+
+def top_k_from_arrays(docs: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:
+    """Top-k with Lucene tie-break: score desc, doc_id asc
+    (HitQueue.java:78-84; TopDocs.merge TopDocs.java:202-215)."""
+    n = len(docs)
+    if n == 0:
+        return []
+    if n > k:
+        # argpartition on (-score, doc) — emulate lexicographic by two-key sort of top slice
+        part = np.argpartition(-scores, k - 1)[: max(k * 4, k)]  # safety margin for ties
+        # exact: sort all candidates whose score >= kth partition score
+        kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+        cand_idx = np.nonzero(scores >= kth)[0]
+    else:
+        cand_idx = np.arange(n)
+    order = np.lexsort((docs[cand_idx], -scores[cand_idx].astype(np.float64)))
+    top = cand_idx[order[:k]]
+    return [(int(docs[i]), float(scores[i])) for i in top]

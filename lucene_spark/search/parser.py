@@ -1,0 +1,212 @@
+"""Classic query-parser subset → AST.
+
+Covers the subset of Lucene's classic syntax
+(lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/QueryParser.jj:188-227,333-341)
+used by the reference benchmark query sets (BENCH/conf/query-*.txt):
+
+- bare terms (analyzed), implicit OR between terms (default operator OR)
+- ``AND`` / ``&&``, ``OR`` / ``||``, ``NOT`` / ``!``
+- ``+term`` (MUST) / ``-term`` (MUST_NOT)
+- grouping ``( ... )``
+- quoted phrases ``"a b"`` with optional ``~slop``
+- trailing-``*`` prefix, general ``*``/``?`` wildcards
+- ``term~`` / ``term~N`` fuzzy (default max edits 2, FuzzyQuery.java:52-54)
+- ``/regex/`` regexp queries
+- ``^boost``
+
+Recursive-descent, ~150 lines; precedence NOT > AND > OR.
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucene_spark.analysis import tokenize
+from lucene_spark.search.ast import (
+    BooleanQuery,
+    BoostQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    WildcardQuery,
+    rewrite,
+)
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<space>\s+)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<and>AND\b|&&)
+  | (?P<or>OR\b|\|\|)
+  | (?P<not>NOT\b|!)
+  | (?P<plus>\+)
+  | (?P<minus>-)
+  | (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?)
+  | (?P<regex>/(?P<regex_body>[^/]+)/)
+  | (?P<star>\*)(?=\s|$)
+  | (?P<term>[^\s()+\-!"^][^\s()+!"^]*)
+  | (?P<boost>\^(?P<boost_val>\d+(?:\.\d+)?))
+""",
+    re.VERBOSE,
+)
+
+
+def _lex(s: str) -> list[tuple[str, str]]:
+    toks = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            raise ValueError(f"cannot lex query at {s[pos:]!r}")
+        pos = m.end()
+        kind = m.lastgroup if m.lastgroup in ("slop", "phrase_body", "regex_body", "boost_val") else None
+        for k in ("space",):
+            if m.group(k):
+                break
+        else:
+            for k in ("lparen", "rparen", "and", "or", "not", "plus", "minus", "phrase", "regex", "star", "term", "boost"):
+                if m.group(k) is not None:
+                    if k == "phrase":
+                        toks.append(("phrase", (m.group("phrase_body"), int(m.group("slop") or 0))))
+                    elif k == "regex":
+                        toks.append(("regex", m.group("regex_body")))
+                    elif k == "boost":
+                        toks.append(("boost", float(m.group("boost_val"))))
+                    else:
+                        toks.append((k, m.group(k)))
+                    break
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i][0] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse_or(self) -> Query:
+        parts = [self.parse_and()]
+        ops = []
+        while self.peek() in ("or",) or (self.peek() not in (None, "rparen", "and", "or")):
+            if self.peek() == "or":
+                self.next()
+            parts.append(self.parse_and())
+        if len(parts) == 1:
+            return parts[0]
+        clauses = []
+        for p in parts:
+            if isinstance(p, tuple):  # (occur, query) from modifiers
+                clauses.append(p)
+            else:
+                clauses.append((Occur.SHOULD, p))
+        return BooleanQuery(tuple(clauses))
+
+    def parse_and(self) -> Query:
+        parts = [self.parse_unary()]
+        while self.peek() == "and":
+            self.next()
+            parts.append(self.parse_unary())
+        if len(parts) == 1:
+            return parts[0]
+        clauses = []
+        for p in parts:
+            if isinstance(p, tuple):
+                occ, q = p
+                clauses.append((occ if occ is Occur.MUST_NOT else Occur.MUST, q))
+            else:
+                clauses.append((Occur.MUST, p))
+        return BooleanQuery(tuple(clauses))
+
+    def parse_unary(self):
+        kind = self.peek()
+        if kind == "not":
+            self.next()
+            inner = self.parse_unary()
+            q = inner[1] if isinstance(inner, tuple) else inner
+            return (Occur.MUST_NOT, q)
+        if kind == "plus":
+            self.next()
+            inner = self.parse_unary()
+            q = inner[1] if isinstance(inner, tuple) else inner
+            return (Occur.MUST, q)
+        if kind == "minus":
+            self.next()
+            inner = self.parse_unary()
+            q = inner[1] if isinstance(inner, tuple) else inner
+            return (Occur.MUST_NOT, q)
+        return self.parse_primary()
+
+    def parse_primary(self) -> Query:
+        kind, val = self.next()
+        q: Query
+        if kind == "lparen":
+            q = self.parse_or()
+            if self.peek() == "rparen":
+                self.next()
+        elif kind == "phrase":
+            body, slop = val
+            terms = tuple(tokenize(body))
+            if not terms:
+                q = MatchNoDocsQuery("empty phrase")
+            elif len(terms) == 1:
+                q = TermQuery(terms[0])
+            else:
+                q = PhraseQuery(terms, slop=slop)
+        elif kind == "regex":
+            q = RegexpQuery(val)
+        elif kind == "star":
+            q = MatchAllDocsQuery()
+        elif kind == "term":
+            q = self._term_query(val)
+        else:
+            raise ValueError(f"unexpected token {kind}")
+        if self.peek() == "boost":
+            _, b = self.next()
+            q = BoostQuery(q, b)
+        return q
+
+    @staticmethod
+    def _term_query(text: str) -> Query:
+        m = re.fullmatch(r"(?P<body>.+?)~(?P<edits>\d)?", text)
+        if m and "*" not in text and "?" not in text:
+            edits = int(m.group("edits")) if m.group("edits") else 2
+            return FuzzyQuery(m.group("body").lower(), max_edits=edits)
+        if text == "*:*":
+            return MatchAllDocsQuery()
+        if "*" in text or "?" in text:
+            body = text.lower()
+            if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
+                return PrefixQuery(body[:-1])
+            return WildcardQuery(body)
+        toks = tokenize(text)
+        if not toks:
+            return MatchNoDocsQuery("term analyzed to nothing")
+        if len(toks) == 1:
+            return TermQuery(toks[0])
+        return PhraseQuery(tuple(toks))
+
+
+def parse_query(s: str) -> Query:
+    """Parse + rewrite a classic-syntax query string."""
+    toks = _lex(s)
+    if not toks:
+        return MatchNoDocsQuery("empty query")
+    p = _Parser(toks)
+    q = p.parse_or()
+    if isinstance(q, tuple):
+        q = BooleanQuery((q,))
+    return rewrite(q)

@@ -1,0 +1,238 @@
+"""Block-max WAND — dynamic pruning for top-k disjunctions.
+
+The reference's WANDScorer (lucene/core/src/java/org/apache/lucene/
+search/WANDScorer.java:53-642, Broder et al. WAND + Ding & Suel
+block-max, cited at :30-34) is a doc-at-a-time iterator juggling
+lead/head/tail scorer lists. A vectorized engine wants the same
+*pruning guarantee* in block-at-a-time form, so this kernel reframes it
+as an interval sweep:
+
+1. every term's posting list is divided into 128-doc blocks whose max
+   possible score comes from the indexed competitive impacts
+   (ImpactsDISI.java / MaxScoreCache.java — computed here WITHOUT
+   decoding the block),
+2. block boundaries across all query terms cut doc-id space into
+   elementary intervals; each interval's upper bound = Σ (per-term
+   block-max of the covering block),
+3. intervals are scored exhaustively in descending upper-bound order;
+   once the top-k heap is full (and the totalHitsThreshold — default
+   1000, IndexSearcher.java:104 — has been crossed), any interval with
+   upper bound below minCompetitiveScore = nextUp(kth score)
+   (TopScoreDocCollector.java:335-355) is pruned: its blocks are never
+   bit-unpacked.
+
+Like the reference (WANDScorer.java:88-118 rounds max scores UP),
+pruning is by true upper bounds, so the returned top-k is EXACTLY the
+exhaustive result — verified by equivalence tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_spark.codec.forutil import BLOCK_SIZE, decode_blocks
+from lucene_spark.search.kernels import top_k_from_arrays
+from lucene_spark.search.similarity import score_freqs
+
+_INF_DOC = np.int64(2**62)
+
+
+class PostingSource:
+    """Lazily-decodable posting list for one term: block upper bounds
+    from impacts, selective block decode on demand."""
+
+    def __init__(
+        self,
+        weight: float,
+        cache: np.ndarray,
+        chunks: list[tuple[bytes, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]],
+    ):
+        """chunks: list of (blob, block_last, imp_block, imp_freq, imp_norm, df)
+        in ascending doc-range order (chunk rows from the index)."""
+        self.weight = np.float32(weight)
+        self.cache = cache
+        self.chunks = chunks
+        # global block table: (chunk_idx, local_block, end_doc, ub_score)
+        ends, ubs, owner = [], [], []
+        for ci, (blob, block_last, ib, if_, in_, df) in enumerate(chunks):
+            n_blocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+            ub = np.zeros(n_blocks, dtype=np.float32)
+            if len(ib):
+                s = score_freqs(self.weight, np.asarray(if_), np.asarray(in_), cache)
+                np.maximum.at(ub, np.asarray(ib, dtype=np.int64), s)
+            for b in range(n_blocks):
+                end = int(block_last[b])  # exact per-block last doc (incl. tail)
+                ends.append(end)
+                ubs.append(float(ub[b]))
+                owner.append((ci, b))
+        self.block_end = np.array(ends, dtype=np.int64)
+        self.block_ub = np.array(ubs, dtype=np.float32)
+        self.owner = owner
+        self._decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def block_ranges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(start_doc, end_doc, ub) per block; start = prev end + 1."""
+        starts = np.empty_like(self.block_end)
+        starts[0] = 0
+        starts[1:] = self.block_end[:-1] + 1
+        return starts, self.block_end, self.block_ub
+
+    def decode(self, block_idx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        got = self._decoded.get(block_idx)
+        if got is None:
+            ci, lb = self.owner[block_idx]
+            blob, block_last, *_ = self.chunks[ci]
+            got = decode_blocks(blob, [lb], np.asarray(block_last, dtype=np.int64))
+            self._decoded[block_idx] = got
+        return got
+
+    def decoded_blocks_scored(self, block_indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if not len(block_indices):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        parts = [self.decode(int(b)) for b in block_indices]
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        norms = np.concatenate([p[2] for p in parts])
+        return docs, score_freqs(self.weight, tfs, norms, self.cache)
+
+
+def wand_top_k(
+    sources: list[PostingSource],
+    k: int,
+    total_hits_threshold: int = 1000,
+) -> tuple[list[tuple[int, float]], dict]:
+    """Exact top-k over the disjunction of term sources, with block-max
+    pruning. Returns (hits, info) where info carries pruning metrics."""
+    # ---- elementary intervals from all block boundaries
+    all_ends = np.unique(np.concatenate([s.block_end for s in sources]))
+    n_iv = len(all_ends)
+    # interval j covers (all_ends[j-1], all_ends[j]]
+    ub_sum = np.zeros(n_iv, dtype=np.float64)
+    term_block_of_iv = []  # per source: block index covering each interval (or -1)
+    for s in sources:
+        starts, ends, ub = s.block_ranges()
+        # interval j's end doc all_ends[j] falls in source block: first block with end >= all_ends[j]
+        bidx = np.searchsorted(ends, all_ends)
+        valid = bidx < len(ends)
+        contrib = np.zeros(n_iv, dtype=np.float64)
+        # block covers interval only if block start <= interval start region;
+        # using block [start,end] vs interval (prev_end, end]: overlap iff
+        # block_end >= iv_end is chosen via searchsorted and block_start <= iv_end
+        iv_lo = np.empty(n_iv, dtype=np.int64)
+        iv_lo[0] = 0
+        iv_lo[1:] = all_ends[:-1] + 1
+        bidx_c = np.minimum(bidx, len(ends) - 1)
+        overlap = valid & (starts[bidx_c] <= all_ends)
+        contrib[overlap] = ub[bidx_c[overlap]]
+        ub_sum += contrib
+        tb = np.where(overlap, bidx_c, -1)
+        term_block_of_iv.append(tb)
+
+    order = np.argsort(-ub_sum, kind="stable")
+    heap_docs = np.empty(0, dtype=np.int64)
+    heap_scores = np.empty(0, dtype=np.float32)
+    hits = 0
+    scored_blocks: list[set] = [set() for _ in sources]
+    pruned_intervals = 0
+    min_competitive = -np.inf
+
+    BATCH = 8
+    i = 0
+    while i < len(order):
+        batch = []
+        while i < len(order) and len(batch) < BATCH:
+            j = order[i]
+            if hits >= total_hits_threshold and len(heap_docs) >= k and ub_sum[j] < min_competitive:
+                # everything after j in desc order is also below: prune the rest
+                pruned_intervals = len(order) - i
+                i = len(order)
+                break
+            batch.append(j)
+            i += 1
+        if not batch:
+            break
+        # decode the covering blocks (dedup per source)
+        need = [set() for _ in sources]
+        for j in batch:
+            for si, tb in enumerate(term_block_of_iv):
+                b = tb[j]
+                if b >= 0 and b not in scored_blocks[si]:
+                    need[si].add(int(b))
+        new_docs, new_scores = _score_union(sources, need)
+        for si in range(len(sources)):
+            scored_blocks[si] |= need[si]
+        if len(new_docs):
+            # drop docs already in heap (blocks span multiple intervals)
+            if len(heap_docs):
+                fresh = ~np.isin(new_docs, heap_docs)
+                new_docs, new_scores = new_docs[fresh], new_scores[fresh]
+            hits += len(new_docs)
+            heap_docs = np.concatenate([heap_docs, new_docs])
+            heap_scores = np.concatenate([heap_scores, new_scores])
+            if len(heap_docs) > 4 * k:
+                top = top_k_from_arrays(heap_docs, heap_scores, k)
+                heap_docs = np.array([d for d, _ in top], dtype=np.int64)
+                heap_scores = np.array([s for _, s in top], dtype=np.float32)
+            if len(heap_docs) >= k:
+                kth = sorted(heap_scores, reverse=True)[k - 1] if len(heap_scores) >= k else -np.inf
+                # minCompetitiveScore = Math.nextUp(kth) (TopScoreDocCollector.java:335-355)
+                min_competitive = float(np.nextafter(np.float32(kth), np.float32(np.inf)))
+    result = top_k_from_arrays(heap_docs, heap_scores, k)
+    info = {
+        "pruned_intervals": int(pruned_intervals),
+        "total_intervals": int(n_iv),
+        "decoded_blocks": int(sum(len(s) for s in scored_blocks)),
+        "total_blocks": int(sum(len(s.block_end) for s in sources)),
+        "hits_seen": int(hits),
+    }
+    return result, info
+
+
+def _score_union(sources: list[PostingSource], need: list[set]) -> tuple[np.ndarray, np.ndarray]:
+    """Disjunction-sum over the decoded blocks of each source.
+
+    Contract (required for the caller's ``scored_blocks`` bookkeeping):
+    EVERY doc of EVERY block in the final (mutated) ``need`` sets is
+    emitted, with its FULL score across all sources. To complete
+    scores, other sources' covering blocks are pulled in, iterating to
+    a fixpoint (a pulled block may introduce docs needing further
+    blocks at its edges)."""
+    if not any(need):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    # fixpoint: docs of all needed blocks → covering blocks of all docs
+    while True:
+        doc_parts = []
+        for si, s in enumerate(sources):
+            if need[si]:
+                d, _ = s.decoded_blocks_scored(np.array(sorted(need[si]), dtype=np.int64))
+                doc_parts.append(d)
+        docs = np.unique(np.concatenate(doc_parts))
+        grew = False
+        for si, s in enumerate(sources):
+            covering = np.unique(np.searchsorted(s.block_end, docs))
+            covering = covering[covering < len(s.block_end)]
+            # only blocks that actually contain one of `docs` matter;
+            # searchsorted gives the candidate block, membership is
+            # settled by the final scoring pass either way.
+            new = set(int(b) for b in covering) - need[si]
+            if new:
+                # a candidate block is only *required* if one of `docs`
+                # is really inside it; decode and check cheaply
+                for b in new:
+                    d, _, _ = s.decode(b)
+                    lo = np.searchsorted(docs, d[0]) if len(d) else 0
+                    if len(d) and lo < len(docs) and np.isin(docs, d, assume_unique=True).any():
+                        need[si].add(b)
+                        grew = True
+        if not grew:
+            break
+    acc = np.zeros(len(docs), dtype=np.float64)
+    for si, s in enumerate(sources):
+        if not need[si]:
+            continue
+        d, sc = s.decoded_blocks_scored(np.array(sorted(need[si]), dtype=np.int64))
+        idx = np.searchsorted(d, docs)
+        idx_c = np.minimum(idx, max(len(d) - 1, 0))
+        mask = (idx < len(d)) & (d[idx_c] == docs) if len(d) else np.zeros(len(docs), bool)
+        acc[mask] += sc[idx_c[mask]].astype(np.float64)
+    return docs, acc.astype(np.float32)
