@@ -93,3 +93,22 @@ def tokenize_series(texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH) 
     if max_token_length is None:
         return raw.map(lambda ts: [t.lower() for t in ts])
     return raw.map(lambda ts: [t.lower() for t in ts if len(t) <= max_token_length])
+
+
+def tokenize_pos_series(
+    texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH
+) -> tuple[pd.Series, pd.Series]:
+    """Batch tokenization with Lucene positions (dropped over-length
+    tokens still consume a position increment). Returns (tokens,
+    positions) Series of equal-length lists."""
+    raw = texts.fillna("").str.findall(_TOKEN_RE)
+    toks_out, pos_out = [], []
+    for ts in raw:
+        toks, poss = [], []
+        for p, t in enumerate(ts):
+            if len(t) <= max_token_length:
+                toks.append(t.lower())
+                poss.append(p)
+        toks_out.append(toks)
+        pos_out.append(poss)
+    return pd.Series(toks_out, index=texts.index), pd.Series(pos_out, index=texts.index)

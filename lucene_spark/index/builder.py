@@ -77,6 +77,9 @@ class IndexConfig:
     # pruning granularity; Iceberg: bucket(term, n) + sort_order(term)).
     term_buckets: int = 16
     field: str = "content"
+    # DOCS_AND_FREQS_AND_POSITIONS (TextField default, IndexOptions.java:29-50);
+    # False = DOCS_AND_FREQS (no phrase queries, smaller index).
+    positions: bool = True
 
 
 _POSTINGS_SCHEMA = StructType(
@@ -86,6 +89,7 @@ _POSTINGS_SCHEMA = StructType(
         StructField("df", IntegerType()),
         StructField("ttf", LongType()),
         StructField("blob", BinaryType()),
+        StructField("pos_blob", BinaryType()),
         StructField("block_last", ArrayType(LongType())),
         StructField("imp_block", ArrayType(IntegerType())),
         StructField("imp_freq", ArrayType(IntegerType())),
@@ -142,6 +146,28 @@ def _tokenize_udf():
     return _tok
 
 
+def _tokenize_pos_udf():
+    """Tokens + Lucene positions (dropped >255-char tokens consume a
+    position — StandardTokenizer.java:158-166) as a struct of arrays."""
+    from pyspark.sql.functions import pandas_udf
+
+    schema = StructType(
+        [
+            StructField("tokens", ArrayType(StringType())),
+            StructField("positions", ArrayType(IntegerType())),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _tok(content: pd.Series) -> pd.DataFrame:
+        from lucene_spark.analysis.tokenizer import tokenize_pos_series
+
+        toks, poss = tokenize_pos_series(content)
+        return pd.DataFrame({"tokens": toks, "positions": poss})
+
+    return _tok
+
+
 def _norm_udf():
     from pyspark.sql.functions import pandas_udf
 
@@ -153,17 +179,24 @@ def _norm_udf():
 
 
 def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: sorted (doc,tf,norm) arrays → packed blob +
-    block skip data + competitive impacts. Vectorized per posting list."""
+    """mapInPandas kernel: sorted (doc,tf,norm[,positions]) arrays →
+    packed doc/freq/norm blob + separate position blob + block skip
+    data + competitive impacts. Vectorized per posting list."""
+    from lucene_spark.codec.positions import pack_positions
+
     for pdf in batches:
+        has_pos = "poss" in pdf.columns
         rows = []
-        for term, chunk_id, docs, tfs, norms in zip(
-            pdf["term"], pdf["chunk_id"], pdf["docs"], pdf["tfs"], pdf["norms"]
-        ):
-            d = np.asarray(docs, dtype=np.int64)
-            t = np.asarray(tfs, dtype=np.int64)
-            nm = np.asarray(norms, dtype=np.int64)
+        for i in range(len(pdf)):
+            term = pdf["term"].iloc[i]
+            chunk_id = pdf["chunk_id"].iloc[i]
+            d = np.asarray(pdf["docs"].iloc[i], dtype=np.int64)
+            t = np.asarray(pdf["tfs"].iloc[i], dtype=np.int64)
+            nm = np.asarray(pdf["norms"].iloc[i], dtype=np.int64)
             blob, block_last = pack_postings(d, t, nm)
+            pos_blob = None
+            if has_pos:
+                pos_blob = pack_positions([np.asarray(p, dtype=np.int64) for p in pdf["poss"].iloc[i]])
             ib, if_, in_ = [], [], []
             for b in range(0, len(d), BLOCK_SIZE):
                 for f, n in competitive_impacts(t[b : b + BLOCK_SIZE], nm[b : b + BLOCK_SIZE]):
@@ -171,17 +204,7 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     if_.append(int(f))
                     in_.append(int(n))
             rows.append(
-                (
-                    term,
-                    int(chunk_id),
-                    len(d),
-                    int(t.sum()),
-                    blob,
-                    block_last.tolist(),
-                    ib,
-                    if_,
-                    in_,
-                )
+                (term, int(chunk_id), len(d), int(t.sum()), blob, pos_blob, block_last.tolist(), ib, if_, in_)
             )
         yield pd.DataFrame(
             rows,
@@ -191,6 +214,7 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "df",
                 "ttf",
                 "blob",
+                "pos_blob",
                 "block_last",
                 "imp_block",
                 "imp_freq",
@@ -207,18 +231,34 @@ class IndexBuilder:
     # ---- stages ----------------------------------------------------------
 
     def tokenized(self, corpus: DataFrame) -> DataFrame:
-        """corpus (+doc_id) → + tokens, dl, norm."""
-        tok = _tokenize_udf()
+        """corpus (+doc_id) → + tokens [, positions], dl, norm."""
         norm = _norm_udf()
-        return (
-            corpus.withColumn("tokens", tok(F.col(self.config.field)))
-            .withColumn("dl", F.size("tokens"))
-            .withColumn("norm", norm(F.col("dl")))
-        )
+        if self.config.positions:
+            tok = _tokenize_pos_udf()
+            out = (
+                corpus.withColumn("_tp", tok(F.col(self.config.field)))
+                .withColumn("tokens", F.col("_tp.tokens"))
+                .withColumn("positions", F.col("_tp.positions"))
+                .drop("_tp")
+            )
+        else:
+            tok = _tokenize_udf()
+            out = corpus.withColumn("tokens", tok(F.col(self.config.field)))
+        return out.withColumn("dl", F.size("tokens")).withColumn("norm", norm(F.col("dl")))
 
     def inverted(self, tokenized: DataFrame) -> DataFrame:
-        """(term, doc_id, tf, norm) — the IndexingChain inversion
-        (IndexingChain.java:519,674) as explode + partial-agg groupBy."""
+        """(term, doc_id, tf, norm [, poss]) — the IndexingChain
+        inversion (IndexingChain.java:519,674) as explode + partial-agg
+        groupBy; positions collected sorted per (term, doc)."""
+        if self.config.positions:
+            return (
+                tokenized.select(
+                    "doc_id", "norm", F.explode(F.arrays_zip("tokens", "positions")).alias("tp")
+                )
+                .select("doc_id", "norm", F.col("tp.tokens").alias("term"), F.col("tp.positions").alias("pos"))
+                .groupBy("term", "doc_id", "norm")
+                .agg(F.count("*").alias("tf"), F.sort_array(F.collect_list("pos")).alias("poss"))
+            )
         return (
             tokenized.select("doc_id", "norm", F.explode("tokens").alias("term"))
             .groupBy("term", "doc_id", "norm")
@@ -237,16 +277,21 @@ class IndexBuilder:
             "chunk_id",
             F.when(F.col("_hot").isNotNull(), (F.col("doc_id") / dpc).cast("long")).otherwise(F.lit(0)),
         )
+        has_pos = self.config.positions
+        struct_cols = ["doc_id", "tf", "norm"] + (["poss"] if has_pos else [])
+        sel = [
+            "term",
+            "chunk_id",
+            F.expr("transform(plist, x -> x.doc_id)").alias("docs"),
+            F.expr("transform(plist, x -> x.tf)").alias("tfs"),
+            F.expr("transform(plist, x -> x.norm)").alias("norms"),
+        ]
+        if has_pos:
+            sel.append(F.expr("transform(plist, x -> x.poss)").alias("poss"))
         grouped = (
             chunked.groupBy("term", "chunk_id")
-            .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf", "norm"))).alias("plist"))
-            .select(
-                "term",
-                "chunk_id",
-                F.expr("transform(plist, x -> x.doc_id)").alias("docs"),
-                F.expr("transform(plist, x -> x.tf)").alias("tfs"),
-                F.expr("transform(plist, x -> x.norm)").alias("norms"),
-            )
+            .agg(F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("plist"))
+            .select(*sel)
         )
         packed = grouped.mapInPandas(_pack_partition, schema=_POSTINGS_SCHEMA)
         return packed, term_stats

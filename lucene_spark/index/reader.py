@@ -34,6 +34,7 @@ class PostingList:
     docs: np.ndarray
     tfs: np.ndarray
     norms: np.ndarray
+    positions: list | None = None  # per-doc position arrays (aligned with docs)
 
 
 class SearchIndex:
@@ -98,9 +99,11 @@ class SearchIndex:
     def postings_rows(self, terms: list[str]) -> DataFrame:
         return self.postings.filter(F.col("term").isin(list(terms)))
 
-    def collect_postings(self, terms: list[str]) -> dict[str, PostingList]:
+    def collect_postings(self, terms: list[str], with_positions: bool = False) -> dict[str, PostingList]:
         """Driver-mode read: decode and concatenate all chunks per term
         (chunk rows are doc-range ordered by chunk_id)."""
+        from lucene_spark.codec.positions import unpack_positions
+
         out: dict[str, PostingList] = {}
         if not terms:
             return out
@@ -113,10 +116,19 @@ class SearchIndex:
             docs = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
             norms = np.concatenate([p[2] for p in parts])
-            order = np.argsort(docs, kind="stable")
-            if not (np.diff(docs) > 0).all():
+            positions = None
+            if with_positions:
+                positions = []
+                for r, p in zip(rs, parts):
+                    if r["pos_blob"] is None:
+                        raise ValueError(f"index has no positions for term {term!r} (built with positions=False)")
+                    positions.extend(unpack_positions(bytes(r["pos_blob"]), p[1]))
+            if not (len(docs) < 2 or (np.diff(docs) > 0).all()):
+                order = np.argsort(docs, kind="stable")
                 docs, tfs, norms = docs[order], tfs[order], norms[order]
-            out[term] = PostingList(term, -1, len(docs), docs, tfs, norms.astype(np.int64))
+                if positions is not None:
+                    positions = [positions[i] for i in order]
+            out[term] = PostingList(term, -1, len(docs), docs, tfs, norms.astype(np.int64), positions)
         return out
 
     def all_doc_ids(self) -> np.ndarray:

@@ -154,10 +154,12 @@ class Searcher:
 
     def _driver_context(self, spec, cache) -> ChunkContext:
         terms = sorted(spec_terms(spec))
-        plists = self.index.collect_postings(terms)
+        with_pos = _has_phrase(spec)
+        plists = self.index.collect_postings(terms, with_positions=with_pos)
         arrays = {t: (p.docs, p.tfs, p.norms) for t, p in plists.items()}
+        positions = {t: p.positions for t, p in plists.items()} if with_pos else None
         all_docs = self.index.all_doc_ids() if _needs_all_docs(spec) else None
-        return ChunkContext(arrays, cache, all_docs)
+        return ChunkContext(arrays, cache, all_docs, positions)
 
     def _search_exhaustive(self, spec, k: int, cache) -> TopDocs:
         ctx = self._driver_context(spec, cache)
@@ -194,10 +196,17 @@ class Searcher:
         )
         hot_terms = {r["term"] for r in chunk_counts if r["n"] > 1 or r["maxc"] > 0}
         small_terms = [t for t in terms if t not in hot_terms]
-        small = index.collect_postings(small_terms)
+        with_pos = _has_phrase(spec)
+        small = index.collect_postings(small_terms, with_positions=with_pos)
         small_arrays = {t: (p.docs, p.tfs, p.norms) for t, p in small.items()}
+        small_positions = {t: p.positions for t, p in small.items()} if with_pos else {}
         if not hot_terms:
-            ctx = ChunkContext(small_arrays, cache, index.all_doc_ids() if _needs_all_docs(spec) else None)
+            ctx = ChunkContext(
+                small_arrays,
+                cache,
+                index.all_doc_ids() if _needs_all_docs(spec) else None,
+                small_positions if with_pos else None,
+            )
             docs, scores = evaluate(spec, ctx)
             return TopDocs(top_k_from_arrays(docs, scores, k), len(docs), "EQUAL_TO", {})
 
@@ -217,18 +226,25 @@ class Searcher:
         hot_rows = rows_df.filter(F.col("term").isin(list(hot_terms)))
 
         def score_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from lucene_spark.codec.positions import unpack_positions
+
             chunk_id = int(key[0])
             lo, hi = chunk_id * dpc, (chunk_id + 1) * dpc
             arrays = {}
+            positions: dict = {}
             for _, r in pdf.iterrows():
                 if r["term"] is None:
                     continue
                 d, t, nm = unpack_postings(bytes(r["blob"]))
                 arrays[r["term"]] = (d, t, nm.astype(np.int64))
+                if with_pos and r["pos_blob"] is not None:
+                    positions[r["term"]] = unpack_positions(bytes(r["pos_blob"]), t)
             for t, (d, tf, nm) in small_arrays.items():
                 i0, i1 = np.searchsorted(d, lo), np.searchsorted(d, hi)
                 arrays[t] = (d[i0:i1], tf[i0:i1], nm[i0:i1])
-            ctx = ChunkContext(arrays, cache_b, None)
+                if with_pos and small_positions.get(t) is not None:
+                    positions[t] = small_positions[t][i0:i1]
+            ctx = ChunkContext(arrays, cache_b, None, positions if with_pos else None)
             docs, scores = evaluate(spec_b, ctx)
             top = top_k_from_arrays(docs, scores, kk)
             if not top:
@@ -250,20 +266,16 @@ class Searcher:
             pad = extra_df.withColumn("term", F.lit(None).cast("string"))
             for c in ["df", "ttf"]:
                 pad = pad.withColumn(c, F.lit(None).cast("long"))
+            cols = ["chunk_id", "term", "df", "ttf", "blob", "pos_blob", "block_last", "imp_block", "imp_freq", "imp_norm"]
             pad = (
                 pad.withColumn("blob", F.lit(None).cast("binary"))
+                .withColumn("pos_blob", F.lit(None).cast("binary"))
                 .withColumn("block_last", F.lit(None).cast("array<long>"))
                 .withColumn("imp_block", F.lit(None).cast("array<int>"))
                 .withColumn("imp_freq", F.lit(None).cast("array<int>"))
                 .withColumn("imp_norm", F.lit(None).cast("array<int>"))
             )
-            grouped_src = hot_rows.select(
-                "chunk_id", "term", "df", "ttf", "blob", "block_last", "imp_block", "imp_freq", "imp_norm"
-            ).unionByName(
-                pad.select(
-                    "chunk_id", "term", "df", "ttf", "blob", "block_last", "imp_block", "imp_freq", "imp_norm"
-                )
-            )
+            grouped_src = hot_rows.select(*cols).unionByName(pad.select(*cols))
         result = grouped_src.groupBy("chunk_id").applyInPandas(
             score_chunk, schema="chunk_id long, doc_id long, score float, n_matched long"
         ).persist()
@@ -275,6 +287,20 @@ class Searcher:
         result.unpersist()
         hits = [(r["doc_id"], r["score"]) for r in top_rows]
         return TopDocs(hits, int(total or 0), "EQUAL_TO", {"mode": "distributed"})
+
+
+def _has_phrase(spec) -> bool:
+    from lucene_spark.search.kernels import DisMaxSpec, PhraseSpec
+
+    if isinstance(spec, PhraseSpec):
+        return True
+    if isinstance(spec, BoolSpec):
+        return any(_has_phrase(s) for g in (spec.musts, spec.shoulds, spec.filters, spec.nots) for s in g)
+    if isinstance(spec, DisMaxSpec):
+        return any(_has_phrase(s) for s in spec.subs)
+    if isinstance(spec, tuple) and spec and spec[0] == "const":
+        return _has_phrase(spec[1])
+    return False
 
 
 def _needs_all_docs(spec) -> bool:

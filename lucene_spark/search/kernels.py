@@ -189,13 +189,21 @@ def _membership(sorted_docs: np.ndarray, cand: np.ndarray) -> tuple[np.ndarray, 
 
 class ChunkContext:
     """Posting arrays visible to a kernel evaluation: term →
-    (docs sorted int64, tfs, norms), plus the norm-inverse cache and
-    (optionally) the full doc-id domain for MatchAllDocs."""
+    (docs sorted int64, tfs, norms), plus the norm-inverse cache,
+    optional per-term position lists (phrase queries), and (optionally)
+    the full doc-id domain for MatchAllDocs."""
 
-    def __init__(self, arrays: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]], cache: np.ndarray, all_docs: np.ndarray | None = None):
+    def __init__(
+        self,
+        arrays: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+        cache: np.ndarray,
+        all_docs: np.ndarray | None = None,
+        positions: dict[str, list] | None = None,
+    ):
         self.arrays = arrays
         self.cache = cache
         self.all_docs = all_docs if all_docs is not None else EMPTY_I
+        self.positions = positions or {}
 
     def term(self, t: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return self.arrays.get(t, (EMPTY_I, EMPTY_I, EMPTY_I))
@@ -253,8 +261,47 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(spec, BoolSpec):
         return _evaluate_bool(spec, ctx)
     if isinstance(spec, PhraseSpec):
-        raise NotImplementedError("phrase evaluation requires the positions index (milestone)")
+        return _evaluate_phrase(spec, ctx)
     raise TypeError(type(spec))
+
+
+def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
+    """ExactPhraseMatcher semantics (ExactPhraseMatcher.java:39,109):
+    candidate docs = conjunction of all phrase terms; phrase freq =
+    #positions p of term0 with p+i present for every term i. The freq
+    then feeds BM25 with the summed-idf weight (PhraseWeight)."""
+    if spec.slop:
+        raise NotImplementedError("sloppy phrases (slop > 0) are a later milestone")
+    parts = [ctx.term(t) for t in spec.terms]
+    if any(not len(p[0]) for p in parts):
+        return EMPTY_I, EMPTY_F
+    cand = parts[0][0]
+    for d, _, _ in parts[1:]:
+        cand = np.intersect1d(cand, d, assume_unique=True)
+    if not len(cand):
+        return EMPTY_I, EMPTY_F
+    pos_lists = []
+    for t, (d, _, _) in zip(spec.terms, parts):
+        plist = ctx.positions.get(t)
+        if plist is None:
+            raise ValueError(f"no positions available for term {t!r}")
+        idx = np.searchsorted(d, cand)
+        pos_lists.append([plist[i] for i in idx])
+    freqs = np.zeros(len(cand), dtype=np.int64)
+    for ci in range(len(cand)):
+        ok = pos_lists[0][ci]
+        for i in range(1, len(spec.terms)):
+            if not len(ok):
+                break
+            ok = ok[np.isin(ok + i, pos_lists[i][ci], assume_unique=True)]
+        freqs[ci] = len(ok)
+    matched = freqs > 0
+    if not matched.any():
+        return EMPTY_I, EMPTY_F
+    docs0, _, norms0 = parts[0]
+    idx0 = np.searchsorted(docs0, cand[matched])
+    scores = score_freqs(np.float32(spec.weight), freqs[matched], norms0[idx0], ctx.cache)
+    return cand[matched], scores
 
 
 def _evaluate_bool(spec: BoolSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:

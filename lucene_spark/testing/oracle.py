@@ -168,6 +168,8 @@ class OracleIndex:
             weight = np.float32(boost * idf(max(dfs), self.stats.doc_count))
             return self._bm25(weight, dict(doc_tf))
         if isinstance(q, A.PhraseQuery):
+            if q.slop:
+                raise NotImplementedError("sloppy phrases (slop > 0) are a later milestone")
             freqs = self._phrase_freqs(q.terms)
             if not freqs:
                 return {}
