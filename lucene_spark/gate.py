@@ -1,0 +1,323 @@
+"""Driver-contract queries + DuckDB oracle SQL for the correctness gate.
+
+Each gate query runs the REAL engine (index build via `IndexBuilder`,
+search via `Searcher`) over the driver's `documents` testdata table and
+returns a small deterministic DataFrame. The paired oracle is a pure
+ANSI-SQL (DuckDB) re-derivation of the same result from first
+principles: tokenize with the same UAX#29-subset pattern (the corpus is
+plain `[a-z0-9]+` text, verified equivalent), rebuild tf/df/norms/stats
+relationally, and score BM25 with Lucene's formula (k1=1.2, b=0.75,
+SmallFloat-encoded norms decoded through the 256-entry LENGTH_TABLE —
+reference: lucene/core/src/java/org/apache/lucene/search/similarities/
+BM25Similarity.java:103-252, lucene/core/src/java/org/apache/lucene/
+util/SmallFloat.java:103-167).
+
+Scores are float32 in the engine and float64 in SQL; both sides round
+to 2 decimals (`score_r`) — rank order and doc ids must match exactly
+(rank-identity is the north rule; HitQueue.java:78-84 tie-break).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_spark.codec.smallfloat import NORM_LENGTH_TABLE
+from lucene_spark.index.builder import IndexBuilder, IndexConfig
+from lucene_spark.index.reader import SearchIndex
+from lucene_spark.search import ast as A
+from lucene_spark.search.engine import Searcher, TopDocs
+
+ENGINE_VERSION = "v1"
+TOKEN_SQL = "[a-z0-9]+"
+K1, B = 1.2, 0.75
+
+_CACHE: dict[str, tuple[SearchIndex, Searcher]] = {}
+
+
+# ---- corpus + index --------------------------------------------------------
+
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) → the engine's
+    (repo, path, commit, lang, content) input shape, keeping the
+    table's own doc_id (deterministic, already dense)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """Build (once per sf_dir per process; reused on disk across
+    processes) the gate index. docs_per_chunk=128 makes every common
+    term 'hot' at sf>=0.01 so the chunked/salted layout is exercised."""
+    key = os.path.abspath(sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gate_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True)
+        IndexBuilder(spark, cfg).build(corpus_df(spark, sf_dir), idx_dir, assign_ids=False)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
+# ---- result shaping --------------------------------------------------------
+
+
+def _round2(x: float) -> float:
+    # round-half-away at 2dp; margins are asserted far from boundaries
+    # by tests/check_gate, so any sane rounding agrees with DuckDB's.
+    import math
+
+    return math.floor(x * 100.0 + 0.5) / 100.0 if x >= 0 else -math.floor(-x * 100.0 + 0.5) / 100.0
+
+
+def _hits_df(spark: SparkSession, td: TopDocs) -> DataFrame:
+    rows = [(i + 1, int(d), _round2(float(s))) for i, (d, s) in enumerate(td.hits)]
+    return spark.createDataFrame(rows, "rank bigint, doc_id bigint, score_r double")
+
+
+def _ids_df(spark: SparkSession, td: TopDocs) -> DataFrame:
+    rows = sorted((int(d),) for d, _ in td.hits)
+    return spark.createDataFrame(rows, "doc_id bigint")
+
+
+# ---- oracle SQL scaffold ---------------------------------------------------
+
+
+def base_ctes() -> str:
+    dvals = ",".join(f"({b},{int(v)})" for b, v in enumerate(NORM_LENGTH_TABLE))
+    return f"""WITH dtab(b, v) AS (VALUES {dvals}),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term FROM documents),
+post AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos
+         FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS l FROM documents)),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+norms AS (SELECT dl.doc_id, dl.dl, max(d.b)::BIGINT AS norm, max(d.v)::BIGINT AS dlen
+          FROM dl JOIN dtab d ON d.v <= dl.dl GROUP BY dl.doc_id, dl.dl),
+stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_ttf,
+          sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+dfr AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf FROM tf GROUP BY term),
+idfw AS (SELECT term, df, ttf,
+         ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS w FROM dfr),
+tscore AS (SELECT f.doc_id, f.term,
+    i.w - i.w / (1 + f.tf * (1.0 / ({K1} * ((1 - {B}) + {B} * n.dlen / (SELECT avgdl FROM stats))))) AS s
+    FROM tf f JOIN idfw i USING (term) JOIN norms n USING (doc_id))"""
+
+
+def topk_sql(score_cte: str, k: int = 10) -> str:
+    return (
+        f"{base_ctes()}, q AS ({score_cte}) "
+        f"SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+        f"doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT {k}"
+    )
+
+
+def ids_sql(pred_cte: str) -> str:
+    return f"{base_ctes()} SELECT DISTINCT doc_id FROM ({pred_cte}) ORDER BY doc_id"
+
+
+_INV = f"(1.0 / ({K1} * ((1 - {B}) + {B} * n.dlen / (SELECT avgdl FROM stats))))"
+
+
+# ---- gate query definitions ------------------------------------------------
+
+ALL_K = 1_000_000  # "collect every match" for constant-score id queries
+
+
+def _search(spark, sf_dir, query: A.Query, k: int = 10, mode: str = "driver") -> TopDocs:
+    _, searcher = gate_index(spark, sf_dir)
+    return searcher.search(query, k=k, mode=mode)
+
+
+def queries() -> dict:
+    Q: dict = {}
+
+    # -- scored top-k (BM25 rank identity) --
+    Q["ft_term_top10"] = lambda spark, sf: _hits_df(spark, _search(spark, sf, A.TermQuery("table")))
+    Q["ft_and_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(((A.Occur.MUST, A.TermQuery("merge")), (A.Occur.MUST, A.TermQuery("vector")))),
+        ),
+    )
+    Q["ft_or_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(
+                (
+                    (A.Occur.SHOULD, A.TermQuery("dup")),
+                    (A.Occur.SHOULD, A.TermQuery("vector")),
+                    (A.Occur.SHOULD, A.TermQuery("scan")),
+                )
+            ),
+        ),
+    )
+    Q["ft_not_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(((A.Occur.MUST, A.TermQuery("table")), (A.Occur.MUST_NOT, A.TermQuery("merge")))),
+        ),
+    )
+    Q["ft_phrase_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, A.PhraseQuery(("table", "hash")))
+    )
+    Q["ft_synonym_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, A.SynonymQuery(("table", "dup")))
+    )
+    Q["ft_dismax_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.DisjunctionMaxQuery((A.TermQuery("table"), A.TermQuery("merge")), tie_breaker=0.3),
+        ),
+    )
+    Q["ft_distributed_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(((A.Occur.MUST, A.TermQuery("table")), (A.Occur.MUST, A.TermQuery("hash")))),
+            mode="distributed",
+        ),
+    )
+
+    # -- MultiTermQuery family (constant-score doc sets) --
+    Q["ft_prefix_ids"] = lambda spark, sf: _ids_df(spark, _search(spark, sf, A.PrefixQuery("s"), k=ALL_K))
+    Q["ft_wildcard_ids"] = lambda spark, sf: _ids_df(
+        spark, _search(spark, sf, A.WildcardQuery("*ow"), k=ALL_K)
+    )
+    Q["ft_fuzzy_ids"] = lambda spark, sf: _ids_df(
+        spark, _search(spark, sf, A.FuzzyQuery("tabl", max_edits=1), k=ALL_K)
+    )
+    Q["ft_range_ids"] = lambda spark, sf: _ids_df(
+        spark, _search(spark, sf, A.TermRangeQuery("scan", "table"), k=ALL_K)
+    )
+    Q["ft_termset_ids"] = lambda spark, sf: _ids_df(
+        spark, _search(spark, sf, A.TermInSetQuery(("dup", "vector", "zzznosuch")), k=ALL_K)
+    )
+
+    # -- counting collector --
+    def _count(spark, sf):
+        _, searcher = gate_index(spark, sf)
+        n = searcher.count(
+            A.BooleanQuery(((A.Occur.MUST, A.TermQuery("table")), (A.Occur.MUST, A.TermQuery("merge"))))
+        )
+        return spark.createDataFrame([(int(n),)], "cnt bigint")
+
+    Q["ft_count_and"] = _count
+
+    # -- index-table invariants --
+    def _term_stats(spark, sf):
+        index, _ = gate_index(spark, sf)
+        return (
+            index.term_stats_df.orderBy(F.desc("df"), F.asc("term"))
+            .limit(20)
+            .select("term", F.col("df").cast("long"), F.col("ttf").cast("long"))
+        )
+
+    Q["ix_term_stats"] = _term_stats
+
+    def _norms(spark, sf):
+        index, _ = gate_index(spark, sf)
+        return index.norms.select(
+            F.col("doc_id").cast("long"), F.col("dl").cast("long"), F.col("norm").cast("long")
+        ).orderBy("doc_id")
+
+    Q["ix_norms"] = _norms
+
+    def _docs_sha(spark, sf):
+        index, _ = gate_index(spark, sf)
+        return index.docs.select(F.col("doc_id").cast("long"), "content_sha256").orderBy("doc_id")
+
+    Q["ix_docs_sha"] = _docs_sha
+
+    def _cstats(spark, sf):
+        index, _ = gate_index(spark, sf)
+        s = index.stats
+        return spark.createDataFrame(
+            [(int(s.doc_count), int(s.sum_total_term_freq))], "doc_count bigint, sum_ttf bigint"
+        )
+
+    Q["ix_collection_stats"] = _cstats
+
+    return Q
+
+
+def oracle_sql() -> dict[str, str]:
+    O: dict[str, str] = {}
+    O["ft_term_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    O["ft_and_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('merge','vector') "
+        "GROUP BY doc_id HAVING count(*) = 2"
+    )
+    O["ft_or_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('dup','vector','scan') GROUP BY doc_id"
+    )
+    O["ft_not_top10"] = topk_sql(
+        "SELECT doc_id, s FROM tscore WHERE term = 'table' "
+        "AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')"
+    )
+    O["ft_phrase_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT a.doc_id, count(*)::BIGINT AS pf FROM post a "
+        "      JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "      WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws"
+    )
+    O["ft_synonym_top10"] = topk_sql(
+        "SELECT f.doc_id, ws.w - ws.w / (1 + f.tfs * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, sum(tf)::BIGINT AS tfs FROM tf WHERE term IN ('table','dup') "
+        "      GROUP BY doc_id) f "
+        "JOIN norms n ON n.doc_id = f.doc_id, "
+        "(SELECT ln(1 + ((SELECT n FROM stats) - max(df) + 0.5) / (max(df) + 0.5)) AS w "
+        " FROM dfr WHERE term IN ('table','dup')) ws"
+    )
+    O["ft_dismax_top10"] = topk_sql(
+        "SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s FROM tscore "
+        "WHERE term IN ('table','merge') GROUP BY doc_id"
+    )
+    O["ft_distributed_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('table','hash') "
+        "GROUP BY doc_id HAVING count(*) = 2"
+    )
+
+    O["ft_prefix_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term LIKE 's%'")
+    O["ft_wildcard_ids"] = ids_sql("SELECT doc_id FROM tf WHERE regexp_full_match(term, '.*ow')")
+    O["ft_fuzzy_ids"] = ids_sql("SELECT doc_id FROM tf WHERE levenshtein(term, 'tabl') <= 1")
+    O["ft_range_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term >= 'scan' AND term <= 'table'")
+    O["ft_termset_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term IN ('dup','vector','zzznosuch')")
+
+    O["ft_count_and"] = (
+        base_ctes() + " SELECT count(*)::BIGINT AS cnt FROM (SELECT doc_id FROM tf "
+        "WHERE term IN ('table','merge') GROUP BY doc_id HAVING count(*) = 2)"
+    )
+    O["ix_term_stats"] = base_ctes() + " SELECT term, df, ttf FROM dfr ORDER BY df DESC, term LIMIT 20"
+    O["ix_norms"] = base_ctes() + " SELECT doc_id, dl, norm FROM norms ORDER BY doc_id"
+    O["ix_docs_sha"] = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents ORDER BY doc_id"
+    O["ix_collection_stats"] = base_ctes() + " SELECT n AS doc_count, sum_ttf FROM stats"
+    return O
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: BM25 top-10 for a boolean conjunction at sf0.001."""
+    return queries()["ft_and_top10"](spark, "/root/testdata/sf0.001")

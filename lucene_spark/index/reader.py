@@ -90,6 +90,15 @@ class SearchIndex:
             cond = cond & (F.length("term") >= len(term) - max_edits) & (
                 F.length("term") <= len(term) + max_edits
             )
+        elif kind == "range":
+            lower, upper, incl_lo, incl_hi = arg
+            cond = F.lit(True)
+            if lower is not None:
+                c = F.col("term") >= lower if incl_lo else F.col("term") > lower
+                cond = cond & c
+            if upper is not None:
+                c = F.col("term") <= upper if incl_hi else F.col("term") < upper
+                cond = cond & c
         else:
             raise ValueError(kind)
         return [r["term"] for r in t.filter(cond).select("term").orderBy("term").limit(limit).collect()]

@@ -84,6 +84,18 @@ class TermInSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class TermRangeQuery(Query):
+    """Lexicographic term range (TermRangeQuery.java; `[a TO b]` syntax).
+    ``None`` bounds are open-ended."""
+
+    lower: Optional[str]
+    upper: Optional[str]
+    include_lower: bool = True
+    include_upper: bool = True
+    field: str = "content"
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: tuple[str, ...]
     field: str = "content"

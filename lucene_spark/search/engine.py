@@ -79,6 +79,11 @@ class Searcher:
         if isinstance(q, A.FuzzyQuery):
             terms = self.index.expand_terms("fuzzy", (q.term, q.max_edits, q.prefix_length))
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
+        if isinstance(q, A.TermRangeQuery):
+            terms = self.index.expand_terms(
+                "range", (q.lower, q.upper, q.include_lower, q.include_upper)
+            )
+            return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
         if isinstance(q, A.BooleanQuery):
             return A.BooleanQuery(
                 tuple((o, self._expand_multiterm(s)) for o, s in q.clauses), q.minimum_should_match
