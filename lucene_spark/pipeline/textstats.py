@@ -1,0 +1,91 @@
+"""Text analysis operators: quality scoring, language ID heuristic,
+token counting, document fingerprinting.
+
+Everything except tokenization (the engine's vectorized analyzer UDF)
+is JVM-side column arithmetic — whole-stage codegen, no Python in the
+hot path, so these run at scan speed over 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_spark.pipeline.dedup import tokens_df
+
+# fixed English stopword probe set (used by the language heuristic and
+# the stopword-ratio quality signal). Deliberately tiny + frozen so the
+# result is reproducible and SQL-expressible.
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _with_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")).join(
+        tokens_df(df, text_col, id_col), "doc_id"
+    )
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality signals: token count, char count, mean token
+    length, stopword ratio, distinct-token (type/token) ratio."""
+    t = _with_tokens(df, text_col, id_col)
+    sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_tok = F.size("tokens")
+    return t.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.length("_text").cast("long").alias("n_chars"),
+        F.round(
+            F.when(n_tok > 0, F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")).cast("double") / n_tok).otherwise(0.0),
+            4,
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(n_tok > 0, F.size(F.filter("tokens", lambda x: F.array_contains(sw, x))).cast("double") / n_tok).otherwise(0.0),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_tok > 0, F.size(F.array_distinct("tokens")).cast("double") / n_tok).otherwise(0.0), 4
+        ).alias("ttr"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.05
+) -> DataFrame:
+    """Stopword-probe language heuristic: docs whose English-stopword
+    ratio clears ``threshold`` are tagged 'en', else 'unknown'.
+    (A real pipeline would use char n-gram profiles per language; the
+    operator shape — vectorized ratio + threshold — is identical.)"""
+    t = _with_tokens(df, text_col, id_col)
+    sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_tok = F.size("tokens")
+    ratio = F.when(n_tok > 0, F.size(F.filter("tokens", lambda x: F.array_contains(sw, x))).cast("double") / n_tok).otherwise(0.0)
+    return t.select(
+        "doc_id",
+        F.round(ratio, 4).alias("en_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unknown")).alias("pred_lang"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count, analyzer token count, and a BPE-ish
+    subword estimate (ceil(len/4) pieces per token — the deterministic
+    stand-in for a real BPE vocab; swap the expression for a trained
+    tokenizer UDF in production)."""
+    t = _with_tokens(df, text_col, id_col)
+    return t.select(
+        "doc_id",
+        F.size(F.split(F.trim("_text"), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size("tokens").cast("long").alias("an_tokens"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + F.ceil(F.length(x) / F.lit(4.0)).cast("long")
+        ).alias("bpe_est"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical-form document fingerprint: md5 over the analyzer token
+    stream joined by single spaces — whitespace/case-insensitive
+    identity for exact-ish dedup keys."""
+    t = tokens_df(df, text_col, id_col)
+    return t.select("doc_id", F.md5(F.array_join("tokens", " ")).alias("fp"))

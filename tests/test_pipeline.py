@@ -1,0 +1,211 @@
+"""Training-data pipeline operators: dedup, similarity, textstats,
+multimodal — brute-force oracles in pure python/numpy."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.analysis.tokenizer import tokenize
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs_df):
+    return docs_df.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _shingle_set(text: str, n: int = 5) -> set:
+    toks = tokenize(text)
+    return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _brute_jaccard_pairs(pdf, threshold: float) -> dict[tuple[int, int], float]:
+    sh = {r.doc_id: _shingle_set(r.text) for r in pdf.itertuples()}
+    out = {}
+    for (a, sa), (b, sb) in itertools.combinations(sh.items(), 2):
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter:
+            j = inter / len(sa | sb)
+            if j >= threshold:
+                out[(min(a, b), max(a, b))] = j
+    return out
+
+
+class TestDedup:
+    def test_exact_duplicates(self, spark):
+        from lucene_spark.pipeline import exact_duplicates
+
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "a b c"), (2, "x y"), (3, "a b c")], "doc_id long, text string"
+        )
+        rows = {r["rep_id"]: r["n_dups"] for r in exact_duplicates(df).collect()}
+        assert rows == {0: 3, 2: 1}
+
+    def test_jaccard_pairs_vs_brute(self, spark, docs_df, docs_pdf):
+        from lucene_spark.pipeline import jaccard_pairs
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs(docs_df, threshold=0.5).collect()
+        }
+        want = _brute_jaccard_pairs(docs_pdf, 0.5)
+        assert set(got) == set(want)
+        for k in got:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    def test_minhash_lsh_equals_exact(self, spark, docs_df, docs_pdf):
+        from lucene_spark.pipeline import minhash_lsh_pairs
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(docs_df, threshold=0.5).collect()
+        }
+        want = _brute_jaccard_pairs(docs_pdf, 0.5)
+        assert set(got) == set(want)
+
+    def test_simhash_identical_docs_zero_distance(self, spark):
+        from lucene_spark.pipeline import simhash_pairs
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"), (2, "zz yy xx ww vv uu")],
+            "doc_id long, text string",
+        )
+        rows = simhash_pairs(df, max_hamming=3).collect()
+        assert {(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows} == {(0, 1, 0)}
+
+    def test_simhash_finds_near_dups(self, spark, docs_df):
+        from lucene_spark.pipeline import simhash_pairs
+
+        rows = simhash_pairs(docs_df, max_hamming=3).collect()
+        # the corpus has 25 planted near-dup pairs at jaccard ~0.98;
+        # simhash(64-bit, hamming<=3) should find a majority of them
+        assert len(rows) >= 10
+        for r in rows:
+            assert r["doc_a"] < r["doc_b"] and r["hamming"] <= 3
+
+
+class TestSimilarity:
+    def test_brute_cosine_vs_numpy(self, spark, emb_df):
+        from lucene_spark.pipeline import brute_cosine_topk
+
+        queries = emb_df.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = brute_cosine_topk(emb_df, queries, k=5).collect()
+
+        pdf = emb_df.toPandas().sort_values("vec_id")
+        m = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        ids = pdf["vec_id"].to_numpy()
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        for q in range(4):
+            order = sorted(
+                ((float(sims[q, j]), int(ids[j])) for j in range(len(ids)) if ids[j] != q),
+                key=lambda t: (-t[0], t[1]),
+            )[:5]
+            mine = sorted(
+                [(r["rank"], r["vec_id"], r["sim"]) for r in got if r["query_id"] == q]
+            )
+            assert [v for _, v, _ in mine] == [v for _, v in order]
+            for (_, _, s), (sw, _) in zip(mine, order):
+                assert s == pytest.approx(sw, rel=1e-9)
+
+    def test_lsh_subset_of_true_ranking(self, spark, emb_df):
+        from lucene_spark.pipeline import lsh_cosine_topk
+
+        queries = emb_df.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        rows = lsh_cosine_topk(emb_df, queries, k=5).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["vec_id"] != r["query_id"]
+            assert -1.0001 <= r["sim"] <= 1.0001
+
+
+class TestTextStats:
+    def test_quality_metrics(self, spark, docs_df, docs_pdf):
+        from lucene_spark.pipeline import quality_metrics
+
+        got = {r["doc_id"]: r for r in quality_metrics(docs_df).collect()}
+        for rec in docs_pdf.head(25).itertuples():
+            toks = tokenize(rec.text)
+            r = got[rec.doc_id]
+            assert r["n_tokens"] == len(toks)
+            assert r["n_chars"] == len(rec.text)
+            assert r["avg_token_len"] == pytest.approx(sum(map(len, toks)) / len(toks), abs=1e-4)
+            assert r["ttr"] == pytest.approx(len(set(toks)) / len(toks), abs=1e-4)
+
+    def test_language_id(self, spark, docs_df, docs_pdf):
+        from lucene_spark.pipeline import language_id
+
+        got = {r["doc_id"]: r for r in language_id(docs_df).collect()}
+        from lucene_spark.pipeline.textstats import EN_STOPWORDS
+
+        for rec in docs_pdf.head(25).itertuples():
+            toks = tokenize(rec.text)
+            ratio = sum(t in EN_STOPWORDS for t in toks) / len(toks)
+            r = got[rec.doc_id]
+            assert r["en_ratio"] == pytest.approx(ratio, abs=1e-4)
+            assert r["pred_lang"] == ("en" if ratio >= 0.05 else "unknown")
+
+    def test_token_counts_and_fingerprints(self, spark, docs_df, docs_pdf):
+        import hashlib
+
+        from lucene_spark.pipeline import fingerprints, token_counts
+
+        tc = {r["doc_id"]: r for r in token_counts(docs_df).collect()}
+        fp = {r["doc_id"]: r["fp"] for r in fingerprints(docs_df).collect()}
+        for rec in docs_pdf.head(25).itertuples():
+            toks = tokenize(rec.text)
+            assert tc[rec.doc_id]["an_tokens"] == len(toks)
+            assert tc[rec.doc_id]["ws_tokens"] == len(rec.text.split())
+            assert tc[rec.doc_id]["bpe_est"] == sum(-(-len(t) // 4) for t in toks)
+            assert fp[rec.doc_id] == hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+
+class TestMultimodal:
+    def test_metadata_stub_deterministic(self, spark, docs_df):
+        from lucene_spark.pipeline.multimodal import extract_metadata, with_payload
+
+        payloads = with_payload(docs_df)
+        a = sorted(tuple(r) for r in extract_metadata(payloads).collect())
+        b = sorted(tuple(r) for r in extract_metadata(payloads).collect())
+        assert a == b
+        for r in extract_metadata(payloads).limit(50).collect():
+            assert r["kind"] in ("image", "audio", "video")
+            assert r["n_bytes"] > 0
+            if r["kind"] == "image":
+                assert r["width"] > 0 and r["height"] > 0 and r["n_frames"] == 1
+            else:
+                assert r["width"] == 0 and r["n_frames"] >= 1
+
+    def test_real_decode_is_explicit_stub(self, spark, docs_df):
+        from lucene_spark.pipeline.multimodal import extract_metadata, with_payload
+
+        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+            extract_metadata(with_payload(docs_df), decode_stub=False).collect()
+
+    def test_frame_sample_video_only(self, spark, docs_df):
+        from lucene_spark.pipeline.multimodal import frame_sample, with_payload
+
+        payloads = with_payload(docs_df.limit(60))
+        video_ids = {r["doc_id"] for r in payloads.filter(F.col("kind") == "video").collect()}
+        rows = frame_sample(payloads).collect()
+        assert {r["doc_id"] for r in rows} <= video_ids
+        assert all(len(r["frame_bytes"]) > 0 for r in rows)
