@@ -1,0 +1,193 @@
+"""Resumable, checkpointed index builds (north-rule requirement).
+
+Lucene's crash story is two-phase commit over segment files
+(`segments_N` generations, lucene/core/src/java/org/apache/lucene/
+index/SegmentInfos.java:54-63): work already flushed into segments
+survives; the commit point advances atomically. This module re-creates
+that on Spark primitives:
+
+- the corpus is split into S deterministic **segments** (doc_id mod S —
+  doc ids are themselves deterministic, so segment membership is stable
+  across runs and retries are idempotent);
+- each segment is one medium Spark job writing its *inverted*
+  intermediate (term, doc_id, tf, norm[, poss]) + docs/norms rows to
+  ``index_dir/segments/seg=K/`` and then a **checkpoint record**
+  (JSON: lineage fingerprint, row counts, docs/sec, top-df skew
+  report) — the `segments_N` role;
+- resume = skip every segment whose checkpoint exists AND whose input
+  fingerprint still matches (tampered/changed input → rebuilt);
+- the final **merge job** unions all segment intermediates through the
+  same hot-term-chunked sort-merge aggregation as the one-shot builder
+  (SegmentMerger.merge ≅ groupBy(term), SURVEY §3.3) and writes the
+  identical final table layout — search results are byte-identical to a
+  one-shot build.
+
+On a real cluster each segment job is a full-parallelism stage; S just
+bounds the blast radius of a failure (lose at most 1/S of the work).
+Iceberg swap-in: segment writes become appends to a staging table and
+the checkpoint record a snapshot property; the merge commit is the
+atomic snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_spark.index.builder import DOC_KEYS, IndexBuilder, IndexConfig, assign_doc_ids
+
+
+def _fingerprint(seg_corpus: DataFrame, field: str) -> str:
+    """Order-independent lineage fingerprint of a segment's input:
+    XOR-aggregated hash over (doc_id, sha256(content))."""
+    row = seg_corpus.select(
+        F.bit_xor(F.xxhash64(F.col("doc_id"), F.sha2(F.col(field), 256))).alias("h"),
+        F.count("*").alias("n"),
+    ).first()
+    return f"{row['h']}:{row['n']}"
+
+
+class ResumableIndexBuilder:
+    def __init__(self, spark: SparkSession, config: IndexConfig | None = None, n_segments: int = 8):
+        self.spark = spark
+        self.config = config or IndexConfig()
+        self.n_segments = n_segments
+        self._inner = IndexBuilder(spark, self.config)
+
+    # ---- segment stage ----------------------------------------------------
+
+    def _seg_dir(self, index_dir: str, seg: int) -> str:
+        return f"{index_dir}/segments/seg={seg}"
+
+    def _ckpt_path(self, index_dir: str, seg: int) -> str:
+        return f"{index_dir}/checkpoints/seg_{seg}.json"
+
+    def segment_done(self, index_dir: str, seg: int, fingerprint: str) -> bool:
+        p = self._ckpt_path(index_dir, seg)
+        if not os.path.exists(p):
+            return False
+        with open(p) as fh:
+            rec = json.load(fh)
+        return rec.get("fingerprint") == fingerprint and rec.get("status") == "done"
+
+    def build_segment(self, corpus_ids: DataFrame, index_dir: str, seg: int) -> dict:
+        """Tokenize + invert one segment; write intermediates + the
+        checkpoint record. Idempotent (overwrite + deterministic ids)."""
+        cfg = self.config
+        t0 = time.time()
+        seg_corpus = corpus_ids.filter(F.pmod(F.col("doc_id"), F.lit(self.n_segments)) == seg)
+        fp = _fingerprint(seg_corpus, cfg.field)
+        if self.segment_done(index_dir, seg, fp):
+            with open(self._ckpt_path(index_dir, seg)) as fh:
+                rec = json.load(fh)
+            rec["resumed"] = True
+            return rec
+
+        d = self._seg_dir(index_dir, seg)
+        tokenized = self._inner.tokenized(seg_corpus).persist()
+        docs = tokenized.select(
+            "doc_id",
+            *[F.col(k) for k in DOC_KEYS if k in corpus_ids.columns],
+            *([F.col("lang")] if "lang" in corpus_ids.columns else []),
+            F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
+        )
+        norms = tokenized.select("doc_id", "dl", "norm")
+        inverted = self._inner.inverted(tokenized)
+
+        docs.write.mode("overwrite").parquet(f"{d}/docs")
+        norms.write.mode("overwrite").parquet(f"{d}/norms")
+        inverted.write.mode("overwrite").parquet(f"{d}/inverted")
+
+        n_docs = norms.count()
+        inv = self.spark.read.parquet(f"{d}/inverted")
+        n_postings = inv.count()
+        skew = [
+            {"term": r["term"], "df": r["df"]}
+            for r in inv.groupBy("term").agg(F.count("*").alias("df")).orderBy(F.desc("df"), "term").limit(10).collect()
+        ]
+        tokenized.unpersist()
+        elapsed = time.time() - t0
+        rec = {
+            "segment": seg,
+            "status": "done",
+            "fingerprint": fp,
+            "n_docs": int(n_docs),
+            "n_postings": int(n_postings),
+            "elapsed_sec": round(elapsed, 3),
+            "docs_per_sec": round(n_docs / elapsed, 2) if elapsed else None,
+            "top_df_terms": skew,
+        }
+        os.makedirs(f"{index_dir}/checkpoints", exist_ok=True)
+        tmp = self._ckpt_path(index_dir, seg) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh, indent=2)
+        os.replace(tmp, self._ckpt_path(index_dir, seg))  # atomic commit point
+        return rec
+
+    # ---- merge stage ------------------------------------------------------
+
+    def merge(self, index_dir: str) -> dict:
+        """Union all segment intermediates → the same chunked/packed
+        final layout as IndexBuilder.build (one shuffle by term)."""
+        cfg = self.config
+        t0 = time.time()
+        segs = sorted(
+            int(p.split("=")[1]) for p in os.listdir(f"{index_dir}/segments") if p.startswith("seg=")
+        )
+        inverted = self.spark.read.parquet(*[f"{self._seg_dir(index_dir, s)}/inverted" for s in segs])
+        docs = self.spark.read.parquet(*[f"{self._seg_dir(index_dir, s)}/docs" for s in segs])
+        norms = self.spark.read.parquet(*[f"{self._seg_dir(index_dir, s)}/norms" for s in segs])
+
+        postings, term_stats = self._inner.posting_lists(inverted)
+        docs.repartitionByRange(cfg.term_buckets, "doc_id").sortWithinPartitions("doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/docs")
+        norms.repartitionByRange(cfg.term_buckets, "doc_id").sortWithinPartitions("doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/norms")
+        postings.repartition(cfg.term_buckets, "term").sortWithinPartitions("term", "chunk_id").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/postings")
+        term_stats.repartition(cfg.term_buckets, "term").sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/term_stats")
+
+        norms_f = self.spark.read.parquet(f"{index_dir}/norms")
+        n_docs, sum_ttf = norms_f.agg(F.count("*"), F.sum("dl")).first()
+        sum_df = self.spark.read.parquet(f"{index_dir}/term_stats").agg(F.sum("df")).first()[0]
+        self.spark.createDataFrame(
+            [(int(n_docs), int(sum_ttf or 0), int(sum_df or 0), cfg.field)],
+            schema="doc_count long, sum_ttf long, sum_df long, field string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/collection_stats")
+        return {"merged_segments": segs, "docs": int(n_docs), "merge_sec": round(time.time() - t0, 3)}
+
+    # ---- end-to-end -------------------------------------------------------
+
+    def build(self, corpus: DataFrame, index_dir: str, assign_ids: bool = True) -> dict:
+        t0 = time.time()
+        os.makedirs(index_dir, exist_ok=True)
+        base = assign_doc_ids(corpus, partitions=self.config.id_partitions) if assign_ids else corpus
+        base = base.persist()
+        seg_recs = [self.build_segment(base, index_dir, s) for s in range(self.n_segments)]
+        merge_rec = self.merge(index_dir)
+        base.unpersist()
+        elapsed = time.time() - t0
+        stats_row = self.spark.read.parquet(f"{index_dir}/collection_stats").first()
+        metrics = {
+            "docs": merge_rec["docs"],
+            "sum_ttf": int(stats_row["sum_ttf"]),
+            "elapsed_sec": elapsed,
+            "docs_per_sec": merge_rec["docs"] / elapsed if elapsed else None,
+            "docs_per_chunk": self.config.docs_per_chunk,
+            "n_segments": self.n_segments,
+            "segments": seg_recs,
+            "merge": merge_rec,
+            "resumed_segments": sum(1 for r in seg_recs if r.get("resumed")),
+        }
+        with open(f"{index_dir}/manifest.json", "w") as fh:
+            json.dump(metrics, fh, indent=2)
+        return metrics
