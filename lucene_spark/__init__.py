@@ -17,12 +17,23 @@ Layout
                  checkpointed/resumable builds, sort-merge segment merge
 - ``search``     query AST + parser + rewrites, float32 BM25, block-max
                  WAND, Lucene-faithful top-k collection
-- ``relational`` the same query semantics expressed as pure DataFrame
-                 pipelines in double precision (oracle-checkable vs ANSI SQL)
-- ``functions``  training-data-pipeline ops: dedup (exact/minhash/simhash/
-                 jaccard), ANN similarity search, text quality/lang-id
+- ``streaming``  Structured-Streaming incremental (NRT) indexing
+- ``pipeline``   training-data-pipeline ops: dedup (exact/minhash/simhash/
+                 jaccard), ANN similarity search, text quality/lang-id,
+                 multimodal binary-column plumbing
+- ``testing``    brute-force float32 BM25 oracle + helpers
 """
 
 __version__ = "0.1.0"
 
-from lucene_spark.session import get_spark  # noqa: F401
+
+def __getattr__(name):
+    # lazy: importing any submodule (e.g. the tokenizer inside a Python
+    # worker unpickling a UDF) must NOT drag in pyspark via this
+    # package __init__ — 32 workers cold-importing pyspark concurrently
+    # is a multi-second CPU storm per stage.
+    if name == "get_spark":
+        from lucene_spark.session import get_spark
+
+        return get_spark
+    raise AttributeError(name)

@@ -190,6 +190,9 @@ def queries() -> dict:
             A.DisjunctionMaxQuery((A.TermQuery("table"), A.TermQuery("merge")), tie_breaker=0.3),
         ),
     )
+    Q["ft_multiphrase_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, A.MultiPhraseQuery((("table", "merge"), ("hash",))))
+    )
     Q["ft_distributed_top10"] = lambda spark, sf: _hits_df(
         spark,
         _search(
@@ -353,6 +356,14 @@ def oracle_sql() -> dict[str, str]:
     O["ft_dismax_top10"] = topk_sql(
         "SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s FROM tscore "
         "WHERE term IN ('table','merge') GROUP BY doc_id"
+    )
+    O["ft_multiphrase_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT a.doc_id, count(DISTINCT a.pos)::BIGINT AS pf FROM post a "
+        "      JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "      WHERE a.term IN ('table','merge') AND b.term = 'hash' GROUP BY a.doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','merge','hash')) ws"
     )
     O["ft_distributed_top10"] = topk_sql(
         "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('table','hash') "

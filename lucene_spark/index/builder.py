@@ -250,17 +250,25 @@ class IndexBuilder:
         """(term, doc_id, tf, norm [, poss]) — the IndexingChain
         inversion (IndexingChain.java:519,674) as explode + partial-agg
         groupBy; positions collected sorted per (term, doc)."""
+        # explode_outer, NOT explode: Catalyst guards a plain explode
+        # with an injected `size(col) > 0` filter, and with a Python-UDF
+        # input that filter re-evaluates the UDF — the tokenizer would
+        # run TWICE per row (two ArrowEvalPython nodes; caught by
+        # scripts/explain_audit.py). outer + null-filter keeps one UDF
+        # evaluation; the null filter is JVM-side on exploded rows.
         if self.config.positions:
             return (
                 tokenized.select(
-                    "doc_id", "norm", F.explode(F.arrays_zip("tokens", "positions")).alias("tp")
+                    "doc_id", "norm", F.explode_outer(F.arrays_zip("tokens", "positions")).alias("tp")
                 )
                 .select("doc_id", "norm", F.col("tp.tokens").alias("term"), F.col("tp.positions").alias("pos"))
+                .filter(F.col("term").isNotNull())
                 .groupBy("term", "doc_id", "norm")
                 .agg(F.count("*").alias("tf"), F.sort_array(F.collect_list("pos")).alias("poss"))
             )
         return (
-            tokenized.select("doc_id", "norm", F.explode("tokens").alias("term"))
+            tokenized.select("doc_id", "norm", F.explode_outer("tokens").alias("term"))
+            .filter(F.col("term").isNotNull())
             .groupBy("term", "doc_id", "norm")
             .agg(F.count("*").alias("tf"))
         )
@@ -302,8 +310,14 @@ class IndexBuilder:
         """One-shot build → index tables under ``index_dir``. Returns metrics."""
         t0 = time.time()
         cfg = self.config
+        from pyspark import StorageLevel
+
         base = corpus if not assign_ids else assign_doc_ids(corpus, partitions=cfg.id_partitions)
-        tokenized = self.tokenized(base).persist()
+        # DISK_ONLY: these intermediates carry token/position arrays —
+        # cached on-heap they dominate the heap at scale and turn into
+        # GC churn; serialized to spark.local.dir (NVMe on a cluster)
+        # they cost one write + cheap columnar reads.
+        tokenized = self.tokenized(base).persist(StorageLevel.DISK_ONLY)
 
         docs = tokenized.select(
             "doc_id",
@@ -312,7 +326,12 @@ class IndexBuilder:
             F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
         )
         norms = tokenized.select("doc_id", "dl", "norm")
-        inverted = self.inverted(tokenized)
+        # persist the inverted relation: it feeds BOTH the term_stats
+        # aggregation (hot-set discovery) and the chunked posting-list
+        # aggregation — without this the tokenize+explode+hash-agg
+        # lineage runs twice. (The resumable builder gets this for free
+        # by materializing segment intermediates to parquet.)
+        inverted = self.inverted(tokenized).persist(StorageLevel.DISK_ONLY)
         postings, term_stats = self.posting_lists(inverted)
 
         os.makedirs(index_dir, exist_ok=True)
@@ -340,6 +359,7 @@ class IndexBuilder:
             [(int(n_docs), int(sum_ttf or 0), int(sum_df or 0), cfg.field)],
             schema="doc_count long, sum_ttf long, sum_df long, field string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/collection_stats")
+        inverted.unpersist()
         tokenized.unpersist()
 
         elapsed = time.time() - t0

@@ -136,7 +136,7 @@ class ResumableIndexBuilder:
         cfg = self.config
         t0 = time.time()
         segs = sorted(
-            int(p.split("=")[1]) for p in os.listdir(f"{index_dir}/segments") if p.startswith("seg=")
+            p.split("=")[1] for p in os.listdir(f"{index_dir}/segments") if p.startswith("seg=")
         )
         inverted = self.spark.read.parquet(*[f"{self._seg_dir(index_dir, s)}/inverted" for s in segs])
         docs = self.spark.read.parquet(*[f"{self._seg_dir(index_dir, s)}/docs" for s in segs])

@@ -108,18 +108,31 @@ class SearchIndex:
     def postings_rows(self, terms: list[str]) -> DataFrame:
         return self.postings.filter(F.col("term").isin(list(terms)))
 
-    def collect_postings(self, terms: list[str], with_positions: bool = False) -> dict[str, PostingList]:
-        """Driver-mode read: decode and concatenate all chunks per term
-        (chunk rows are doc-range ordered by chunk_id)."""
-        from lucene_spark.codec.positions import unpack_positions
-
-        out: dict[str, PostingList] = {}
+    def collect_rows(self, terms: list[str]) -> dict[str, list]:
+        """ONE point-read job for all query terms: term → chunk rows in
+        doc-range order. Serves both the stats need (df/ttf are columns
+        of every chunk row) and the decode need — the driver query path
+        is a single Spark job (SURVEY §3.1 Spark design: shuffle-free)."""
         if not terms:
-            return out
+            return {}
         rows = self.postings_rows(terms).orderBy("term", "chunk_id").collect()
         by_term: dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
+        return by_term
+
+    def collect_postings(self, terms: list[str], with_positions: bool = False) -> dict[str, PostingList]:
+        """Driver-mode read: decode and concatenate all chunks per term
+        (chunk rows are doc-range ordered by chunk_id)."""
+        return self.postings_from_rows(self.collect_rows(terms), with_positions)
+
+    def postings_from_rows(
+        self, by_term: dict[str, list], with_positions: bool = False
+    ) -> dict[str, PostingList]:
+        """Decode already-collected chunk rows (no Spark job)."""
+        from lucene_spark.codec.positions import unpack_positions
+
+        out: dict[str, PostingList] = {}
         for term, rs in by_term.items():
             parts = [unpack_postings(bytes(r["blob"])) for r in rs]
             docs = np.concatenate([p[0] for p in parts])

@@ -52,6 +52,17 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with alternatives per position (MultiPhraseQuery.java):
+    e.g. (("table","merge"), ("hash",)) matches "table hash" or
+    "merge hash"."""
+
+    positions: tuple[tuple[str, ...], ...]
+    slop: int = 0
+    field: str = "content"
+
+
+@dataclass(frozen=True)
 class PrefixQuery(Query):
     prefix: str
     field: str = "content"
@@ -225,6 +236,13 @@ def _rewrite_once(q: Query) -> Query:
             return MatchNoDocsQuery("empty TermInSet")
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
         return TermQuery(q.terms[0], q.field)
+    if isinstance(q, MultiPhraseQuery):
+        if not q.positions or any(not slot for slot in q.positions):
+            return MatchNoDocsQuery("empty MultiPhrase slot")
+        if all(len(slot) == 1 for slot in q.positions):
+            return PhraseQuery(tuple(s[0] for s in q.positions), q.slop, q.field)
+        if len(q.positions) == 1:
+            return SynonymQuery(q.positions[0], q.field)
     return q
 
 
@@ -234,6 +252,8 @@ def extract_terms(q: Query) -> set[str]:
         return {q.term}
     if isinstance(q, PhraseQuery):
         return set(q.terms)
+    if isinstance(q, MultiPhraseQuery):
+        return {t for slot in q.positions for t in slot}
     if isinstance(q, (SynonymQuery, TermInSetQuery)):
         return set(q.terms)
     if isinstance(q, BooleanQuery):

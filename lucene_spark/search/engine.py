@@ -96,28 +96,37 @@ class Searcher:
             return A.DisjunctionMaxQuery(tuple(self._expand_multiterm(s) for s in q.queries), q.tie_breaker)
         return q
 
-    def prepare(self, query: str | A.Query):
+    def prepare(self, query: str | A.Query, collect_rows: bool = False):
+        """Parse → rewrite → Weight creation. With ``collect_rows``
+        (driver mode) the query's posting rows are point-read in ONE
+        Spark job and df/ttf derive from their columns — no separate
+        term_stats lookup; the whole driver query path is one job."""
         q = parse_query(query) if isinstance(query, str) else A.rewrite(query)
         q = A.rewrite(self._expand_multiterm(q))
         terms = sorted(A.extract_terms(q))
         stats = self.index.stats
-        tstats = self.index.term_stats(terms)
-        term_df = {t: df for t, (df, _) in tstats.items()}
+        rows_by_term = None
+        if collect_rows:
+            rows_by_term = self.index.collect_rows(terms)
+            term_df = {t: sum(r["df"] for r in rs) for t, rs in rows_by_term.items()}
+        else:
+            tstats = self.index.term_stats(terms)
+            term_df = {t: df for t, (df, _) in tstats.items()}
         spec = compile_query(q, stats, term_df)
-        return q, spec, stats
+        return q, spec, stats, rows_by_term
 
     # ---- search -------------------------------------------------------------
 
     def search(self, query: str | A.Query, k: int = 10, mode: str = "driver") -> TopDocs:
-        q, spec, stats = self.prepare(query)
+        q, spec, stats, rows = self.prepare(query, collect_rows=(mode == "driver"))
         if isinstance(spec, NoneSpec) or k <= 0:
             return TopDocs([], 0, "EQUAL_TO", {})
         cache = stats.cache()
         if mode == "distributed":
             return self._search_distributed(spec, k, cache)
         if self._is_pure_term_disjunction(spec):
-            return self._search_wand(spec, k, cache)
-        return self._search_exhaustive(spec, k, cache)
+            return self._search_wand(spec, k, cache, rows)
+        return self._search_exhaustive(spec, k, cache, rows)
 
     @staticmethod
     def _is_pure_term_disjunction(spec) -> bool:
@@ -133,12 +142,13 @@ class Searcher:
             and len(spec.shoulds) > 0
         )
 
-    def _search_wand(self, spec, k: int, cache) -> TopDocs:
+    def _search_wand(self, spec, k: int, cache, rows_by_term=None) -> TopDocs:
         term_specs = [spec] if isinstance(spec, TermSpec) else list(spec.shoulds)
-        rows = self.index.postings_rows([t.term for t in term_specs]).orderBy("term", "chunk_id").collect()
+        if rows_by_term is None:
+            rows_by_term = self.index.collect_rows([t.term for t in term_specs])
         by_term: dict[str, list] = {}
-        for r in rows:
-            by_term.setdefault(r["term"], []).append(
+        for term, rs in rows_by_term.items():
+            by_term[term] = [
                 (
                     bytes(r["blob"]),
                     np.array(r["block_last"], dtype=np.int64),
@@ -147,7 +157,8 @@ class Searcher:
                     np.array(r["imp_norm"], dtype=np.int64),
                     int(r["df"]),
                 )
-            )
+                for r in rs
+            ]
         sources = [
             PostingSource(ts.weight, cache, by_term[ts.term]) for ts in term_specs if ts.term in by_term
         ]
@@ -157,26 +168,29 @@ class Searcher:
         relation = "GREATER_THAN_OR_EQUAL_TO" if info.get("pruned_intervals") else "EQUAL_TO"
         return TopDocs(hits, info["hits_seen"], relation, info)
 
-    def _driver_context(self, spec, cache) -> ChunkContext:
+    def _driver_context(self, spec, cache, rows_by_term=None) -> ChunkContext:
         terms = sorted(spec_terms(spec))
         with_pos = _has_phrase(spec)
-        plists = self.index.collect_postings(terms, with_positions=with_pos)
+        if rows_by_term is not None:
+            plists = self.index.postings_from_rows(rows_by_term, with_positions=with_pos)
+        else:
+            plists = self.index.collect_postings(terms, with_positions=with_pos)
         arrays = {t: (p.docs, p.tfs, p.norms) for t, p in plists.items()}
         positions = {t: p.positions for t, p in plists.items()} if with_pos else None
         all_docs = self.index.all_doc_ids() if _needs_all_docs(spec) else None
         return ChunkContext(arrays, cache, all_docs, positions)
 
-    def _search_exhaustive(self, spec, k: int, cache) -> TopDocs:
-        ctx = self._driver_context(spec, cache)
+    def _search_exhaustive(self, spec, k: int, cache, rows_by_term=None) -> TopDocs:
+        ctx = self._driver_context(spec, cache, rows_by_term)
         docs, scores = evaluate(spec, ctx)
         return TopDocs(top_k_from_arrays(docs, scores, k), len(docs), "EQUAL_TO", {})
 
     def count(self, query: str | A.Query) -> int:
         """TotalHitCountCollector equivalent."""
-        q, spec, stats = self.prepare(query)
+        q, spec, stats, rows = self.prepare(query, collect_rows=True)
         if isinstance(spec, NoneSpec):
             return 0
-        ctx = self._driver_context(spec, stats.cache())
+        ctx = self._driver_context(spec, stats.cache(), rows)
         docs, _ = evaluate(spec, ctx)
         return len(docs)
 
@@ -295,9 +309,9 @@ class Searcher:
 
 
 def _has_phrase(spec) -> bool:
-    from lucene_spark.search.kernels import DisMaxSpec, PhraseSpec
+    from lucene_spark.search.kernels import DisMaxSpec, MultiPhraseSpec, PhraseSpec
 
-    if isinstance(spec, PhraseSpec):
+    if isinstance(spec, (PhraseSpec, MultiPhraseSpec)):
         return True
     if isinstance(spec, BoolSpec):
         return any(_has_phrase(s) for g in (spec.musts, spec.shoulds, spec.filters, spec.nots) for s in g)

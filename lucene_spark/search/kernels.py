@@ -83,6 +83,16 @@ class PhraseSpec:
     slop: int = 0
 
 
+@dataclass(frozen=True)
+class MultiPhraseSpec:
+    """Alternatives per slot (MultiPhraseQuery.java); weight = summed
+    idf over ALL distinct terms, like PhraseWeight over the union."""
+
+    slots: tuple[tuple[str, ...], ...]
+    weight: float
+    slop: int = 0
+
+
 def compile_query(q: A.Query, stats: BM25Stats, term_df: dict[str, int], boost: float = 1.0):
     """AST (+ global stats) → spec tree. ``term_df`` maps term → df;
     missing terms score nothing. Boost folds into weights as float32
@@ -123,6 +133,13 @@ def compile_query(q: A.Query, stats: BM25Stats, term_df: dict[str, int], boost: 
             return NoneSpec()
         total = float(np.sum([float(idf(term_df[t], stats.doc_count)) for t in q.terms]))
         return PhraseSpec(q.terms, float(np.float32(b32 * np.float32(total))), q.slop)
+    if isinstance(q, A.MultiPhraseQuery):
+        slots = tuple(tuple(t for t in slot if term_df.get(t)) for slot in q.positions)
+        if any(not s for s in slots):
+            return NoneSpec()
+        uniq = sorted({t for slot in slots for t in slot})
+        total = float(np.sum([float(idf(term_df[t], stats.doc_count)) for t in uniq]))
+        return MultiPhraseSpec(slots, float(np.float32(b32 * np.float32(total))), q.slop)
     if isinstance(q, A.DisjunctionMaxQuery):
         subs = tuple(compile_query(s, stats, term_df, float(b32)) for s in q.queries)
         subs = tuple(s for s in subs if not isinstance(s, NoneSpec))
@@ -156,6 +173,8 @@ def spec_terms(spec) -> set[str]:
         return {spec.term}
     if isinstance(spec, (SynonymSpec, ConstSpec, PhraseSpec)):
         return set(spec.terms)
+    if isinstance(spec, MultiPhraseSpec):
+        return {t for slot in spec.slots for t in slot}
     if isinstance(spec, BoolSpec):
         out: set[str] = set()
         for group in (spec.musts, spec.shoulds, spec.filters, spec.nots):
@@ -262,16 +281,85 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
         return _evaluate_bool(spec, ctx)
     if isinstance(spec, PhraseSpec):
         return _evaluate_phrase(spec, ctx)
+    if isinstance(spec, MultiPhraseSpec):
+        return _evaluate_multiphrase(spec, ctx)
     raise TypeError(type(spec))
+
+
+def _slot_union(ctx: ChunkContext, slot: tuple[str, ...]):
+    """Merged (docs, norms, per-doc sorted position arrays) over a
+    slot's alternative terms (UnionPostingsEnum in MultiPhraseQuery)."""
+    parts = []
+    for t in slot:
+        d, _, nm = ctx.term(t)
+        if len(d):
+            pl = ctx.positions.get(t)
+            if pl is None:
+                raise ValueError(f"no positions for term {t!r}")
+            parts.append((d, nm, pl))
+    if not parts:
+        return EMPTY_I, EMPTY_I, []
+    docs = np.unique(np.concatenate([p[0] for p in parts]))
+    norms = np.zeros(len(docs), dtype=np.int64)
+    positions = [None] * len(docs)
+    for d, nm, pl in parts:
+        mask, idx = _membership(d, docs)
+        norms[mask] = nm[idx[mask]]
+        for di in np.nonzero(mask)[0]:
+            mine = pl[idx[di]]
+            positions[di] = mine if positions[di] is None else np.union1d(positions[di], mine)
+    return docs, norms, positions
+
+
+def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
+    slots = [_slot_union(ctx, s) for s in spec.slots]
+    if any(not len(s[0]) for s in slots):
+        return EMPTY_I, EMPTY_F
+    cand = slots[0][0]
+    for d, _, _ in slots[1:]:
+        cand = np.intersect1d(cand, d, assume_unique=True)
+    if not len(cand):
+        return EMPTY_I, EMPTY_F
+    pos_lists = []
+    for d, _, pl in slots:
+        idx = np.searchsorted(d, cand)
+        pos_lists.append([pl[i] for i in idx])
+    n_slots = len(slots)
+    freqs = np.zeros(len(cand), dtype=np.float64)
+    if spec.slop == 0:
+        for ci in range(len(cand)):
+            ok = np.asarray(pos_lists[0][ci])
+            for i in range(1, n_slots):
+                if not len(ok):
+                    break
+                ok = ok[np.isin(ok + i, pos_lists[i][ci], assume_unique=True)]
+            freqs[ci] = len(ok)
+    else:
+        for ci in range(len(cand)):
+            freqs[ci] = _sloppy_freq([np.asarray(pl[ci]) for pl in pos_lists], spec.slop)
+    matched = freqs > 0
+    if not matched.any():
+        return EMPTY_I, EMPTY_F
+    d0, nm0, _ = slots[0]
+    idx0 = np.searchsorted(d0, cand[matched])
+    scores = score_freqs(np.float32(spec.weight), freqs[matched], nm0[idx0], ctx.cache)
+    return cand[matched], scores
 
 
 def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
     """ExactPhraseMatcher semantics (ExactPhraseMatcher.java:39,109):
     candidate docs = conjunction of all phrase terms; phrase freq =
     #positions p of term0 with p+i present for every term i. The freq
-    then feeds BM25 with the summed-idf weight (PhraseWeight)."""
-    if spec.slop:
-        raise NotImplementedError("sloppy phrases (slop > 0) are a later milestone")
+    then feeds BM25 with the summed-idf weight (PhraseWeight).
+
+    slop > 0 (SloppyPhraseMatcher.java:53): for every occurrence p of
+    the first term, greedily align each later term i to its position
+    nearest p+i; a match needs total displacement d <= slop and
+    contributes sloppyFreq = 1/(1+d) (Similarity.SloppySimScorer
+    weighting). This reproduces Lucene's scoring for non-repeating
+    phrase terms (the common case); Lucene's full repeat-group handling
+    (SloppyPhraseMatcher.java:200+) is not replicated. slop=0 reduces
+    exactly to the exact matcher (d must be 0)."""
     parts = [ctx.term(t) for t in spec.terms]
     if any(not len(p[0]) for p in parts):
         return EMPTY_I, EMPTY_F
@@ -287,14 +375,19 @@ def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, n
             raise ValueError(f"no positions available for term {t!r}")
         idx = np.searchsorted(d, cand)
         pos_lists.append([plist[i] for i in idx])
-    freqs = np.zeros(len(cand), dtype=np.int64)
-    for ci in range(len(cand)):
-        ok = pos_lists[0][ci]
-        for i in range(1, len(spec.terms)):
-            if not len(ok):
-                break
-            ok = ok[np.isin(ok + i, pos_lists[i][ci], assume_unique=True)]
-        freqs[ci] = len(ok)
+    n_terms = len(spec.terms)
+    freqs = np.zeros(len(cand), dtype=np.float64)
+    if spec.slop == 0:
+        for ci in range(len(cand)):
+            ok = pos_lists[0][ci]
+            for i in range(1, n_terms):
+                if not len(ok):
+                    break
+                ok = ok[np.isin(ok + i, pos_lists[i][ci], assume_unique=True)]
+            freqs[ci] = len(ok)
+    else:
+        for ci in range(len(cand)):
+            freqs[ci] = _sloppy_freq([np.asarray(pl[ci]) for pl in pos_lists], spec.slop)
     matched = freqs > 0
     if not matched.any():
         return EMPTY_I, EMPTY_F
@@ -302,6 +395,34 @@ def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, n
     idx0 = np.searchsorted(docs0, cand[matched])
     scores = score_freqs(np.float32(spec.weight), freqs[matched], norms0[idx0], ctx.cache)
     return cand[matched], scores
+
+
+def _sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> float:
+    """Sloppy phrase frequency for one doc: Σ over first-term
+    occurrences of 1/(1+d) where d = Σ_i |q_i - (p+i)| for the nearest
+    q_i per term, if d <= slop."""
+    freq = 0.0
+    n = len(pos_lists)
+    for p in pos_lists[0]:
+        d = 0
+        for i in range(1, n):
+            pi = pos_lists[i]
+            target = int(p) + i
+            j = int(np.searchsorted(pi, target))
+            best = None
+            for jj in (j - 1, j):
+                if 0 <= jj < len(pi):
+                    dist = abs(int(pi[jj]) - target)
+                    best = dist if best is None else min(best, dist)
+            if best is None:
+                d = slop + 1
+                break
+            d += best
+            if d > slop:
+                break
+        if d <= slop:
+            freq += 1.0 / (1 + d)
+    return freq
 
 
 def _evaluate_bool(spec: BoolSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,105 @@
+"""Near-real-time incremental indexing via Structured Streaming.
+
+Lucene's NRT story: writer threads flush DWPT segments, and
+`DirectoryReader.openIfChanged` exposes newly-flushed segments to
+searchers without a full commit (lucene/core/src/java/org/apache/
+lucene/index/DirectoryReader.java; DocumentsWriterPerThread.java:341).
+The Spark-native equivalent:
+
+- a streaming source (file drop, Kafka, ...) feeds micro-batches;
+- ``foreachBatch`` writes each micro-batch as one **stream segment**
+  (the same inverted/docs/norms intermediates the resumable builder
+  uses — a DWPT flush), with doc ids made unique by a per-batch high
+  bits offset;
+- ``refresh()`` is the NRT reopen: it merges all segments into the
+  searchable final layout (sort-merge by term — SegmentMerger.merge ≅
+  groupBy(term)) and reopens the SearchIndex. Searchers keep serving
+  the previous generation until the swap.
+
+Exactly-once: Structured Streaming checkpointing makes foreachBatch
+retries re-run with the same batch_id; segment writes are idempotent
+overwrites keyed by batch_id, so replays converge (same pattern as the
+resumable builder's checkpoint records).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lucene_spark.index.builder import DOC_KEYS, IndexBuilder, IndexConfig
+from lucene_spark.index.reader import SearchIndex
+
+
+class StreamingIndexer:
+    def __init__(self, spark: SparkSession, index_dir: str, config: IndexConfig | None = None):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.config = config or IndexConfig()
+        self._inner = IndexBuilder(spark, self.config)
+
+    # ---- write path --------------------------------------------------------
+
+    def _write_segment(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One micro-batch → one stream segment (idempotent on replay)."""
+        cfg = self.config
+        # per-batch doc ids: deterministic rank within the batch, offset
+        # into a per-batch id space (ids need not be contiguous, only
+        # unique + stable; 2^33 docs per batch headroom)
+        kcols = [F.col(k) for k in DOC_KEYS if k in batch_df.columns] or [F.col(cfg.field)]
+        w = Window.orderBy(*kcols)
+        base = batch_df.withColumn(
+            "doc_id",
+            (F.row_number().over(w).cast("long") + F.lit(batch_id * (1 << 33)).cast("long")),
+        )
+        tokenized = self._inner.tokenized(base)
+        d = f"{self.index_dir}/segments/seg=s{batch_id}"
+        tokenized.select(
+            "doc_id",
+            *[F.col(k) for k in DOC_KEYS if k in batch_df.columns],
+            *([F.col("lang")] if "lang" in batch_df.columns else []),
+            F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
+        ).write.mode("overwrite").parquet(f"{d}/docs")
+        tokenized.select("doc_id", "dl", "norm").write.mode("overwrite").parquet(f"{d}/norms")
+        self._inner.inverted(tokenized).write.mode("overwrite").parquet(f"{d}/inverted")
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, trigger_available_now: bool = True):
+        """Attach the indexer to a streaming DataFrame of corpus rows.
+        Returns the StreamingQuery (caller awaits/stops it)."""
+        writer = (
+            stream_df.writeStream.foreachBatch(lambda df, bid: self._write_segment(df, bid))
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # ---- NRT reopen --------------------------------------------------------
+
+    def refresh(self) -> SearchIndex:
+        """Merge all stream segments into the searchable layout and
+        reopen — the openIfChanged step. Cost model: one shuffle by
+        term over the union of segment intermediates; at scale you
+        amortize by merging only new segments into a staging level
+        first (tiered merging — TieredMergePolicy.java:89-95)."""
+        from lucene_spark.index.checkpoint import ResumableIndexBuilder
+
+        merger = ResumableIndexBuilder(self.spark, self.config)
+        merger.merge(self.index_dir)
+        import json
+
+        stats = self.spark.read.parquet(f"{self.index_dir}/collection_stats").first()
+        with open(f"{self.index_dir}/manifest.json", "w") as fh:
+            json.dump(
+                {
+                    "docs": int(stats["doc_count"]),
+                    "docs_per_chunk": self.config.docs_per_chunk,
+                    "mode": "streaming",
+                },
+                fh,
+            )
+        return SearchIndex(self.spark, self.index_dir)

@@ -1,0 +1,66 @@
+"""BooleanQuery extras: minimumNumberShouldMatch + FILTER occur
+semantics vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis.tokenizer import tokenize
+from lucene_spark.search import ast as A
+from lucene_spark.search.engine import Searcher
+
+
+@pytest.fixture(scope="module")
+def corpus_texts(corpus_pdf):
+    ordered = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    return {i: ordered.loc[i, "content"] for i in range(len(ordered))}
+
+
+class TestMinimumShouldMatch:
+    @pytest.mark.parametrize("msm", [1, 2, 3])
+    def test_msm_doc_sets(self, search_index, corpus_texts, msm):
+        terms = ("return", "class", "import")
+        q = A.BooleanQuery(tuple((A.Occur.SHOULD, A.TermQuery(t)) for t in terms), minimum_should_match=msm)
+        s = Searcher(search_index)
+        got = {d for d, _ in s.search(q, k=10_000).hits}
+        want = set()
+        for d, text in corpus_texts.items():
+            toks = set(tokenize(text))
+            if sum(t in toks for t in terms) >= msm:
+                want.add(d)
+        assert got == want
+
+    def test_msm_equals_and_when_all(self, search_index):
+        s = Searcher(search_index)
+        terms = ("return", "class")
+        q_msm = A.BooleanQuery(tuple((A.Occur.SHOULD, A.TermQuery(t)) for t in terms), minimum_should_match=2)
+        q_and = A.BooleanQuery(tuple((A.Occur.MUST, A.TermQuery(t)) for t in terms))
+        a = s.search(q_msm, k=500).hits
+        b = s.search(q_and, k=500).hits
+        # same docs, same scores (sum over both terms)
+        assert [d for d, _ in a] == [d for d, _ in b]
+        for (_, x), (_, y) in zip(a, b):
+            assert x == pytest.approx(y, rel=1e-6)
+
+
+class TestFilterOccur:
+    def test_filter_does_not_score(self, search_index, corpus_texts):
+        """FILTER restricts the doc set but contributes no score
+        (BooleanClause.FILTER, BooleanQuery.java:77-180)."""
+        s = Searcher(search_index)
+        q_filter = A.BooleanQuery(
+            ((A.Occur.MUST, A.TermQuery("return")), (A.Occur.FILTER, A.TermQuery("class")))
+        )
+        q_must = A.BooleanQuery(
+            ((A.Occur.MUST, A.TermQuery("return")), (A.Occur.MUST, A.TermQuery("class")))
+        )
+        q_term = A.TermQuery("return")
+        f = s.search(q_filter, k=1000)
+        m = s.search(q_must, k=1000)
+        t = {d: sc for d, sc in s.search(q_term, k=10_000).hits}
+        # same doc set as MUST+MUST
+        assert {d for d, _ in f.hits} == {d for d, _ in m.hits}
+        # but scored like the bare term query
+        for d, sc in f.hits:
+            assert sc == pytest.approx(t[d], rel=1e-6)

@@ -83,9 +83,12 @@ class TestPhraseRankIdentity:
         got = searcher.search(q, k=20, mode="distributed").hits
         _assert_identical(got, oracle.top_k(q, 20), ("dist",) + terms)
 
-    def test_sloppy_raises(self, searcher):
-        with pytest.raises(NotImplementedError):
-            searcher.search(A.PhraseQuery(("return", "if"), slop=2), k=5)
+    def test_sloppy_returns_superset(self, searcher):
+        """Sloppy matching is implemented (tests/test_sloppy.py has the
+        brute-force comparison); here: slop widens the doc set."""
+        exact = {d for d, _ in searcher.search(A.PhraseQuery(("return", "if")), k=10_000).hits}
+        sloppy = {d for d, _ in searcher.search(A.PhraseQuery(("return", "if"), slop=2), k=10_000).hits}
+        assert exact <= sloppy
 
 
 class TestPositionsInvariants:

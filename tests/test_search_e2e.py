@@ -125,7 +125,7 @@ class TestWand:
 
         q = parse_query("return OR if OR class OR import")
         wand_hits = searcher.search(q, k=k).hits  # disjunction → WAND path
-        spec_q, spec, stats = searcher.prepare(q)
+        spec_q, spec, stats, _ = searcher.prepare(q)
         exh = searcher._search_exhaustive(spec, k, stats.cache())
         assert_rank_identical(wand_hits, exh.hits, f"wand-vs-exhaustive k={k}")
         assert_rank_identical(wand_hits, oracle.top_k(q, k), f"wand-vs-oracle k={k}")

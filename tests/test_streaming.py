@@ -1,0 +1,83 @@
+"""Structured-Streaming incremental indexing (NRT): micro-batch
+segments, refresh-reopen, equivalence with a batch build."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.fixtures import make_corpus
+from lucene_spark.index.builder import IndexConfig
+from lucene_spark.search import ast as A
+from lucene_spark.search.engine import Searcher
+from lucene_spark.streaming import StreamingIndexer
+
+CFG = dict(docs_per_chunk=64, term_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def stream_setup(tmp_path_factory, spark):
+    root = tmp_path_factory.mktemp("stream")
+    src = str(root / "source")
+    idx = str(root / "index")
+    ckpt = str(root / "ckpt")
+    os.makedirs(src)
+    pdf = make_corpus(n_docs=120, seed=11).drop(columns=["content_sha256"])
+    return src, idx, ckpt, pdf
+
+
+class TestStreamingIndex:
+    def test_incremental_batches_then_search(self, spark, stream_setup):
+        src, idx, ckpt, pdf = stream_setup
+        schema = spark.createDataFrame(pdf.head(1)).schema
+
+        # batch 1: first 70 docs arrive
+        spark.createDataFrame(pdf.iloc[:70]).coalesce(1).write.mode("append").parquet(src)
+        indexer = StreamingIndexer(spark, idx, IndexConfig(**CFG))
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = indexer.start(stream, ckpt)
+        q.awaitTermination(120)
+        index1 = indexer.refresh()
+        n1 = index1.stats.doc_count
+        assert n1 == 70
+        s1 = Searcher(index1)
+        hits1 = s1.search("return", k=5).hits
+        assert len(hits1) == 5
+
+        # batch 2: 50 more docs land; stream picks them up incrementally
+        spark.createDataFrame(pdf.iloc[70:]).coalesce(1).write.mode("append").parquet(src)
+        q = indexer.start(spark.readStream.schema(schema).parquet(src), ckpt)
+        q.awaitTermination(120)
+        index2 = indexer.refresh()
+        assert index2.stats.doc_count == 120
+
+        segs = os.listdir(f"{idx}/segments")
+        assert len(segs) >= 2  # one stream segment per micro-batch
+
+    def test_matches_batch_build_results(self, spark, stream_setup, tmp_path):
+        """Same 120 docs through streaming vs one-shot batch: identical
+        BM25 scores for every query (doc ids differ by design — compare
+        score multisets + result sizes)."""
+        from lucene_spark.index.builder import IndexBuilder
+
+        src, idx, ckpt, pdf = stream_setup
+        d = str(tmp_path / "batch_ix")
+        IndexBuilder(spark, IndexConfig(**CFG)).build(
+            spark.createDataFrame(pdf), d, assign_ids=True
+        )
+        s_batch = Searcher(__import__("lucene_spark.index.reader", fromlist=["SearchIndex"]).SearchIndex(spark, d))
+        s_stream = Searcher(indexer_index(spark, idx))
+        for query in ["return", "return AND if", '"return if"', "return OR class"]:
+            a = s_stream.search(query, k=120)
+            b = s_batch.search(query, k=120)
+            assert a.total_hits == b.total_hits, query
+            assert sorted(round(s, 5) for _, s in a.hits) == sorted(round(s, 5) for _, s in b.hits), query
+
+
+def indexer_index(spark, idx):
+    from lucene_spark.index.reader import SearchIndex
+
+    return SearchIndex(spark, idx)
