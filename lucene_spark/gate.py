@@ -228,6 +228,16 @@ def queries() -> dict:
 
     Q["ft_count_and"] = _count
 
+    def _facet(spark, sf):
+        from lucene_spark.search.postprocess import facet_counts
+
+        _, searcher = gate_index(spark, sf)
+        q = A.BooleanQuery(((A.Occur.MUST, A.TermQuery("table")), (A.Occur.MUST, A.TermQuery("merge"))))
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return facet_counts(searcher, q, docs, "lang").select("lang", F.col("cnt").cast("long"))
+
+    Q["ft_facet_lang"] = _facet
+
     # -- index-table invariants --
     def _term_stats(spark, sf):
         index, _ = gate_index(spark, sf)
@@ -379,6 +389,11 @@ def oracle_sql() -> dict[str, str]:
     O["ft_count_and"] = (
         base_ctes() + " SELECT count(*)::BIGINT AS cnt FROM (SELECT doc_id FROM tf "
         "WHERE term IN ('table','merge') GROUP BY doc_id HAVING count(*) = 2)"
+    )
+    O["ft_facet_lang"] = (
+        base_ctes() + " SELECT d.lang, count(*)::BIGINT AS cnt FROM documents d "
+        "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term IN ('table','merge') "
+        "GROUP BY doc_id HAVING count(*) = 2) GROUP BY d.lang ORDER BY cnt DESC, lang"
     )
     O["ix_term_stats"] = base_ctes() + " SELECT term, df, ttf FROM dfr ORDER BY df DESC, term LIMIT 20"
     O["ix_norms"] = base_ctes() + " SELECT doc_id, dl, norm FROM norms ORDER BY doc_id"

@@ -156,6 +156,11 @@ class ResumableIndexBuilder:
             "overwrite"
         ).parquet(f"{index_dir}/term_stats")
 
+        # a session that read these paths before the overwrite would see
+        # stale file listings (Spark caches the FileIndex per path)
+        for t in ("docs", "norms", "postings", "term_stats", "collection_stats"):
+            self.spark.catalog.refreshByPath(f"{index_dir}/{t}")
+
         norms_f = self.spark.read.parquet(f"{index_dir}/norms")
         n_docs, sum_ttf = norms_f.agg(F.count("*"), F.sum("dl")).first()
         sum_df = self.spark.read.parquet(f"{index_dir}/term_stats").agg(F.sum("df")).first()[0]

@@ -37,10 +37,19 @@ class PostingList:
     positions: list | None = None  # per-doc position arrays (aligned with docs)
 
 
+MAX_CACHED_TERMS = 4096  # LRUQueryCache.java:86 role (per-reader cache)
+
+
 class SearchIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        # per-reader LRU of term → chunk rows (an index is immutable for
+        # a reader's lifetime — reopen a SearchIndex to see updates, the
+        # DirectoryReader contract). Repeat queries touch no Spark job.
+        from collections import OrderedDict
+
+        self._row_cache: "OrderedDict[str, list]" = OrderedDict()
 
     @cached_property
     def postings(self) -> DataFrame:
@@ -57,6 +66,14 @@ class SearchIndex:
     @cached_property
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/docs")
+
+    @cached_property
+    def deleted_ids(self) -> np.ndarray:
+        """liveDocs snapshot: sorted tombstoned doc ids (empty if none).
+        Loaded once per reader open, like a Lucene reader's bitset."""
+        from lucene_spark.index.deletes import load_deleted
+
+        return load_deleted(self.spark, self.index_dir)
 
     @cached_property
     def stats(self) -> BM25Stats:
@@ -115,11 +132,25 @@ class SearchIndex:
         is a single Spark job (SURVEY §3.1 Spark design: shuffle-free)."""
         if not terms:
             return {}
-        rows = self.postings_rows(terms).orderBy("term", "chunk_id").collect()
-        by_term: dict[str, list] = {}
-        for r in rows:
-            by_term.setdefault(r["term"], []).append(r)
-        return by_term
+        cache = self._row_cache
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            rows = self.postings_rows(missing).orderBy("term", "chunk_id").collect()
+            fetched: dict[str, list] = {t: [] for t in missing}
+            for r in rows:
+                fetched[r["term"]].append(r)
+            for t, rs in fetched.items():
+                cache[t] = rs  # negative results cached too (empty list)
+            while len(cache) > MAX_CACHED_TERMS:
+                cache.popitem(last=False)
+        out: dict[str, list] = {}
+        for t in terms:
+            rs = cache.get(t)
+            if rs is not None:
+                cache.move_to_end(t)
+                if rs:
+                    out[t] = rs
+        return out
 
     def collect_postings(self, terms: list[str], with_positions: bool = False) -> dict[str, PostingList]:
         """Driver-mode read: decode and concatenate all chunks per term

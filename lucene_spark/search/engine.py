@@ -164,7 +164,10 @@ class Searcher:
         ]
         if not sources:
             return TopDocs([], 0, "EQUAL_TO", {})
-        hits, info = wand_top_k(sources, k, self.total_hits_threshold)
+        deleted = self.index.deleted_ids
+        hits, info = wand_top_k(
+            sources, k, self.total_hits_threshold, deleted=deleted if len(deleted) else None
+        )
         relation = "GREATER_THAN_OR_EQUAL_TO" if info.get("pruned_intervals") else "EQUAL_TO"
         return TopDocs(hits, info["hits_seen"], relation, info)
 
@@ -180,9 +183,18 @@ class Searcher:
         all_docs = self.index.all_doc_ids() if _needs_all_docs(spec) else None
         return ChunkContext(arrays, cache, all_docs, positions)
 
+    def _apply_live_docs(self, docs, scores):
+        """Mask tombstoned docs (liveDocs applied at search,
+        Lucene90LiveDocsFormat; stats/scores of survivors unchanged)."""
+        deleted = self.index.deleted_ids
+        if not len(deleted) or not len(docs):
+            return docs, scores
+        live = ~np.isin(docs, deleted, assume_unique=False)
+        return docs[live], scores[live]
+
     def _search_exhaustive(self, spec, k: int, cache, rows_by_term=None) -> TopDocs:
         ctx = self._driver_context(spec, cache, rows_by_term)
-        docs, scores = evaluate(spec, ctx)
+        docs, scores = self._apply_live_docs(*evaluate(spec, ctx))
         return TopDocs(top_k_from_arrays(docs, scores, k), len(docs), "EQUAL_TO", {})
 
     def count(self, query: str | A.Query) -> int:
@@ -191,7 +203,7 @@ class Searcher:
         if isinstance(spec, NoneSpec):
             return 0
         ctx = self._driver_context(spec, stats.cache(), rows)
-        docs, _ = evaluate(spec, ctx)
+        docs, scores = self._apply_live_docs(*evaluate(spec, ctx))
         return len(docs)
 
     # ---- distributed execution ----------------------------------------------
@@ -226,7 +238,7 @@ class Searcher:
                 index.all_doc_ids() if _needs_all_docs(spec) else None,
                 small_positions if with_pos else None,
             )
-            docs, scores = evaluate(spec, ctx)
+            docs, scores = self._apply_live_docs(*evaluate(spec, ctx))
             return TopDocs(top_k_from_arrays(docs, scores, k), len(docs), "EQUAL_TO", {})
 
         from lucene_spark.codec.forutil import unpack_postings
@@ -234,6 +246,9 @@ class Searcher:
         spec_b = spec
         cache_b = cache
         kk = k
+        # liveDocs ride into the chunk kernels (at 10^12 scale: bucket
+        # tombstones by doc-range and join per-chunk instead)
+        deleted_b = self.index.deleted_ids
         manifest = _read_manifest(index)
         dpc = int(manifest.get("docs_per_chunk", 1 << 17))
 
@@ -265,6 +280,9 @@ class Searcher:
                     positions[t] = small_positions[t][i0:i1]
             ctx = ChunkContext(arrays, cache_b, None, positions if with_pos else None)
             docs, scores = evaluate(spec_b, ctx)
+            if len(deleted_b) and len(docs):
+                live = ~np.isin(docs, deleted_b, assume_unique=False)
+                docs, scores = docs[live], scores[live]
             top = top_k_from_arrays(docs, scores, kk)
             if not top:
                 return pd.DataFrame({"chunk_id": [], "doc_id": [], "score": [], "n_matched": []})

@@ -100,6 +100,7 @@ def wand_top_k(
     sources: list[PostingSource],
     k: int,
     total_hits_threshold: int = 1000,
+    deleted: np.ndarray | None = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k over the disjunction of term sources, with block-max
     pruning. Returns (hits, info) where info carries pruning metrics."""
@@ -161,6 +162,10 @@ def wand_top_k(
         new_docs, new_scores = _score_union(sources, need)
         for si in range(len(sources)):
             scored_blocks[si] |= need[si]
+        if deleted is not None and len(new_docs):
+            # liveDocs mask (scorer.score(collector, liveDocs) role)
+            live = ~np.isin(new_docs, deleted, assume_unique=False)
+            new_docs, new_scores = new_docs[live], new_scores[live]
         if len(new_docs):
             # drop docs already in heap (blocks span multiple intervals)
             if len(heap_docs):
