@@ -203,6 +203,35 @@ def queries() -> dict:
         ),
     )
 
+    Q["ft_msm_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(
+                (
+                    (A.Occur.SHOULD, A.TermQuery("dup")),
+                    (A.Occur.SHOULD, A.TermQuery("vector")),
+                    (A.Occur.SHOULD, A.TermQuery("scan")),
+                ),
+                minimum_should_match=2,
+            ),
+        ),
+    )
+    Q["ft_boost_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(
+                (
+                    (A.Occur.SHOULD, A.BoostQuery(A.TermQuery("table"), 2.0)),
+                    (A.Occur.SHOULD, A.TermQuery("merge")),
+                )
+            ),
+        ),
+    )
+
     # -- MultiTermQuery family (constant-score doc sets) --
     Q["ft_prefix_ids"] = lambda spark, sf: _ids_df(spark, _search(spark, sf, A.PrefixQuery("s"), k=ALL_K))
     Q["ft_wildcard_ids"] = lambda spark, sf: _ids_df(
@@ -216,6 +245,10 @@ def queries() -> dict:
     )
     Q["ft_termset_ids"] = lambda spark, sf: _ids_df(
         spark, _search(spark, sf, A.TermInSetQuery(("dup", "vector", "zzznosuch")), k=ALL_K)
+    )
+
+    Q["ft_regexp_ids"] = lambda spark, sf: _ids_df(
+        spark, _search(spark, sf, A.RegexpQuery("sc.n|h.sh"), k=ALL_K)
     )
 
     # -- counting collector --
@@ -237,6 +270,17 @@ def queries() -> dict:
         return facet_counts(searcher, q, docs, "lang").select("lang", F.col("cnt").cast("long"))
 
     Q["ft_facet_lang"] = _facet
+
+    def _group(spark, sf):
+        from lucene_spark.search.postprocess import group_top_hits
+
+        _, searcher = gate_index(spark, sf)
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        g = group_top_hits(searcher, A.TermQuery("table"), docs, "lang", k_per_group=2)
+        # F.round is HALF_UP == _round2 for the positive BM25 scores
+        return g.select("lang", "grank", "doc_id", F.round("score", 2).alias("score_r"))
+
+    Q["ft_group_top"] = _group
 
     # -- index-table invariants --
     def _term_stats(spark, sf):
@@ -271,6 +315,16 @@ def queries() -> dict:
         )
 
     Q["ix_collection_stats"] = _cstats
+
+    def _postings_decode(spark, sf):
+        # decode the FOR/varint-packed blob back to (doc_id, tf) rows —
+        # gates the codec round-trip end-to-end against relational truth
+        index, _ = gate_index(spark, sf)
+        pl = index.collect_postings(["merge"])["merge"]
+        rows = [(int(d), int(t)) for d, t in zip(pl.docs, pl.tfs)]
+        return spark.createDataFrame(rows, "doc_id bigint, tf bigint")
+
+    Q["ix_postings_decode"] = _postings_decode
 
     Q.update(_pipeline_queries())
     return Q
@@ -313,6 +367,18 @@ def _pipeline_queries() -> dict:
     # LSH ANN: bucketing-dependent recall → rows-only check (no oracle)
     Q["ann_lsh_top5"] = lambda spark, sf: similarity.lsh_cosine_topk(
         _emb(spark, sf), _ann_queries(spark, sf), k=5
+    ).select("query_id", "rank", F.col("vec_id").cast("long"), F.round("sim", 4).alias("sim_r"))
+
+    # Embedding-cosine near-dup: exact pair path at this (low) threshold;
+    # the sign-LSH banded path is the >=0.8-threshold scale path (pytest)
+    Q["dd_embed"] = lambda spark, sf: similarity.embedding_near_dup(
+        _emb(spark, sf), threshold=0.45
+    ).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), F.round("sim", 4).alias("sim_r")
+    )
+    # IVF-Flat ANN: probe-dependent recall → rows-only check (no oracle)
+    Q["ann_ivf_top5"] = lambda spark, sf: similarity.ivf_cosine_topk(
+        _emb(spark, sf), _ann_queries(spark, sf), k=5, n_centroids=8, n_probe=3
     ).select("query_id", "rank", F.col("vec_id").cast("long"), F.round("sim", 4).alias("sim_r"))
 
     Q["tx_quality"] = lambda spark, sf: textstats.quality_metrics(_docs(spark, sf)).select(
@@ -380,11 +446,29 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY doc_id HAVING count(*) = 2"
     )
 
+    O["ft_msm_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('dup','vector','scan') "
+        "GROUP BY doc_id HAVING count(*) >= 2"
+    )
+    O["ft_boost_top10"] = topk_sql(
+        "SELECT doc_id, sum(CASE WHEN term = 'table' THEN 2 * s ELSE s END) AS s "
+        "FROM tscore WHERE term IN ('table','merge') GROUP BY doc_id"
+    )
+    O["ft_group_top"] = (
+        base_ctes() + ", q AS (SELECT doc_id, s FROM tscore WHERE term = 'table'), "
+        "g AS (SELECT d.lang, q.doc_id, q.s, "
+        "row_number() OVER (PARTITION BY d.lang ORDER BY q.s DESC, q.doc_id) AS grank "
+        "FROM q JOIN documents d USING (doc_id)) "
+        "SELECT lang, grank::BIGINT AS grank, doc_id, round(s, 2) AS score_r "
+        "FROM g WHERE grank <= 2 ORDER BY lang, grank"
+    )
+
     O["ft_prefix_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term LIKE 's%'")
     O["ft_wildcard_ids"] = ids_sql("SELECT doc_id FROM tf WHERE regexp_full_match(term, '.*ow')")
     O["ft_fuzzy_ids"] = ids_sql("SELECT doc_id FROM tf WHERE levenshtein(term, 'tabl') <= 1")
     O["ft_range_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term >= 'scan' AND term <= 'table'")
     O["ft_termset_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term IN ('dup','vector','zzznosuch')")
+    O["ft_regexp_ids"] = ids_sql("SELECT doc_id FROM tf WHERE regexp_full_match(term, 'sc.n|h.sh')")
 
     O["ft_count_and"] = (
         base_ctes() + " SELECT count(*)::BIGINT AS cnt FROM (SELECT doc_id FROM tf "
@@ -399,6 +483,9 @@ def oracle_sql() -> dict[str, str]:
     O["ix_norms"] = base_ctes() + " SELECT doc_id, dl, norm FROM norms ORDER BY doc_id"
     O["ix_docs_sha"] = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents ORDER BY doc_id"
     O["ix_collection_stats"] = base_ctes() + " SELECT n AS doc_count, sum_ttf FROM stats"
+    O["ix_postings_decode"] = (
+        base_ctes() + " SELECT doc_id, tf FROM tf WHERE term = 'merge' ORDER BY doc_id"
+    )
 
     # -- pipeline operators --
     O["dd_exact"] = (
@@ -421,6 +508,16 @@ inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
     )
     O["dd_jaccard"] = _jacc
     O["dd_minhash"] = _jacc  # LSH+verify must equal exact all-pairs at this sim gap
+
+    O["dd_embed"] = """WITH ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings),
+dots AS (SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.x * b.x) AS dp
+         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nr FROM ex GROUP BY vec_id)
+SELECT qa::BIGINT AS doc_a, qb::BIGINT AS doc_b, round(dp / (na.nr * nb.nr), 4) AS sim_r
+FROM dots JOIN nrm na ON na.vec_id = qa JOIN nrm nb ON nb.vec_id = qb
+WHERE dp / (na.nr * nb.nr) >= 0.45 ORDER BY doc_a, doc_b"""
 
     O["ann_cosine_top5"] = """WITH ex AS (
   SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(range(1, len(embedding) + 1)) AS i

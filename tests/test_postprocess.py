@@ -9,7 +9,7 @@ import pytest
 from lucene_spark.analysis.tokenizer import tokenize
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher
-from lucene_spark.search.postprocess import _make_snippet, facet_counts, highlight
+from lucene_spark.search.postprocess import _make_snippet, facet_counts, group_top_hits, highlight
 
 
 class TestFacets:
@@ -23,6 +23,29 @@ class TestFacets:
             if "return" in tokenize(ordered.loc[i, "content"]):
                 want[ordered.loc[i, "lang"]] = want.get(ordered.loc[i, "lang"], 0) + 1
         assert got == want
+
+
+class TestGrouping:
+    def test_group_top_hits_vs_brute(self, spark, search_index, corpus_pdf, oracle):
+        s = Searcher(search_index)
+        docs_df = search_index.docs.select("doc_id", "lang")
+        got = [
+            (r["lang"], r["grank"], r["doc_id"])
+            for r in group_top_hits(s, A.TermQuery("return"), docs_df, "lang", k_per_group=2)
+            .orderBy("lang", "grank")
+            .collect()
+        ]
+        ordered = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        lang_of = {i: ordered.loc[i, "lang"] for i in range(len(ordered))}
+        hits = oracle.top_k(A.TermQuery("return"), k=10**9)  # (doc, score) desc, doc asc
+        want = []
+        per: dict[str, int] = {}
+        for d, _sc in hits:
+            g = lang_of[d]
+            per[g] = per.get(g, 0) + 1
+            if per[g] <= 2:
+                want.append((g, per[g], d))
+        assert got == sorted(want)
 
 
 class TestHighlight:
