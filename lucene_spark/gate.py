@@ -232,6 +232,21 @@ def queries() -> dict:
         ),
     )
 
+    # keyword-field (StringField) filter: column equality as FILTER
+    Q["ft_lang_filter_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(
+                (
+                    (A.Occur.MUST, A.TermQuery("table")),
+                    (A.Occur.FILTER, A.FieldValueQuery("lang", "en")),
+                )
+            ),
+        ),
+    )
+
     # -- MultiTermQuery family (constant-score doc sets) --
     Q["ft_prefix_ids"] = lambda spark, sf: _ids_df(spark, _search(spark, sf, A.PrefixQuery("s"), k=ALL_K))
     Q["ft_wildcard_ids"] = lambda spark, sf: _ids_df(
@@ -461,6 +476,11 @@ def oracle_sql() -> dict[str, str]:
         "FROM q JOIN documents d USING (doc_id)) "
         "SELECT lang, grank::BIGINT AS grank, doc_id, round(s, 2) AS score_r "
         "FROM g WHERE grank <= 2 ORDER BY lang, grank"
+    )
+
+    O["ft_lang_filter_top10"] = topk_sql(
+        "SELECT t.doc_id, t.s FROM tscore t JOIN documents d ON d.doc_id = t.doc_id "
+        "WHERE t.term = 'table' AND d.lang = 'en'"
     )
 
     O["ft_prefix_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term LIKE 's%'")

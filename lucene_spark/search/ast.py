@@ -107,6 +107,27 @@ class TermRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldValueQuery(Query):
+    """Atomic keyword-field equality — StringField semantics
+    (StringField.java:27: not tokenized, indexed as a single term).
+    Spark disposition per SURVEY §1.1: a plain column-equality filter
+    on the docs table (Catalyst pushdown), surfaced as a constant-score
+    doc set (CONSTANT_SCORE_REWRITE); in FILTER clauses Lucene strips
+    scores anyway (BooleanQuery.rewriteNoScoring)."""
+
+    field: str
+    value: str
+
+
+@dataclass(frozen=True)
+class DocSetQuery(Query):
+    """Resolved doc-id set (internal: produced by the Searcher from
+    FieldValueQuery after the metadata scan; constant score)."""
+
+    doc_ids: tuple[int, ...]
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: tuple[str, ...]
     field: str = "content"
@@ -234,6 +255,8 @@ def _rewrite_once(q: Query) -> Query:
     if isinstance(q, TermInSetQuery):
         if not q.terms:
             return MatchNoDocsQuery("empty TermInSet")
+    if isinstance(q, DocSetQuery) and not q.doc_ids:
+        return MatchNoDocsQuery("empty doc set")
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
         return TermQuery(q.terms[0], q.field)
     if isinstance(q, MultiPhraseQuery):

@@ -84,6 +84,22 @@ class Searcher:
                 "range", (q.lower, q.upper, q.include_lower, q.include_upper)
             )
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
+        if isinstance(q, A.FieldValueQuery):
+            # StringField equality = pushed-down column filter on the
+            # docs table (SURVEY §1.1 StringField disposition); the
+            # selective id set then rides the query as a constant-score
+            # doc set. At 10^12 scale a non-selective filter should be
+            # a Catalyst semi-join instead — the scan itself is already
+            # that plan; only the collect here assumes selectivity.
+            import pyspark.sql.functions as F
+
+            rows = (
+                self.index.docs.filter(F.col(q.field) == q.value)
+                .select("doc_id")
+                .orderBy("doc_id")
+                .collect()
+            )
+            return A.DocSetQuery(tuple(int(r["doc_id"]) for r in rows))
         if isinstance(q, A.BooleanQuery):
             return A.BooleanQuery(
                 tuple((o, self._expand_multiterm(s)) for o, s in q.clauses), q.minimum_should_match
@@ -252,10 +268,13 @@ class Searcher:
         manifest = _read_manifest(index)
         dpc = int(manifest.get("docs_per_chunk", 1 << 17))
 
-        # chunks needed: hot rows' chunks ∪ chunks containing small-term docs
+        # chunks needed: hot rows' chunks ∪ chunks containing small-term
+        # docs ∪ chunks containing docset (keyword-filter) docs
         small_chunks = set()
         for t, (d, _, _) in small_arrays.items():
             small_chunks |= set((d // dpc).tolist())
+        for ds in _collect_docsets(spec):
+            small_chunks |= {int(x) // dpc for x in ds.docs}
 
         hot_rows = rows_df.filter(F.col("term").isin(list(hot_terms)))
 
@@ -278,7 +297,7 @@ class Searcher:
                 arrays[t] = (d[i0:i1], tf[i0:i1], nm[i0:i1])
                 if with_pos and small_positions.get(t) is not None:
                     positions[t] = small_positions[t][i0:i1]
-            ctx = ChunkContext(arrays, cache_b, None, positions if with_pos else None)
+            ctx = ChunkContext(arrays, cache_b, None, positions if with_pos else None, doc_range=(lo, hi))
             docs, scores = evaluate(spec_b, ctx)
             if len(deleted_b) and len(docs):
                 live = ~np.isin(docs, deleted_b, assume_unique=False)
@@ -338,6 +357,25 @@ def _has_phrase(spec) -> bool:
     if isinstance(spec, tuple) and spec and spec[0] == "const":
         return _has_phrase(spec[1])
     return False
+
+
+def _collect_docsets(spec) -> list:
+    from lucene_spark.search.kernels import DisMaxSpec, DocSetSpec
+
+    if isinstance(spec, DocSetSpec):
+        return [spec]
+    if isinstance(spec, BoolSpec):
+        return [
+            d
+            for g in (spec.musts, spec.shoulds, spec.filters, spec.nots)
+            for s in g
+            for d in _collect_docsets(s)
+        ]
+    if isinstance(spec, DisMaxSpec):
+        return [d for s in spec.subs for d in _collect_docsets(s)]
+    if isinstance(spec, tuple) and spec and spec[0] == "const":
+        return _collect_docsets(spec[1])
+    return []
 
 
 def _needs_all_docs(spec) -> bool:

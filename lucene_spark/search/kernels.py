@@ -71,6 +71,15 @@ class BoolSpec:
 
 
 @dataclass(frozen=True)
+class DocSetSpec:
+    """Constant-score membership in a resolved sorted doc-id set
+    (keyword-field filters; see ast.FieldValueQuery)."""
+
+    docs: tuple  # kept hashable; np view taken at evaluate time
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DisMaxSpec:
     subs: tuple
     tie: float
@@ -128,6 +137,8 @@ def compile_query(q: A.Query, stats: BM25Stats, term_df: dict[str, int], boost: 
     if isinstance(q, A.TermInSetQuery):
         terms = tuple(t for t in q.terms if term_df.get(t))
         return ConstSpec(terms, float(b32)) if terms else NoneSpec()
+    if isinstance(q, A.DocSetQuery):
+        return DocSetSpec(q.doc_ids, float(b32)) if q.doc_ids else NoneSpec()
     if isinstance(q, A.PhraseQuery):
         if any(not term_df.get(t) for t in q.terms):
             return NoneSpec()
@@ -218,11 +229,16 @@ class ChunkContext:
         cache: np.ndarray,
         all_docs: np.ndarray | None = None,
         positions: dict[str, list] | None = None,
+        doc_range: tuple[int, int] | None = None,
     ):
         self.arrays = arrays
         self.cache = cache
         self.all_docs = all_docs if all_docs is not None else EMPTY_I
         self.positions = positions or {}
+        # [lo, hi) doc-id window of this chunk; None = whole corpus.
+        # DocSetSpecs slice to it so chunk-parallel evaluation never
+        # emits the same doc from two chunks.
+        self.doc_range = doc_range
 
     def term(self, t: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return self.arrays.get(t, (EMPTY_I, EMPTY_I, EMPTY_I))
@@ -253,6 +269,12 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
             tf_sum[mask] += t[idx[mask]]
             norms_out[mask] = nm[idx[mask]]
         return docs, score_freqs(np.float32(spec.weight), tf_sum, norms_out, ctx.cache)
+    if isinstance(spec, DocSetSpec):
+        d = np.asarray(spec.docs, dtype=np.int64)
+        if ctx.doc_range is not None:
+            lo, hi = ctx.doc_range
+            d = d[np.searchsorted(d, lo) : np.searchsorted(d, hi)]
+        return d, np.full(len(d), np.float32(spec.boost), dtype=np.float32)
     if isinstance(spec, ConstSpec):
         parts = [ctx.term(t)[0] for t in spec.terms]
         parts = [p for p in parts if len(p)]

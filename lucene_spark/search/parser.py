@@ -13,6 +13,9 @@ used by the reference benchmark query sets (BENCH/conf/query-*.txt):
 - ``term~`` / ``term~N`` fuzzy (default max edits 2, FuzzyQuery.java:52-54)
 - ``/regex/`` regexp queries
 - ``^boost``
+- ``[a TO b]`` / ``{a TO b}`` term ranges (``*`` = open bound)
+- ``field:value`` — ``content:`` keeps analyzed semantics; any other
+  field is a keyword (StringField) equality on the raw value
 
 Recursive-descent, ~150 lines; precedence NOT > AND > OR.
 """
@@ -25,6 +28,7 @@ from lucene_spark.analysis import tokenize
 from lucene_spark.search.ast import (
     BooleanQuery,
     BoostQuery,
+    FieldValueQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
@@ -34,6 +38,7 @@ from lucene_spark.search.ast import (
     Query,
     RegexpQuery,
     TermQuery,
+    TermRangeQuery,
     WildcardQuery,
     rewrite,
 )
@@ -50,6 +55,8 @@ _TOKEN_RE = re.compile(
   | (?P<minus>-)
   | (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?)
   | (?P<regex>/(?P<regex_body>[^/]+)/)
+  | (?P<range>(?P<rlo_b>[\[{])\s*(?P<rlo>\S+)\s+TO\s+(?P<rhi>\S+)\s*(?P<rhi_b>[\]}]))
+  | (?P<field>[A-Za-z_][A-Za-z0-9_]*):(?!\s)
   | (?P<star>\*)(?=\s|$)
   | (?P<term>[^\s()+\-!"^][^\s()+!"^]*)
   | (?P<boost>\^(?P<boost_val>\d+(?:\.\d+)?))
@@ -71,12 +78,26 @@ def _lex(s: str) -> list[tuple[str, str]]:
             if m.group(k):
                 break
         else:
-            for k in ("lparen", "rparen", "and", "or", "not", "plus", "minus", "phrase", "regex", "star", "term", "boost"):
+            for k in ("lparen", "rparen", "and", "or", "not", "plus", "minus", "phrase", "regex", "range", "field", "star", "term", "boost"):
                 if m.group(k) is not None:
                     if k == "phrase":
                         toks.append(("phrase", (m.group("phrase_body"), int(m.group("slop") or 0))))
                     elif k == "regex":
                         toks.append(("regex", m.group("regex_body")))
+                    elif k == "range":
+                        toks.append(
+                            (
+                                "range",
+                                (
+                                    m.group("rlo"),
+                                    m.group("rhi"),
+                                    m.group("rlo_b") == "[",
+                                    m.group("rhi_b") == "]",
+                                ),
+                            )
+                        )
+                    elif k == "field":
+                        toks.append(("field", m.group("field")))
                     elif k == "boost":
                         toks.append(("boost", float(m.group("boost_val"))))
                     else:
@@ -153,7 +174,17 @@ class _Parser:
     def parse_primary(self) -> Query:
         kind, val = self.next()
         q: Query
-        if kind == "lparen":
+        if kind == "field":
+            q = self._field_scoped(val)
+        elif kind == "range":
+            lo, hi, inc_lo, inc_hi = val
+            q = TermRangeQuery(
+                None if lo == "*" else lo.lower(),
+                None if hi == "*" else hi.lower(),
+                inc_lo,
+                inc_hi,
+            )
+        elif kind == "lparen":
             q = self.parse_or()
             if self.peek() == "rparen":
                 self.next()
@@ -178,6 +209,34 @@ class _Parser:
             _, b = self.next()
             q = BoostQuery(q, b)
         return q
+
+    def _field_scoped(self, field: str) -> Query:
+        """``field:...`` — the default field (content) keeps analyzed
+        semantics; any other field is a keyword (StringField) column:
+        equality on the RAW value (QueryParser.jj field-scoped clause;
+        StringField values are not analyzed)."""
+        kind = self.peek()
+        if kind == "range":
+            _, (lo, hi, inc_lo, inc_hi) = self.next()
+            if field != "content":
+                raise ValueError(f"range on keyword field {field!r} not supported")
+            return TermRangeQuery(
+                None if lo == "*" else lo.lower(), None if hi == "*" else hi.lower(), inc_lo, inc_hi
+            )
+        if kind == "phrase":
+            _, (body, slop) = self.next()
+            if field != "content":
+                return FieldValueQuery(field, body)
+            terms = tuple(tokenize(body))
+            if not terms:
+                return MatchNoDocsQuery("empty phrase")
+            return TermQuery(terms[0]) if len(terms) == 1 else PhraseQuery(terms, slop=slop)
+        if kind in ("term", "star"):
+            _, raw = self.next()
+            if field == "content":
+                return self._term_query(raw)
+            return FieldValueQuery(field, raw)
+        raise ValueError(f"expected value after {field}:")
 
     @staticmethod
     def _term_query(text: str) -> Query:

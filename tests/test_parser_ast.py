@@ -77,6 +77,26 @@ class TestParser:
     def test_match_all(self):
         assert parse_query("*:*") == MatchAllDocsQuery()
 
+    def test_field_scoped(self):
+        from lucene_spark.search.ast import FieldValueQuery
+
+        assert parse_query("lang:java") == FieldValueQuery("lang", "java")
+        assert parse_query('repo:"src 3"') == FieldValueQuery("repo", "src 3")
+        assert parse_query("content:Hello") == TermQuery("hello")
+        q = parse_query("lang:go AND hello")
+        assert q.clauses == (
+            (Occur.MUST, FieldValueQuery("lang", "go")),
+            (Occur.MUST, TermQuery("hello")),
+        )
+
+    def test_term_range(self):
+        from lucene_spark.search.ast import TermRangeQuery
+
+        assert parse_query("[aa TO bb]") == TermRangeQuery("aa", "bb", True, True)
+        assert parse_query("{aa TO bb}") == TermRangeQuery("aa", "bb", False, False)
+        assert parse_query("[* TO bb]") == TermRangeQuery(None, "bb", True, True)
+        assert parse_query("content:[aa TO bb]") == TermRangeQuery("aa", "bb", True, True)
+
 
 class TestRewrite:
     def test_empty_to_match_none(self):

@@ -164,6 +164,64 @@ class TestDistributed:
         assert_rank_identical(got, oracle.top_k(q, k), f"distributed {query!r}")
 
 
+class TestFieldQueries:
+    """Keyword-field (StringField) scoping: `lang:x` = column-equality
+    doc set; FILTER occur keeps content-only BM25 scores rank-identical."""
+
+    @pytest.fixture(scope="class")
+    def lang_of(self, corpus_pdf):
+        ordered = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        return {i: ordered.loc[i, "lang"] for i in range(len(ordered))}
+
+    def test_filter_rank_identity(self, searcher, oracle, lang_of):
+        q = A.BooleanQuery(
+            (
+                (A.Occur.MUST, A.TermQuery("return")),
+                (A.Occur.FILTER, A.FieldValueQuery("lang", "java")),
+            )
+        )
+        got = searcher.search(q, k=20).hits
+        scores = oracle.score(A.TermQuery("return"))
+        want = sorted(
+            ((d, float(s)) for d, s in scores.items() if lang_of[d] == "java"),
+            key=lambda t: (-np.float32(t[1]), t[0]),
+        )[:20]
+        assert_rank_identical(got, want, "lang-filtered")
+
+    def test_parsed_field_and(self, searcher, oracle, lang_of):
+        got = {d for d, _ in searcher.search(parse_query("lang:go AND return"), k=10**6).hits}
+        want = {d for d in oracle.score(A.TermQuery("return")) if lang_of[d] == "go"}
+        assert got == want
+
+    def test_pure_field_query(self, searcher, lang_of):
+        got = {d for d, _ in searcher.search(parse_query("lang:c"), k=10**6).hits}
+        want = {d for d, lg in lang_of.items() if lg == "c"}
+        assert got == want
+
+    def test_field_no_match(self, searcher):
+        assert searcher.search(parse_query("lang:klingon"), k=10).hits == []
+
+    def test_distributed_field_filter(self, searcher, oracle, lang_of):
+        q = A.BooleanQuery(
+            (
+                (A.Occur.MUST, A.TermQuery("return")),
+                (A.Occur.FILTER, A.FieldValueQuery("lang", "python")),
+            )
+        )
+        got = searcher.search(q, k=15, mode="distributed").hits
+        scores = oracle.score(A.TermQuery("return"))
+        want = sorted(
+            ((d, float(s)) for d, s in scores.items() if lang_of[d] == "python"),
+            key=lambda t: (-np.float32(t[1]), t[0]),
+        )[:15]
+        assert_rank_identical(got, want, "distributed lang-filtered")
+
+    def test_parsed_range_equals_ast(self, searcher):
+        a = searcher.search(parse_query("[scan TO table]"), k=10**6).hits
+        b = searcher.search(A.TermRangeQuery("scan", "table"), k=10**6).hits
+        assert a == b
+
+
 class TestEquivalences:
     def test_commutativity(self, searcher):
         a = searcher.search(parse_query("return AND if"), k=20).hits
