@@ -50,6 +50,12 @@ class SearchIndex:
         from collections import OrderedDict
 
         self._row_cache: "OrderedDict[str, list]" = OrderedDict()
+        # MultiTermQuery expansion cache (kind, arg) → term list, and
+        # decoded-postings cache (term, with_positions) → PostingList:
+        # the LRUQueryCache role for the two remaining per-query costs
+        # (term-dict scan job; blob decode) on repeated query shapes
+        self._expand_cache: "OrderedDict[tuple, list[str]]" = OrderedDict()
+        self._decoded_cache: "OrderedDict[tuple, object]" = OrderedDict()
 
     @cached_property
     def postings(self) -> DataFrame:
@@ -93,6 +99,11 @@ class SearchIndex:
         """MultiTermQuery expansion against the term dictionary
         (MultiTermQuery.java:55-93; AutomatonTermsEnum ∩ dictionary →
         here a Catalyst predicate on the sorted term table)."""
+        ckey = (kind, arg if not isinstance(arg, list) else tuple(arg), limit)
+        cached = self._expand_cache.get(ckey)
+        if cached is not None:
+            self._expand_cache.move_to_end(ckey)
+            return list(cached)
         t = self.term_stats_df
         if kind == "prefix":
             cond = F.col("term").startswith(arg)
@@ -118,7 +129,11 @@ class SearchIndex:
                 cond = cond & c
         else:
             raise ValueError(kind)
-        return [r["term"] for r in t.filter(cond).select("term").orderBy("term").limit(limit).collect()]
+        out = [r["term"] for r in t.filter(cond).select("term").orderBy("term").limit(limit).collect()]
+        self._expand_cache[ckey] = out
+        while len(self._expand_cache) > 1024:
+            self._expand_cache.popitem(last=False)
+        return list(out)
 
     # ---- postings ------------------------------------------------------------
 
@@ -165,6 +180,12 @@ class SearchIndex:
 
         out: dict[str, PostingList] = {}
         for term, rs in by_term.items():
+            dkey = (term, with_positions)
+            hit = self._decoded_cache.get(dkey)
+            if hit is not None:
+                self._decoded_cache.move_to_end(dkey)
+                out[term] = hit
+                continue
             parts = [unpack_postings(bytes(r["blob"])) for r in rs]
             docs = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
@@ -182,6 +203,9 @@ class SearchIndex:
                 if positions is not None:
                     positions = [positions[i] for i in order]
             out[term] = PostingList(term, -1, len(docs), docs, tfs, norms.astype(np.int64), positions)
+            self._decoded_cache[dkey] = out[term]
+            while len(self._decoded_cache) > MAX_CACHED_TERMS:
+                self._decoded_cache.popitem(last=False)
         return out
 
     def all_doc_ids(self) -> np.ndarray:

@@ -334,6 +334,49 @@ def _slot_union(ctx: ChunkContext, slot: tuple[str, ...]):
 
 
 def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
+    if spec.slop == 0:
+        # vectorized: slot doc-union + flattened key unions, no per-doc loop
+        slot_docs = []
+        for slot in spec.slots:
+            ds = [ctx.term(t)[0] for t in slot if len(ctx.term(t)[0])]
+            if not ds:
+                return EMPTY_I, EMPTY_F
+            slot_docs.append(ds[0] if len(ds) == 1 else np.unique(np.concatenate(ds)))
+        cand = slot_docs[0]
+        for d in slot_docs[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+        if not len(cand):
+            return EMPTY_I, EMPTY_F
+        keys = []
+        for slot in spec.slots:
+            parts = []
+            for t in slot:
+                d = ctx.term(t)[0]
+                if not len(d):
+                    continue
+                pl = ctx.positions.get(t)
+                if pl is None:
+                    raise ValueError(f"no positions for term {t!r}")
+                k = _term_flat_keys(d, pl, cand)
+                if len(k):
+                    parts.append(k)
+            if not parts:
+                return EMPTY_I, EMPTY_F
+            keys.append(parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts)))
+        freqs = _exact_phrase_freqs_keys(keys, len(cand))
+        matched = freqs > 0
+        if not matched.any():
+            return EMPTY_I, EMPTY_F
+        # norms of the matched docs from any slot-0 term containing them
+        norms_out = np.zeros(len(cand), dtype=np.int64)
+        for t in spec.slots[0]:
+            d, _, nm = ctx.term(t)
+            if len(d):
+                mask, idx = _membership(d, cand)
+                norms_out[mask] = nm[idx[mask]]
+        scores = score_freqs(np.float32(spec.weight), freqs[matched], norms_out[matched], ctx.cache)
+        return cand[matched], scores
+
     slots = [_slot_union(ctx, s) for s in spec.slots]
     if any(not len(s[0]) for s in slots):
         return EMPTY_I, EMPTY_F
@@ -346,19 +389,9 @@ def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.
     for d, _, pl in slots:
         idx = np.searchsorted(d, cand)
         pos_lists.append([pl[i] for i in idx])
-    n_slots = len(slots)
     freqs = np.zeros(len(cand), dtype=np.float64)
-    if spec.slop == 0:
-        for ci in range(len(cand)):
-            ok = np.asarray(pos_lists[0][ci])
-            for i in range(1, n_slots):
-                if not len(ok):
-                    break
-                ok = ok[np.isin(ok + i, pos_lists[i][ci], assume_unique=True)]
-            freqs[ci] = len(ok)
-    else:
-        for ci in range(len(cand)):
-            freqs[ci] = _sloppy_freq([np.asarray(pl[ci]) for pl in pos_lists], spec.slop)
+    for ci in range(len(cand)):
+        freqs[ci] = _sloppy_freq([np.asarray(pl[ci]) for pl in pos_lists], spec.slop)
     matched = freqs > 0
     if not matched.any():
         return EMPTY_I, EMPTY_F
@@ -390,24 +423,21 @@ def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, n
         cand = np.intersect1d(cand, d, assume_unique=True)
     if not len(cand):
         return EMPTY_I, EMPTY_F
-    pos_lists = []
-    for t, (d, _, _) in zip(spec.terms, parts):
+    plists = []
+    for t in spec.terms:
         plist = ctx.positions.get(t)
         if plist is None:
             raise ValueError(f"no positions available for term {t!r}")
-        idx = np.searchsorted(d, cand)
-        pos_lists.append([plist[i] for i in idx])
-    n_terms = len(spec.terms)
-    freqs = np.zeros(len(cand), dtype=np.float64)
+        plists.append(plist)
     if spec.slop == 0:
-        for ci in range(len(cand)):
-            ok = pos_lists[0][ci]
-            for i in range(1, n_terms):
-                if not len(ok):
-                    break
-                ok = ok[np.isin(ok + i, pos_lists[i][ci], assume_unique=True)]
-            freqs[ci] = len(ok)
+        keys = [_term_flat_keys(d, pl, cand) for (d, _, _), pl in zip(parts, plists)]
+        freqs = _exact_phrase_freqs_keys(keys, len(cand))
     else:
+        pos_lists = []
+        for (d, _, _), plist in zip(parts, plists):
+            idx = np.searchsorted(d, cand)
+            pos_lists.append([plist[i] for i in idx])
+        freqs = np.zeros(len(cand), dtype=np.float64)
         for ci in range(len(cand)):
             freqs[ci] = _sloppy_freq([np.asarray(pl[ci]) for pl in pos_lists], spec.slop)
     matched = freqs > 0
@@ -417,6 +447,41 @@ def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, n
     idx0 = np.searchsorted(docs0, cand[matched])
     scores = score_freqs(np.float32(spec.weight), freqs[matched], norms0[idx0], ctx.cache)
     return cand[matched], scores
+
+
+def _term_flat_keys(d: np.ndarray, plist: list, cand: np.ndarray) -> np.ndarray:
+    """Sorted flattened (cand_index << 32 | position) keys of one term's
+    occurrences restricted to the candidate docs (positions < 2^32 —
+    Lucene caps per-doc positions at Integer.MAX_VALUE)."""
+    mask, idx = _membership(d, cand)
+    ci = np.nonzero(mask)[0].astype(np.int64)
+    sel = idx[mask]
+    lens = np.fromiter((len(plist[i]) for i in sel), dtype=np.int64, count=len(sel))
+    if not int(lens.sum()):
+        return EMPTY_I
+    di = np.repeat(ci, lens)
+    pos = np.concatenate([np.asarray(plist[i], dtype=np.int64) for i in sel if len(plist[i])])
+    return (di << np.int64(32)) | pos
+
+
+def _exact_phrase_freqs_keys(key_arrays: list[np.ndarray], n_cand: int) -> np.ndarray:
+    """Vectorized exact-phrase frequencies over ALL candidate docs at
+    once: each slot is one sorted (doc << 32 | position) key array; one
+    searchsorted membership test per slot instead of a Python loop per
+    doc — the block-at-a-time replacement for doc-at-a-time iteration
+    (SURVEY §4.2 disposition of ExactPhraseMatcher.java)."""
+    alive = key_arrays[0]
+    for i in range(1, len(key_arrays)):
+        if not len(alive):
+            break
+        ki = key_arrays[i]
+        if not len(ki):
+            return np.zeros(n_cand, dtype=np.float64)
+        want = alive + i  # position + i within the same doc
+        j = np.searchsorted(ki, want)
+        jc = np.minimum(j, len(ki) - 1)
+        alive = alive[(j < len(ki)) & (ki[jc] == want)]
+    return np.bincount(alive >> np.int64(32), minlength=n_cand).astype(np.float64)
 
 
 def _sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> float:
