@@ -213,6 +213,35 @@ class Searcher:
         docs, scores = self._apply_live_docs(*evaluate(spec, ctx))
         return TopDocs(top_k_from_arrays(docs, scores, k), len(docs), "EQUAL_TO", {})
 
+    def search_after(self, after: tuple[int, float] | None, query: str | A.Query, k: int = 10) -> TopDocs:
+        """IndexSearcher.searchAfter(ScoreDoc, Query, int): the top-k
+        hits strictly after the (doc_id, score) mark in (score desc,
+        doc asc) order — deep pagination without a growing heap
+        (PagingTopScoreDocCollector role). Driver mode."""
+        if after is None:
+            return self.search(query, k=k)
+        after_doc, after_score = int(after[0]), np.float32(after[1])
+        q, spec, stats, rows = self.prepare(query, collect_rows=True)
+        if isinstance(spec, NoneSpec) or k <= 0:
+            return TopDocs([], 0, "EQUAL_TO", {})
+        ctx = self._driver_context(spec, stats.cache(), rows)
+        docs, scores = self._apply_live_docs(*evaluate(spec, ctx))
+        mask = (scores < after_score) | ((scores == after_score) & (docs > after_doc))
+        return TopDocs(
+            top_k_from_arrays(docs[mask], scores[mask], k), len(docs), "EQUAL_TO", {"after": after}
+        )
+
+    def explain(self, query: str | A.Query, doc_id: int) -> dict:
+        """IndexSearcher.explain(Query, int): Explanation tree
+        (match, value, description, details) for one document."""
+        from lucene_spark.search.explain import explain_spec
+
+        q, spec, stats, rows = self.prepare(query, collect_rows=True)
+        if isinstance(spec, NoneSpec):
+            return {"match": False, "value": 0.0, "description": "MatchNoDocsQuery", "details": []}
+        ctx = self._driver_context(spec, stats.cache(), rows)
+        return explain_spec(spec, ctx, int(doc_id))
+
     def count(self, query: str | A.Query) -> int:
         """TotalHitCountCollector equivalent."""
         q, spec, stats, rows = self.prepare(query, collect_rows=True)

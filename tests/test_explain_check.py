@@ -1,0 +1,114 @@
+"""IndexSearcher.explain / searchAfter parity + CheckIndex validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import ast as A
+from lucene_spark.search.engine import Searcher
+from lucene_spark.search.parser import parse_query
+
+
+@pytest.fixture(scope="module")
+def searcher(search_index):
+    return Searcher(search_index)
+
+
+class TestExplain:
+    def test_term_explain_matches_score(self, searcher, oracle):
+        top = searcher.search(A.TermQuery("return"), k=3).hits
+        doc, score = top[0]
+        ex = searcher.explain(A.TermQuery("return"), doc)
+        assert ex["match"] is True
+        assert np.float32(ex["value"]) == np.float32(score)
+        descs = [d["description"] for d in ex["details"]]
+        assert any("freq" in d for d in descs)
+        assert any("weight" in d for d in descs)
+
+    def test_boolean_explain_sums(self, searcher):
+        q = parse_query("return AND if")
+        doc, score = searcher.search(q, k=1).hits[0]
+        ex = searcher.explain(q, doc)
+        assert ex["match"] and np.float32(ex["value"]) == np.float32(score)
+        child_sum = sum(d["value"] for d in ex["details"] if d["match"])
+        assert ex["value"] == pytest.approx(child_sum, rel=1e-5)
+
+    def test_non_matching_doc(self, searcher, oracle):
+        scores = oracle.score(A.TermQuery("zzz_nonexistent"))
+        assert scores == {}
+        ex = searcher.explain(A.TermQuery("return"), 10**9)
+        assert ex["match"] is False and ex["value"] == 0.0
+
+    def test_filter_detail_non_scoring(self, searcher):
+        q = A.BooleanQuery(
+            (
+                (A.Occur.MUST, A.TermQuery("return")),
+                (A.Occur.FILTER, A.FieldValueQuery("lang", "java")),
+            )
+        )
+        hits = searcher.search(q, k=1).hits
+        ex = searcher.explain(q, hits[0][0])
+        filt = [d for d in ex["details"] if d["description"].startswith("FILTER")]
+        assert filt and filt[0]["value"] == 0.0
+
+
+class TestSearchAfter:
+    def test_pagination_covers_full_ranking(self, searcher, oracle):
+        q = A.TermQuery("return")
+        full = oracle.top_k(q, 30)
+        page1 = searcher.search(q, k=10).hits
+        page2 = searcher.search_after(page1[-1], q, k=10).hits
+        page3 = searcher.search_after(page2[-1], q, k=10).hits
+        got = page1 + page2 + page3
+        assert [d for d, _ in got] == [d for d, _ in full]
+        for (gd, gs), (od, os_) in zip(got, full):
+            assert np.float32(gs) == np.float32(os_)
+
+    def test_after_none_is_search(self, searcher):
+        q = parse_query("return OR if")
+        assert searcher.search_after(None, q, k=5).hits == searcher.search(q, k=5).hits
+
+    def test_after_ties_break_by_doc(self, searcher):
+        # constant-score query: every hit ties on score → pagination
+        # must advance purely by doc id
+        q = A.ConstantScoreQuery(A.TermQuery("return"))
+        p1 = searcher.search(q, k=7).hits
+        p2 = searcher.search_after(p1[-1], q, k=7).hits
+        docs = [d for d, _ in p1 + p2]
+        assert docs == sorted(docs)
+        assert len(set(docs)) == len(docs)
+
+
+class TestCheckIndex:
+    def test_clean_index_passes(self, spark, search_index):
+        from lucene_spark.index.check import check_index
+
+        report = check_index(search_index)
+        assert report["status"] == "ok"
+        assert report["posting_lists"] > 0
+        assert report["doc_count_ok"] and report["sum_ttf_ok"]
+
+    def test_corrupt_df_detected(self, spark, search_index, tmp_path):
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from lucene_spark.index.check import CheckIndexError, check_index
+        from lucene_spark.index.reader import SearchIndex
+
+        bad_dir = str(tmp_path / "bad_index")
+        shutil.copytree(search_index.index_dir, bad_dir)
+        # tamper: bump df on one postings row
+        p = spark.read.parquet(f"{bad_dir}/postings")
+        tampered = p.withColumn(
+            "df", F.when(F.col("term") == "return", F.col("df") + 1).otherwise(F.col("df"))
+        )
+        tampered.write.mode("overwrite").parquet(f"{bad_dir}/postings_tmp")
+        shutil.rmtree(f"{bad_dir}/postings")
+        shutil.move(f"{bad_dir}/postings_tmp", f"{bad_dir}/postings")
+        bad = SearchIndex(spark, bad_dir)
+        with pytest.raises(CheckIndexError):
+            check_index(bad)
+        report = check_index(bad, raise_on_failure=False)
+        assert report["bad_df"] > 0 or report["term_stats_mismatches"] > 0
