@@ -44,7 +44,7 @@ from lucene_spark.search.kernels import (
     top_k_from_arrays,
 )
 from lucene_spark.search.parser import parse_query
-from lucene_spark.search.wand import PostingSource, wand_top_k
+from lucene_spark.search.wand import PostingSource, conjunction_top_k, wand_top_k
 
 
 @dataclass
@@ -142,6 +142,8 @@ class Searcher:
             return self._search_distributed(spec, k, cache)
         if self._is_pure_term_disjunction(spec):
             return self._search_wand(spec, k, cache, rows)
+        if self._is_pure_term_conjunction(spec):
+            return self._search_conjunction(spec, k, cache, rows)
         return self._search_exhaustive(spec, k, cache, rows)
 
     @staticmethod
@@ -158,8 +160,19 @@ class Searcher:
             and len(spec.shoulds) > 0
         )
 
-    def _search_wand(self, spec, k: int, cache, rows_by_term=None) -> TopDocs:
-        term_specs = [spec] if isinstance(spec, TermSpec) else list(spec.shoulds)
+    @staticmethod
+    def _is_pure_term_conjunction(spec) -> bool:
+        return (
+            isinstance(spec, BoolSpec)
+            and not spec.shoulds
+            and not spec.filters
+            and not spec.nots
+            and spec.msm == 0
+            and len(spec.musts) >= 2
+            and all(isinstance(s, TermSpec) for s in spec.musts)
+        )
+
+    def _posting_sources(self, term_specs, cache, rows_by_term=None) -> list[PostingSource]:
         if rows_by_term is None:
             rows_by_term = self.index.collect_rows([t.term for t in term_specs])
         by_term: dict[str, list] = {}
@@ -175,9 +188,13 @@ class Searcher:
                 )
                 for r in rs
             ]
-        sources = [
+        return [
             PostingSource(ts.weight, cache, by_term[ts.term]) for ts in term_specs if ts.term in by_term
         ]
+
+    def _search_wand(self, spec, k: int, cache, rows_by_term=None) -> TopDocs:
+        term_specs = [spec] if isinstance(spec, TermSpec) else list(spec.shoulds)
+        sources = self._posting_sources(term_specs, cache, rows_by_term)
         if not sources:
             return TopDocs([], 0, "EQUAL_TO", {})
         deleted = self.index.deleted_ids
@@ -186,6 +203,17 @@ class Searcher:
         )
         relation = "GREATER_THAN_OR_EQUAL_TO" if info.get("pruned_intervals") else "EQUAL_TO"
         return TopDocs(hits, info["hits_seen"], relation, info)
+
+    def _search_conjunction(self, spec, k: int, cache, rows_by_term=None) -> TopDocs:
+        """Pure term AND: skip-data conjunction kernel (exact result,
+        decodes only candidate-covering blocks of the costlier terms)."""
+        term_specs = list(spec.musts)
+        sources = self._posting_sources(term_specs, cache, rows_by_term)
+        if len(sources) < len(term_specs):  # a MUST term is missing entirely
+            return TopDocs([], 0, "EQUAL_TO", {})
+        deleted = self.index.deleted_ids
+        hits, info = conjunction_top_k(sources, k, deleted=deleted if len(deleted) else None)
+        return TopDocs(hits, info["hits_seen"], "EQUAL_TO", info)
 
     def _driver_context(self, spec, cache, rows_by_term=None) -> ChunkContext:
         terms = sorted(spec_terms(spec))

@@ -164,6 +164,42 @@ class TestDistributed:
         assert_rank_identical(got, oracle.top_k(q, k), f"distributed {query!r}")
 
 
+class TestConjunctionKernel:
+    """Skip-data conjunction (BlockMaxConjunctionScorer role) ≡ oracle
+    and ≡ exhaustive evaluation — the dispatch must not change results."""
+
+    @pytest.mark.parametrize("k", [1, 5, 50, 500])
+    def test_and_rank_identity(self, searcher, oracle, k):
+        for qs in ["return AND if", "return AND if AND int", "class AND return"]:
+            q = parse_query(qs)
+            td = searcher.search(q, k=k)
+            assert "blocks_decoded" in td.info, f"conjunction kernel not used for {qs!r}"
+            assert_rank_identical(td.hits, oracle.top_k(q, k), f"conj {qs!r} k={k}")
+
+    def test_total_hits_exact(self, searcher, oracle):
+        q = parse_query("return AND if")
+        td = searcher.search(q, k=3)
+        assert td.relation == "EQUAL_TO"
+        assert td.total_hits == len(oracle.score(A.rewrite(q)))
+
+    def test_skips_blocks_for_asymmetric_terms(self, searcher, oracle):
+        # a term pair where the rare side bounds the candidates: the
+        # common side must not decode more blocks than it has, and the
+        # kernel reports its decode accounting
+        td = searcher.search(parse_query("self AND return"), k=10)
+        info = td.info
+        assert info["hits_seen"] > 0
+        assert info["blocks_decoded"] >= 2
+        assert info["blocks_skipped"] >= 0
+
+    def test_mixed_shapes_not_dispatched(self, searcher):
+        # shapes outside pure-term AND must keep the exhaustive path
+        td = searcher.search(parse_query("return AND (if OR int)"), k=10)
+        assert "blocks_decoded" not in td.info
+        td = searcher.search(parse_query("+return -if"), k=10)
+        assert "blocks_decoded" not in td.info
+
+
 class TestFieldQueries:
     """Keyword-field (StringField) scoping: `lang:x` = column-equality
     doc set; FILTER occur keeps content-only BM25 scores rank-identical."""
