@@ -270,6 +270,28 @@ class Searcher:
         ctx = self._driver_context(spec, stats.cache(), rows)
         return explain_spec(spec, ctx, int(doc_id))
 
+    def doc(self, doc_id: int) -> dict | None:
+        """IndexSearcher.storedFields().document(docID): the stored
+        fields of one doc. Stored fields ARE the source columns of the
+        docs table (SURVEY §1.1 stored-fields disposition) — a
+        partition-pruned point read, no Lucene .fdt analog needed."""
+        import pyspark.sql.functions as F
+
+        rows = self.index.docs.filter(F.col("doc_id") == int(doc_id)).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
+    def retrieve(self, top_docs: TopDocs):
+        """Hits → DataFrame of (rank, doc_id, score, <stored fields>):
+        the SearchFiles demo's doc-fetch loop as ONE broadcast join."""
+        import pyspark.sql.functions as F
+
+        spark = self.index.spark
+        hits = spark.createDataFrame(
+            [(i + 1, int(d), float(s)) for i, (d, s) in enumerate(top_docs.hits)],
+            "rank bigint, doc_id bigint, score double",
+        )
+        return self.index.docs.join(F.broadcast(hits), "doc_id").orderBy("rank")
+
     def count(self, query: str | A.Query) -> int:
         """TotalHitCountCollector equivalent."""
         q, spec, stats, rows = self.prepare(query, collect_rows=True)

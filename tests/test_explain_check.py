@@ -80,6 +80,23 @@ class TestSearchAfter:
         assert len(set(docs)) == len(docs)
 
 
+class TestStoredFields:
+    def test_doc_fetch(self, searcher, corpus_pdf):
+        hit_doc, _ = searcher.search("return", k=1).hits[0]
+        row = searcher.doc(hit_doc)
+        assert row is not None and row["doc_id"] == hit_doc
+        assert "content_sha256" in row and row["lang"]
+
+    def test_doc_missing(self, searcher):
+        assert searcher.doc(10**12) is None
+
+    def test_retrieve_join(self, searcher):
+        td = searcher.search("return AND if", k=5)
+        out = searcher.retrieve(td).collect()
+        assert [r["doc_id"] for r in out] == [d for d, _ in td.hits]
+        assert all(r["content_sha256"] for r in out)
+
+
 class TestCheckIndex:
     def test_clean_index_passes(self, spark, search_index):
         from lucene_spark.index.check import check_index
