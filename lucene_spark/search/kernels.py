@@ -389,9 +389,11 @@ def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.
     for d, _, pl in slots:
         idx = np.searchsorted(d, cand)
         pos_lists.append([pl[i] for i in idx])
+    all_terms = [t for slot in spec.slots for t in slot]
+    sloppy = _lucene_sloppy_freq if len(set(all_terms)) == len(all_terms) else _sloppy_freq
     freqs = np.zeros(len(cand), dtype=np.float64)
     for ci in range(len(cand)):
-        freqs[ci] = _sloppy_freq([np.asarray(pl[ci]) for pl in pos_lists], spec.slop)
+        freqs[ci] = sloppy([np.asarray(pl[ci]) for pl in pos_lists], spec.slop)
     matched = freqs > 0
     if not matched.any():
         return EMPTY_I, EMPTY_F
@@ -437,9 +439,10 @@ def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, n
         for (d, _, _), plist in zip(parts, plists):
             idx = np.searchsorted(d, cand)
             pos_lists.append([plist[i] for i in idx])
+        sloppy = _lucene_sloppy_freq if len(set(spec.terms)) == len(spec.terms) else _sloppy_freq
         freqs = np.zeros(len(cand), dtype=np.float64)
         for ci in range(len(cand)):
-            freqs[ci] = _sloppy_freq([np.asarray(pl[ci]) for pl in pos_lists], spec.slop)
+            freqs[ci] = sloppy([np.asarray(pl[ci]) for pl in pos_lists], spec.slop)
     matched = freqs > 0
     if not matched.any():
         return EMPTY_I, EMPTY_F
@@ -484,10 +487,87 @@ def _exact_phrase_freqs_keys(key_arrays: list[np.ndarray], n_cand: int) -> np.nd
     return np.bincount(alive >> np.int64(32), minlength=n_cand).astype(np.float64)
 
 
+def _lucene_sloppy_freq(pos_lists: list, slop: int) -> np.float32:
+    """Exact replication of the NON-REPEATING ("simple") sloppy matcher
+    semantics (SloppyPhraseMatcher.java:162-205 nextMatch loop,
+    PhrasePositions.java position = pos - offset, PhraseQueue.java
+    (position, offset, ord) ordering; freq accumulation PhraseScorer.java:75-79
+    in float32, sloppyWeight = 1/(1 + matchLength)).
+
+    Algorithm: each phrase slot is an iterator over offset-adjusted
+    positions; a priority queue repeatedly advances the minimum; a match
+    is emitted each time the advanced iterator overtakes the new queue
+    minimum while the running matchLength (end - min position, minimized
+    while the leader catches up) is <= slop. Javadoc-documented behavior
+    replicated: "a b"~2 on doc "x a b a y" matches twice — distance 0
+    and distance 2 — freq = 1 + 1/3. Like the reference, not every
+    combination is found ("a b c b a" scores "a b c"~4 and "c b a"~4
+    differently — SloppyPhraseMatcher.java:45-50 comment); this IS the
+    reference behavior, required for rank identity.
+    """
+    import heapq
+
+    n = len(pos_lists)
+    plists = [np.asarray(p, dtype=np.int64) for p in pos_lists]
+    pos = [int(plists[i][0]) - i for i in range(n)]
+    nxt = [1] * n
+    end = max(pos)
+    heap = [(pos[i], i) for i in range(n)]  # (adjusted position, offset==ord)
+    heapq.heapify(heap)
+
+    def advance(i: int) -> bool:
+        nonlocal end
+        if nxt[i] < len(plists[i]):
+            pos[i] = int(plists[i][nxt[i]]) - i
+            nxt[i] += 1
+            if pos[i] > end:
+                end = pos[i]
+            return True
+        return False
+
+    positioned = True
+
+    def next_match() -> tuple[bool, int]:
+        nonlocal positioned
+        if not positioned:
+            return False, 0
+        p, i = heapq.heappop(heap)
+        match_length = end - p
+        next_top = heap[0][0]
+        while advance(i):
+            if pos[i] > next_top:
+                heapq.heappush(heap, (pos[i], i))
+                if match_length <= slop:
+                    return True, match_length
+                p, i = heapq.heappop(heap)
+                next_top = heap[0][0]
+                match_length = end - p
+            else:
+                ml2 = end - pos[i]
+                if ml2 < match_length:
+                    match_length = ml2
+        positioned = False
+        return match_length <= slop, match_length
+
+    ok, ml = next_match()
+    if not ok:
+        return np.float32(0.0)
+    one = np.float32(1.0)
+    freq = one / (one + np.float32(ml))  # float32 accumulation, PhraseScorer.java:75-79
+    while True:
+        ok, ml = next_match()
+        if not ok:
+            break
+        freq = np.float32(freq + one / (one + np.float32(ml)))
+    return freq
+
+
 def _sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> float:
-    """Sloppy phrase frequency for one doc: Σ over first-term
-    occurrences of 1/(1+d) where d = Σ_i |q_i - (p+i)| for the nearest
-    q_i per term, if d <= slop."""
+    """Greedy sloppy frequency (fallback for phrases with REPEATING
+    terms, whose reference repeat-group collision handling —
+    SloppyPhraseMatcher.java:286-460 — is not replicated): Σ over
+    first-term occurrences of 1/(1+d) where d = Σ_i |q_i - (p+i)| for
+    the nearest q_i per term, if d <= slop."""
     freq = 0.0
     n = len(pos_lists)
     for p in pos_lists[0]:

@@ -13,9 +13,52 @@ from lucene_spark.search.similarity import BM25Stats, idf, norm_inverse_cache, s
 from lucene_spark.codec.smallfloat import int_to_byte4_np
 
 
+def _sim_match_lengths(plists: list[list[int]], slop: int) -> list[int]:
+    """Straight re-derivation of the reference's simple sloppy traversal
+    (SloppyPhraseMatcher Javadoc + nextMatch contract): offset-adjusted
+    positions, always advance the least iterator, emit a match each time
+    the leader overtakes the queue minimum with matchLength <= slop
+    (matchLength minimized while the leader catches up). Uses plain
+    sorted lists instead of the engine's heap."""
+    n = len(plists)
+    ptr = [1] * n
+    pos = [plists[i][0] - i for i in range(n)]
+    end = max(pos)
+    order = sorted(range(n), key=lambda i: (pos[i], i))
+    leader, queue = order[0], order[1:]
+    ml = end - pos[leader]
+    out: list[int] = []
+    while True:
+        if ptr[leader] >= len(plists[leader]):
+            if ml <= slop:
+                out.append(ml)
+            return out
+        pos[leader] = plists[leader][ptr[leader]] - leader
+        ptr[leader] += 1
+        end = max(end, pos[leader])
+        queue.sort(key=lambda i: (pos[i], i))
+        if pos[leader] > pos[queue[0]]:
+            queue.append(leader)
+            if ml <= slop:
+                out.append(ml)
+            queue.sort(key=lambda i: (pos[i], i))
+            leader = queue.pop(0)
+            ml = end - pos[leader]
+        else:
+            ml = min(ml, end - pos[leader])
+
+
+def _sloppy_freq32(plists: list[list[int]], slop: int) -> np.float32:
+    one = np.float32(1.0)
+    f = np.float32(0.0)
+    for ml in _sim_match_lengths(plists, slop):
+        f = np.float32(f + one / (one + np.float32(ml)))
+    return f
+
+
 def _brute_sloppy(corpus_texts: dict[int, str], terms: tuple[str, ...], slop: int, k: int):
-    """Independent implementation: tokenize per doc, enumerate matches
-    from first-term occurrences, nearest-position alignment, BM25."""
+    """Independent implementation: tokenize per doc, reference sloppy
+    traversal over raw token positions, BM25."""
     toks = {d: tokenize(t) for d, t in corpus_texts.items()}
     n_docs = len(toks)
     sum_ttf = sum(len(v) for v in toks.values())
@@ -30,19 +73,7 @@ def _brute_sloppy(corpus_texts: dict[int, str], terms: tuple[str, ...], slop: in
         pos = {t: [i for i, x in enumerate(v) if x == t] for t in terms}
         if any(not pos[t] for t in terms):
             continue
-        freq = 0.0
-        for p in pos[terms[0]]:
-            disp = 0
-            ok = True
-            for i, t in enumerate(terms[1:], 1):
-                cands = pos[t]
-                best = min(abs(q - (p + i)) for q in cands)
-                disp += best
-                if disp > slop:
-                    ok = False
-                    break
-            if ok:
-                freq += 1.0 / (1 + disp)
+        freq = _sloppy_freq32([pos[t] for t in terms], slop)
         if freq > 0:
             nb = int(int_to_byte4_np(np.array([len(v)]))[0])
             s = float(score_freqs(weight, np.array([freq]), np.array([nb]), cache)[0])
@@ -71,6 +102,36 @@ class TestSloppyPhrases:
         assert [d for d, _ in got] == [d for d, _ in want]
         for (_, a), (_, b) in zip(got, want):
             assert a == pytest.approx(b, rel=1e-6)
+
+    def test_javadoc_golden_case(self):
+        # SloppyPhraseMatcher.java:40-44 Javadoc: for "a b"~2, the doc
+        # "x a b a y" matches twice — "a b" (distance 0) and "a.. b"
+        # backwards (distance 2) — so freq = 1/1 + 1/3
+        from lucene_spark.search.kernels import _lucene_sloppy_freq
+
+        a_positions, b_positions = [1, 3], [2]
+        f = _lucene_sloppy_freq([np.array(a_positions), np.array(b_positions)], slop=2)
+        assert f == pytest.approx(1.0 + 1.0 / 3.0, abs=1e-6)
+        # sim used by the brute agrees
+        assert _sloppy_freq32([a_positions, b_positions], 2) == pytest.approx(f, abs=1e-7)
+        # reversed-only occurrence: "b a x" → single distance-2 match
+        f2 = _lucene_sloppy_freq([np.array([1]), np.array([0])], slop=2)
+        assert f2 == pytest.approx(1.0 / 3.0, abs=1e-6)
+        # out of slop → no match
+        assert _lucene_sloppy_freq([np.array([0]), np.array([9])], slop=2) == 0.0
+
+    def test_asymmetric_traversal_matches_reference_note(self):
+        # SloppyPhraseMatcher.java:45-50: "a b c b a" scores "a b c"~4
+        # and "c b a"~4 DIFFERENTLY (least-position propagation skips
+        # some combinations) — replicate that asymmetry, don't "fix" it
+        from lucene_spark.search.kernels import _lucene_sloppy_freq
+
+        toks = ["a", "b", "c", "b", "a"]
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in "abc"}
+        f_abc = _lucene_sloppy_freq([np.array(pos[t]) for t in ("a", "b", "c")], slop=4)
+        f_cba = _lucene_sloppy_freq([np.array(pos[t]) for t in ("c", "b", "a")], slop=4)
+        assert f_abc > 0 and f_cba > 0
+        assert f_abc != pytest.approx(float(f_cba), abs=1e-9)
 
     def test_slop_zero_equals_exact(self, spark, search_index):
         s = Searcher(search_index)
