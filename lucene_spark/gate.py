@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v1"
+ENGINE_VERSION = "v2"  # v2: docs table passes through all metadata cols
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
@@ -51,6 +51,7 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
         F.lit("head").alias("commit"),
         F.col("lang"),
+        F.col("n_chars").cast("long"),
         F.col("text").alias("content"),
     )
 
@@ -246,6 +247,34 @@ def queries() -> dict:
             ),
         ),
     )
+
+    # numeric metadata range (PointRangeQuery role): Catalyst range
+    # predicate on the docs table as a FILTER clause
+    Q["ft_numrange_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(
+                (
+                    (A.Occur.MUST, A.TermQuery("table")),
+                    (A.Occur.FILTER, A.FieldRangeQuery("n_chars", 200, 400)),
+                )
+            ),
+            k=ALL_K,
+        ),
+    )
+
+    def _sorted(spark, sf):
+        from lucene_spark.search.postprocess import sorted_search
+
+        index, searcher = gate_index(spark, sf)
+        out = sorted_search(
+            searcher, A.TermQuery("table"), index.docs, [("n_chars", False)], k=10
+        )
+        return out.select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
+
+    Q["ft_sorted_top10"] = _sorted
 
     # -- MultiTermQuery family (constant-score doc sets) --
     Q["ft_prefix_ids"] = lambda spark, sf: _ids_df(spark, _search(spark, sf, A.PrefixQuery("s"), k=ALL_K))
@@ -481,6 +510,16 @@ def oracle_sql() -> dict[str, str]:
     O["ft_lang_filter_top10"] = topk_sql(
         "SELECT t.doc_id, t.s FROM tscore t JOIN documents d ON d.doc_id = t.doc_id "
         "WHERE t.term = 'table' AND d.lang = 'en'"
+    )
+
+    O["ft_numrange_ids"] = ids_sql(
+        "SELECT doc_id FROM tf WHERE term = 'table' AND doc_id IN "
+        "(SELECT doc_id FROM documents WHERE n_chars BETWEEN 200 AND 400)"
+    )
+    O["ft_sorted_top10"] = (
+        base_ctes() + " SELECT d.doc_id, d.n_chars::BIGINT AS n_chars FROM documents d "
+        "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
+        "ORDER BY d.n_chars DESC, d.doc_id LIMIT 10"
     )
 
     O["ft_prefix_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term LIKE 's%'")

@@ -319,10 +319,14 @@ class IndexBuilder:
         # they cost one write + cheap columnar reads.
         tokenized = self.tokenized(base).persist(StorageLevel.DISK_ONLY)
 
+        # all non-content columns ride along as stored fields/DocValues
+        # (SURVEY §1.1: DocValues = ordinary DataFrame columns) — they
+        # serve keyword-field equality and numeric-range queries with
+        # Catalyst pushdown on this doc_id-sorted table
+        meta_cols = [c for c in corpus.columns if c not in (cfg.field, "doc_id", "content_sha256")]
         docs = tokenized.select(
             "doc_id",
-            *[F.col(k) for k in DOC_KEYS if k in corpus.columns],
-            *([F.col("lang")] if "lang" in corpus.columns else []),
+            *[F.col(c) for c in meta_cols],
             F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
         )
         norms = tokenized.select("doc_id", "dl", "norm")

@@ -120,6 +120,21 @@ class FieldValueQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldRangeQuery(Query):
+    """Range over a stored metadata column — the PointRangeQuery role
+    (PointRangeQuery.java:50; BKD traversal → SURVEY §2.3 disposition:
+    Catalyst range predicate + parquet min-max stats pruning on the
+    docs table). Values compare with the column's native type
+    (numeric or string)."""
+
+    field: str
+    lower: object = None  # None = open bound
+    upper: object = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
 class DocSetQuery(Query):
     """Resolved doc-id set (internal: produced by the Searcher from
     FieldValueQuery after the metadata scan; constant score)."""

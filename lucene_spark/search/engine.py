@@ -84,6 +84,20 @@ class Searcher:
                 "range", (q.lower, q.upper, q.include_lower, q.include_upper)
             )
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
+        if isinstance(q, A.FieldRangeQuery):
+            # PointRangeQuery role: Catalyst range predicate on the
+            # docs table (parquet min-max pruning = the BKD traversal)
+            import pyspark.sql.functions as F
+
+            cond = F.lit(True)
+            if q.lower is not None:
+                c = F.col(q.field) >= q.lower if q.include_lower else F.col(q.field) > q.lower
+                cond = cond & c
+            if q.upper is not None:
+                c = F.col(q.field) <= q.upper if q.include_upper else F.col(q.field) < q.upper
+                cond = cond & c
+            rows = self.index.docs.filter(cond).select("doc_id").orderBy("doc_id").collect()
+            return A.DocSetQuery(tuple(int(r["doc_id"]) for r in rows))
         if isinstance(q, A.FieldValueQuery):
             # StringField equality = pushed-down column filter on the
             # docs table (SURVEY §1.1 StringField disposition); the

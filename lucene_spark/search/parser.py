@@ -219,7 +219,13 @@ class _Parser:
         if kind == "range":
             _, (lo, hi, inc_lo, inc_hi) = self.next()
             if field != "content":
-                raise ValueError(f"range on keyword field {field!r} not supported")
+                # metadata range (PointRangeQuery role); numeric bounds
+                # when both parse as numbers, else native string compare
+                from lucene_spark.search.ast import FieldRangeQuery
+
+                return FieldRangeQuery(
+                    field, _range_bound(lo), _range_bound(hi), inc_lo, inc_hi
+                )
             return TermRangeQuery(
                 None if lo == "*" else lo.lower(), None if hi == "*" else hi.lower(), inc_lo, inc_hi
             )
@@ -257,6 +263,18 @@ class _Parser:
         if len(toks) == 1:
             return TermQuery(toks[0])
         return PhraseQuery(tuple(toks))
+
+
+def _range_bound(text: str):
+    """``*`` = open; int/float if numeric, else the raw string."""
+    if text == "*":
+        return None
+    for cast in (int, float):
+        try:
+            return cast(text)
+        except ValueError:
+            continue
+    return text
 
 
 def parse_query(s: str) -> Query:

@@ -38,6 +38,21 @@ def facet_counts(searcher, query, docs_df: DataFrame, facet_col: str) -> DataFra
     )
 
 
+def sorted_search(searcher, query, docs_df: DataFrame, sort_cols, k: int = 10) -> DataFrame:
+    """Sort/SortField + TopFieldCollector role (SURVEY §2.3 sorted
+    search): matches of ``query`` ordered by doc-table columns instead
+    of relevance — ``ORDER BY ... LIMIT k``, which Catalyst executes as
+    TakeOrderedAndProject (per-partition top-k + merge: the early
+    termination the reference gets from index sorting). ``sort_cols``
+    is a list of (col, ascending) pairs; doc_id asc is the final
+    tie-break."""
+    matches = searcher.search(query, k=1_000_000_000)
+    spark = docs_df.sparkSession
+    ids = spark.createDataFrame([(int(d),) for d, _ in matches.hits], "doc_id bigint")
+    exprs = [F.asc(c) if asc else F.desc(c) for c, asc in sort_cols] + [F.asc("doc_id")]
+    return docs_df.join(F.broadcast(ids), "doc_id").orderBy(*exprs).limit(k)
+
+
 def group_top_hits(
     searcher, query, docs_df: DataFrame, group_col: str, k_per_group: int = 2
 ) -> DataFrame:

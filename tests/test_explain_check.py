@@ -80,6 +80,61 @@ class TestSearchAfter:
         assert len(set(docs)) == len(docs)
 
 
+class TestFieldRangeAndSorted:
+    @pytest.fixture(scope="class")
+    def mini(self, spark, tmp_path_factory):
+        from lucene_spark.index import IndexBuilder, IndexConfig, SearchIndex
+
+        rows = [
+            (i, "r", f"p{i}", "c", "en", 100 + 10 * i, f"alpha beta doc{i} " + "pad " * i)
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, repo string, path string, commit string, lang string, size long, content string"
+        )
+        d = str(tmp_path_factory.mktemp("mini_idx"))
+        IndexBuilder(spark, IndexConfig(docs_per_chunk=128, term_buckets=2)).build(
+            df, d, assign_ids=False
+        )
+        idx = SearchIndex(spark, d)
+        return idx, Searcher(idx)
+
+    def test_metadata_passthrough(self, mini):
+        idx, _ = mini
+        assert "size" in idx.docs.columns
+
+    def test_numeric_range_filter(self, mini):
+        _, s = mini
+        q = A.BooleanQuery(
+            (
+                (A.Occur.MUST, A.TermQuery("alpha")),
+                (A.Occur.FILTER, A.FieldRangeQuery("size", 120, 150)),
+            )
+        )
+        got = sorted(d for d, _ in s.search(q, k=100).hits)
+        assert got == [2, 3, 4, 5]  # sizes 120..150 inclusive
+
+    def test_exclusive_and_open_bounds(self, mini):
+        _, s = mini
+        q = A.FieldRangeQuery("size", 120, 150, include_lower=False, include_upper=False)
+        got = sorted(d for d, _ in s.search(q, k=100).hits)
+        assert got == [3, 4]
+        q = A.FieldRangeQuery("size", None, 110)
+        assert sorted(d for d, _ in s.search(q, k=100).hits) == [0, 1]
+
+    def test_parsed_numeric_range(self, mini):
+        _, s = mini
+        got = sorted(d for d, _ in s.search(parse_query("size:[120 TO 150]"), k=100).hits)
+        assert got == [2, 3, 4, 5]
+
+    def test_sorted_search(self, mini):
+        from lucene_spark.search.postprocess import sorted_search
+
+        idx, s = mini
+        out = sorted_search(s, A.TermQuery("alpha"), idx.docs, [("size", False)], k=3).collect()
+        assert [r["doc_id"] for r in out] == [11, 10, 9]  # largest sizes first
+
+
 class TestStoredFields:
     def test_doc_fetch(self, searcher, corpus_pdf):
         hit_doc, _ = searcher.search("return", k=1).hits[0]
