@@ -389,11 +389,17 @@ def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.
     for d, _, pl in slots:
         idx = np.searchsorted(d, cand)
         pos_lists.append([pl[i] for i in idx])
+    # disjoint slots → exact simple matcher over slot unions; slots that
+    # SHARE a term (hasMultiTermRpts, SloppyPhraseMatcher.java:435-460)
+    # keep the greedy fallback (documented divergence)
     all_terms = [t for slot in spec.slots for t in slot]
-    sloppy = _lucene_sloppy_freq if len(set(all_terms)) == len(all_terms) else _sloppy_freq
+    disjoint = len(set(all_terms)) == len(all_terms)
     freqs = np.zeros(len(cand), dtype=np.float64)
     for ci in range(len(cand)):
-        freqs[ci] = sloppy([np.asarray(pl[ci]) for pl in pos_lists], spec.slop)
+        plc = [np.asarray(pl[ci]) for pl in pos_lists]
+        freqs[ci] = (
+            _lucene_sloppy_freq(plc, spec.slop) if disjoint else _sloppy_freq(plc, spec.slop)
+        )
     matched = freqs > 0
     if not matched.any():
         return EMPTY_I, EMPTY_F
@@ -439,10 +445,11 @@ def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, n
         for (d, _, _), plist in zip(parts, plists):
             idx = np.searchsorted(d, cand)
             pos_lists.append([plist[i] for i in idx])
-        sloppy = _lucene_sloppy_freq if len(set(spec.terms)) == len(spec.terms) else _sloppy_freq
         freqs = np.zeros(len(cand), dtype=np.float64)
         for ci in range(len(cand)):
-            freqs[ci] = sloppy([np.asarray(pl[ci]) for pl in pos_lists], spec.slop)
+            freqs[ci] = _lucene_sloppy_freq(
+                [np.asarray(pl[ci]) for pl in pos_lists], spec.slop, terms=spec.terms
+            )
     matched = freqs > 0
     if not matched.any():
         return EMPTY_I, EMPTY_F
@@ -487,33 +494,49 @@ def _exact_phrase_freqs_keys(key_arrays: list[np.ndarray], n_cand: int) -> np.nd
     return np.bincount(alive >> np.int64(32), minlength=n_cand).astype(np.float64)
 
 
-def _lucene_sloppy_freq(pos_lists: list, slop: int) -> np.float32:
-    """Exact replication of the NON-REPEATING ("simple") sloppy matcher
-    semantics (SloppyPhraseMatcher.java:162-205 nextMatch loop,
-    PhrasePositions.java position = pos - offset, PhraseQueue.java
-    (position, offset, ord) ordering; freq accumulation PhraseScorer.java:75-79
-    in float32, sloppyWeight = 1/(1 + matchLength)).
+def _lucene_sloppy_freq(pos_lists: list, slop: int, terms: tuple | None = None) -> np.float32:
+    """Exact replication of the reference sloppy matcher semantics
+    (SloppyPhraseMatcher.java:162-205 nextMatch loop, PhrasePositions.java
+    position = pos - offset, PhraseQueue.java (position, offset, ord)
+    ordering; freq accumulation PhraseScorer.java:75-79 in float32,
+    sloppyWeight = 1/(1 + matchLength)), including the single-term
+    repeat-group handling (initComplex / advanceRepeatGroups /
+    advanceRpts collision resolution, SloppyPhraseMatcher.java:286-470:
+    two phrase slots carrying the SAME term may never sit on the same
+    token position — on collision the lesser of the two advances).
 
     Algorithm: each phrase slot is an iterator over offset-adjusted
     positions; a priority queue repeatedly advances the minimum; a match
-    is emitted each time the advanced iterator overtakes the new queue
-    minimum while the running matchLength (end - min position, minimized
-    while the leader catches up) is <= slop. Javadoc-documented behavior
-    replicated: "a b"~2 on doc "x a b a y" matches twice — distance 0
-    and distance 2 — freq = 1 + 1/3. Like the reference, not every
-    combination is found ("a b c b a" scores "a b c"~4 and "c b a"~4
-    differently — SloppyPhraseMatcher.java:45-50 comment); this IS the
-    reference behavior, required for rank identity.
+    is emitted each time the advanced iterator overtakes the queue
+    minimum captured at pop time while the running matchLength
+    (end - min position, minimized while the leader catches up) is
+    <= slop. Javadoc-documented behavior replicated: "a b"~2 on doc
+    "x a b a y" matches twice — distance 0 and distance 2 — freq =
+    1 + 1/3. Like the reference, not every combination is found
+    ("a b c b a" scores "a b c"~4 and "c b a"~4 differently —
+    SloppyPhraseMatcher.java:45-50 comment); this IS the reference
+    behavior, required for rank identity. ``terms`` (aligned with
+    pos_lists) drives repeat-group detection; None = all distinct.
+    The queue is a re-sorted list (equivalent to the reference's
+    pop/re-add heap repair after collision advances).
     """
-    import heapq
-
     n = len(pos_lists)
     plists = [np.asarray(p, dtype=np.int64) for p in pos_lists]
     pos = [int(plists[i][0]) - i for i in range(n)]
     nxt = [1] * n
     end = max(pos)
-    heap = [(pos[i], i) for i in range(n)]  # (adjusted position, offset==ord)
-    heapq.heapify(heap)
+
+    grp_of = [-1] * n
+    groups: list[list[int]] = []
+    if terms is not None:
+        by_term: dict = {}
+        for i, t in enumerate(terms):
+            by_term.setdefault(t, []).append(i)
+        for idxs in by_term.values():
+            if len(idxs) > 1:
+                for i in idxs:
+                    grp_of[i] = len(groups)
+                groups.append(idxs)  # members in phrase-offset order
 
     def advance(i: int) -> bool:
         nonlocal end
@@ -525,25 +548,57 @@ def _lucene_sloppy_freq(pos_lists: list, slop: int) -> np.float32:
             return True
         return False
 
+    # init repeats: group member j starts j positions in, so the group
+    # begins collision-free (advanceRepeatGroups "simpler" branch)
+    for idxs in groups:
+        for j in range(1, len(idxs)):
+            for _ in range(j):
+                if not advance(idxs[j]):
+                    return np.float32(0.0)
+    end = max(pos)
+
+    def tp(i: int) -> int:  # actual token position (tpPos)
+        return pos[i] + i
+
+    def advance_rpts(i: int) -> bool:
+        """Collision resolution after advancing pp i: while another
+        member of its repeat group sits on the same token position,
+        advance the lesser (by adjusted position, then offset)."""
+        p = i
+        while grp_of[p] >= 0:
+            k = next((m for m in groups[grp_of[p]] if m != p and tp(m) == tp(p)), None)
+            if k is None:
+                return True
+            p = p if (pos[p], p) < (pos[k], k) else k
+            if not advance(p):
+                return False
+        return True
+
+    queue = sorted(range(n), key=lambda i: (pos[i], i))
     positioned = True
+    has_rpts = bool(groups)
 
     def next_match() -> tuple[bool, int]:
-        nonlocal positioned
+        nonlocal positioned, queue
         if not positioned:
             return False, 0
-        p, i = heapq.heappop(heap)
-        match_length = end - p
-        next_top = heap[0][0]
-        while advance(i):
-            if pos[i] > next_top:
-                heapq.heappush(heap, (pos[i], i))
+        queue.sort(key=lambda i: (pos[i], i))
+        lead = queue.pop(0)
+        match_length = end - pos[lead]
+        next_top = pos[queue[0]]  # captured once per pop, like the reference
+        while advance(lead):
+            if has_rpts and not advance_rpts(lead):
+                break
+            if pos[lead] > next_top:
+                queue.append(lead)
                 if match_length <= slop:
                     return True, match_length
-                p, i = heapq.heappop(heap)
-                next_top = heap[0][0]
-                match_length = end - p
+                queue.sort(key=lambda i: (pos[i], i))
+                lead = queue.pop(0)
+                next_top = pos[queue[0]]
+                match_length = end - pos[lead]
             else:
-                ml2 = end - pos[i]
+                ml2 = end - pos[lead]
                 if ml2 < match_length:
                     match_length = ml2
         positioned = False

@@ -133,6 +133,50 @@ class TestSloppyPhrases:
         assert f_abc > 0 and f_cba > 0
         assert f_abc != pytest.approx(float(f_cba), abs=1e-9)
 
+    def test_repeating_terms_exact_semantics(self):
+        # repeat groups: the same term at two phrase offsets must bind
+        # to two DISTINCT token positions (collision resolution)
+        from lucene_spark.search.kernels import _lucene_sloppy_freq
+
+        # doc "a b" cannot match "a b a": only one 'a' occurrence
+        a, b = [0], [1]
+        f = _lucene_sloppy_freq([np.array(a), np.array(b), np.array(a)], 5, terms=("a", "b", "a"))
+        assert f == 0.0
+        # doc "a x a b" vs "a a b"~3: a@[0,2], b@[3]; init puts the two
+        # 'a' slots at 0 and 2; hand-traced reference walk yields one
+        # match with matchLength 1 → freq 1/2
+        a2, b2 = [0, 2], [3]
+        f2 = _lucene_sloppy_freq(
+            [np.array(a2), np.array(a2), np.array(b2)], 3, terms=("a", "a", "b")
+        )
+        assert f2 == pytest.approx(0.5, abs=1e-6)
+        # doc "ho my my" matches "ho my my"~0 exactly (Javadoc example 2)
+        ho, my = [0], [1, 2]
+        f3 = _lucene_sloppy_freq(
+            [np.array(ho), np.array(my), np.array(my)], 0, terms=("ho", "my", "my")
+        )
+        assert f3 == pytest.approx(1.0, abs=1e-6)
+
+    def test_repeating_phrase_through_engine(self, spark, tmp_path_factory):
+        from lucene_spark.index import IndexBuilder, IndexConfig, SearchIndex
+
+        rows = [
+            (0, "r", "p0", "c", "en", "ho my my oh"),
+            (1, "r", "p1", "c", "en", "ho my oh"),
+            (2, "r", "p2", "c", "en", "my ho my"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, repo string, path string, commit string, lang string, content string"
+        )
+        d = str(tmp_path_factory.mktemp("rpt_idx"))
+        IndexBuilder(spark, IndexConfig(docs_per_chunk=128, term_buckets=2)).build(
+            df, d, assign_ids=False
+        )
+        s = Searcher(SearchIndex(spark, d))
+        hits = {d_ for d_, _ in s.search(A.PhraseQuery(("ho", "my", "my"), slop=2), k=10).hits}
+        # doc1 has only one "my" → cannot match a phrase needing two
+        assert 0 in hits and 1 not in hits
+
     def test_slop_zero_equals_exact(self, spark, search_index):
         s = Searcher(search_index)
         exact = s.search(A.PhraseQuery(("return", "if")), k=20).hits
