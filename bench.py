@@ -43,8 +43,12 @@ QUERIES: dict[str, A.Query] = {
         ((A.Occur.MUST, A.TermQuery("table")), (A.Occur.MUST_NOT, A.TermQuery("merge")))
     ),
     "q_phrase": A.PhraseQuery(("table", "hash")),
+    "q_sloppy": A.PhraseQuery(("table", "hash"), slop=3),
     "q_dismax": A.DisjunctionMaxQuery((A.TermQuery("table"), A.TermQuery("merge")), 0.3),
     "q_wildcard": A.WildcardQuery("*ow"),
+    "q_field_filter": A.BooleanQuery(
+        ((A.Occur.MUST, A.TermQuery("table")), (A.Occur.FILTER, A.FieldValueQuery("lang", "en")))
+    ),
 }
 
 

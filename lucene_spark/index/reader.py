@@ -56,6 +56,24 @@ class SearchIndex:
         # (term-dict scan job; blob decode) on repeated query shapes
         self._expand_cache: "OrderedDict[tuple, list[str]]" = OrderedDict()
         self._decoded_cache: "OrderedDict[tuple, object]" = OrderedDict()
+        # keyword/range field filters → sorted doc-id tuples (the
+        # LRUQueryCache's actual job in Lucene: cached filter doc sets)
+        self._docset_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+    def field_doc_set(self, key: tuple, cond) -> tuple:
+        """doc ids matching a docs-table predicate, cached per reader.
+        ``key`` identifies the predicate; ``cond`` is the Catalyst
+        Column (pushed to the parquet scan on miss)."""
+        hit = self._docset_cache.get(key)
+        if hit is not None:
+            self._docset_cache.move_to_end(key)
+            return hit
+        rows = self.docs.filter(cond).select("doc_id").orderBy("doc_id").collect()
+        out = tuple(int(r["doc_id"]) for r in rows)
+        self._docset_cache[key] = out
+        while len(self._docset_cache) > 256:
+            self._docset_cache.popitem(last=False)
+        return out
 
     @cached_property
     def postings(self) -> DataFrame:

@@ -96,8 +96,8 @@ class Searcher:
             if q.upper is not None:
                 c = F.col(q.field) <= q.upper if q.include_upper else F.col(q.field) < q.upper
                 cond = cond & c
-            rows = self.index.docs.filter(cond).select("doc_id").orderBy("doc_id").collect()
-            return A.DocSetQuery(tuple(int(r["doc_id"]) for r in rows))
+            key = ("range", q.field, q.lower, q.upper, q.include_lower, q.include_upper)
+            return A.DocSetQuery(self.index.field_doc_set(key, cond))
         if isinstance(q, A.FieldValueQuery):
             # StringField equality = pushed-down column filter on the
             # docs table (SURVEY §1.1 StringField disposition); the
@@ -107,13 +107,9 @@ class Searcher:
             # that plan; only the collect here assumes selectivity.
             import pyspark.sql.functions as F
 
-            rows = (
-                self.index.docs.filter(F.col(q.field) == q.value)
-                .select("doc_id")
-                .orderBy("doc_id")
-                .collect()
+            return A.DocSetQuery(
+                self.index.field_doc_set(("eq", q.field, q.value), F.col(q.field) == q.value)
             )
-            return A.DocSetQuery(tuple(int(r["doc_id"]) for r in rows))
         if isinstance(q, A.BooleanQuery):
             return A.BooleanQuery(
                 tuple((o, self._expand_multiterm(s)) for o, s in q.clauses), q.minimum_should_match
