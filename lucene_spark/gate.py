@@ -194,6 +194,12 @@ def queries() -> dict:
     Q["ft_multiphrase_top10"] = lambda spark, sf: _hits_df(
         spark, _search(spark, sf, A.MultiPhraseQuery((("table", "merge"), ("hash",))))
     )
+    # sloppy phrase: the reference pq-traversal semantics are not
+    # SQL-expressible → rows-only gate; exactness is pytest-gated
+    # against an independent re-derivation (tests/test_sloppy.py)
+    Q["ft_sloppy_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, A.PhraseQuery(("table", "hash"), slop=3))
+    )
     Q["ft_distributed_top10"] = lambda spark, sf: _hits_df(
         spark,
         _search(
