@@ -41,6 +41,18 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     return spark.read.parquet(f"{index_dir}/deletes").distinct().count()
 
 
+def delete_by_query(searcher, query) -> int:
+    """IndexWriter.deleteDocuments(Query..) (IndexWriter.java:1768):
+    tombstone every document matching ``query`` (string or AST).
+    Like Lucene, an already-open reader keeps its liveDocs snapshot —
+    reopen a SearchIndex to observe the deletes (DirectoryReader
+    contract). Returns the total tombstone count."""
+    matches = searcher.search(query, k=1_000_000_000)
+    return delete_docs(
+        searcher.index.spark, searcher.index.index_dir, [d for d, _ in matches.hits]
+    )
+
+
 def load_deleted(spark: SparkSession, index_dir: str):
     import numpy as np
 

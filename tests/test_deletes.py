@@ -13,7 +13,7 @@ import pytest
 
 from lucene_spark.index.builder import IndexConfig
 from lucene_spark.index.checkpoint import ResumableIndexBuilder
-from lucene_spark.index.deletes import delete_docs, purge_deletes
+from lucene_spark.index.deletes import delete_by_query, delete_docs, purge_deletes
 from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher
@@ -28,6 +28,21 @@ def del_index(tmp_path, spark, corpus_df):
         corpus_df.drop("content_sha256"), d
     )
     return d
+
+
+class TestDeleteByQuery:
+    def test_delete_by_query(self, spark, del_index):
+        s = Searcher(SearchIndex(spark, del_index))
+        q = A.BooleanQuery(((A.Occur.MUST, A.TermQuery("return")), (A.Occur.MUST, A.TermQuery("if"))))
+        victims = {d for d, _ in s.search(q, k=10**9).hits}
+        assert victims
+        n = delete_by_query(s, q)
+        assert n == len(victims)
+        after = Searcher(SearchIndex(spark, del_index))  # reopen (DirectoryReader contract)
+        remaining = {d for d, _ in after.search(q, k=10**9).hits}
+        assert remaining == set()
+        # docs matching only one of the terms survive
+        assert after.search(A.TermQuery("return"), k=10**9).hits
 
 
 class TestLiveDocs:
