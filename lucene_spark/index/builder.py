@@ -193,10 +193,16 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             d = np.asarray(pdf["docs"].iloc[i], dtype=np.int64)
             t = np.asarray(pdf["tfs"].iloc[i], dtype=np.int64)
             nm = np.asarray(pdf["norms"].iloc[i], dtype=np.int64)
+            poss = pdf["poss"].iloc[i] if has_pos else None
+            if len(d) > 1 and not (np.diff(d) > 0).all():
+                order = np.argsort(d, kind="stable")
+                d, t, nm = d[order], t[order], nm[order]
+                if poss is not None:
+                    poss = [poss[j] for j in order]
             blob, block_last = pack_postings(d, t, nm)
             pos_blob = None
             if has_pos:
-                pos_blob = pack_positions([np.asarray(p, dtype=np.int64) for p in pdf["poss"].iloc[i]])
+                pos_blob = pack_positions([np.asarray(p, dtype=np.int64) for p in poss])
             ib, if_, in_ = [], [], []
             for b in range(0, len(d), BLOCK_SIZE):
                 for f, n in competitive_impacts(t[b : b + BLOCK_SIZE], nm[b : b + BLOCK_SIZE]):
@@ -277,8 +283,15 @@ class IndexBuilder:
         """→ (packed postings rows, term_stats). Hot-term doc-range
         chunking bounds all buffers (skew salting, SURVEY §3.3)."""
         dpc = self.config.docs_per_chunk
-        term_stats = inverted.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("ttf")
+        from pyspark import StorageLevel
+
+        # term_stats feeds the hot-set broadcast, its own table write,
+        # and the sum_df aggregate — one vocabulary-sized relation,
+        # compute once
+        term_stats = (
+            inverted.groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         hot = term_stats.filter(F.col("df") > dpc).select("term").withColumn("_hot", F.lit(True))
         chunked = inverted.join(F.broadcast(hot), "term", "left").withColumn(
@@ -296,9 +309,14 @@ class IndexBuilder:
         ]
         if has_pos:
             sel.append(F.expr("transform(plist, x -> x.poss)").alias("poss"))
+        # plain collect_list + numpy argsort in the pack kernel: sorting
+        # structs that carry nested position arrays is much cheaper as a
+        # vectorized argsort + fancy-index over Arrow columns than as a
+        # JVM sort_array over deeply nested rows (measured ~25% of the
+        # pack stage at sf0.1x8)
         grouped = (
             chunked.groupBy("term", "chunk_id")
-            .agg(F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("plist"))
+            .agg(F.collect_list(F.struct(*struct_cols)).alias("plist"))
             .select(*sel)
         )
         packed = grouped.mapInPandas(_pack_partition, schema=_POSTINGS_SCHEMA)
@@ -339,23 +357,49 @@ class IndexBuilder:
         postings, term_stats = self.posting_lists(inverted)
 
         os.makedirs(index_dir, exist_ok=True)
-        # docs/norms: sorted by doc_id → parquet min/max prunes doc-range
-        # point reads (Iceberg: sort_order(doc_id)).
-        docs.repartitionByRange(cfg.term_buckets, "doc_id").sortWithinPartitions("doc_id").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/docs")
-        norms.repartitionByRange(cfg.term_buckets, "doc_id").sortWithinPartitions("doc_id").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/norms")
-        # postings/term_stats: hash-bucketed by term, sorted within files →
-        # a term lookup touches 1/term_buckets of files, then parquet
-        # dictionary/min-max narrows to row groups (the FST/.tip role).
-        postings.repartition(cfg.term_buckets, "term").sortWithinPartitions("term", "chunk_id").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/postings")
-        term_stats.repartition(cfg.term_buckets, "term").sortWithinPartitions("term").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/term_stats")
+        # materialize each persisted intermediate exactly once (a count
+        # runs at full parallelism), THEN submit the four independent
+        # table writes from driver threads: concurrent Spark jobs fill
+        # each other's stage-barrier idle gaps, which is what keeps
+        # core-utilization — and with it N→4N scaling efficiency — flat
+        # as parallelism grows (on a cluster: the same trick, one job
+        # per output table).
+        inverted.count()
+
+        def _write_docs():
+            # docs/norms: sorted by doc_id → parquet min/max prunes
+            # doc-range point reads (Iceberg: sort_order(doc_id)).
+            docs.repartitionByRange(cfg.term_buckets, "doc_id").sortWithinPartitions(
+                "doc_id"
+            ).write.mode("overwrite").parquet(f"{index_dir}/docs")
+
+        def _write_norms():
+            norms.repartitionByRange(cfg.term_buckets, "doc_id").sortWithinPartitions(
+                "doc_id"
+            ).write.mode("overwrite").parquet(f"{index_dir}/norms")
+
+        def _write_postings():
+            # postings/term_stats: hash-bucketed by term, sorted within
+            # files → a term lookup touches 1/term_buckets of files,
+            # then parquet dictionary/min-max narrows to row groups
+            # (the FST/.tip role).
+            postings.repartition(cfg.term_buckets, "term").sortWithinPartitions(
+                "term", "chunk_id"
+            ).write.mode("overwrite").parquet(f"{index_dir}/postings")
+
+        def _write_term_stats():
+            term_stats.repartition(cfg.term_buckets, "term").sortWithinPartitions(
+                "term"
+            ).write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(f) for f in (_write_postings, _write_docs, _write_norms, _write_term_stats)
+            ]
+            for fut in futures:
+                fut.result()
 
         n_docs, sum_ttf = norms.agg(F.count("*"), F.sum("dl")).first()
         sum_df = term_stats.agg(F.sum("df")).first()[0]
@@ -365,6 +409,7 @@ class IndexBuilder:
         ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/collection_stats")
         inverted.unpersist()
         tokenized.unpersist()
+        term_stats.unpersist()
 
         elapsed = time.time() - t0
         metrics = {
