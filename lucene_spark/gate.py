@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v2"  # v2: docs table passes through all metadata cols
+ENGINE_VERSION = "v3"  # v3: numpy-sorted pack + concurrent table writes
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
