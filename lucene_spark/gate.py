@@ -332,6 +332,32 @@ def queries() -> dict:
 
     Q["ft_group_top"] = _group
 
+    def _join(spark, sf):
+        from lucene_spark.search.joins import join_top_parents
+
+        _, searcher = gate_index(spark, sf)
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        j = join_top_parents(searcher, A.TermQuery("table"), docs, "source", "max", k=10)
+        return j.select("rank", "parent", F.round("score", 2).alias("score_r"), "n_children")
+
+    Q["ft_join_top"] = _join
+
+    def _suggest_prefix(spark, sf):
+        from lucene_spark.search.suggest import complete_prefix
+
+        index, _ = gate_index(spark, sf)
+        return complete_prefix(index, "s", k=10)
+
+    Q["sg_prefix_top10"] = _suggest_prefix
+
+    def _suggest_spell(spark, sf):
+        from lucene_spark.search.suggest import spell_suggest
+
+        index, _ = gate_index(spark, sf)
+        return spell_suggest(index, "dat", k=5, max_edits=2)
+
+    Q["sg_spell_top5"] = _suggest_spell
+
     # -- index-table invariants --
     def _term_stats(spark, sf):
         index, _ = gate_index(spark, sf)
@@ -513,6 +539,22 @@ def oracle_sql() -> dict[str, str]:
         "FROM g WHERE grank <= 2 ORDER BY lang, grank"
     )
 
+    O["ft_join_top"] = (
+        base_ctes() + ", q AS (SELECT doc_id, s FROM tscore WHERE term = 'table'), "
+        "g AS (SELECT d.source AS parent, max(q.s) AS s, count(*)::BIGINT AS n_children "
+        "      FROM q JOIN documents d USING (doc_id) GROUP BY d.source) "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, parent) AS BIGINT) AS rank, "
+        "parent, round(s, 2) AS score_r, n_children FROM g ORDER BY s DESC, parent LIMIT 10"
+    )
+    O["sg_prefix_top10"] = (
+        base_ctes() + " SELECT term, ttf::BIGINT AS weight FROM dfr "
+        "WHERE term LIKE 's%' ORDER BY weight DESC, term LIMIT 10"
+    )
+    O["sg_spell_top5"] = (
+        base_ctes() + " SELECT term, levenshtein(term, 'dat')::BIGINT AS dist, df::BIGINT AS df "
+        "FROM dfr WHERE levenshtein(term, 'dat') BETWEEN 1 AND 2 "
+        "ORDER BY dist, df DESC, term LIMIT 5"
+    )
     O["ft_lang_filter_top10"] = topk_sql(
         "SELECT t.doc_id, t.s FROM tscore t JOIN documents d ON d.doc_id = t.doc_id "
         "WHERE t.term = 'table' AND d.lang = 'en'"

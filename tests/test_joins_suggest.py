@@ -1,0 +1,107 @@
+"""Query-time join (lucene/join JoinUtil role) and suggesters
+(lucene/suggest role) vs brute-force re-derivations."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_spark.analysis.tokenizer import tokenize
+from lucene_spark.search import ast as A
+from lucene_spark.search.engine import Searcher
+from lucene_spark.search.joins import join_top_parents
+from lucene_spark.search.suggest import complete_prefix, spell_suggest
+
+
+def _ordered(corpus_pdf):
+    return corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+
+
+class TestJoin:
+    @pytest.mark.parametrize("mode", ["max", "total", "avg", "min"])
+    def test_join_vs_brute(self, spark, search_index, corpus_pdf, oracle, mode):
+        s = Searcher(search_index)
+        docs_df = search_index.docs.select("doc_id", "lang")
+        got = [
+            (r["rank"], r["parent"], r["n_children"], round(r["score"], 4))
+            for r in join_top_parents(s, A.TermQuery("return"), docs_df, "lang", mode, k=10).collect()
+        ]
+        ordered = _ordered(corpus_pdf)
+        lang_of = {i: ordered.loc[i, "lang"] for i in range(len(ordered))}
+        groups: dict[str, list[float]] = {}
+        for d, sc in oracle.top_k(A.TermQuery("return"), k=10**9):
+            groups.setdefault(lang_of[d], []).append(sc)
+        agg = {
+            "max": max,
+            "total": sum,
+            "avg": lambda v: sum(v) / len(v),
+            "min": min,
+        }[mode]
+        want_rows = sorted(
+            ((agg(v), p, len(v)) for p, v in groups.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        want = [(i + 1, p, n, round(sc, 4)) for i, (sc, p, n) in enumerate(want_rows)]
+        # float32 engine vs float64 brute: compare scores at 4dp
+        assert [(r, p, n) for r, p, n, _ in got] == [(r, p, n) for r, p, n, _ in want]
+        for (_, _, _, gs), (_, _, _, ws) in zip(got, want):
+            assert abs(gs - ws) < 5e-3
+
+    def test_score_mode_none_constant(self, spark, search_index):
+        s = Searcher(search_index)
+        docs_df = search_index.docs.select("doc_id", "lang")
+        rows = join_top_parents(s, A.TermQuery("return"), docs_df, "lang", "none", k=10).collect()
+        assert rows and all(r["score"] == 1.0 for r in rows)
+
+    def test_bad_mode_raises(self, spark, search_index):
+        s = Searcher(search_index)
+        with pytest.raises(ValueError):
+            join_top_parents(s, A.TermQuery("return"), search_index.docs, "lang", "sum")
+
+
+class TestSuggest:
+    def _brute_stats(self, corpus_pdf):
+        ordered = _ordered(corpus_pdf)
+        df: dict[str, int] = {}
+        ttf: dict[str, int] = {}
+        for i in range(len(ordered)):
+            toks = tokenize(ordered.loc[i, "content"])
+            for t in set(toks):
+                df[t] = df.get(t, 0) + 1
+            for t in toks:
+                ttf[t] = ttf.get(t, 0) + 1
+        return df, ttf
+
+    def test_prefix_completion_vs_brute(self, spark, search_index, corpus_pdf):
+        _, ttf = self._brute_stats(corpus_pdf)
+        got = [(r["term"], r["weight"]) for r in complete_prefix(search_index, "re", k=10).collect()]
+        want = sorted(
+            ((t, w) for t, w in ttf.items() if t.startswith("re")),
+            key=lambda p: (-p[1], p[0]),
+        )[:10]
+        assert got == want
+
+    def test_prefix_no_match(self, spark, search_index):
+        assert complete_prefix(search_index, "zzz_nope", k=10).count() == 0
+
+    def test_spell_vs_brute(self, spark, search_index, corpus_pdf):
+        df, _ = self._brute_stats(corpus_pdf)
+
+        def lev(a: str, b: str) -> int:
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    cur = dp[j]
+                    dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+                    prev = cur
+            return dp[-1]
+
+        probe = "retur"
+        got = [(r["term"], r["dist"], r["df"]) for r in spell_suggest(search_index, probe, k=5).collect()]
+        cands = [(t, lev(probe, t), n) for t, n in df.items() if 0 < lev(probe, t) <= 2]
+        want = sorted(cands, key=lambda c: (c[1], -c[2], c[0]))[:5]
+        assert got == want
+
+    def test_spell_excludes_exact(self, spark, search_index):
+        rows = spell_suggest(search_index, "return", k=10).collect()
+        assert all(r["term"] != "return" for r in rows)
