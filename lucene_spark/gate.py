@@ -342,6 +342,14 @@ def queries() -> dict:
 
     Q["ft_join_top"] = _join
 
+    def _mlt(spark, sf):
+        from lucene_spark.search.mlt import more_like_this
+
+        _, searcher = gate_index(spark, sf)
+        return _hits_df(spark, more_like_this(searcher, 0, corpus_df(spark, sf), k=10))
+
+    Q["ft_mlt_top10"] = _mlt
+
     def _suggest_prefix(spark, sf):
         from lucene_spark.search.suggest import complete_prefix
 
@@ -545,6 +553,15 @@ def oracle_sql() -> dict[str, str]:
         "      FROM q JOIN documents d USING (doc_id) GROUP BY d.source) "
         "SELECT CAST(row_number() OVER (ORDER BY s DESC, parent) AS BIGINT) AS rank, "
         "parent, round(s, 2) AS score_r, n_children FROM g ORDER BY s DESC, parent LIMIT 10"
+    )
+    O["ft_mlt_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ("
+        " SELECT term FROM ("
+        "  SELECT t.term, t.tf * (ln(((SELECT n FROM stats) + 1.0) / (d.df + 1.0)) + 1.0) AS msc"
+        "  FROM tf t JOIN dfr d USING (term)"
+        "  WHERE t.doc_id = 0 AND t.tf >= 2 AND d.df >= 5"
+        "  ORDER BY msc DESC, t.term LIMIT 25) z"
+        ") GROUP BY doc_id"
     )
     O["sg_prefix_top10"] = (
         base_ctes() + " SELECT term, ttf::BIGINT AS weight FROM dfr "

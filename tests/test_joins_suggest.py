@@ -105,3 +105,57 @@ class TestSuggest:
     def test_spell_excludes_exact(self, spark, search_index):
         rows = spell_suggest(search_index, "return", k=10).collect()
         assert all(r["term"] != "return" for r in rows)
+
+
+class TestMoreLikeThis:
+    def test_interesting_terms_vs_brute(self, spark, search_index, corpus_pdf):
+        import math
+
+        from lucene_spark.search.mlt import interesting_terms
+
+        ordered = _ordered(corpus_pdf)
+        docs_df = spark.createDataFrame(
+            [(i, ordered.loc[i, "content"]) for i in range(len(ordered))], "doc_id long, content string"
+        )
+        got = interesting_terms(search_index, 3, docs_df)
+
+        toks = tokenize(ordered.loc[3, "content"])
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        df: dict[str, int] = {}
+        for i in range(len(ordered)):
+            for t in set(tokenize(ordered.loc[i, "content"])):
+                df[t] = df.get(t, 0) + 1
+        n = len(ordered)
+        want = sorted(
+            (
+                (t, c * (math.log((n + 1) / (df[t] + 1)) + 1.0))
+                for t, c in tf.items()
+                if c >= 2 and df[t] >= 5
+            ),
+            key=lambda p: (-p[1], p[0]),
+        )[:25]
+        assert got == want
+
+    def test_mlt_search_matches_expanded_query(self, spark, search_index, corpus_pdf, oracle):
+        from lucene_spark.search.mlt import more_like_this, more_like_this_query
+
+        ordered = _ordered(corpus_pdf)
+        docs_df = spark.createDataFrame(
+            [(i, ordered.loc[i, "content"]) for i in range(len(ordered))], "doc_id long, content string"
+        )
+        s = Searcher(search_index)
+        q = more_like_this_query(search_index, 3, docs_df)
+        got = more_like_this(s, 3, docs_df, k=10).hits
+        want = oracle.top_k(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        # source doc scores highest against its own terms
+        assert got[0][0] == 3
+
+    def test_mlt_missing_doc(self, spark, search_index):
+        from lucene_spark.search.mlt import more_like_this
+
+        s = Searcher(search_index)
+        empty = spark.createDataFrame([], "doc_id long, content string")
+        assert more_like_this(s, 99999, empty, k=10).hits == []
