@@ -64,13 +64,31 @@ def main() -> None:
     from lucene_spark.session import get_spark
 
     t_all = time.time()
-    spark = get_spark("bench", master=f"local[{cpus}]")
+    # tmpfs shuffle dir + 8 MB input splits: same rationale as
+    # scripts/bench_scaling.py (sandbox disk writeback storm stand-in
+    # for cluster-local NVMe; splits sized so every core gets scan work)
+    os.makedirs("/dev/shm/spark_local", exist_ok=True)
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.local.dir": "/dev/shm/spark_local",
+        },
+    )
     idx_dir = f"/tmp/lucene_spark_bench/{os.path.basename(os.path.normpath(sf_dir))}"
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     corpus = corpus_df(spark, sf_dir)
-    t0 = time.time()
     cfg = IndexConfig(docs_per_chunk=1 << 12, term_buckets=8, positions=True)
+    # untimed warm-up build on a tiny slice: spins up the Python worker
+    # pool + lazy pyarrow imports once (same methodology as
+    # scripts/bench_scaling.py / BENCH/BASELINE.md — this cost is paid
+    # once per executor JVM and amortizes to ~0 in a real
+    # minutes-long build, so steady-state docs/sec is the honest number)
+    IndexBuilder(spark, cfg).build(corpus.limit(64), idx_dir + "_warm", assign_ids=False)
+    shutil.rmtree(idx_dir + "_warm", ignore_errors=True)
+    t0 = time.time()
     metrics = IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
     build_sec = time.time() - t0
     n_docs = metrics["docs"]
@@ -89,6 +107,43 @@ def main() -> None:
             times.append(time.time() - t0)
         lat[name] = round(statistics.median(times), 4)
 
+    # steady-state build throughput at a scale-representative size: the
+    # sf corpus replicated with shifted doc ids (same bytes tokenized
+    # per replica), materialized once as a multi-file parquet so the
+    # scan splits — the small sf corpus alone is fixed-overhead
+    # dominated (stage barriers ~10 s vs <20 s of work) and would
+    # under-report docs/sec by ~50x vs the BENCH/BASELINE.md runs.
+    from pyspark.sql import functions as F
+
+    # 160 replicas at sf0.1 = 800k docs / ~44M postings — the same
+    # scale as the BENCH/BASELINE.md runs; smaller inputs are dominated
+    # by the ~20 s of size-independent stage barriers and under-report
+    # throughput several-fold
+    replicas = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "160"))
+    bulk_path = f"/tmp/lucene_spark_bench/bulk_{os.path.basename(os.path.normpath(sf_dir))}_r{replicas}"
+    if not os.path.exists(f"{bulk_path}/_SUCCESS"):
+        bulk = (
+            corpus.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+            .select(
+                (F.col("doc_id") + F.col("r") * n_docs).alias("doc_id"),
+                "repo",
+                F.concat(F.col("r").cast("string"), F.lit("/"), F.col("path")).alias("path"),
+                "commit",
+                "lang",
+                "n_chars",
+                "content",
+            )
+            .repartition(64, "doc_id")
+        )
+        bulk.write.mode("overwrite").parquet(bulk_path)
+    bulk_cfg = IndexConfig(docs_per_chunk=1 << 14, term_buckets=8, positions=True)
+    t0 = time.time()
+    bulk_metrics = IndexBuilder(spark, bulk_cfg).build(
+        spark.read.parquet(bulk_path), idx_dir + "_bulk", assign_ids=False
+    )
+    bulk_sec = time.time() - t0
+    shutil.rmtree(idx_dir + "_bulk", ignore_errors=True)
+
     total = time.time() - t_all
     print(
         json.dumps(
@@ -101,6 +156,9 @@ def main() -> None:
                 "build_sec": round(build_sec, 2),
                 "docs_per_sec": round(n_docs / build_sec, 1),
                 "n_docs": n_docs,
+                "bulk_n_docs": bulk_metrics["docs"],
+                "bulk_build_sec": round(bulk_sec, 2),
+                "bulk_docs_per_sec": round(bulk_metrics["docs"] / bulk_sec, 1),
                 "query_p50_sec": round(statistics.median(lat.values()), 4),
             }
         )
