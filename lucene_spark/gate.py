@@ -73,6 +73,40 @@ def gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]
     return _CACHE[key]
 
 
+_UPDATED_TEXT = "vector table vector merge vector"
+
+
+def writer_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """Incremental-write-path index (IndexWriter): stage the corpus as
+    two add batches, updateDocument the doc-0 row to ``_UPDATED_TEXT``,
+    commit with expunge — so search + stats reflect the updated corpus
+    exactly (oracle: same scoring over a CASE-updated documents
+    relation). Cached on disk like the main gate index."""
+    key = ("writer", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    from lucene_spark.index.writer import IndexWriter
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gatew_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True)
+        corpus = corpus_df(spark, sf_dir).drop("n_chars")
+        w = IndexWriter(spark, idx_dir, cfg)
+        w.add_documents(corpus.filter(F.col("doc_id") % 2 == 0).drop("doc_id"))
+        w.add_documents(corpus.filter(F.col("doc_id") % 2 == 1).drop("doc_id"))
+        row0 = corpus.filter(F.col("doc_id") == 0).first()
+        upd = spark.createDataFrame(
+            [(row0["repo"], row0["path"], row0["commit"], row0["lang"], _UPDATED_TEXT)],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        w.update_documents(upd, key_cols=("repo", "path", "commit"))
+        w.commit(expunge_deletes=True)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 # ---- result shaping --------------------------------------------------------
 
 
@@ -97,12 +131,15 @@ def _ids_df(spark: SparkSession, td: TopDocs) -> DataFrame:
 # ---- oracle SQL scaffold ---------------------------------------------------
 
 
-def base_ctes() -> str:
+def base_ctes(doc_rel: str = "documents") -> str:
+    """``doc_rel``: the (doc_id, text, ...) relation to derive
+    everything from — default the raw table; pass a derived relation
+    (e.g. with a CASE-updated text) to oracle write-path operations."""
     dvals = ",".join(f"({b},{int(v)})" for b, v in enumerate(NORM_LENGTH_TABLE))
     return f"""WITH dtab(b, v) AS (VALUES {dvals}),
-toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term FROM documents),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term FROM {doc_rel}),
 post AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos
-         FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS l FROM documents)),
+         FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS l FROM {doc_rel})),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
 norms AS (SELECT dl.doc_id, dl.dl, max(d.b)::BIGINT AS norm, max(d.v)::BIGINT AS dlen
           FROM dl JOIN dtab d ON d.v <= dl.dl GROUP BY dl.doc_id, dl.dl),
@@ -366,6 +403,20 @@ def queries() -> dict:
 
     Q["sg_spell_top5"] = _suggest_spell
 
+    def _writer_update(spark, sf):
+        index, searcher = writer_index(spark, sf)
+        td = searcher.search(A.TermQuery("vector"), k=ALL_K)
+        hits = spark.createDataFrame(
+            [(int(d), _round2(float(s))) for d, s in td.hits], "doc_id bigint, score_r double"
+        )
+        return (
+            index.docs.join(F.broadcast(hits), "doc_id")
+            .select("path", "score_r")
+            .orderBy("path")
+        )
+
+    Q["ix_writer_update"] = _writer_update
+
     # -- index-table invariants --
     def _term_stats(spark, sf):
         index, _ = gate_index(spark, sf)
@@ -562,6 +613,14 @@ def oracle_sql() -> dict[str, str]:
         "  WHERE t.doc_id = 0 AND t.tf >= 2 AND d.df >= 5"
         "  ORDER BY msc DESC, t.term LIMIT 25) z"
         ") GROUP BY doc_id"
+    )
+    O["ix_writer_update"] = (
+        base_ctes(
+            "(SELECT doc_id, CASE WHEN doc_id = 0 THEN '" + _UPDATED_TEXT + "' "
+            "ELSE text END AS text FROM documents)"
+        )
+        + " SELECT concat('doc/', CAST(doc_id AS VARCHAR)) AS path, round(s, 2) AS score_r "
+        "FROM tscore WHERE term = 'vector' ORDER BY path"
     )
     O["sg_prefix_top10"] = (
         base_ctes() + " SELECT term, ttf::BIGINT AS weight FROM dfr "
