@@ -403,6 +403,37 @@ def queries() -> dict:
 
     Q["sg_spell_top5"] = _suggest_spell
 
+    def _percolate(spark, sf):
+        from lucene_spark.search.percolate import QueryMonitor
+
+        qm = QueryMonitor(
+            spark,
+            {
+                "q_term": A.TermQuery("table"),
+                "q_and": A.BooleanQuery(
+                    ((A.Occur.MUST, A.TermQuery("merge")), (A.Occur.MUST, A.TermQuery("vector")))
+                ),
+                "q_msm": A.BooleanQuery(
+                    (
+                        (A.Occur.SHOULD, A.TermQuery("dup")),
+                        (A.Occur.SHOULD, A.TermQuery("vector")),
+                        (A.Occur.SHOULD, A.TermQuery("scan")),
+                    ),
+                    minimum_should_match=2,
+                ),
+                "q_phrase": A.PhraseQuery(("table", "hash")),
+                "q_not": A.BooleanQuery(
+                    ((A.Occur.MUST, A.TermQuery("table")), (A.Occur.MUST_NOT, A.TermQuery("merge")))
+                ),
+                "q_prefix": A.PrefixQuery("s"),
+                "q_sloppy2": A.PhraseQuery(("table", "hash"), slop=2),
+            },
+        )
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select("doc_id", "text")
+        return qm.match(docs).orderBy("doc_id", "query_id")
+
+    Q["pc_match"] = _percolate
+
     def _writer_update(spark, sf):
         index, searcher = writer_index(spark, sf)
         td = searcher.search(A.TermQuery("vector"), k=ALL_K)
@@ -613,6 +644,24 @@ def oracle_sql() -> dict[str, str]:
         "  WHERE t.doc_id = 0 AND t.tf >= 2 AND d.df >= 5"
         "  ORDER BY msc DESC, t.term LIMIT 25) z"
         ") GROUP BY doc_id"
+    )
+    O["pc_match"] = (
+        base_ctes() + " SELECT doc_id, query_id FROM ("
+        "SELECT DISTINCT doc_id, 'q_term' AS query_id FROM tf WHERE term = 'table' "
+        "UNION ALL SELECT doc_id, 'q_and' FROM (SELECT doc_id FROM tf "
+        "  WHERE term IN ('merge','vector') GROUP BY doc_id HAVING count(*) = 2) "
+        "UNION ALL SELECT doc_id, 'q_msm' FROM (SELECT doc_id FROM tf "
+        "  WHERE term IN ('dup','vector','scan') GROUP BY doc_id HAVING count(*) >= 2) "
+        "UNION ALL SELECT DISTINCT a.doc_id, 'q_phrase' FROM post a JOIN post b "
+        "  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "  WHERE a.term = 'table' AND b.term = 'hash' "
+        "UNION ALL SELECT DISTINCT doc_id, 'q_not' FROM tf WHERE term = 'table' "
+        "  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge') "
+        "UNION ALL SELECT DISTINCT doc_id, 'q_prefix' FROM tf WHERE term LIKE 's%' "
+        "UNION ALL SELECT DISTINCT a.doc_id, 'q_sloppy2' FROM post a JOIN post b "
+        "  ON a.doc_id = b.doc_id AND abs(b.pos - a.pos - 1) <= 2 "
+        "  WHERE a.term = 'table' AND b.term = 'hash' "
+        ") ORDER BY doc_id, query_id"
     )
     O["ix_writer_update"] = (
         base_ctes(
