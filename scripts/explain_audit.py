@@ -102,6 +102,33 @@ def main() -> None:
     check("top-k is TakeOrderedAndProject", plan, r"TakeOrderedAndProject")
     sections.append(("Top-k merge shape", plan))
 
+    # 6. suggest: prefix completion = pushed StartsWith + top-k, no sort
+    from lucene_spark.search.suggest import complete_prefix
+
+    plan = _capture(complete_prefix(index, "sc", k=10))
+    check("suggest prefix pushed to term-table scan", plan, r"PushedFilters: \[.*StartsWith\(term")
+    check("suggest top-k is TakeOrderedAndProject", plan, r"TakeOrderedAndProject")
+    sections.append(("Suggest: prefix completion", plan))
+
+    # 7. query-time join: scored hits broadcast into the docs join
+    from lucene_spark.search import ast as A
+    from lucene_spark.search.joins import join_top_parents
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _capture(join_top_parents(searcher, A.TermQuery("table"), docs, "source", "max", k=10))
+    check("join: hit set broadcast (no shuffle of docs text)", plan, r"BroadcastHashJoin")
+    sections.append(("Query-time join (JoinUtil ScoreMode)", plan))
+
+    # 8. percolator: map-only over the doc stream — NO Exchange at all
+    from lucene_spark.search.percolate import QueryMonitor
+
+    qm = QueryMonitor(spark, {"q1": "table", "q2": '"table hash"'})
+    plan = _capture(qm.match(docs.select("doc_id", "text")))
+    CHECKS.append(
+        ("percolate is map-only (zero shuffles)", "no Exchange node", "Exchange" not in plan)
+    )
+    sections.append(("Percolator match (reverse search)", plan))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     with open(out, "w") as fh:
         fh.write("# PLANS — physical-plan audit (scripts/explain_audit.py)\n\n")
