@@ -403,6 +403,15 @@ def queries() -> dict:
 
     Q["sg_spell_top5"] = _suggest_spell
 
+    def _common_terms(spark, sf):
+        from lucene_spark.search.commonterms import search_common_terms
+
+        _, searcher = gate_index(spark, sf)
+        td = search_common_terms(searcher, ("the", "scan", "dup"), k=10, max_term_frequency=0.5)
+        return _hits_df(spark, td)
+
+    Q["ft_commonterms_top10"] = _common_terms
+
     def _percolate(spark, sf):
         from lucene_spark.search.percolate import QueryMonitor
 
@@ -644,6 +653,13 @@ def oracle_sql() -> dict[str, str]:
         "  WHERE t.doc_id = 0 AND t.tf >= 2 AND d.df >= 5"
         "  ORDER BY msc DESC, t.term LIMIT 25) z"
         ") GROUP BY doc_id"
+    )
+    O["ft_commonterms_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('the','scan','dup') "
+        "AND doc_id IN (SELECT doc_id FROM tf WHERE term IN "
+        "  (SELECT term FROM dfr WHERE term IN ('the','scan','dup') "
+        "   AND df <= 0.5 * (SELECT n FROM stats))) "
+        "GROUP BY doc_id"
     )
     O["pc_match"] = (
         base_ctes() + " SELECT doc_id, query_id FROM ("

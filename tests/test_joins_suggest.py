@@ -159,3 +159,38 @@ class TestMoreLikeThis:
         s = Searcher(search_index)
         empty = spark.createDataFrame([], "doc_id long, content string")
         assert more_like_this(s, 99999, empty, k=10).hits == []
+
+
+class TestCommonTerms:
+    def test_split_and_score_vs_oracle(self, spark, search_index, oracle):
+        from lucene_spark.search.commonterms import common_terms_query, search_common_terms
+        from lucene_spark.testing.oracle import OracleIndex  # noqa: F401
+
+        s = Searcher(search_index)
+        # pick a genuinely rare term for the low bucket so the split is
+        # (high: 'return', low: rare): cutoff halfway between their dfs
+        n = search_index.stats.doc_count
+        rare = s.index.term_stats_df.orderBy("df", "term").limit(1).collect()[0]
+        terms = ("return", rare["term"])
+        stats = search_index.term_stats(list(terms))
+        cutoff_frac = (stats[rare["term"]][0] + 1) / n  # rare <= cutoff < return
+        assert stats["return"][0] > cutoff_frac * n
+        q = common_terms_query(search_index, terms, max_term_frequency=cutoff_frac)
+        got = search_common_terms(s, terms, k=1000, max_term_frequency=cutoff_frac)
+        want = oracle.top_k(q, 1000)
+        assert [d for d, _ in got.hits] == [d for d, _ in want]
+        # high-freq 'return' must not select on its own: matches ==
+        # docs containing the low (rare) term
+        assert got.total_hits == stats[rare["term"]][0]
+
+    def test_all_low_or_all_high(self, spark, search_index):
+        from lucene_spark.search import ast as A
+        from lucene_spark.search.commonterms import common_terms_query
+
+        # cutoff above every df → everything low → plain disjunction
+        q = common_terms_query(search_index, ("return", "int"), max_term_frequency=1e9)
+        assert isinstance(q, A.BooleanQuery)
+        assert all(occ == A.Occur.SHOULD for occ, _ in q.clauses)
+        # absolute cutoff 1: everything with df>1 is high
+        q2 = common_terms_query(search_index, ("return", "int"), max_term_frequency=1.0)
+        assert isinstance(q2, A.BooleanQuery)
