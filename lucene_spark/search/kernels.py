@@ -398,7 +398,7 @@ def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.
     for ci in range(len(cand)):
         plc = [np.asarray(pl[ci]) for pl in pos_lists]
         freqs[ci] = (
-            _lucene_sloppy_freq(plc, spec.slop) if disjoint else _sloppy_freq(plc, spec.slop)
+            _sloppy_freq_exact(plc, spec.slop) if disjoint else _sloppy_freq(plc, spec.slop)
         )
     matched = freqs > 0
     if not matched.any():
@@ -447,8 +447,8 @@ def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, n
             pos_lists.append([plist[i] for i in idx])
         freqs = np.zeros(len(cand), dtype=np.float64)
         for ci in range(len(cand)):
-            freqs[ci] = _lucene_sloppy_freq(
-                [np.asarray(pl[ci]) for pl in pos_lists], spec.slop, terms=spec.terms
+            freqs[ci] = _sloppy_freq_exact(
+                [pl[ci] for pl in pos_lists], spec.slop, terms=spec.terms
             )
     matched = freqs > 0
     if not matched.any():
@@ -615,6 +615,65 @@ def _lucene_sloppy_freq(pos_lists: list, slop: int, terms: tuple | None = None) 
             break
         freq = np.float32(freq + one / (one + np.float32(ml)))
     return freq
+
+
+def _sloppy_freq2(a_raw, b_raw, slop: int) -> np.float32:
+    """Specialized 2-slot (distinct terms) sloppy matcher — exact same
+    emissions as ``_lucene_sloppy_freq`` (property-tested equal in
+    tests/test_sloppy.py) without the queue machinery: for two
+    monotonically increasing iterators, end == max(pos_a, pos_b) at all
+    times, so the PQ loop collapses to a two-pointer merge. The lead
+    (smaller adjusted position; slot 0 on ties, PhraseQueue order)
+    advances through its run; a match is emitted at a STRICT crossing
+    (or at exhaustion) with matchLength = the run's closest approach to
+    the stationary pointer. ~10x less Python overhead per candidate doc
+    on the phrase hot path."""
+    A = a_raw.tolist() if hasattr(a_raw, "tolist") else list(a_raw)
+    B = [p - 1 for p in (b_raw.tolist() if hasattr(b_raw, "tolist") else b_raw)]
+    na, nb = len(A), len(B)
+    ia = ib = 0
+    pa, pb = A[0], B[0]
+    one = np.float32(1.0)
+    freq = np.float32(0.0)
+    while True:
+        if pa <= pb:  # lead = slot 0 (wins ties, PhraseQueue order)
+            ml = pb - pa
+            crossed = False
+            while ia + 1 < na:
+                ia += 1
+                pa = A[ia]
+                if pa > pb:
+                    crossed = True
+                    break
+                if pb - pa < ml:
+                    ml = pb - pa
+            if ml <= slop:
+                freq = np.float32(freq + one / (one + np.float32(ml)))
+            if not crossed:
+                return freq
+        else:  # lead = slot 1
+            ml = pa - pb
+            crossed = False
+            while ib + 1 < nb:
+                ib += 1
+                pb = B[ib]
+                if pb > pa:
+                    crossed = True
+                    break
+                if pa - pb < ml:
+                    ml = pa - pb
+            if ml <= slop:
+                freq = np.float32(freq + one / (one + np.float32(ml)))
+            if not crossed:
+                return freq
+
+
+def _sloppy_freq_exact(pos_lists: list, slop: int, terms: tuple | None = None) -> np.float32:
+    """Dispatch: tight 2-slot kernel for the dominant two-distinct-term
+    case, full reference PQ simulation otherwise."""
+    if len(pos_lists) == 2 and (terms is None or terms[0] != terms[1]):
+        return _sloppy_freq2(pos_lists[0], pos_lists[1], slop)
+    return _lucene_sloppy_freq(pos_lists, slop, terms=terms)
 
 
 def _sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> float:

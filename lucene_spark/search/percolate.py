@@ -21,7 +21,7 @@ it. Two stages, exactly as the reference:
    the document's token stream, Arrow-batched via mapInPandas (the
    per-segment in-memory index the reference builds per doc batch).
    Sloppy phrases reuse the engine's exact reference kernel
-   (kernels._lucene_sloppy_freq).
+   (kernels._sloppy_freq_exact).
 
 Scale: the registered query set is the SMALL side (broadcast); the
 document stream is the big side and is touched once — tokenize +
@@ -140,10 +140,10 @@ def _matches(q: A.Query, toks: list[str], tset: set[str]) -> bool:
             return any(
                 all((p + i + 1) in s for i, s in enumerate(later)) for p in pos[q.terms[0]]
             )
-        from lucene_spark.search.kernels import _lucene_sloppy_freq
+        from lucene_spark.search.kernels import _sloppy_freq_exact
 
         plists = [np.asarray(pos[t], dtype=np.int64) for t in q.terms]
-        return float(_lucene_sloppy_freq(plists, q.slop, terms=q.terms)) > 0.0
+        return float(_sloppy_freq_exact(plists, q.slop, terms=q.terms)) > 0.0
     if isinstance(q, A.BooleanQuery):
         should_hits = 0
         has_should = False

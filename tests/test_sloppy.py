@@ -238,3 +238,43 @@ class TestMultiPhrase:
         assert q == A.SynonymQuery(("a", "b"))
         q = A.rewrite(A.MultiPhraseQuery((("a",), ())))
         assert isinstance(q, A.MatchNoDocsQuery)
+
+
+class TestFreq2Equivalence:
+    """The tight 2-slot kernel must emit EXACTLY what the reference PQ
+    simulation emits — same matches, same float32 accumulation."""
+
+    def test_exhaustive_small(self):
+        import itertools
+
+        import numpy as np
+
+        from lucene_spark.search.kernels import _lucene_sloppy_freq, _sloppy_freq2
+
+        for na in range(1, 4):
+            for nb in range(1, 4):
+                for A in itertools.combinations(range(6), na):
+                    for B in itertools.combinations(range(1, 7), nb):
+                        for slop in (0, 1, 2, 4):
+                            ref = float(
+                                _lucene_sloppy_freq([np.array(A), np.array(B)], slop, terms=("x", "y"))
+                            )
+                            got = float(_sloppy_freq2(np.array(A), np.array(B), slop))
+                            assert ref == got, (A, B, slop, ref, got)
+
+    def test_randomized(self):
+        import random
+
+        import numpy as np
+
+        from lucene_spark.search.kernels import _lucene_sloppy_freq, _sloppy_freq2
+
+        rng = random.Random(7)
+        for _ in range(3000):
+            na, nb = rng.randint(1, 8), rng.randint(1, 8)
+            A = sorted(rng.sample(range(40), na))
+            B = sorted(rng.sample(range(1, 41), nb))
+            slop = rng.randint(0, 12)
+            ref = float(_lucene_sloppy_freq([np.array(A), np.array(B)], slop, terms=("x", "y")))
+            got = float(_sloppy_freq2(np.array(A), np.array(B), slop))
+            assert ref == got, (A, B, slop, ref, got)
