@@ -303,8 +303,18 @@ class Searcher:
         return self.index.docs.join(F.broadcast(hits), "doc_id").orderBy("rank")
 
     def count(self, query: str | A.Query) -> int:
-        """TotalHitCountCollector equivalent."""
-        q, spec, stats, rows = self.prepare(query, collect_rows=True)
+        """TotalHitCountCollector equivalent, with the reference's
+        Weight#count shortcuts when the reader has no deletions
+        (TermQuery count == docFreq, TermQuery.java Weight#count;
+        MatchAllDocsQuery count == docCount) — a stats-table point read
+        instead of decoding any postings."""
+        q0 = parse_query(query) if isinstance(query, str) else A.rewrite(query)
+        if not len(self.index.deleted_ids):
+            if isinstance(q0, A.TermQuery):
+                return self.index.term_stats([q0.term]).get(q0.term, (0, 0))[0]
+            if isinstance(q0, A.MatchAllDocsQuery):
+                return self.index.stats.doc_count
+        q, spec, stats, rows = self.prepare(q0, collect_rows=True)
         if isinstance(spec, NoneSpec):
             return 0
         ctx = self._driver_context(spec, stats.cache(), rows)

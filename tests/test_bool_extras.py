@@ -64,3 +64,36 @@ class TestFilterOccur:
         # but scored like the bare term query
         for d, sc in f.hits:
             assert sc == pytest.approx(t[d], rel=1e-6)
+
+
+class TestCountShortcuts:
+    def test_term_count_equals_df_and_brute(self, spark, search_index, oracle):
+        from lucene_spark.search import ast as A
+        from lucene_spark.search.engine import Searcher
+
+        s = Searcher(search_index)
+        # Weight#count fast path (df) must equal the evaluated count
+        assert s.count(A.TermQuery("return")) == len(oracle.score(A.TermQuery("return")))
+        assert s.count(A.MatchAllDocsQuery()) == search_index.stats.doc_count
+        assert s.count(A.TermQuery("zzz_not_a_term")) == 0
+
+    def test_count_falls_back_under_deletes(self, spark, corpus_df, tmp_path):
+        import numpy as np
+
+        from lucene_spark.index.builder import IndexBuilder, IndexConfig
+        from lucene_spark.index.deletes import delete_docs
+        from lucene_spark.index.reader import SearchIndex
+        from lucene_spark.search import ast as A
+        from lucene_spark.search.engine import Searcher
+
+        d = str(tmp_path / "cix")
+        IndexBuilder(spark, IndexConfig(docs_per_chunk=64, term_buckets=2)).build(
+            corpus_df.drop("content_sha256"), d
+        )
+        s = Searcher(SearchIndex(spark, d))
+        full = s.count(A.TermQuery("return"))
+        victim = s.search(A.TermQuery("return"), k=1).hits[0][0]
+        delete_docs(spark, d, [victim])
+        s2 = Searcher(SearchIndex(spark, d))  # reopen sees tombstone
+        assert s2.count(A.TermQuery("return")) == full - 1
+        assert s2.count(A.MatchAllDocsQuery()) == s.count(A.MatchAllDocsQuery()) - 1
