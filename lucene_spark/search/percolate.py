@@ -37,7 +37,6 @@ import re as _re
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from lucene_spark.analysis.tokenizer import tokenize
 from lucene_spark.search import ast as A
