@@ -805,14 +805,19 @@ SELECT d.doc_id::BIGINT AS doc_id,
        CASE WHEN coalesce(a.n_sw::DOUBLE / a.n, 0) >= 0.05 THEN 'en' ELSE 'unknown' END AS pred_lang
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
     )
+    # Integer-only definitions with explicit BIGINT casts at every
+    # level: DuckDB's sum(BIGINT) returns HUGEINT (int128 → Decimal in
+    # pandas), which value-hashes differently from Spark's int64 even
+    # when numerically equal — the round-1 tx_tokens mismatch.
     O["tx_tokens"] = (
         _TOKS + """, agg AS (
   SELECT doc_id, count(*)::BIGINT AS an_tokens,
-         sum(CAST(ceil(len(term) / 4.0) AS BIGINT)) AS bpe_est
+         sum((len(term) + 3) // 4)::BIGINT AS bpe_est
   FROM toks GROUP BY doc_id)
 SELECT d.doc_id::BIGINT AS doc_id,
-       len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT AS ws_tokens,
-       coalesce(a.an_tokens, 0) AS an_tokens, coalesce(a.bpe_est, 0) AS bpe_est
+       len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+       coalesce(a.an_tokens, 0)::BIGINT AS an_tokens,
+       coalesce(a.bpe_est, 0)::BIGINT AS bpe_est
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
     )
     O["tx_fp"] = (

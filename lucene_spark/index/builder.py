@@ -55,7 +55,7 @@ from pyspark.sql.types import (
 
 from lucene_spark.analysis.tokenizer import tokenize_series
 from lucene_spark.codec.forutil import BLOCK_SIZE, pack_postings
-from lucene_spark.codec.impacts import competitive_impacts
+from lucene_spark.codec.impacts import competitive_impacts_flat
 from lucene_spark.codec.smallfloat import int_to_byte4_np
 
 DOC_KEYS = ("repo", "path", "commit")
@@ -202,15 +202,21 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             blob, block_last = pack_postings(d, t, nm)
             pos_blob = None
             if has_pos:
-                pos_blob = pack_positions([np.asarray(p, dtype=np.int64) for p in poss])
-            ib, if_, in_ = [], [], []
-            for b in range(0, len(d), BLOCK_SIZE):
-                for f, n in competitive_impacts(t[b : b + BLOCK_SIZE], nm[b : b + BLOCK_SIZE]):
-                    ib.append(b // BLOCK_SIZE)
-                    if_.append(int(f))
-                    in_.append(int(n))
+                pos_blob = pack_positions(poss)
+            ib, if_, in_ = competitive_impacts_flat(t, nm, BLOCK_SIZE)
             rows.append(
-                (term, int(chunk_id), len(d), int(t.sum()), blob, pos_blob, block_last.tolist(), ib, if_, in_)
+                (
+                    term,
+                    int(chunk_id),
+                    len(d),
+                    int(t.sum()),
+                    blob,
+                    pos_blob,
+                    block_last.tolist(),
+                    ib.tolist(),
+                    if_.tolist(),
+                    in_.tolist(),
+                )
             )
         yield pd.DataFrame(
             rows,

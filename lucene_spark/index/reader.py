@@ -91,6 +91,18 @@ class SearchIndex:
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/docs")
 
+    def deletes_df(self) -> DataFrame | None:
+        """Tombstones as a DataFrame (distinct doc_id), or None if the
+        index has none — distributed mode buckets these by doc-range
+        chunk instead of collecting them (liveDocs-at-search contract,
+        Lucene90LiveDocsFormat)."""
+        import os
+
+        path = f"{self.index_dir}/deletes"
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path).select("doc_id").distinct()
+
     @cached_property
     def deleted_ids(self) -> np.ndarray:
         """liveDocs snapshot: sorted tombstoned doc ids (empty if none).
@@ -226,6 +238,26 @@ class SearchIndex:
                 self._decoded_cache.popitem(last=False)
         return out
 
+    @cached_property
+    def doc_id_bounds(self) -> tuple[int, int, bool]:
+        """(max_doc_exclusive, n_docs, contiguous). ``contiguous`` means
+        doc ids are exactly 0..max_doc-1 (always true for builder
+        output; false after a physical purge left gaps). One tiny agg
+        job, cached per reader."""
+        row = self.norms.agg(
+            F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn"), F.count("*").alias("n")
+        ).first()
+        if row["n"] == 0:
+            return 0, 0, True
+        max_doc = int(row["mx"]) + 1
+        return max_doc, int(row["n"]), bool(row["mn"] == 0 and max_doc == row["n"])
+
     def all_doc_ids(self) -> np.ndarray:
+        """MatchAllDocs domain. Contiguous indexes synthesize the range
+        arithmetically — no driver collect of O(maxDoc) ids; only a
+        purged (gappy) index pays a scan."""
+        max_doc, _, contiguous = self.doc_id_bounds
+        if contiguous:
+            return np.arange(max_doc, dtype=np.int64)
         rows = self.norms.select("doc_id").orderBy("doc_id").collect()
         return np.array([r["doc_id"] for r in rows], dtype=np.int64)

@@ -73,12 +73,20 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     stand-in for a real BPE vocab; swap the expression for a trained
     tokenizer UDF in production)."""
     t = _with_tokens(df, text_col, id_col)
+    # every column is a plain integer quantity with exact SQL
+    # equivalents (no float ceil, no trim edge cases): ws_tokens counts
+    # NON-EMPTY whitespace-separated chunks; bpe_est = Σ ceil(len/4)
+    # via integer arithmetic (len+3) div 4.
     return t.select(
         "doc_id",
-        F.size(F.split(F.trim("_text"), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.filter(F.split("_text", r"\s+"), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("ws_tokens"),
         F.size("tokens").cast("long").alias("an_tokens"),
         F.aggregate(
-            "tokens", F.lit(0).cast("long"), lambda a, x: a + F.ceil(F.length(x) / F.lit(4.0)).cast("long")
+            "tokens",
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.floor((F.length(x) + F.lit(3)) / F.lit(4)).cast("long"),
         ).alias("bpe_est"),
     )
 

@@ -143,6 +143,18 @@ class DocSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class PredDocSetQuery(Query):
+    """UNRESOLVED doc-set: a docs-table predicate identified by ``key``
+    (internal: produced by the Searcher in distributed mode instead of
+    DocSetQuery so the matching doc ids are NEVER collected to the
+    driver — each chunk kernel receives only its own doc-range slice
+    via a pushed-down scan + per-chunk group, the semi-join shape that
+    survives 10^12 docs)."""
+
+    key: tuple
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: tuple[str, ...]
     field: str = "content"

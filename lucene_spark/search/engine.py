@@ -59,10 +59,29 @@ class Searcher:
     def __init__(self, index: SearchIndex, total_hits_threshold: int = 1000):
         self.index = index
         self.total_hits_threshold = total_hits_threshold
+        # PredDocSetQuery key → Catalyst Column (distributed mode keeps
+        # field predicates lazy; the ids never land on the driver)
+        self._pred_conds: dict[tuple, object] = {}
 
     # ---- query preparation -------------------------------------------------
 
-    def _expand_multiterm(self, q: A.Query) -> A.Query:
+    def _field_cond(self, q):
+        """(key, Catalyst cond) for a metadata-field predicate node."""
+        import pyspark.sql.functions as F
+
+        if isinstance(q, A.FieldRangeQuery):
+            cond = F.lit(True)
+            if q.lower is not None:
+                c = F.col(q.field) >= q.lower if q.include_lower else F.col(q.field) > q.lower
+                cond = cond & c
+            if q.upper is not None:
+                c = F.col(q.field) <= q.upper if q.include_upper else F.col(q.field) < q.upper
+                cond = cond & c
+            key = ("range", q.field, q.lower, q.upper, q.include_lower, q.include_upper)
+            return key, cond
+        return ("eq", q.field, q.value), F.col(q.field) == q.value
+
+    def _expand_multiterm(self, q: A.Query, lazy_docsets: bool = False) -> A.Query:
         """Rewrite MultiTermQuery nodes into constant-score TermInSet
         (CONSTANT_SCORE_REWRITE, MultiTermQuery.java:55-93)."""
         if isinstance(q, A.PrefixQuery):
@@ -84,51 +103,42 @@ class Searcher:
                 "range", (q.lower, q.upper, q.include_lower, q.include_upper)
             )
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
-        if isinstance(q, A.FieldRangeQuery):
-            # PointRangeQuery role: Catalyst range predicate on the
-            # docs table (parquet min-max pruning = the BKD traversal)
-            import pyspark.sql.functions as F
-
-            cond = F.lit(True)
-            if q.lower is not None:
-                c = F.col(q.field) >= q.lower if q.include_lower else F.col(q.field) > q.lower
-                cond = cond & c
-            if q.upper is not None:
-                c = F.col(q.field) <= q.upper if q.include_upper else F.col(q.field) < q.upper
-                cond = cond & c
-            key = ("range", q.field, q.lower, q.upper, q.include_lower, q.include_upper)
+        if isinstance(q, (A.FieldRangeQuery, A.FieldValueQuery)):
+            # PointRangeQuery / StringField equality = pushed-down
+            # predicate on the docs table (parquet min-max pruning =
+            # the BKD traversal; SURVEY §1.1 StringField disposition).
+            # Distributed mode keeps the predicate LAZY — each chunk
+            # kernel is joined only its own doc-range slice, so a
+            # non-selective filter (lang:python over 10^12 docs) never
+            # materializes ids on the driver. Driver mode (interactive
+            # top-k) resolves the set via the cached point-read.
+            key, cond = self._field_cond(q)
+            if lazy_docsets:
+                self._pred_conds[key] = cond
+                return A.PredDocSetQuery(key)
             return A.DocSetQuery(self.index.field_doc_set(key, cond))
-        if isinstance(q, A.FieldValueQuery):
-            # StringField equality = pushed-down column filter on the
-            # docs table (SURVEY §1.1 StringField disposition); the
-            # selective id set then rides the query as a constant-score
-            # doc set. At 10^12 scale a non-selective filter should be
-            # a Catalyst semi-join instead — the scan itself is already
-            # that plan; only the collect here assumes selectivity.
-            import pyspark.sql.functions as F
-
-            return A.DocSetQuery(
-                self.index.field_doc_set(("eq", q.field, q.value), F.col(q.field) == q.value)
-            )
         if isinstance(q, A.BooleanQuery):
             return A.BooleanQuery(
-                tuple((o, self._expand_multiterm(s)) for o, s in q.clauses), q.minimum_should_match
+                tuple((o, self._expand_multiterm(s, lazy_docsets)) for o, s in q.clauses),
+                q.minimum_should_match,
             )
         if isinstance(q, A.BoostQuery):
-            return A.BoostQuery(self._expand_multiterm(q.query), q.boost)
+            return A.BoostQuery(self._expand_multiterm(q.query, lazy_docsets), q.boost)
         if isinstance(q, A.ConstantScoreQuery):
-            return A.ConstantScoreQuery(self._expand_multiterm(q.query))
+            return A.ConstantScoreQuery(self._expand_multiterm(q.query, lazy_docsets))
         if isinstance(q, A.DisjunctionMaxQuery):
-            return A.DisjunctionMaxQuery(tuple(self._expand_multiterm(s) for s in q.queries), q.tie_breaker)
+            return A.DisjunctionMaxQuery(
+                tuple(self._expand_multiterm(s, lazy_docsets) for s in q.queries), q.tie_breaker
+            )
         return q
 
-    def prepare(self, query: str | A.Query, collect_rows: bool = False):
+    def prepare(self, query: str | A.Query, collect_rows: bool = False, lazy_docsets: bool = False):
         """Parse → rewrite → Weight creation. With ``collect_rows``
         (driver mode) the query's posting rows are point-read in ONE
         Spark job and df/ttf derive from their columns — no separate
         term_stats lookup; the whole driver query path is one job."""
         q = parse_query(query) if isinstance(query, str) else A.rewrite(query)
-        q = A.rewrite(self._expand_multiterm(q))
+        q = A.rewrite(self._expand_multiterm(q, lazy_docsets))
         terms = sorted(A.extract_terms(q))
         stats = self.index.stats
         rows_by_term = None
@@ -144,7 +154,9 @@ class Searcher:
     # ---- search -------------------------------------------------------------
 
     def search(self, query: str | A.Query, k: int = 10, mode: str = "driver") -> TopDocs:
-        q, spec, stats, rows = self.prepare(query, collect_rows=(mode == "driver"))
+        q, spec, stats, rows = self.prepare(
+            query, collect_rows=(mode == "driver"), lazy_docsets=(mode == "distributed")
+        )
         if isinstance(spec, NoneSpec) or k <= 0:
             return TopDocs([], 0, "EQUAL_TO", {})
         cache = stats.cache()
@@ -326,12 +338,21 @@ class Searcher:
     def _search_distributed(self, spec, k: int, cache) -> TopDocs:
         """Leaf-parallel search: one applyInPandas group per doc-range
         chunk of the hot terms; small-term arrays ride along broadcast
-        (they are ≤ docs_per_chunk entries each by construction)."""
+        (they are ≤ docs_per_chunk entries each by construction).
+
+        NOTHING O(corpus) touches the driver on this path: field-filter
+        doc sets arrive as per-chunk rows from a pushed-down docs-table
+        scan (PredSpec), tombstones arrive bucketed by doc-range the
+        same way, and MatchAllDocs synthesizes each chunk's doc range
+        arithmetically (contiguous ids) or joins the norms table
+        per-chunk (purged/gappy index)."""
         import pyspark.sql.functions as F
 
         index = self.index
         terms = sorted(spec_terms(spec))
-        if not terms:
+        preds = _collect_predspecs(spec)
+        needs_all = _needs_all_docs(spec)
+        if not terms and not preds:
             return self._search_exhaustive(spec, k, cache)
         rows_df = index.postings_rows(terms)
         # hot terms: >1 chunk row or chunk_id > 0
@@ -339,6 +360,8 @@ class Searcher:
             rows_df.groupBy("term")
             .agg(F.count("*").alias("n"), F.max("chunk_id").alias("maxc"))
             .collect()
+            if terms
+            else []
         )
         hot_terms = {r["term"] for r in chunk_counts if r["n"] > 1 or r["maxc"] > 0}
         small_terms = [t for t in terms if t not in hot_terms]
@@ -346,13 +369,8 @@ class Searcher:
         small = index.collect_postings(small_terms, with_positions=with_pos)
         small_arrays = {t: (p.docs, p.tfs, p.norms) for t, p in small.items()}
         small_positions = {t: p.positions for t, p in small.items()} if with_pos else {}
-        if not hot_terms:
-            ctx = ChunkContext(
-                small_arrays,
-                cache,
-                index.all_doc_ids() if _needs_all_docs(spec) else None,
-                small_positions if with_pos else None,
-            )
+        if not hot_terms and not preds and not needs_all:
+            ctx = ChunkContext(small_arrays, cache, None, small_positions if with_pos else None)
             docs, scores = self._apply_live_docs(*evaluate(spec, ctx))
             return TopDocs(top_k_from_arrays(docs, scores, k), len(docs), "EQUAL_TO", {})
 
@@ -361,21 +379,58 @@ class Searcher:
         spec_b = spec
         cache_b = cache
         kk = k
-        # liveDocs ride into the chunk kernels (at 10^12 scale: bucket
-        # tombstones by doc-range and join per-chunk instead)
-        deleted_b = self.index.deleted_ids
         manifest = _read_manifest(index)
         dpc = int(manifest.get("docs_per_chunk", 1 << 17))
+        max_doc, _, contiguous = index.doc_id_bounds
+        all_contiguous = needs_all and contiguous
 
-        # chunks needed: hot rows' chunks ∪ chunks containing small-term
-        # docs ∪ chunks containing docset (keyword-filter) docs
+        # chunks that must exist as groups even with no hot-term row:
+        # small-term docs (bounded: ≤ dpc ids per small term) and — for
+        # MatchAll over contiguous ids — the whole chunk universe,
+        # synthesized arithmetically (range(), not a collect).
         small_chunks = set()
         for t, (d, _, _) in small_arrays.items():
             small_chunks |= set((d // dpc).tolist())
         for ds in _collect_docsets(spec):
             small_chunks |= {int(x) // dpc for x in ds.docs}
+        if all_contiguous:
+            small_chunks |= set(range((max_doc + dpc - 1) // dpc))
 
-        hot_rows = rows_df.filter(F.col("term").isin(list(hot_terms)))
+        hot_rows = rows_df.filter(F.col("term").isin(list(hot_terms))) if hot_terms else None
+
+        # ---- per-chunk auxiliary doc-set rows (marker terms) ----------
+        # each is (chunk_id, term='\0...', ds_docs sorted array<long>):
+        # the scan is pushed down, the group-by buckets by doc range —
+        # the ids never pass through the driver.
+        chunk_col = F.floor(F.col("doc_id") / dpc).cast("long").alias("chunk_id")
+        aux_parts = []
+        pred_keys: dict[str, tuple] = {}
+        for i, ps in enumerate(preds):
+            marker = f"\x00pred{i}"
+            pred_keys[marker] = ps.key
+            cond = self._pred_conds[ps.key]
+            aux_parts.append(
+                index.docs.filter(cond)
+                .select(chunk_col, F.col("doc_id"))
+                .groupBy("chunk_id")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ds_docs"))
+                .withColumn("term", F.lit(marker))
+            )
+        deletes_df = index.deletes_df()
+        if deletes_df is not None:
+            aux_parts.append(
+                deletes_df.select(chunk_col, F.col("doc_id"))
+                .groupBy("chunk_id")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ds_docs"))
+                .withColumn("term", F.lit("\x00del"))
+            )
+        if needs_all and not contiguous:
+            aux_parts.append(
+                index.norms.select(chunk_col, F.col("doc_id"))
+                .groupBy("chunk_id")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ds_docs"))
+                .withColumn("term", F.lit("\x00all"))
+            )
 
         def score_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
             from lucene_spark.codec.positions import unpack_positions
@@ -384,22 +439,44 @@ class Searcher:
             lo, hi = chunk_id * dpc, (chunk_id + 1) * dpc
             arrays = {}
             positions: dict = {}
-            for _, r in pdf.iterrows():
-                if r["term"] is None:
+            docsets: dict = {}
+            deleted = None
+            all_docs = None
+            for r in pdf.itertuples(index=False):
+                t = r.term
+                if t is None:
                     continue
-                d, t, nm = unpack_postings(bytes(r["blob"]))
-                arrays[r["term"]] = (d, t, nm.astype(np.int64))
-                if with_pos and r["pos_blob"] is not None:
-                    positions[r["term"]] = unpack_positions(bytes(r["pos_blob"]), t)
+                if t.startswith("\x00"):
+                    ds = np.asarray(r.ds_docs, dtype=np.int64)
+                    if t == "\x00del":
+                        deleted = ds
+                    elif t == "\x00all":
+                        all_docs = ds
+                    else:
+                        docsets[pred_keys[t]] = ds
+                    continue
+                d, tf, nm = unpack_postings(bytes(r.blob))
+                arrays[t] = (d, tf, nm.astype(np.int64))
+                if with_pos and r.pos_blob is not None:
+                    positions[t] = unpack_positions(bytes(r.pos_blob), tf)
             for t, (d, tf, nm) in small_arrays.items():
                 i0, i1 = np.searchsorted(d, lo), np.searchsorted(d, hi)
                 arrays[t] = (d[i0:i1], tf[i0:i1], nm[i0:i1])
                 if with_pos and small_positions.get(t) is not None:
                     positions[t] = small_positions[t][i0:i1]
-            ctx = ChunkContext(arrays, cache_b, None, positions if with_pos else None, doc_range=(lo, hi))
+            if all_contiguous:
+                all_docs = np.arange(lo, min(hi, max_doc), dtype=np.int64)
+            ctx = ChunkContext(
+                arrays,
+                cache_b,
+                all_docs,
+                positions if with_pos else None,
+                doc_range=(lo, hi),
+                docsets=docsets,
+            )
             docs, scores = evaluate(spec_b, ctx)
-            if len(deleted_b) and len(docs):
-                live = ~np.isin(docs, deleted_b, assume_unique=False)
+            if deleted is not None and len(docs):
+                live = ~np.isin(docs, deleted, assume_unique=False)
                 docs, scores = docs[live], scores[live]
             top = top_k_from_arrays(docs, scores, kk)
             if not top:
@@ -414,23 +491,44 @@ class Searcher:
             )
 
         spark = index.spark
+        cols = [
+            "chunk_id", "term", "df", "ttf", "blob", "pos_blob",
+            "block_last", "imp_block", "imp_freq", "imp_norm", "ds_docs",
+        ]
+        parts = []
+        if hot_rows is not None:
+            parts.append(hot_rows.withColumn("ds_docs", F.lit(None).cast("array<long>")).select(*cols))
         extra = sorted(small_chunks)
-        extra_df = spark.createDataFrame([(int(c),) for c in extra], "chunk_id long") if extra else None
-        grouped_src = hot_rows
-        if extra_df is not None:
-            pad = extra_df.withColumn("term", F.lit(None).cast("string"))
-            for c in ["df", "ttf"]:
-                pad = pad.withColumn(c, F.lit(None).cast("long"))
-            cols = ["chunk_id", "term", "df", "ttf", "blob", "pos_blob", "block_last", "imp_block", "imp_freq", "imp_norm"]
+        if extra:
+            pad = spark.createDataFrame([(int(c),) for c in extra], "chunk_id long")
             pad = (
-                pad.withColumn("blob", F.lit(None).cast("binary"))
+                pad.withColumn("term", F.lit(None).cast("string"))
+                .withColumn("df", F.lit(None).cast("int"))
+                .withColumn("ttf", F.lit(None).cast("long"))
+                .withColumn("blob", F.lit(None).cast("binary"))
+                .withColumn("pos_blob", F.lit(None).cast("binary"))
+                .withColumn("block_last", F.lit(None).cast("array<long>"))
+                .withColumn("imp_block", F.lit(None).cast("array<int>"))
+                .withColumn("imp_freq", F.lit(None).cast("array<int>"))
+                .withColumn("imp_norm", F.lit(None).cast("array<int>"))
+                .withColumn("ds_docs", F.lit(None).cast("array<long>"))
+            )
+            parts.append(pad.select(*cols))
+        for aux in aux_parts:
+            aux = (
+                aux.withColumn("df", F.lit(None).cast("int"))
+                .withColumn("ttf", F.lit(None).cast("long"))
+                .withColumn("blob", F.lit(None).cast("binary"))
                 .withColumn("pos_blob", F.lit(None).cast("binary"))
                 .withColumn("block_last", F.lit(None).cast("array<long>"))
                 .withColumn("imp_block", F.lit(None).cast("array<int>"))
                 .withColumn("imp_freq", F.lit(None).cast("array<int>"))
                 .withColumn("imp_norm", F.lit(None).cast("array<int>"))
             )
-            grouped_src = hot_rows.select(*cols).unionByName(pad.select(*cols))
+            parts.append(aux.select(*cols))
+        grouped_src = parts[0]
+        for p in parts[1:]:
+            grouped_src = grouped_src.unionByName(p)
         result = grouped_src.groupBy("chunk_id").applyInPandas(
             score_chunk, schema="chunk_id long, doc_id long, score float, n_matched long"
         ).persist()
@@ -456,6 +554,26 @@ def _has_phrase(spec) -> bool:
     if isinstance(spec, tuple) and spec and spec[0] == "const":
         return _has_phrase(spec[1])
     return False
+
+
+def _collect_predspecs(spec) -> list:
+    """All PredSpec nodes (lazy field-filter doc sets) in the tree."""
+    from lucene_spark.search.kernels import DisMaxSpec, PredSpec
+
+    if isinstance(spec, PredSpec):
+        return [spec]
+    if isinstance(spec, BoolSpec):
+        return [
+            d
+            for g in (spec.musts, spec.shoulds, spec.filters, spec.nots)
+            for s in g
+            for d in _collect_predspecs(s)
+        ]
+    if isinstance(spec, DisMaxSpec):
+        return [d for s in spec.subs for d in _collect_predspecs(s)]
+    if isinstance(spec, tuple) and spec and spec[0] == "const":
+        return _collect_predspecs(spec[1])
+    return []
 
 
 def _collect_docsets(spec) -> list:

@@ -80,6 +80,17 @@ class DocSetSpec:
 
 
 @dataclass(frozen=True)
+class PredSpec:
+    """Constant-score membership in a LAZY doc set (docs-table
+    predicate). The ids never exist on the driver: the chunk context
+    carries this chunk's slice under ``key`` (ctx.docsets), delivered
+    by a pushed-down scan grouped by doc-range chunk."""
+
+    key: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DisMaxSpec:
     subs: tuple
     tie: float
@@ -139,6 +150,8 @@ def compile_query(q: A.Query, stats: BM25Stats, term_df: dict[str, int], boost: 
         return ConstSpec(terms, float(b32)) if terms else NoneSpec()
     if isinstance(q, A.DocSetQuery):
         return DocSetSpec(q.doc_ids, float(b32)) if q.doc_ids else NoneSpec()
+    if isinstance(q, A.PredDocSetQuery):
+        return PredSpec(q.key, float(b32))
     if isinstance(q, A.PhraseQuery):
         if any(not term_df.get(t) for t in q.terms):
             return NoneSpec()
@@ -230,6 +243,7 @@ class ChunkContext:
         all_docs: np.ndarray | None = None,
         positions: dict[str, list] | None = None,
         doc_range: tuple[int, int] | None = None,
+        docsets: dict | None = None,
     ):
         self.arrays = arrays
         self.cache = cache
@@ -239,6 +253,9 @@ class ChunkContext:
         # DocSetSpecs slice to it so chunk-parallel evaluation never
         # emits the same doc from two chunks.
         self.doc_range = doc_range
+        # PredSpec key → this context's doc-id slice (chunk-local in
+        # distributed mode; whole set in driver mode)
+        self.docsets = docsets or {}
 
     def term(self, t: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return self.arrays.get(t, (EMPTY_I, EMPTY_I, EMPTY_I))
@@ -274,6 +291,10 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
         if ctx.doc_range is not None:
             lo, hi = ctx.doc_range
             d = d[np.searchsorted(d, lo) : np.searchsorted(d, hi)]
+        return d, np.full(len(d), np.float32(spec.boost), dtype=np.float32)
+    if isinstance(spec, PredSpec):
+        d = ctx.docsets.get(spec.key)
+        d = EMPTY_I if d is None else np.asarray(d, dtype=np.int64)
         return d, np.full(len(d), np.float32(spec.boost), dtype=np.float32)
     if isinstance(spec, ConstSpec):
         parts = [ctx.term(t)[0] for t in spec.terms]
