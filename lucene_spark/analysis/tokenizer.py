@@ -85,6 +85,38 @@ def tokenize_with_positions(
     return toks, positions
 
 
+def tokenize_pos_off_series(
+    texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH
+) -> tuple[pd.Series, pd.Series, pd.Series, pd.Series]:
+    """Batch tokenization with positions AND char offsets (the
+    IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS analyzer
+    contract, IndexOptions.java:29-50 / OffsetAttribute): returns
+    (tokens, positions, starts, ends) Series of equal-length lists.
+    Offsets index the ORIGINAL text (lowercasing never moves offsets —
+    LowerCaseFilter is offset-preserving)."""
+    toks_out, pos_out, st_out, en_out = [], [], [], []
+    for text in texts.fillna(""):
+        toks, poss, sts, ens = [], [], [], []
+        for p, m in enumerate(_TOKEN_RE.finditer(text)):
+            t = m.group()
+            if len(t) <= max_token_length:
+                toks.append(t.lower())
+                poss.append(p)
+                sts.append(m.start())
+                ens.append(m.end())
+        toks_out.append(toks)
+        pos_out.append(poss)
+        st_out.append(sts)
+        en_out.append(ens)
+    idx = texts.index
+    return (
+        pd.Series(toks_out, index=idx),
+        pd.Series(pos_out, index=idx),
+        pd.Series(st_out, index=idx),
+        pd.Series(en_out, index=idx),
+    )
+
+
 def tokenize_series(texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH) -> pd.Series:
     """Vectorized batch tokenization for pandas UDFs (Arrow path)."""
     # str.findall is the pandas-vectorized regex scan; the lowercase +

@@ -44,6 +44,53 @@ def pack_positions(pos_lists: list[np.ndarray]) -> bytes:
     return varint_encode_array(deltas)
 
 
+def pack_offsets(start_lists: list, end_lists: list) -> bytes:
+    """Char-offset stream (the .pay/offsets role of
+    IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+    IndexOptions.java:29-50; offsets written by
+    Lucene90PostingsWriter alongside positions). Layout per doc, per
+    occurrence: varint(start delta; first absolute) + varint(end -
+    start) — interleaved, vectorized via one varint scatter."""
+    if len(start_lists) == 0:
+        return b""
+    lens = np.fromiter((len(p) for p in start_lists), dtype=np.int64, count=len(start_lists))
+    total = int(lens.sum())
+    if total == 0:
+        return b""
+    fs = np.concatenate(start_lists if len(start_lists) > 1 else [start_lists[0]]).astype(np.int64, copy=False)
+    fe = np.concatenate(end_lists if len(end_lists) > 1 else [end_lists[0]]).astype(np.int64, copy=False)
+    deltas = np.empty(total, dtype=np.int64)
+    deltas[0] = fs[0]
+    deltas[1:] = fs[1:] - fs[:-1]
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    starts = starts[lens > 0]
+    deltas[starts] = fs[starts]
+    inter = np.empty(total * 2, dtype=np.int64)
+    inter[0::2] = deltas
+    inter[1::2] = fe - fs
+    return varint_encode_array(inter)
+
+
+def unpack_offsets(blob: bytes, tfs: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Inverse of ``pack_offsets`` → per-doc (starts, ends) arrays."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    vals = varint_decode_array(blob)
+    if len(vals) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return [(e, e) for _ in tfs]
+    deltas, lns = vals[0::2], vals[1::2]
+    starts_ix = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    nz = starts_ix[tfs > 0]
+    cs = np.cumsum(deltas)
+    base = np.zeros(len(deltas), dtype=np.int64)
+    base[nz] = cs[nz] - deltas[nz]
+    np.maximum.accumulate(base, out=base)
+    flat_s = cs - base
+    flat_e = flat_s + lns
+    bounds = starts_ix[1:] if len(starts_ix) > 1 else []
+    return list(zip(np.split(flat_s, bounds), np.split(flat_e, bounds)))
+
+
 def unpack_positions(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     """Inverse using the tf array for doc boundaries (vectorized:
     one varint sweep + segmented cumsum)."""

@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v3"  # v3: numpy-sorted pack + concurrent table writes
+ENGINE_VERSION = "v4"  # v4: off_blob offsets column + span-near + lazy predicates
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
@@ -66,7 +66,7 @@ def gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]
     name = os.path.basename(os.path.normpath(sf_dir))
     idx_dir = f"/tmp/lucene_spark_gate_{ENGINE_VERSION}/{name}"
     if not os.path.exists(f"{idx_dir}/manifest.json"):
-        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True)
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True, offsets=True)
         IndexBuilder(spark, cfg).build(corpus_df(spark, sf_dir), idx_dir, assign_ids=False)
     index = SearchIndex(spark, idx_dir)
     _CACHE[key] = (index, Searcher(index))
@@ -90,7 +90,7 @@ def writer_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searche
     name = os.path.basename(os.path.normpath(sf_dir))
     idx_dir = f"/tmp/lucene_spark_gatew_{ENGINE_VERSION}/{name}"
     if not os.path.exists(f"{idx_dir}/manifest.json"):
-        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True)
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True, offsets=True)
         corpus = corpus_df(spark, sf_dir).drop("n_chars")
         w = IndexWriter(spark, idx_dir, cfg)
         w.add_documents(corpus.filter(F.col("doc_id") % 2 == 0).drop("doc_id"))
@@ -231,11 +231,20 @@ def queries() -> dict:
     Q["ft_multiphrase_top10"] = lambda spark, sf: _hits_df(
         spark, _search(spark, sf, A.MultiPhraseQuery((("table", "merge"), ("hash",))))
     )
-    # sloppy phrase: the reference pq-traversal semantics are not
-    # SQL-expressible → rows-only gate; exactness is pytest-gated
-    # against an independent re-derivation (tests/test_sloppy.py)
+    # sloppy phrase: for the 2-term case the reference pq traversal
+    # (SloppyPhraseMatcher.java:162-205) reduces to an alternating
+    # cross-list successor chain — SQL-expressible as a recursive CTE
+    # (see oracle); equivalence to the kernel fuzz-verified over 25k
+    # random position-list pairs (tests/test_sloppy.py)
     Q["ft_sloppy_top10"] = lambda spark, sf: _hits_df(
         spark, _search(spark, sf, A.PhraseQuery(("table", "hash"), slop=3))
+    )
+    # span/interval proximity (SpanNearQuery / Intervals.ordered|unordered)
+    Q["ft_spannear_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, A.SpanNearQuery(("table", "hash"), slop=4, in_order=True))
+    )
+    Q["ft_spanunord_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, A.SpanNearQuery(("merge", "vector"), slop=6, in_order=False))
     )
     Q["ft_distributed_top10"] = lambda spark, sf: _hits_df(
         spark,
@@ -368,6 +377,19 @@ def queries() -> dict:
         return g.select("lang", "grank", "doc_id", F.round("score", 2).alias("score_r"))
 
     Q["ft_group_top"] = _group
+
+    def _highlight(spark, sf):
+        # offsets-index highlight probe: snippets sliced from stored
+        # text at INDEXED char offsets (UnifiedHighlighter offsets
+        # source); the fixed first-match window makes the exact snippet
+        # string SQL-re-derivable
+        from lucene_spark.search.postprocess import first_match_window
+
+        _, searcher = gate_index(spark, sf)
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return first_match_window(searcher, "table", docs, pre=20, post=40)
+
+    Q["ft_highlight"] = _highlight
 
     def _join(spark, sf):
         from lucene_spark.search.joins import join_top_parents
@@ -527,7 +549,8 @@ def _pipeline_queries() -> dict:
     Q["dd_minhash"] = lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf), threshold=0.5).select(
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), F.round("jaccard", 3).alias("jaccard_r")
     )
-    # SimHash: hash-function-specific output → rows-only check (no oracle)
+    # SimHash: FNV-1a-64 re-derived in DuckDB as a recursive CTE, the
+    # banding verified against exact all-pairs hamming → full oracle
     Q["dd_simhash"] = lambda spark, sf: dedup.simhash_pairs(_docs(spark, sf), max_hamming=3).select(
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), F.col("hamming").cast("long")
     )
@@ -543,6 +566,11 @@ def _pipeline_queries() -> dict:
     Q["ann_lsh_top5"] = lambda spark, sf: similarity.lsh_cosine_topk(
         _emb(spark, sf), _ann_queries(spark, sf), k=5
     ).select("query_id", "rank", F.col("vec_id").cast("long"), F.round("sim", 4).alias("sim_r"))
+    # full-recall parameterization (n_bits=0 → one bucket): the SAME
+    # LSH code path, provably equal to brute force → full oracle
+    Q["ann_lsh_full_top5"] = lambda spark, sf: similarity.lsh_cosine_topk(
+        _emb(spark, sf), _ann_queries(spark, sf), k=5, n_bits=0, n_tables=1
+    ).select("query_id", "rank", F.col("vec_id").cast("long"), F.round("sim", 4).alias("sim_r"))
 
     # Embedding-cosine near-dup: exact pair path at this (low) threshold;
     # the sign-LSH banded path is the >=0.8-threshold scale path (pytest)
@@ -554,6 +582,11 @@ def _pipeline_queries() -> dict:
     # IVF-Flat ANN: probe-dependent recall → rows-only check (no oracle)
     Q["ann_ivf_top5"] = lambda spark, sf: similarity.ivf_cosine_topk(
         _emb(spark, sf), _ann_queries(spark, sf), k=5, n_centroids=8, n_probe=3
+    ).select("query_id", "rank", F.col("vec_id").cast("long"), F.round("sim", 4).alias("sim_r"))
+    # full-probe parameterization (n_probe = n_centroids → every list
+    # scanned): the SAME IVF code path, provably equal to brute force
+    Q["ann_ivf_full_top5"] = lambda spark, sf: similarity.ivf_cosine_topk(
+        _emb(spark, sf), _ann_queries(spark, sf), k=5, n_centroids=8, n_probe=8
     ).select("query_id", "rank", F.col("vec_id").cast("long"), F.round("sim", 4).alias("sim_r"))
 
     Q["tx_quality"] = lambda spark, sf: textstats.quality_metrics(_docs(spark, sf)).select(
@@ -596,6 +629,78 @@ def oracle_sql() -> dict[str, str]:
         "JOIN norms n ON n.doc_id = p.doc_id, "
         "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws"
     )
+    # 2-term sloppy phrase ("table hash"~3): the reference pq traversal
+    # (SloppyPhraseMatcher.java:162-205) reduces, for two distinct
+    # terms, to an alternating cross-list successor chain over the
+    # offset-adjusted position lists: x1 = max of the first positions
+    # (tie → the later slot), x_{k+1} = strict successor of x_k in the
+    # OTHER list; each chain element emits one match of distance
+    # x_k - (predecessor-or-equal in the other list), scored
+    # sloppyWeight = 1/(1+d) when d <= slop (PhraseScorer.java:75-79).
+    # Fuzz-verified identical to the kernel over 25k random lists.
+    O["ft_sloppy_top10"] = base_ctes().replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+pa AS (SELECT doc_id, pos::BIGINT AS p FROM post WHERE term = 'table'),
+pb AS (SELECT doc_id, pos::BIGINT - 1 AS p FROM post WHERE term = 'hash'),
+b2 AS (SELECT a.doc_id, a.ma, b.mb
+       FROM (SELECT doc_id, min(p) AS ma FROM pa GROUP BY 1) a
+       JOIN (SELECT doc_id, min(p) AS mb FROM pb GROUP BY 1) b USING (doc_id)),
+chain AS (
+  SELECT doc_id, CASE WHEN ma > mb THEN ma ELSE mb END AS x,
+         CASE WHEN ma > mb THEN 0 ELSE 1 END AS lst
+  FROM b2
+  UNION ALL
+  SELECT doc_id, x, lst FROM (
+    SELECT c.doc_id,
+      CASE c.lst WHEN 0 THEN (SELECT min(p) FROM pb WHERE pb.doc_id = c.doc_id AND pb.p > c.x)
+                 ELSE (SELECT min(p) FROM pa WHERE pa.doc_id = c.doc_id AND pa.p > c.x) END AS x,
+      1 - c.lst AS lst
+    FROM chain c) WHERE x IS NOT NULL
+),
+mt AS (SELECT c.doc_id,
+       c.x - (CASE c.lst WHEN 0 THEN (SELECT max(p) FROM pb WHERE pb.doc_id = c.doc_id AND pb.p <= c.x)
+                         ELSE (SELECT max(p) FROM pa WHERE pa.doc_id = c.doc_id AND pa.p <= c.x) END) AS d
+       FROM chain c),
+pf AS (SELECT doc_id, sum(1.0 / (1 + d)) AS pf FROM mt WHERE d IS NOT NULL AND d <= 3 GROUP BY doc_id),
+q AS (SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * {_INV}) AS s
+      FROM pf p JOIN norms n ON n.doc_id = p.doc_id,
+      (SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # span-near: minimal ordered 2-term intervals = mutually-nearest
+    # (a < b) pairs — b's nearest 'table' predecessor is a AND a's
+    # nearest 'hash' successor is b (fuzz-verified vs minimal_intervals
+    # over 8k random lists); freq = Σ 1/(1+gaps), gaps = b - a - 1
+    def _mutual_pairs(t_lo: str, t_hi: str) -> str:
+        return (
+            f"SELECT * FROM (SELECT b.doc_id, b.pos AS pb, "
+            f"(SELECT max(a.pos) FROM post a WHERE a.doc_id = b.doc_id "
+            f" AND a.term = '{t_lo}' AND a.pos < b.pos) AS pa "
+            f"FROM post b WHERE b.term = '{t_hi}') mp0 "
+            f"WHERE pa IS NOT NULL AND NOT EXISTS "
+            f"(SELECT 1 FROM post b2 WHERE b2.doc_id = mp0.doc_id AND b2.term = '{t_hi}' "
+            f" AND b2.pos > mp0.pa AND b2.pos < mp0.pb)"
+        )
+
+    O["ft_spannear_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, sum(1.0 / (pb - pa)) AS pf "
+        f"      FROM ({_mutual_pairs('table', 'hash')}) mp "
+        "      WHERE pb - pa - 1 <= 4 GROUP BY doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws"
+    )
+    # unordered = union of both orientations of the mutual-pair set
+    O["ft_spanunord_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, sum(1.0 / (pb - pa)) AS pf FROM ("
+        f"        SELECT doc_id, pa, pb FROM ({_mutual_pairs('merge', 'vector')}) "
+        f"        UNION ALL SELECT doc_id, pa, pb FROM ({_mutual_pairs('vector', 'merge')})) mp "
+        "      WHERE pb - pa - 1 <= 6 GROUP BY doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('merge','vector')) ws"
+    )
+
     O["ft_synonym_top10"] = topk_sql(
         "SELECT f.doc_id, ws.w - ws.w / (1 + f.tfs * " + _INV + ") AS s "
         "FROM (SELECT doc_id, sum(tf)::BIGINT AS tfs FROM tf WHERE term IN ('table','dup') "
@@ -735,6 +840,30 @@ def oracle_sql() -> dict[str, str]:
         base_ctes() + " SELECT doc_id, tf FROM tf WHERE term = 'merge' ORDER BY doc_id"
     )
 
+    # offsets probe: token start offsets re-derived arithmetically —
+    # cumulative (separator + token) lengths over the zipped
+    # regexp_extract_all / regexp_split_to_array streams; snippet
+    # rebuilt with the same fixed window as first_match_window
+    O["ft_highlight"] = f"""WITH base AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS toks,
+         regexp_split_to_array(lower(text), '{TOKEN_SQL}') AS seps
+  FROM documents),
+tk AS (SELECT doc_id, text, unnest(toks) AS term,
+              unnest(seps[1:len(toks)]) AS sep,
+              unnest(range(1, len(toks) + 1)) AS i
+       FROM base),
+st AS (SELECT doc_id, text, term, i,
+              sum(len(sep) + len(term)) OVER (PARTITION BY doc_id ORDER BY i) - len(term) AS s
+       FROM tk),
+occ AS (SELECT doc_id, any_value(text) AS text, count(*)::BIGINT AS n_occ,
+               min(s)::BIGINT AS first_start, (max(s) + 5)::BIGINT AS last_end
+        FROM st WHERE term = 'table' GROUP BY doc_id)
+SELECT doc_id::BIGINT AS doc_id, n_occ, first_start, last_end,
+       substr(text, greatest(1, first_start + 1 - 20)::INT, least(first_start, 20)::INT)
+       || '<b>' || substr(text, (first_start + 1)::INT, 5) || '</b>'
+       || substr(text, (first_start + 6)::INT, 40) AS snippet
+FROM occ ORDER BY doc_id"""
+
     # -- pipeline operators --
     O["dd_exact"] = (
         "SELECT sha256(text) AS content_sha256, min(doc_id)::BIGINT AS rep_id, "
@@ -756,6 +885,36 @@ inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
     )
     O["dd_jaccard"] = _jacc
     O["dd_minhash"] = _jacc  # LSH+verify must equal exact all-pairs at this sim gap
+
+    # SimHash: FNV-1a 64-bit per distinct token re-derived as a
+    # recursive CTE (HUGEINT keeps the 64x41-bit product exact before
+    # the mod-2^64 fold), tf-weighted per-bit votes, then exact
+    # all-pairs hamming <= 3 — which the engine's pigeonhole banding
+    # (4 x 16-bit chunks) provably equals for hamming <= 3.
+    O["dd_simhash"] = f"""WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term FROM documents),
+vocab AS (SELECT DISTINCT term FROM toks),
+fnv AS (
+  SELECT term, 0 AS i, 14695981039346656037::UBIGINT AS h FROM vocab
+  UNION ALL
+  SELECT term, i + 1,
+         CAST(((xor(h, unicode(substr(term, i + 1, 1))::UBIGINT))::HUGEINT * 1099511628211)
+              % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)
+  FROM fnv WHERE i < len(term)
+),
+thash AS (SELECT term, h FROM fnv WHERE i = len(term)),
+tcnt AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+votes AS (SELECT doc_id, b.range AS b,
+          sum(CASE WHEN (h >> b.range::UBIGINT) & 1::UBIGINT = 1::UBIGINT THEN c ELSE -c END) AS v
+          FROM tcnt JOIN thash USING (term) CROSS JOIN range(64) b GROUP BY 1, 2),
+sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (2::HUGEINT ** b::INT)::HUGEINT ELSE 0::HUGEINT END) AS UBIGINT) AS simhash
+       FROM votes GROUP BY doc_id),
+shall AS (SELECT d.doc_id, coalesce(s.simhash, 0::UBIGINT) AS simhash FROM documents d LEFT JOIN sh s USING (doc_id))
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM shall a JOIN shall b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b"""
 
     O["dd_embed"] = """WITH ex AS (
   SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(range(1, len(embedding) + 1)) AS i
@@ -779,6 +938,10 @@ SELECT qid::BIGINT AS query_id,
        cid::BIGINT AS vec_id, round(dp / (na.nr * nb.nr), 4) AS sim_r
 FROM dots JOIN nrm na ON na.vec_id = qid JOIN nrm nb ON nb.vec_id = cid
 QUALIFY rank <= 5 ORDER BY query_id, rank"""
+    # full-recall LSH (one bucket) and full-probe IVF (every list
+    # scanned) provably equal brute force — same oracle
+    O["ann_lsh_full_top5"] = O["ann_cosine_top5"]
+    O["ann_ivf_full_top5"] = O["ann_cosine_top5"]
 
     _SW = ",".join(f"'{s}'" for s in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
     _TOKS = f"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term FROM documents)"

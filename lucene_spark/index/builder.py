@@ -80,6 +80,11 @@ class IndexConfig:
     # DOCS_AND_FREQS_AND_POSITIONS (TextField default, IndexOptions.java:29-50);
     # False = DOCS_AND_FREQS (no phrase queries, smaller index).
     positions: bool = True
+    # DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS: also store char offsets
+    # per occurrence (the UnifiedHighlighter's offsets source;
+    # IndexOptions.java:44-50). Opt-in like the reference — costs ~2
+    # varints per posting occurrence.
+    offsets: bool = False
 
 
 _POSTINGS_SCHEMA = StructType(
@@ -90,6 +95,7 @@ _POSTINGS_SCHEMA = StructType(
         StructField("ttf", LongType()),
         StructField("blob", BinaryType()),
         StructField("pos_blob", BinaryType()),
+        StructField("off_blob", BinaryType()),
         StructField("block_last", ArrayType(LongType())),
         StructField("imp_block", ArrayType(IntegerType())),
         StructField("imp_freq", ArrayType(IntegerType())),
@@ -168,6 +174,29 @@ def _tokenize_pos_udf():
     return _tok
 
 
+def _tokenize_pos_off_udf():
+    """Tokens + positions + char offsets (OffsetAttribute contract)."""
+    from pyspark.sql.functions import pandas_udf
+
+    schema = StructType(
+        [
+            StructField("tokens", ArrayType(StringType())),
+            StructField("positions", ArrayType(IntegerType())),
+            StructField("starts", ArrayType(IntegerType())),
+            StructField("ends", ArrayType(IntegerType())),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _tok(content: pd.Series) -> pd.DataFrame:
+        from lucene_spark.analysis.tokenizer import tokenize_pos_off_series
+
+        toks, poss, sts, ens = tokenize_pos_off_series(content)
+        return pd.DataFrame({"tokens": toks, "positions": poss, "starts": sts, "ends": ens})
+
+    return _tok
+
+
 def _norm_udf():
     from pyspark.sql.functions import pandas_udf
 
@@ -179,13 +208,15 @@ def _norm_udf():
 
 
 def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: sorted (doc,tf,norm[,positions]) arrays →
-    packed doc/freq/norm blob + separate position blob + block skip
-    data + competitive impacts. Vectorized per posting list."""
-    from lucene_spark.codec.positions import pack_positions
+    """mapInPandas kernel: sorted (doc,tf,norm[,positions[,offsets]])
+    arrays → packed doc/freq/norm blob + separate position/offset blobs
+    + block skip data + competitive impacts. Vectorized per posting
+    list."""
+    from lucene_spark.codec.positions import pack_offsets, pack_positions
 
     for pdf in batches:
         has_pos = "poss" in pdf.columns
+        has_off = "sts" in pdf.columns
         rows = []
         for i in range(len(pdf)):
             term = pdf["term"].iloc[i]
@@ -194,15 +225,19 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             t = np.asarray(pdf["tfs"].iloc[i], dtype=np.int64)
             nm = np.asarray(pdf["norms"].iloc[i], dtype=np.int64)
             poss = pdf["poss"].iloc[i] if has_pos else None
+            sts = pdf["sts"].iloc[i] if has_off else None
+            ens = pdf["ens"].iloc[i] if has_off else None
             if len(d) > 1 and not (np.diff(d) > 0).all():
                 order = np.argsort(d, kind="stable")
                 d, t, nm = d[order], t[order], nm[order]
                 if poss is not None:
                     poss = [poss[j] for j in order]
+                if sts is not None:
+                    sts = [sts[j] for j in order]
+                    ens = [ens[j] for j in order]
             blob, block_last = pack_postings(d, t, nm)
-            pos_blob = None
-            if has_pos:
-                pos_blob = pack_positions(poss)
+            pos_blob = pack_positions(poss) if has_pos else None
+            off_blob = pack_offsets(sts, ens) if has_off else None
             ib, if_, in_ = competitive_impacts_flat(t, nm, BLOCK_SIZE)
             rows.append(
                 (
@@ -212,6 +247,7 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     int(t.sum()),
                     blob,
                     pos_blob,
+                    off_blob,
                     block_last.tolist(),
                     ib.tolist(),
                     if_.tolist(),
@@ -227,6 +263,7 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "ttf",
                 "blob",
                 "pos_blob",
+                "off_blob",
                 "block_last",
                 "imp_block",
                 "imp_freq",
@@ -243,9 +280,19 @@ class IndexBuilder:
     # ---- stages ----------------------------------------------------------
 
     def tokenized(self, corpus: DataFrame) -> DataFrame:
-        """corpus (+doc_id) → + tokens [, positions], dl, norm."""
+        """corpus (+doc_id) → + tokens [, positions [, offsets]], dl, norm."""
         norm = _norm_udf()
-        if self.config.positions:
+        if self.config.offsets:
+            tok = _tokenize_pos_off_udf()
+            out = (
+                corpus.withColumn("_tp", tok(F.col(self.config.field)))
+                .withColumn("tokens", F.col("_tp.tokens"))
+                .withColumn("positions", F.col("_tp.positions"))
+                .withColumn("starts", F.col("_tp.starts"))
+                .withColumn("ends", F.col("_tp.ends"))
+                .drop("_tp")
+            )
+        elif self.config.positions:
             tok = _tokenize_pos_udf()
             out = (
                 corpus.withColumn("_tp", tok(F.col(self.config.field)))
@@ -268,6 +315,37 @@ class IndexBuilder:
         # run TWICE per row (two ArrowEvalPython nodes; caught by
         # scripts/explain_audit.py). outer + null-filter keeps one UDF
         # evaluation; the null filter is JVM-side on exploded rows.
+        if self.config.offsets:
+            return (
+                tokenized.select(
+                    "doc_id",
+                    "norm",
+                    F.explode_outer(F.arrays_zip("tokens", "positions", "starts", "ends")).alias("tp"),
+                )
+                .select(
+                    "doc_id",
+                    "norm",
+                    F.col("tp.tokens").alias("term"),
+                    F.col("tp.positions").alias("pos"),
+                    F.col("tp.starts").alias("st"),
+                    F.col("tp.ends").alias("en"),
+                )
+                .filter(F.col("term").isNotNull())
+                .groupBy("term", "doc_id", "norm")
+                .agg(
+                    F.count("*").alias("tf"),
+                    F.sort_array(F.collect_list(F.struct("pos", "st", "en"))).alias("occ"),
+                )
+                .select(
+                    "term",
+                    "doc_id",
+                    "norm",
+                    "tf",
+                    F.expr("transform(occ, x -> x.pos)").alias("poss"),
+                    F.expr("transform(occ, x -> x.st)").alias("sts"),
+                    F.expr("transform(occ, x -> x.en)").alias("ens"),
+                )
+            )
         if self.config.positions:
             return (
                 tokenized.select(
@@ -304,8 +382,11 @@ class IndexBuilder:
             "chunk_id",
             F.when(F.col("_hot").isNotNull(), (F.col("doc_id") / dpc).cast("long")).otherwise(F.lit(0)),
         )
-        has_pos = self.config.positions
-        struct_cols = ["doc_id", "tf", "norm"] + (["poss"] if has_pos else [])
+        has_pos = self.config.positions or self.config.offsets
+        has_off = self.config.offsets
+        struct_cols = ["doc_id", "tf", "norm"] + (["poss"] if has_pos else []) + (
+            ["sts", "ens"] if has_off else []
+        )
         sel = [
             "term",
             "chunk_id",
@@ -315,6 +396,9 @@ class IndexBuilder:
         ]
         if has_pos:
             sel.append(F.expr("transform(plist, x -> x.poss)").alias("poss"))
+        if has_off:
+            sel.append(F.expr("transform(plist, x -> x.sts)").alias("sts"))
+            sel.append(F.expr("transform(plist, x -> x.ens)").alias("ens"))
         # plain collect_list + numpy argsort in the pack kernel: sorting
         # structs that carry nested position arrays is much cheaper as a
         # vectorized argsort + fancy-index over Arrow columns than as a

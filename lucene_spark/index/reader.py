@@ -35,6 +35,7 @@ class PostingList:
     tfs: np.ndarray
     norms: np.ndarray
     positions: list | None = None  # per-doc position arrays (aligned with docs)
+    offsets: list | None = None  # per-doc (starts, ends) arrays (aligned with docs)
 
 
 MAX_CACHED_TERMS = 4096  # LRUQueryCache.java:86 role (per-reader cache)
@@ -197,20 +198,22 @@ class SearchIndex:
                     out[t] = rs
         return out
 
-    def collect_postings(self, terms: list[str], with_positions: bool = False) -> dict[str, PostingList]:
+    def collect_postings(
+        self, terms: list[str], with_positions: bool = False, with_offsets: bool = False
+    ) -> dict[str, PostingList]:
         """Driver-mode read: decode and concatenate all chunks per term
         (chunk rows are doc-range ordered by chunk_id)."""
-        return self.postings_from_rows(self.collect_rows(terms), with_positions)
+        return self.postings_from_rows(self.collect_rows(terms), with_positions, with_offsets)
 
     def postings_from_rows(
-        self, by_term: dict[str, list], with_positions: bool = False
+        self, by_term: dict[str, list], with_positions: bool = False, with_offsets: bool = False
     ) -> dict[str, PostingList]:
         """Decode already-collected chunk rows (no Spark job)."""
-        from lucene_spark.codec.positions import unpack_positions
+        from lucene_spark.codec.positions import unpack_offsets, unpack_positions
 
         out: dict[str, PostingList] = {}
         for term, rs in by_term.items():
-            dkey = (term, with_positions)
+            dkey = (term, with_positions, with_offsets)
             hit = self._decoded_cache.get(dkey)
             if hit is not None:
                 self._decoded_cache.move_to_end(dkey)
@@ -227,12 +230,26 @@ class SearchIndex:
                     if r["pos_blob"] is None:
                         raise ValueError(f"index has no positions for term {term!r} (built with positions=False)")
                     positions.extend(unpack_positions(bytes(r["pos_blob"]), p[1]))
+            offsets = None
+            if with_offsets:
+                offsets = []
+                for r, p in zip(rs, parts):
+                    ob = r["off_blob"] if "off_blob" in r.__fields__ else None
+                    if ob is None:
+                        raise ValueError(
+                            f"index has no offsets for term {term!r} (built with offsets=False)"
+                        )
+                    offsets.extend(unpack_offsets(bytes(ob), p[1]))
             if not (len(docs) < 2 or (np.diff(docs) > 0).all()):
                 order = np.argsort(docs, kind="stable")
                 docs, tfs, norms = docs[order], tfs[order], norms[order]
                 if positions is not None:
                     positions = [positions[i] for i in order]
-            out[term] = PostingList(term, -1, len(docs), docs, tfs, norms.astype(np.int64), positions)
+                if offsets is not None:
+                    offsets = [offsets[i] for i in order]
+            out[term] = PostingList(
+                term, -1, len(docs), docs, tfs, norms.astype(np.int64), positions, offsets
+            )
             self._decoded_cache[dkey] = out[term]
             while len(self._decoded_cache) > MAX_CACHED_TERMS:
                 self._decoded_cache.popitem(last=False)

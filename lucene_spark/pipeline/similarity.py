@@ -85,7 +85,9 @@ def _signature_udf(planes: np.ndarray):
     def _sig(vecs: pd.Series) -> pd.Series:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         bits = (m @ pt) >= 0
-        return pd.Series(bits @ weights)
+        # int64 even for n_bits == 0 (the full-recall single-bucket
+        # parameterization that makes LSH provably equal brute force)
+        return pd.Series((bits @ weights).astype(np.int64))
 
     return _sig
 

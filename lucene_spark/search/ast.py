@@ -143,6 +143,26 @@ class DocSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Proximity query over term spans — the SpanNearQuery /
+    Intervals.ordered|unordered role
+    (lucene/queries/src/java/org/apache/lucene/queries/spans/SpanNearQuery.java:42,
+    lucene/queries/src/java/org/apache/lucene/queries/intervals/Intervals.java).
+
+    Implemented subset: single-term clauses, minimal-interval matching
+    (an interval is a match iff it contains one occurrence of every
+    term, respects order when ``in_order``, no matching interval nests
+    inside it, and its gap count ``width - n_terms <= slop``). Scoring
+    follows SpanScorer's sloppy accumulation: freq = Σ 1/(1 + gaps)
+    over minimal matches, fed to BM25 with the summed-idf weight."""
+
+    terms: tuple[str, ...]
+    slop: int = 0
+    in_order: bool = True
+    field: str = "content"
+
+
+@dataclass(frozen=True)
 class PredDocSetQuery(Query):
     """UNRESOLVED doc-set: a docs-table predicate identified by ``key``
     (internal: produced by the Searcher in distributed mode instead of
@@ -286,6 +306,11 @@ def _rewrite_once(q: Query) -> Query:
         return MatchNoDocsQuery("empty doc set")
     if isinstance(q, PhraseQuery) and len(q.terms) == 1:
         return TermQuery(q.terms[0], q.field)
+    if isinstance(q, SpanNearQuery):
+        if not q.terms:
+            return MatchNoDocsQuery("empty SpanNear")
+        if len(q.terms) == 1:
+            return TermQuery(q.terms[0], q.field)
     if isinstance(q, MultiPhraseQuery):
         if not q.positions or any(not slot for slot in q.positions):
             return MatchNoDocsQuery("empty MultiPhrase slot")
@@ -304,7 +329,7 @@ def extract_terms(q: Query) -> set[str]:
         return set(q.terms)
     if isinstance(q, MultiPhraseQuery):
         return {t for slot in q.positions for t in slot}
-    if isinstance(q, (SynonymQuery, TermInSetQuery)):
+    if isinstance(q, (SynonymQuery, TermInSetQuery, SpanNearQuery)):
         return set(q.terms)
     if isinstance(q, BooleanQuery):
         return set().union(*(extract_terms(s) for _, s in q.clauses)) if q.clauses else set()

@@ -543,9 +543,9 @@ class Searcher:
 
 
 def _has_phrase(spec) -> bool:
-    from lucene_spark.search.kernels import DisMaxSpec, MultiPhraseSpec, PhraseSpec
+    from lucene_spark.search.kernels import DisMaxSpec, MultiPhraseSpec, PhraseSpec, SpanNearSpec
 
-    if isinstance(spec, (PhraseSpec, MultiPhraseSpec)):
+    if isinstance(spec, (PhraseSpec, MultiPhraseSpec, SpanNearSpec)):
         return True
     if isinstance(spec, BoolSpec):
         return any(_has_phrase(s) for g in (spec.musts, spec.shoulds, spec.filters, spec.nots) for s in g)

@@ -104,6 +104,19 @@ class PhraseSpec:
 
 
 @dataclass(frozen=True)
+class SpanNearSpec:
+    """Span/interval proximity (SpanNearQuery.java:42, Intervals.java):
+    minimal intervals containing all terms (ordered or not) with
+    gap count <= slop; freq = Σ 1/(1+gaps) per SpanScorer's sloppy
+    accumulation."""
+
+    terms: tuple[str, ...]
+    weight: float
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass(frozen=True)
 class MultiPhraseSpec:
     """Alternatives per slot (MultiPhraseQuery.java); weight = summed
     idf over ALL distinct terms, like PhraseWeight over the union."""
@@ -157,6 +170,11 @@ def compile_query(q: A.Query, stats: BM25Stats, term_df: dict[str, int], boost: 
             return NoneSpec()
         total = float(np.sum([float(idf(term_df[t], stats.doc_count)) for t in q.terms]))
         return PhraseSpec(q.terms, float(np.float32(b32 * np.float32(total))), q.slop)
+    if isinstance(q, A.SpanNearQuery):
+        if any(not term_df.get(t) for t in q.terms):
+            return NoneSpec()
+        total = float(np.sum([float(idf(term_df[t], stats.doc_count)) for t in q.terms]))
+        return SpanNearSpec(q.terms, float(np.float32(b32 * np.float32(total))), q.slop, q.in_order)
     if isinstance(q, A.MultiPhraseQuery):
         slots = tuple(tuple(t for t in slot if term_df.get(t)) for slot in q.positions)
         if any(not s for s in slots):
@@ -195,7 +213,7 @@ def compile_query(q: A.Query, stats: BM25Stats, term_df: dict[str, int], boost: 
 def spec_terms(spec) -> set[str]:
     if isinstance(spec, (TermSpec,)):
         return {spec.term}
-    if isinstance(spec, (SynonymSpec, ConstSpec, PhraseSpec)):
+    if isinstance(spec, (SynonymSpec, ConstSpec, PhraseSpec, SpanNearSpec)):
         return set(spec.terms)
     if isinstance(spec, MultiPhraseSpec):
         return {t for slot in spec.slots for t in slot}
@@ -326,7 +344,107 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
         return _evaluate_phrase(spec, ctx)
     if isinstance(spec, MultiPhraseSpec):
         return _evaluate_multiphrase(spec, ctx)
+    if isinstance(spec, SpanNearSpec):
+        return _evaluate_spannear(spec, ctx)
     raise TypeError(type(spec))
+
+
+def minimal_intervals(pos_lists: list[np.ndarray], in_order: bool) -> list[tuple[int, int]]:
+    """Minimal intervals containing one occurrence of every list
+    (ordered: occurrences strictly increasing in clause order).
+    "Minimal" = no emitted interval nests inside another (the interval
+    semantics of Intervals.ordered/unordered, Intervals.java;
+    NearSpansOrdered.java:40 stretch-to-minimal loop). Returns
+    (start, end) position pairs, start ascending."""
+    n = len(pos_lists)
+    out: list[tuple[int, int]] = []
+    if any(len(p) == 0 for p in pos_lists):
+        return out
+    if in_order:
+        first = pos_lists[0]
+        i0 = 0
+        while i0 < len(first):
+            # forward greedy chain: each next term strictly after the
+            # previous → the minimal end for any start >= first[i0]
+            prev = int(first[i0])
+            chain_ok = True
+            for j in range(1, n):
+                pj = pos_lists[j]
+                k = int(np.searchsorted(pj, prev, side="right"))
+                if k >= len(pj):
+                    chain_ok = False
+                    break
+                prev = int(pj[k])
+            if not chain_ok:
+                break
+            # backward maximization: latest chain reaching this end —
+            # c_j = max position of list j strictly before c_{j+1}
+            # (NearSpansOrdered.java:40 stretch-to-minimal role)
+            c = prev
+            for j in range(n - 2, -1, -1):
+                pj = pos_lists[j]
+                c = int(pj[int(np.searchsorted(pj, c, side="left")) - 1])
+            out.append((c, prev))
+            i0 = int(np.searchsorted(first, c, side="right"))
+        return out
+    # unordered: sliding window over the merged streams; a window is
+    # emitted when advancing the minimum would grow the right edge
+    # (equivalently: no later window nests inside it)
+    idx = [0] * n
+    cur = [int(p[0]) for p in pos_lists]
+    hi = max(cur)
+    pending: tuple[int, int] | None = None
+    while True:
+        lo_list = min(range(n), key=lambda i: cur[i])
+        cand = (cur[lo_list], hi)
+        idx[lo_list] += 1
+        if idx[lo_list] >= len(pos_lists[lo_list]):
+            out.append(cand)
+            return out
+        cur[lo_list] = int(pos_lists[lo_list][idx[lo_list]])
+        if cur[lo_list] > hi:
+            out.append(cand)
+            hi = cur[lo_list]
+
+
+def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
+    """Span-near over the positions index: candidate docs = term
+    conjunction (position-filtered first, like the phrase kernels), then
+    per-candidate minimal-interval matching; freq = Σ 1/(1+gaps) over
+    matches with gaps = width - n_terms <= slop."""
+    parts = [ctx.term(t) for t in spec.terms]
+    if any(not len(p[0]) for p in parts):
+        return EMPTY_I, EMPTY_F
+    cand = parts[0][0]
+    for d, _, _ in parts[1:]:
+        cand = np.intersect1d(cand, d, assume_unique=True)
+    if not len(cand):
+        return EMPTY_I, EMPTY_F
+    plists = []
+    for t in spec.terms:
+        plist = ctx.positions.get(t)
+        if plist is None:
+            raise ValueError(f"no positions available for term {t!r}")
+        plists.append(plist)
+    n = len(spec.terms)
+    one = np.float32(1.0)
+    freqs = np.zeros(len(cand), dtype=np.float64)
+    idxs = [np.searchsorted(p[0], cand) for p in parts]
+    for ci in range(len(cand)):
+        pls = [np.asarray(plists[j][idxs[j][ci]], dtype=np.int64) for j in range(n)]
+        f = np.float32(0.0)
+        for lo, hi in minimal_intervals(pls, spec.in_order):
+            gaps = (hi - lo + 1) - n
+            if gaps <= spec.slop:
+                f = np.float32(f + one / (one + np.float32(gaps)))
+        freqs[ci] = f
+    matched = freqs > 0
+    if not matched.any():
+        return EMPTY_I, EMPTY_F
+    docs0, _, norms0 = parts[0]
+    idx0 = np.searchsorted(docs0, cand[matched])
+    scores = score_freqs(np.float32(spec.weight), freqs[matched], norms0[idx0], ctx.cache)
+    return cand[matched], scores
 
 
 def _slot_union(ctx: ChunkContext, slot: tuple[str, ...]):

@@ -80,6 +80,125 @@ def group_top_hits(
     )
 
 
+def term_occurrences(searcher, term: str) -> dict[int, tuple]:
+    """doc_id → (starts, ends) char-offset arrays of ``term``'s
+    occurrences, straight from the offsets index (no re-analysis —
+    the IndexOptions..._AND_OFFSETS read path)."""
+    pl = searcher.index.collect_postings([term], with_offsets=True).get(term)
+    if pl is None:
+        return {}
+    return {int(d): pl.offsets[i] for i, d in enumerate(pl.docs)}
+
+
+def first_match_window(
+    searcher, term: str, docs_df: DataFrame, text_col: str = "text", pre: int = 20, post: int = 40
+) -> DataFrame:
+    """Deterministic offsets-index highlight probe: for every doc
+    matching ``term``, (doc_id, n_occ, first_start, last_end, snippet)
+    where snippet = pre-context + <b>match</b> + post-context sliced
+    from the stored text at the INDEXED offsets. The simple fixed
+    window makes the output SQL-re-derivable (the gate oracle);
+    :func:`highlight_indexed` is the passage-scored production API."""
+    occ = term_occurrences(searcher, term)
+    spark = docs_df.sparkSession
+    rows = [
+        (int(d), int(len(st)), int(st[0]), int(en[-1])) for d, (st, en) in occ.items() if len(st)
+    ]
+    hits = spark.createDataFrame(rows, "doc_id bigint, n_occ bigint, first_start bigint, last_end bigint")
+    t = F.col(text_col)
+    s = F.col("first_start")
+    end1 = s + F.length(F.lit(term))
+    snippet = F.concat(
+        F.substring(t, F.greatest(F.lit(1), s + 1 - pre).cast("int"), F.least(s, F.lit(pre)).cast("int")),
+        F.lit("<b>"),
+        F.substring(t, (s + 1).cast("int"), (end1 - s).cast("int")),
+        F.lit("</b>"),
+        F.substring(t, (end1 + 1).cast("int"), F.lit(post)),
+    )
+    return (
+        docs_df.join(F.broadcast(hits), "doc_id")
+        .select("doc_id", "n_occ", "first_start", "last_end", snippet.alias("snippet"))
+        .orderBy("doc_id")
+    )
+
+
+def highlight_indexed(
+    searcher,
+    query,
+    docs_df: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+    max_passages: int = 2,
+    max_passage_chars: int = 120,
+) -> list[dict]:
+    """UnifiedHighlighter-style highlighting from INDEXED offsets
+    (lucene/highlighter/.../uhighlight/UnifiedHighlighter.java role):
+    search top-k, gather every query-term occurrence's (start, end)
+    from the offsets index (no re-analysis), group matches into
+    passages of <= max_passage_chars, score each passage à la
+    PassageScorer (Σ idf(term) per occurrence + distinct-term bonus),
+    return the best passages per hit with <b></b> marks placed at the
+    indexed offsets."""
+    import numpy as np
+
+    from lucene_spark.search import ast as A
+
+    td = searcher.search(query, k=k)
+    if not td.hits:
+        return []
+    q = searcher.prepare(query, collect_rows=True)[0]
+    terms = sorted(A.extract_terms(q))
+    stats = searcher.index.stats
+    tstats = searcher.index.term_stats(terms)
+    weights = {
+        t: float(np.log(1 + (stats.doc_count - df + 0.5) / (df + 0.5)))
+        for t, (df, _) in tstats.items()
+    }
+    occ_by_term = {t: term_occurrences(searcher, t) for t in terms}
+    hit_ids = [int(d) for d, _ in td.hits]
+    texts = {
+        r["doc_id"]: r[text_col]
+        for r in docs_df.filter(F.col("doc_id").isin(hit_ids)).select("doc_id", text_col).collect()
+    }
+    out = []
+    for doc_id, score in td.hits:
+        matches = []  # (start, end, term)
+        for t in terms:
+            se = occ_by_term.get(t, {}).get(int(doc_id))
+            if se is not None:
+                matches.extend((int(s), int(e), t) for s, e in zip(*se))
+        matches.sort()
+        text = texts.get(int(doc_id), "")
+        # greedy passage grouping: a passage absorbs every match that
+        # fits within max_passage_chars of its first match
+        passages = []
+        i = 0
+        while i < len(matches):
+            j = i
+            while j + 1 < len(matches) and matches[j + 1][1] - matches[i][0] <= max_passage_chars:
+                j += 1
+            group = matches[i : j + 1]
+            span = group[-1][1] - group[0][0]
+            lead = max(0, (max_passage_chars - span) // 2)
+            ps = max(0, group[0][0] - lead)
+            pe = min(len(text), group[-1][1] + max(0, max_passage_chars - span - lead))
+            pscore = sum(weights.get(t, 0.0) for _, _, t in group) + len({t for _, _, t in group})
+            passages.append((pscore, ps, pe, group))
+            i = j + 1
+        passages.sort(key=lambda p: (-p[0], p[1]))
+        rendered = []
+        for _, ps, pe, group in sorted(passages[:max_passages], key=lambda p: p[1]):
+            frag, cur = [], ps
+            for s, e, _ in group:
+                frag.append(text[cur:s])
+                frag.append("<b>" + text[s:e] + "</b>")
+                cur = e
+            frag.append(text[cur:pe])
+            rendered.append(("..." if ps > 0 else "") + "".join(frag) + ("..." if pe < len(text) else ""))
+        out.append({"doc_id": int(doc_id), "score": float(score), "passages": rendered})
+    return out
+
+
 def _make_snippet(text: str, terms: set[str], window: int = 6, max_passages: int = 2) -> str:
     toks = text.split()
     marks = [i for i, t in enumerate(toks) if tokenize(t) and tokenize(t)[0] in terms]

@@ -278,3 +278,44 @@ class TestFreq2Equivalence:
             ref = float(_lucene_sloppy_freq([np.array(A), np.array(B)], slop, terms=("x", "y")))
             got = float(_sloppy_freq2(np.array(A), np.array(B), slop))
             assert ref == got, (A, B, slop, ref, got)
+
+
+class TestTwoTermChainClosedForm:
+    """The DuckDB oracle for ft_sloppy_top10 models the 2-term reference
+    traversal as an alternating cross-list successor chain (see
+    gate.oracle_sql); this fuzz test pins kernel ≡ closed form."""
+
+    def test_fuzz_chain_equivalence(self):
+        import bisect
+        import random
+
+        import numpy as np
+
+        from lucene_spark.search.kernels import _lucene_sloppy_freq
+
+        def chain_freq(A, Badj, slop):
+            a1, b1 = A[0], Badj[0]
+            x, lst = (a1, 0) if a1 > b1 else (b1, 1)
+            one = np.float32(1.0)
+            f = np.float32(0.0)
+            L = [sorted(A), sorted(Badj)]
+            while x is not None:
+                other = L[1 - lst]
+                i = bisect.bisect_right(other, x) - 1
+                if i >= 0:
+                    d = x - other[i]
+                    if d <= slop:
+                        f = np.float32(f + one / (one + np.float32(d)))
+                j = bisect.bisect_right(other, x)
+                x, lst = (other[j], 1 - lst) if j < len(other) else (None, lst)
+            return f
+
+        rng = random.Random(7)
+        for _ in range(1500):
+            na, nb = rng.randint(1, 8), rng.randint(1, 8)
+            A = sorted(rng.sample(range(15), na))
+            B = sorted(rng.sample(range(15), nb))
+            for slop in (0, 1, 2, 3, 6):
+                k = float(_lucene_sloppy_freq([np.array(A), np.array(B)], slop, terms=("x", "y")))
+                h = float(chain_freq(A, [b - 1 for b in B], slop))
+                assert abs(k - h) < 1e-6, (A, B, slop, k, h)
