@@ -256,6 +256,24 @@ def queries() -> dict:
         ),
     )
 
+    # MUST + SHOULD through the block-max conjunction kernel
+    # (Boolean2ScorerSupplier req/opt branch): required term drives
+    # candidates, optional terms add score via skip-data decode
+    Q["ft_mustshould_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(
+                (
+                    (A.Occur.MUST, A.TermQuery("table")),
+                    (A.Occur.MUST, A.TermQuery("hash")),
+                    (A.Occur.SHOULD, A.TermQuery("vector")),
+                    (A.Occur.SHOULD, A.TermQuery("dup")),
+                )
+            ),
+        ),
+    )
     Q["ft_msm_top10"] = lambda spark, sf: _hits_df(
         spark,
         _search(
@@ -708,6 +726,13 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "JOIN norms n ON n.doc_id = f.doc_id, "
         "(SELECT ln(1 + ((SELECT n FROM stats) - max(df) + 0.5) / (max(df) + 0.5)) AS w "
         " FROM dfr WHERE term IN ('table','dup')) ws"
+    )
+    O["ft_mustshould_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM tscore "
+        "WHERE term IN ('table','hash','vector','dup') "
+        "AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
+        "AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'hash') "
+        "GROUP BY doc_id"
     )
     O["ft_dismax_top10"] = topk_sql(
         "SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s FROM tscore "

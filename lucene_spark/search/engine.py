@@ -164,12 +164,14 @@ class Searcher:
             return self._search_distributed(spec, k, cache)
         if self._is_pure_term_disjunction(spec):
             return self._search_wand(spec, k, cache, rows)
-        if self._is_pure_term_conjunction(spec):
+        if self._is_term_must_tree(spec):
             return self._search_conjunction(spec, k, cache, rows)
         return self._search_exhaustive(spec, k, cache, rows)
 
     @staticmethod
     def _is_pure_term_disjunction(spec) -> bool:
+        """Term disjunctions at ANY minimumNumberShouldMatch — the
+        WANDScorer handles msm natively (WANDScorer.java:38,146)."""
         if isinstance(spec, TermSpec):
             return True
         return (
@@ -177,21 +179,25 @@ class Searcher:
             and not spec.musts
             and not spec.filters
             and not spec.nots
-            and spec.msm <= 1
             and all(isinstance(s, TermSpec) for s in spec.shoulds)
             and len(spec.shoulds) > 0
         )
 
     @staticmethod
-    def _is_pure_term_conjunction(spec) -> bool:
+    def _is_term_must_tree(spec) -> bool:
+        """MUST-only or MUST+SHOULD term booleans (msm == 0) — the
+        block-max conjunction kernel drives candidates off the MUSTs
+        and adds SHOULD scores with skip-data decode
+        (Boolean2ScorerSupplier req/opt branch)."""
         return (
             isinstance(spec, BoolSpec)
-            and not spec.shoulds
             and not spec.filters
             and not spec.nots
             and spec.msm == 0
-            and len(spec.musts) >= 2
+            and len(spec.musts) >= 1
+            and len(spec.musts) + len(spec.shoulds) >= 2
             and all(isinstance(s, TermSpec) for s in spec.musts)
+            and all(isinstance(s, TermSpec) for s in spec.shoulds)
         )
 
     def _posting_sources(self, term_specs, cache, rows_by_term=None) -> list[PostingSource]:
@@ -216,25 +222,36 @@ class Searcher:
 
     def _search_wand(self, spec, k: int, cache, rows_by_term=None) -> TopDocs:
         term_specs = [spec] if isinstance(spec, TermSpec) else list(spec.shoulds)
+        msm = spec.msm if isinstance(spec, BoolSpec) else 1
         sources = self._posting_sources(term_specs, cache, rows_by_term)
-        if not sources:
+        if len(sources) < max(1, msm):  # too few present terms to ever satisfy msm
             return TopDocs([], 0, "EQUAL_TO", {})
         deleted = self.index.deleted_ids
         hits, info = wand_top_k(
-            sources, k, self.total_hits_threshold, deleted=deleted if len(deleted) else None
+            sources,
+            k,
+            self.total_hits_threshold,
+            deleted=deleted if len(deleted) else None,
+            msm=msm,
         )
         relation = "GREATER_THAN_OR_EQUAL_TO" if info.get("pruned_intervals") else "EQUAL_TO"
         return TopDocs(hits, info["hits_seen"], relation, info)
 
     def _search_conjunction(self, spec, k: int, cache, rows_by_term=None) -> TopDocs:
-        """Pure term AND: skip-data conjunction kernel (exact result,
-        decodes only candidate-covering blocks of the costlier terms)."""
+        """Term AND (+ optional SHOULD adders): skip-data conjunction
+        kernel (exact result, decodes only candidate-covering blocks of
+        the costlier terms; SHOULD terms decode candidate blocks only)."""
         term_specs = list(spec.musts)
         sources = self._posting_sources(term_specs, cache, rows_by_term)
         if len(sources) < len(term_specs):  # a MUST term is missing entirely
             return TopDocs([], 0, "EQUAL_TO", {})
+        should_sources = (
+            self._posting_sources(list(spec.shoulds), cache, rows_by_term) if spec.shoulds else None
+        )
         deleted = self.index.deleted_ids
-        hits, info = conjunction_top_k(sources, k, deleted=deleted if len(deleted) else None)
+        hits, info = conjunction_top_k(
+            sources, k, deleted=deleted if len(deleted) else None, should_sources=should_sources
+        )
         return TopDocs(hits, info["hits_seen"], "EQUAL_TO", info)
 
     def _driver_context(self, spec, cache, rows_by_term=None) -> ChunkContext:

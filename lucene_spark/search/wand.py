@@ -122,14 +122,21 @@ def wand_top_k(
     k: int,
     total_hits_threshold: int = 1000,
     deleted: np.ndarray | None = None,
+    msm: int = 1,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k over the disjunction of term sources, with block-max
-    pruning. Returns (hits, info) where info carries pruning metrics."""
+    pruning. ``msm`` > 1 applies the WANDScorer
+    minimumNumberShouldMatch pruning (WANDScorer.java:38,146): an
+    interval covered by fewer than msm sources cannot contain a hit —
+    its blocks are never decoded — and scored docs matching fewer than
+    msm terms are discarded. Returns (hits, info)."""
+    msm = max(1, msm)
     # ---- elementary intervals from all block boundaries
     all_ends = np.unique(np.concatenate([s.block_end for s in sources]))
     n_iv = len(all_ends)
     # interval j covers (all_ends[j-1], all_ends[j]]
     ub_sum = np.zeros(n_iv, dtype=np.float64)
+    n_cover = np.zeros(n_iv, dtype=np.int64)
     term_block_of_iv = []  # per source: block index covering each interval (or -1)
     for s in sources:
         starts, ends, ub = s.block_ranges()
@@ -147,10 +154,16 @@ def wand_top_k(
         overlap = valid & (starts[bidx_c] <= all_ends)
         contrib[overlap] = ub[bidx_c[overlap]]
         ub_sum += contrib
+        n_cover += overlap.astype(np.int64)
         tb = np.where(overlap, bidx_c, -1)
         term_block_of_iv.append(tb)
 
+    if msm > 1:
+        # coverage pruning: < msm covering sources → no possible hit
+        ub_sum = np.where(n_cover >= msm, ub_sum, -np.inf)
     order = np.argsort(-ub_sum, kind="stable")
+    if msm > 1:
+        order = order[ub_sum[order] > -np.inf]
     heap_docs = np.empty(0, dtype=np.int64)
     heap_scores = np.empty(0, dtype=np.float32)
     hits = 0
@@ -180,9 +193,12 @@ def wand_top_k(
                 b = tb[j]
                 if b >= 0 and b not in scored_blocks[si]:
                     need[si].add(int(b))
-        new_docs, new_scores = _score_union(sources, need)
+        new_docs, new_scores, new_counts = _score_union(sources, need)
         for si in range(len(sources)):
             scored_blocks[si] |= need[si]
+        if msm > 1 and len(new_docs):
+            enough = new_counts >= msm
+            new_docs, new_scores = new_docs[enough], new_scores[enough]
         if deleted is not None and len(new_docs):
             # liveDocs mask (scorer.score(collector, liveDocs) role)
             live = ~np.isin(new_docs, deleted, assume_unique=False)
@@ -218,6 +234,7 @@ def conjunction_top_k(
     sources: list[PostingSource],
     k: int,
     deleted: np.ndarray | None = None,
+    should_sources: list[PostingSource] | None = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k over a pure term conjunction with skip-data block
     decoding (BlockMaxConjunctionScorer.java:30-80 cost ordering +
@@ -229,7 +246,12 @@ def conjunction_top_k(
     the skip list. All matches are scored exactly (sum in float64, cast
     float32 — same accumulation as the exhaustive kernel), so the
     result is identical to exhaustive evaluation; the saving is decode
-    work: O(df_min · blocks_touched), not O(Σ df)."""
+    work: O(df_min · blocks_touched), not O(Σ df).
+
+    ``should_sources`` (MUST + SHOULD booleans,
+    Boolean2ScorerSupplier.java req+opt branch): optional clauses add
+    score to surviving MUST candidates only — each SHOULD term decodes
+    just the blocks containing a candidate, the same skip-data bound."""
     sources = sorted(sources, key=lambda s: sum(c[5] for c in s.chunks))
     lead = sources[0]
     cand, lead_scores = lead.decoded_blocks_scored(np.arange(len(lead.block_end)))
@@ -253,6 +275,21 @@ def conjunction_top_k(
         idxc = np.minimum(idx, max(len(d) - 1, 0))
         m = (idx < len(d)) & (d[idxc] == cand) if len(d) else np.zeros(len(cand), dtype=bool)
         cand, acc = cand[m], acc[m] + sc[idxc[m]].astype(np.float64)
+    for s in should_sources or ():
+        if not len(cand):
+            break
+        bidx = np.searchsorted(s.block_end, cand)
+        valid = bidx < len(s.block_end)
+        need = np.unique(bidx[valid])
+        if not len(need):
+            continue
+        blocks_decoded += len(need)
+        blocks_skipped += len(s.block_end) - len(need)
+        d, sc = s.decoded_blocks_scored(need)
+        idx = np.searchsorted(d, cand)
+        idxc = np.minimum(idx, max(len(d) - 1, 0))
+        m = (idx < len(d)) & (d[idxc] == cand) if len(d) else np.zeros(len(cand), dtype=bool)
+        acc[m] += sc[idxc[m]].astype(np.float64)
     if deleted is not None and len(deleted) and len(cand):
         live = ~np.isin(cand, deleted, assume_unique=False)
         cand, acc = cand[live], acc[live]
@@ -265,8 +302,11 @@ def conjunction_top_k(
     return top_k_from_arrays(cand, scores, k), info
 
 
-def _score_union(sources: list[PostingSource], need: list[set]) -> tuple[np.ndarray, np.ndarray]:
-    """Disjunction-sum over the decoded blocks of each source.
+def _score_union(
+    sources: list[PostingSource], need: list[set]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Disjunction-sum over the decoded blocks of each source →
+    (docs, scores, per-doc match counts).
 
     Contract (required for the caller's ``scored_blocks`` bookkeeping):
     EVERY doc of EVERY block in the final (mutated) ``need`` sets is
@@ -275,7 +315,8 @@ def _score_union(sources: list[PostingSource], need: list[set]) -> tuple[np.ndar
     a fixpoint (a pulled block may introduce docs needing further
     blocks at its edges)."""
     if not any(need):
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float32), e
     # fixpoint: docs of all needed blocks → covering blocks of all docs
     while True:
         doc_parts = []
@@ -308,6 +349,7 @@ def _score_union(sources: list[PostingSource], need: list[set]) -> tuple[np.ndar
         if not grew:
             break
     acc = np.zeros(len(docs), dtype=np.float64)
+    counts = np.zeros(len(docs), dtype=np.int64)
     for si, s in enumerate(sources):
         if not need[si]:
             continue
@@ -316,4 +358,5 @@ def _score_union(sources: list[PostingSource], need: list[set]) -> tuple[np.ndar
         idx_c = np.minimum(idx, max(len(d) - 1, 0))
         mask = (idx < len(d)) & (d[idx_c] == docs) if len(d) else np.zeros(len(docs), bool)
         acc[mask] += sc[idx_c[mask]].astype(np.float64)
-    return docs, acc.astype(np.float32)
+        counts += mask
+    return docs, acc.astype(np.float32), counts
