@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v4"  # v4: off_blob offsets column + span-near + lazy predicates
+ENGINE_VERSION = "v5"  # v5: multi-field (title) composite-key postings + per-field stats
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
@@ -52,6 +52,10 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("head").alias("commit"),
         F.col("lang"),
         F.col("n_chars").cast("long"),
+        # second TOKENIZED field (multi-field indexing): first 6
+        # space-words of the text — oracle derives the identical
+        # relation with list_slice(string_split(...)) in DuckDB
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 6), " ").alias("title"),
         F.col("text").alias("content"),
     )
 
@@ -66,7 +70,10 @@ def gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]
     name = os.path.basename(os.path.normpath(sf_dir))
     idx_dir = f"/tmp/lucene_spark_gate_{ENGINE_VERSION}/{name}"
     if not os.path.exists(f"{idx_dir}/manifest.json"):
-        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True, offsets=True)
+        cfg = IndexConfig(
+            docs_per_chunk=128, term_buckets=4, positions=True, offsets=True,
+            extra_fields=("title",),
+        )
         IndexBuilder(spark, cfg).build(corpus_df(spark, sf_dir), idx_dir, assign_ids=False)
     index = SearchIndex(spark, idx_dir)
     _CACHE[key] = (index, Searcher(index))
@@ -151,7 +158,18 @@ idfw AS (SELECT term, df, ttf,
          ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS w FROM dfr),
 tscore AS (SELECT f.doc_id, f.term,
     i.w - i.w / (1 + f.tf * (1.0 / ({K1} * ((1 - {B}) + {B} * n.dlen / (SELECT avgdl FROM stats))))) AS s
-    FROM tf f JOIN idfw i USING (term) JOIN norms n USING (doc_id))"""
+    FROM tf f JOIN idfw i USING (term) JOIN norms n USING (doc_id)),
+ttl AS (SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS t FROM {doc_rel}),
+ttoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(t), '{TOKEN_SQL}')) AS term FROM ttl),
+tdl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ttoks GROUP BY doc_id),
+tnorms AS (SELECT tdl.doc_id, max(d.v)::BIGINT AS dlen FROM tdl JOIN dtab d ON d.v <= tdl.dl GROUP BY tdl.doc_id),
+tlstats AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM tdl),
+tltf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ttoks GROUP BY doc_id, term),
+tlidfw AS (SELECT term, count(*)::BIGINT AS df,
+           ln(1 + ((SELECT n FROM tlstats) - count(*) + 0.5) / (count(*) + 0.5)) AS w FROM tltf GROUP BY term),
+tlscore AS (SELECT f.doc_id, f.term,
+    i.w - i.w / (1 + f.tf * (1.0 / ({K1} * ((1 - {B}) + {B} * n.dlen / (SELECT avgdl FROM tlstats))))) AS s
+    FROM tltf f JOIN tlidfw i USING (term) JOIN tnorms n USING (doc_id))"""
 
 
 def topk_sql(score_cte: str, k: int = 10) -> str:
@@ -226,6 +244,31 @@ def queries() -> dict:
             spark,
             sf,
             A.DisjunctionMaxQuery((A.TermQuery("table"), A.TermQuery("merge")), tie_breaker=0.3),
+        ),
+    )
+    # -- multi-field (title = first-6-words): per-field df/avgdl BM25 --
+    Q["ft_field_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, A.TermQuery("vector", field="title"))
+    )
+    Q["ft_fields_bool_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(
+                ((A.Occur.MUST, A.TermQuery("table")), (A.Occur.MUST, A.TermQuery("merge", field="title")))
+            ),
+        ),
+    )
+    # the classic multi-field user query: same term, best field wins
+    Q["ft_fields_dismax_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.DisjunctionMaxQuery(
+                (A.TermQuery("table"), A.TermQuery("table", field="title")), tie_breaker=0.3
+            ),
         ),
     )
     Q["ft_multiphrase_top10"] = lambda spark, sf: _hits_df(
@@ -737,6 +780,19 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
     O["ft_dismax_top10"] = topk_sql(
         "SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s FROM tscore "
         "WHERE term IN ('table','merge') GROUP BY doc_id"
+    )
+    O["ft_field_top10"] = topk_sql("SELECT doc_id, s FROM tlscore WHERE term = 'vector'")
+    O["ft_fields_bool_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM ("
+        "SELECT doc_id, s FROM tscore WHERE term = 'table' "
+        "UNION ALL SELECT doc_id, s FROM tlscore WHERE term = 'merge'"
+        ") GROUP BY doc_id HAVING count(*) = 2"
+    )
+    O["ft_fields_dismax_top10"] = topk_sql(
+        "SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s FROM ("
+        "SELECT doc_id, s FROM tscore WHERE term = 'table' "
+        "UNION ALL SELECT doc_id, s FROM tlscore WHERE term = 'table'"
+        ") GROUP BY doc_id"
     )
     O["ft_multiphrase_top10"] = topk_sql(
         "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "

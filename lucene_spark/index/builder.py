@@ -60,6 +60,12 @@ from lucene_spark.codec.smallfloat import int_to_byte4_np
 
 DOC_KEYS = ("repo", "path", "commit")
 
+# composite term-key separator for non-primary tokenized fields:
+# postings/term_stats key = f"{field}\x1f{term}" (the FieldInfos union
+# role, lucene/core/src/java/org/apache/lucene/index/FieldInfos.java —
+# per-field postings spaces in one physical table, prunable by prefix)
+FIELD_SEP = "\x1f"
+
 
 @dataclass
 class IndexConfig:
@@ -85,6 +91,12 @@ class IndexConfig:
     # IndexOptions.java:44-50). Opt-in like the reference — costs ~2
     # varints per posting occurrence.
     offsets: bool = False
+    # additional TOKENIZED fields (multi-field text indexing, the
+    # FieldInfos union role): each gets its own postings space (term
+    # key = field + FIELD_SEP + term), its own norms (inlined per
+    # posting) and its own collection-stats row, so BM25 scores with
+    # per-field df / avgdl / docCount exactly like per-field Lucene.
+    extra_fields: tuple[str, ...] = ()
 
 
 _POSTINGS_SCHEMA = StructType(
@@ -279,13 +291,16 @@ class IndexBuilder:
 
     # ---- stages ----------------------------------------------------------
 
-    def tokenized(self, corpus: DataFrame) -> DataFrame:
-        """corpus (+doc_id) → + tokens [, positions [, offsets]], dl, norm."""
+    def tokenized(self, corpus: DataFrame, field: str | None = None) -> DataFrame:
+        """corpus (+doc_id) → + tokens [, positions [, offsets]], dl, norm
+        for ``field`` (default the primary field); dl/norm are the
+        FIELD's own length stats (per-field norms, FieldInfos role)."""
+        field = field or self.config.field
         norm = _norm_udf()
         if self.config.offsets:
             tok = _tokenize_pos_off_udf()
             out = (
-                corpus.withColumn("_tp", tok(F.col(self.config.field)))
+                corpus.withColumn("_tp", tok(F.col(field)))
                 .withColumn("tokens", F.col("_tp.tokens"))
                 .withColumn("positions", F.col("_tp.positions"))
                 .withColumn("starts", F.col("_tp.starts"))
@@ -295,20 +310,29 @@ class IndexBuilder:
         elif self.config.positions:
             tok = _tokenize_pos_udf()
             out = (
-                corpus.withColumn("_tp", tok(F.col(self.config.field)))
+                corpus.withColumn("_tp", tok(F.col(field)))
                 .withColumn("tokens", F.col("_tp.tokens"))
                 .withColumn("positions", F.col("_tp.positions"))
                 .drop("_tp")
             )
         else:
             tok = _tokenize_udf()
-            out = corpus.withColumn("tokens", tok(F.col(self.config.field)))
+            out = corpus.withColumn("tokens", tok(F.col(field)))
         return out.withColumn("dl", F.size("tokens")).withColumn("norm", norm(F.col("dl")))
 
-    def inverted(self, tokenized: DataFrame) -> DataFrame:
+    def inverted(self, tokenized: DataFrame, prefix: str = "") -> DataFrame:
         """(term, doc_id, tf, norm [, poss]) — the IndexingChain
         inversion (IndexingChain.java:519,674) as explode + partial-agg
-        groupBy; positions collected sorted per (term, doc)."""
+        groupBy; positions collected sorted per (term, doc). ``prefix``
+        (field + FIELD_SEP for non-primary fields) keys the rows into
+        that field's postings space — applied AFTER the aggregation so
+        the concat touches one row per (term, doc)."""
+        out = self._inverted_unprefixed(tokenized)
+        if prefix:
+            out = out.withColumn("term", F.concat(F.lit(prefix), F.col("term")))
+        return out
+
+    def _inverted_unprefixed(self, tokenized: DataFrame) -> DataFrame:
         # explode_outer, NOT explode: Catalyst guards a plain explode
         # with an injected `size(col) > 0` filter, and with a Python-UDF
         # input that filter re-evaluates the UDF — the tokenizer would
@@ -363,9 +387,15 @@ class IndexBuilder:
             .agg(F.count("*").alias("tf"))
         )
 
-    def posting_lists(self, inverted: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def posting_lists(
+        self, inverted: DataFrame, chunk_all: bool = False
+    ) -> tuple[DataFrame, DataFrame]:
         """→ (packed postings rows, term_stats). Hot-term doc-range
-        chunking bounds all buffers (skew salting, SURVEY §3.3)."""
+        chunking bounds all buffers (skew salting, SURVEY §3.3).
+        ``chunk_all`` doc-range-chunks EVERY term (tiered commits: a
+        tier's rows must sit in their true doc-range chunk so the
+        distributed leaf grouping stays doc-range-partitioned across
+        tiers — the per-segment postings space of a Lucene segment)."""
         dpc = self.config.docs_per_chunk
         from pyspark import StorageLevel
 
@@ -377,11 +407,14 @@ class IndexBuilder:
             .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        hot = term_stats.filter(F.col("df") > dpc).select("term").withColumn("_hot", F.lit(True))
-        chunked = inverted.join(F.broadcast(hot), "term", "left").withColumn(
-            "chunk_id",
-            F.when(F.col("_hot").isNotNull(), (F.col("doc_id") / dpc).cast("long")).otherwise(F.lit(0)),
-        )
+        if chunk_all:
+            chunked = inverted.withColumn("chunk_id", (F.col("doc_id") / dpc).cast("long"))
+        else:
+            hot = term_stats.filter(F.col("df") > dpc).select("term").withColumn("_hot", F.lit(True))
+            chunked = inverted.join(F.broadcast(hot), "term", "left").withColumn(
+                "chunk_id",
+                F.when(F.col("_hot").isNotNull(), (F.col("doc_id") / dpc).cast("long")).otherwise(F.lit(0)),
+            )
         has_pos = self.config.positions or self.config.offsets
         has_off = self.config.offsets
         struct_cols = ["doc_id", "tf", "norm"] + (["poss"] if has_pos else []) + (
@@ -434,7 +467,16 @@ class IndexBuilder:
         # rows), which is what inflated core-seconds as parallelism
         # grew (N→4N efficiency).
         tokenized = self.tokenized(base)
-        inverted = self.inverted(tokenized).persist(StorageLevel.DISK_ONLY)
+        inverted = self.inverted(tokenized)
+        # extra tokenized fields: each field's inversion unions into the
+        # same relation under its prefixed key space — ONE shuffle, one
+        # pack stage, one postings table for every field (FieldInfos
+        # union; per-field norms ride inline per posting row)
+        for f in cfg.extra_fields:
+            inverted = inverted.unionByName(
+                self.inverted(self.tokenized(base, field=f), prefix=f + FIELD_SEP)
+            )
+        inverted = inverted.persist(StorageLevel.DISK_ONLY)
         postings, term_stats = self.posting_lists(inverted)
 
         # all non-content columns ride along as stored fields/DocValues
@@ -456,7 +498,10 @@ class IndexBuilder:
         # dl=0, norm=intToByte4(0).
         from lucene_spark.codec.smallfloat import int_to_byte4
 
-        dl_agg = inverted.groupBy("doc_id", "norm").agg(
+        primary_inv = (
+            inverted.filter(~F.col("term").contains(FIELD_SEP)) if cfg.extra_fields else inverted
+        )
+        dl_agg = primary_inv.groupBy("doc_id", "norm").agg(
             F.sum("tf").cast("int").alias("dl")
         )
         norms = (
@@ -513,12 +558,39 @@ class IndexBuilder:
         # — measured to move N→4N efficiency by ~0.05 at this scale)
         def _collect_stats():
             nd, st = norms.agg(F.count("*"), F.sum("dl")).first()
-            sd = term_stats.agg(F.sum("df")).first()[0]
+            if cfg.extra_fields:
+                fexpr = F.when(
+                    F.col("term").contains(FIELD_SEP), F.split("term", FIELD_SEP).getItem(0)
+                ).otherwise(F.lit(cfg.field))
+                sd_rows = {
+                    r["f"]: int(r["sd"] or 0)
+                    for r in term_stats.select(fexpr.alias("f"), "df")
+                    .groupBy("f")
+                    .agg(F.sum("df").alias("sd"))
+                    .collect()
+                }
+                # per-field docCount / sumTotalTermFreq (FieldInfos +
+                # CollectionStatistics per field): docs with >= 1 token
+                # of the field, Σ tf over the field
+                frows = {
+                    r["f"]: (int(r["dc"]), int(r["st"] or 0))
+                    for r in inverted.select(fexpr.alias("f"), "doc_id", "tf")
+                    .groupBy("f")
+                    .agg(F.countDistinct("doc_id").alias("dc"), F.sum("tf").alias("st"))
+                    .collect()
+                }
+                rows = [(int(nd), int(st or 0), sd_rows.get(cfg.field, 0), cfg.field)]
+                for f in cfg.extra_fields:
+                    dc, stf = frows.get(f, (0, 0))
+                    rows.append((dc, stf, sd_rows.get(f, 0), f))
+                sd = sum(sd_rows.values())
+            else:
+                sd = term_stats.agg(F.sum("df")).first()[0]
+                rows = [(int(nd), int(st or 0), int(sd or 0), cfg.field)]
             # the tiny collection_stats write rides inside the pool too
             # so the long-pole postings write hides it entirely
             self.spark.createDataFrame(
-                [(int(nd), int(st or 0), int(sd or 0), cfg.field)],
-                schema="doc_count long, sum_ttf long, sum_df long, field string",
+                rows, schema="doc_count long, sum_ttf long, sum_df long, field string"
             ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/collection_stats")
             return nd, st, sd
 
@@ -542,6 +614,8 @@ class IndexBuilder:
             "elapsed_sec": elapsed,
             "docs_per_sec": (int(n_docs) / elapsed) if elapsed else None,
             "docs_per_chunk": cfg.docs_per_chunk,
+            "field": cfg.field,
+            "extra_fields": list(cfg.extra_fields),
         }
         with open(f"{index_dir}/manifest.json", "w") as fh:
             json.dump(metrics, fh, indent=2)

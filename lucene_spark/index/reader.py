@@ -113,9 +113,44 @@ class SearchIndex:
         return load_deleted(self.spark, self.index_dir)
 
     @cached_property
+    def _manifest(self) -> dict:
+        import json
+        import os
+
+        path = os.path.join(self.index_dir, "manifest.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                return json.load(fh)
+        return {}
+
+    @cached_property
+    def primary_field(self) -> str:
+        return self._manifest.get("field", "content")
+
+    @cached_property
+    def text_fields(self) -> tuple[str, ...]:
+        """All TOKENIZED fields (primary first) — the FieldInfos list."""
+        return (self.primary_field, *self._manifest.get("extra_fields", ()))
+
+    @cached_property
+    def _all_stats(self) -> dict[str, BM25Stats]:
+        rows = self.spark.read.parquet(f"{self.index_dir}/collection_stats").collect()
+        return {
+            r["field"]: BM25Stats(doc_count=r["doc_count"], sum_total_term_freq=r["sum_ttf"])
+            for r in rows
+        }
+
+    @cached_property
     def stats(self) -> BM25Stats:
-        row = self.spark.read.parquet(f"{self.index_dir}/collection_stats").first()
-        return BM25Stats(doc_count=row["doc_count"], sum_total_term_freq=row["sum_ttf"])
+        return self._all_stats.get(self.primary_field) or next(iter(self._all_stats.values()))
+
+    def stats_for(self, field: str) -> BM25Stats:
+        """Per-field CollectionStatistics (per-field BM25 df/avgdl/
+        docCount — IndexSearcher.collectionStatistics per field)."""
+        st = self._all_stats.get(field)
+        if st is None:
+            raise KeyError(f"field {field!r} is not a tokenized index field")
+        return st
 
     # ---- term dictionary ---------------------------------------------------
 
@@ -126,37 +161,47 @@ class SearchIndex:
         rows = self.term_stats_df.filter(F.col("term").isin(list(terms))).collect()
         return {r["term"]: (r["df"], r["ttf"]) for r in rows}
 
-    def expand_terms(self, kind: str, arg, limit: int = MAX_EXPANSION) -> list[str]:
+    def expand_terms(self, kind: str, arg, limit: int = MAX_EXPANSION, field: str | None = None) -> list[str]:
         """MultiTermQuery expansion against the term dictionary
         (MultiTermQuery.java:55-93; AutomatonTermsEnum ∩ dictionary →
-        here a Catalyst predicate on the sorted term table)."""
-        ckey = (kind, arg if not isinstance(arg, list) else tuple(arg), limit)
+        here a Catalyst predicate on the sorted term table). ``field``
+        scopes the expansion to a non-primary tokenized field's key
+        space (startswith on the composite prefix — pushed-down, same
+        pruning as a term lookup); returned terms are FULL keys."""
+        from lucene_spark.index.builder import FIELD_SEP
+
+        keyprefix = "" if field in (None, self.primary_field) else field + FIELD_SEP
+        ckey = (kind, arg if not isinstance(arg, list) else tuple(arg), limit, keyprefix)
         cached = self._expand_cache.get(ckey)
         if cached is not None:
             self._expand_cache.move_to_end(ckey)
             return list(cached)
         t = self.term_stats_df
+        bare = F.col("term")
+        if keyprefix:
+            t = t.filter(F.col("term").startswith(keyprefix))
+            bare = F.col("term").substr(F.lit(len(keyprefix) + 1), F.length("term"))
         if kind == "prefix":
-            cond = F.col("term").startswith(arg)
+            cond = bare.startswith(arg)
         elif kind == "regexp":
-            cond = F.col("term").rlike(f"^(?:{arg})$")
+            cond = bare.rlike(f"^(?:{arg})$")
         elif kind == "fuzzy":
             term, max_edits, prefix_len = arg
-            cond = F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+            cond = F.levenshtein(bare, F.lit(term)) <= max_edits
             if prefix_len:
-                cond = cond & F.col("term").startswith(term[:prefix_len])
+                cond = cond & bare.startswith(term[:prefix_len])
             # cheap length pre-filter keeps the levenshtein scan tight
-            cond = cond & (F.length("term") >= len(term) - max_edits) & (
-                F.length("term") <= len(term) + max_edits
+            cond = cond & (F.length(bare) >= len(term) - max_edits) & (
+                F.length(bare) <= len(term) + max_edits
             )
         elif kind == "range":
             lower, upper, incl_lo, incl_hi = arg
             cond = F.lit(True)
             if lower is not None:
-                c = F.col("term") >= lower if incl_lo else F.col("term") > lower
+                c = bare >= lower if incl_lo else bare > lower
                 cond = cond & c
             if upper is not None:
-                c = F.col("term") <= upper if incl_hi else F.col("term") < upper
+                c = bare <= upper if incl_hi else bare < upper
                 cond = cond & c
         else:
             raise ValueError(kind)

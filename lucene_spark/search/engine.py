@@ -63,6 +63,25 @@ class Searcher:
         # field predicates lazy; the ids never land on the driver)
         self._pred_conds: dict[tuple, object] = {}
 
+    def _stats_by_field(self):
+        """field → BM25Stats for non-primary tokenized fields (None for
+        single-field indexes — zero overhead on the common path)."""
+        fields = self.index.text_fields
+        if len(fields) <= 1:
+            return None
+        return {f: self.index.stats_for(f) for f in fields[1:]}
+
+    def _norm_caches(self, stats):
+        """ChunkContext cache argument: plain array (single field) or
+        {field: cache} dict with "" = primary (multi-field)."""
+        sbf = self._stats_by_field()
+        if not sbf:
+            return stats.cache()
+        caches = {"": stats.cache()}
+        for f, st in sbf.items():
+            caches[f] = st.cache()
+        return caches
+
     # ---- query preparation -------------------------------------------------
 
     def _field_cond(self, q):
@@ -81,26 +100,80 @@ class Searcher:
             return key, cond
         return ("eq", q.field, q.value), F.col(q.field) == q.value
 
+    def _fieldize(self, q: A.Query) -> A.Query:
+        """Map queries scoped to a non-primary TOKENIZED field into that
+        field's composite key space (FieldInfos union role: the postings
+        table keys terms as field + FIELD_SEP + term). Keyword-column
+        (StringField) queries pass through untouched. A FieldValueQuery
+        naming a tokenized field gets ANALYZED semantics — its value is
+        tokenized and becomes a term/phrase query, exactly like
+        `title:foo bar` against a TextField in the reference parser."""
+        from lucene_spark.index.builder import FIELD_SEP
+
+        primary = self.index.primary_field
+        tf = set(self.index.text_fields)
+
+        def is_extra(f: str) -> bool:
+            return f != primary and f in tf
+
+        def key(f: str, t: str) -> str:
+            return f + FIELD_SEP + t
+
+        if isinstance(q, A.TermQuery) and is_extra(q.field):
+            return A.TermQuery(key(q.field, q.term))
+        if isinstance(q, A.PhraseQuery) and is_extra(q.field):
+            return A.PhraseQuery(tuple(key(q.field, t) for t in q.terms), q.slop)
+        if isinstance(q, A.MultiPhraseQuery) and is_extra(q.field):
+            return A.MultiPhraseQuery(
+                tuple(tuple(key(q.field, t) for t in slot) for slot in q.positions), q.slop
+            )
+        if isinstance(q, A.SpanNearQuery) and is_extra(q.field):
+            return A.SpanNearQuery(tuple(key(q.field, t) for t in q.terms), q.slop, q.in_order)
+        if isinstance(q, A.SynonymQuery) and is_extra(q.field):
+            return A.SynonymQuery(tuple(key(q.field, t) for t in q.terms))
+        if isinstance(q, A.TermInSetQuery) and is_extra(q.field):
+            return A.TermInSetQuery(tuple(key(q.field, t) for t in q.terms))
+        if isinstance(q, A.FieldValueQuery) and is_extra(q.field):
+            from lucene_spark.analysis.tokenizer import tokenize
+
+            toks = tokenize(q.value)
+            if not toks:
+                return A.MatchNoDocsQuery(f"empty analyzed value for {q.field}")
+            if len(toks) == 1:
+                return A.TermQuery(key(q.field, toks[0]))
+            return A.PhraseQuery(tuple(key(q.field, t) for t in toks))
+        if isinstance(q, A.BooleanQuery):
+            return A.BooleanQuery(
+                tuple((o, self._fieldize(s)) for o, s in q.clauses), q.minimum_should_match
+            )
+        if isinstance(q, A.BoostQuery):
+            return A.BoostQuery(self._fieldize(q.query), q.boost)
+        if isinstance(q, A.ConstantScoreQuery):
+            return A.ConstantScoreQuery(self._fieldize(q.query))
+        if isinstance(q, A.DisjunctionMaxQuery):
+            return A.DisjunctionMaxQuery(tuple(self._fieldize(s) for s in q.queries), q.tie_breaker)
+        return q
+
     def _expand_multiterm(self, q: A.Query, lazy_docsets: bool = False) -> A.Query:
         """Rewrite MultiTermQuery nodes into constant-score TermInSet
         (CONSTANT_SCORE_REWRITE, MultiTermQuery.java:55-93)."""
         if isinstance(q, A.PrefixQuery):
-            terms = self.index.expand_terms("prefix", q.prefix)
+            terms = self.index.expand_terms("prefix", q.prefix, field=q.field)
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
         if isinstance(q, A.WildcardQuery):
             from lucene_spark.testing.oracle import wildcard_to_regex
 
-            terms = self.index.expand_terms("regexp", wildcard_to_regex(q.pattern))
+            terms = self.index.expand_terms("regexp", wildcard_to_regex(q.pattern), field=q.field)
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
         if isinstance(q, A.RegexpQuery):
-            terms = self.index.expand_terms("regexp", q.pattern)
+            terms = self.index.expand_terms("regexp", q.pattern, field=q.field)
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
         if isinstance(q, A.FuzzyQuery):
-            terms = self.index.expand_terms("fuzzy", (q.term, q.max_edits, q.prefix_length))
+            terms = self.index.expand_terms("fuzzy", (q.term, q.max_edits, q.prefix_length), field=q.field)
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
         if isinstance(q, A.TermRangeQuery):
             terms = self.index.expand_terms(
-                "range", (q.lower, q.upper, q.include_lower, q.include_upper)
+                "range", (q.lower, q.upper, q.include_lower, q.include_upper), field=q.field
             )
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
         if isinstance(q, (A.FieldRangeQuery, A.FieldValueQuery)):
@@ -138,6 +211,8 @@ class Searcher:
         Spark job and df/ttf derive from their columns — no separate
         term_stats lookup; the whole driver query path is one job."""
         q = parse_query(query) if isinstance(query, str) else A.rewrite(query)
+        if len(self.index.text_fields) > 1:
+            q = self._fieldize(q)
         q = A.rewrite(self._expand_multiterm(q, lazy_docsets))
         terms = sorted(A.extract_terms(q))
         stats = self.index.stats
@@ -148,7 +223,8 @@ class Searcher:
         else:
             tstats = self.index.term_stats(terms)
             term_df = {t: df for t, (df, _) in tstats.items()}
-        spec = compile_query(q, stats, term_df)
+        sbf = self._stats_by_field()
+        spec = compile_query(q, stats, term_df, stats_by_field=sbf)
         return q, spec, stats, rows_by_term
 
     # ---- search -------------------------------------------------------------
@@ -159,7 +235,7 @@ class Searcher:
         )
         if isinstance(spec, NoneSpec) or k <= 0:
             return TopDocs([], 0, "EQUAL_TO", {})
-        cache = stats.cache()
+        cache = self._norm_caches(stats)
         if mode == "distributed":
             return self._search_distributed(spec, k, cache)
         if self._is_pure_term_disjunction(spec):
@@ -216,8 +292,12 @@ class Searcher:
                 )
                 for r in rs
             ]
+        def _c(ts):
+            # per-field norm-inverse cache (multi-field: per-field avgdl)
+            return cache[ts.field] if isinstance(cache, dict) else cache
+
         return [
-            PostingSource(ts.weight, cache, by_term[ts.term]) for ts in term_specs if ts.term in by_term
+            PostingSource(ts.weight, _c(ts), by_term[ts.term]) for ts in term_specs if ts.term in by_term
         ]
 
     def _search_wand(self, spec, k: int, cache, rows_by_term=None) -> TopDocs:
@@ -291,7 +371,7 @@ class Searcher:
         q, spec, stats, rows = self.prepare(query, collect_rows=True)
         if isinstance(spec, NoneSpec) or k <= 0:
             return TopDocs([], 0, "EQUAL_TO", {})
-        ctx = self._driver_context(spec, stats.cache(), rows)
+        ctx = self._driver_context(spec, self._norm_caches(stats), rows)
         docs, scores = self._apply_live_docs(*evaluate(spec, ctx))
         mask = (scores < after_score) | ((scores == after_score) & (docs > after_doc))
         return TopDocs(
@@ -306,7 +386,7 @@ class Searcher:
         q, spec, stats, rows = self.prepare(query, collect_rows=True)
         if isinstance(spec, NoneSpec):
             return {"match": False, "value": 0.0, "description": "MatchNoDocsQuery", "details": []}
-        ctx = self._driver_context(spec, stats.cache(), rows)
+        ctx = self._driver_context(spec, self._norm_caches(stats), rows)
         return explain_spec(spec, ctx, int(doc_id))
 
     def doc(self, doc_id: int) -> dict | None:
@@ -338,6 +418,8 @@ class Searcher:
         MatchAllDocsQuery count == docCount) — a stats-table point read
         instead of decoding any postings."""
         q0 = parse_query(query) if isinstance(query, str) else A.rewrite(query)
+        if len(self.index.text_fields) > 1:
+            q0 = self._fieldize(q0)  # composite-key the df point-read too
         if not len(self.index.deleted_ids):
             if isinstance(q0, A.TermQuery):
                 return self.index.term_stats([q0.term]).get(q0.term, (0, 0))[0]
@@ -346,7 +428,7 @@ class Searcher:
         q, spec, stats, rows = self.prepare(q0, collect_rows=True)
         if isinstance(spec, NoneSpec):
             return 0
-        ctx = self._driver_context(spec, stats.cache(), rows)
+        ctx = self._driver_context(spec, self._norm_caches(stats), rows)
         docs, scores = self._apply_live_docs(*evaluate(spec, ctx))
         return len(docs)
 

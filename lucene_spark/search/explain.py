@@ -64,7 +64,7 @@ def explain_spec(spec, ctx: ChunkContext, doc: int) -> dict:
                 _node(True, spec.weight, "weight = boost * idf (BM25Similarity.java:236)"),
                 _node(True, freq, "freq, occurrences of term within document"),
                 _node(True, int(NORM_LENGTH_TABLE[nb]), f"dl, length of field (norm byte {nb})"),
-                _node(True, float(ctx.cache[nb]), "1 / (k1 * ((1 - b) + b * dl / avgdl))"),
+                _node(True, float(ctx.cache_for(spec.field)[nb]), "1 / (k1 * ((1 - b) + b * dl / avgdl))"),
             ]
         return _node(matched, v, f"weight(content:{spec.term} in {doc}) [BM25Similarity]", details)
     if isinstance(spec, SynonymSpec):

@@ -21,8 +21,14 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from lucene_spark.index.builder import FIELD_SEP
 from lucene_spark.search import ast as A
 from lucene_spark.search.similarity import BM25Stats, idf, score_freqs
+
+
+def field_of_key(key: str) -> str:
+    """Field of a composite term key ("" = primary field)."""
+    return key.split(FIELD_SEP, 1)[0] if FIELD_SEP in key else ""
 
 EMPTY_I = np.empty(0, dtype=np.int64)
 EMPTY_F = np.empty(0, dtype=np.float32)
@@ -33,14 +39,16 @@ EMPTY_F = np.empty(0, dtype=np.float32)
 
 @dataclass(frozen=True)
 class TermSpec:
-    term: str
+    term: str  # composite key ("field\x1fterm") for non-primary fields
     weight: float  # float32 value: boost * idf
+    field: str = ""  # "" = primary field (selects the norm-inverse cache)
 
 
 @dataclass(frozen=True)
 class SynonymSpec:
     terms: tuple[str, ...]
     weight: float
+    field: str = ""
 
 
 @dataclass(frozen=True)
@@ -101,6 +109,7 @@ class PhraseSpec:
     terms: tuple[str, ...]
     weight: float
     slop: int = 0
+    field: str = ""
 
 
 @dataclass(frozen=True)
@@ -114,6 +123,7 @@ class SpanNearSpec:
     weight: float
     slop: int = 0
     in_order: bool = True
+    field: str = ""
 
 
 @dataclass(frozen=True)
@@ -124,19 +134,35 @@ class MultiPhraseSpec:
     slots: tuple[tuple[str, ...], ...]
     weight: float
     slop: int = 0
+    field: str = ""
 
 
-def compile_query(q: A.Query, stats: BM25Stats, term_df: dict[str, int], boost: float = 1.0):
+def compile_query(
+    q: A.Query,
+    stats: BM25Stats,
+    term_df: dict[str, int],
+    boost: float = 1.0,
+    stats_by_field: dict[str, BM25Stats] | None = None,
+):
     """AST (+ global stats) → spec tree. ``term_df`` maps term → df;
     missing terms score nothing. Boost folds into weights as float32
-    (BM25Scorer weight = boost * idf, BM25Similarity.java:236-238)."""
+    (BM25Scorer weight = boost * idf, BM25Similarity.java:236-238).
+    ``stats_by_field`` supplies per-field CollectionStatistics for
+    composite term keys (multi-field indexes); a key's field picks its
+    own docCount for idf and its own norm-inverse cache at score time."""
     b32 = np.float32(boost)
+
+    def _stats_of(key: str) -> tuple[str, BM25Stats]:
+        f = field_of_key(key)
+        if f and stats_by_field and f in stats_by_field:
+            return f, stats_by_field[f]
+        return f, stats
     if isinstance(q, A.MatchNoDocsQuery):
         return NoneSpec()
     if isinstance(q, A.MatchAllDocsQuery):
         return AllSpec(float(b32))
     if isinstance(q, A.BoostQuery):
-        return compile_query(q.query, stats, term_df, float(np.float32(b32 * np.float32(q.boost))))
+        return compile_query(q.query, stats, term_df, float(np.float32(b32 * np.float32(q.boost))), stats_by_field)
     if isinstance(q, A.ConstantScoreQuery):
         inner = q.query
         if isinstance(inner, A.TermInSetQuery):
@@ -145,19 +171,21 @@ def compile_query(q: A.Query, stats: BM25Stats, term_df: dict[str, int], boost: 
         if isinstance(inner, A.TermQuery):
             return ConstSpec((inner.term,), float(b32)) if term_df.get(inner.term) else NoneSpec()
         # generic: score inner, replace scores by boost
-        sub = compile_query(inner, stats, term_df, 1.0)
+        sub = compile_query(inner, stats, term_df, 1.0, stats_by_field)
         return ("const", sub, float(b32))
     if isinstance(q, A.TermQuery):
         df = term_df.get(q.term, 0)
         if df == 0:
             return NoneSpec()
-        return TermSpec(q.term, float(stats.term_weight(df, float(b32))))
+        fld, st = _stats_of(q.term)
+        return TermSpec(q.term, float(st.term_weight(df, float(b32))), fld)
     if isinstance(q, A.SynonymQuery):
         dfs = [term_df[t] for t in q.terms if term_df.get(t)]
         if not dfs:
             return NoneSpec()
-        w = np.float32(b32 * idf(max(dfs), stats.doc_count))
-        return SynonymSpec(tuple(t for t in q.terms if term_df.get(t)), float(w))
+        fld, st = _stats_of(q.terms[0])
+        w = np.float32(b32 * idf(max(dfs), st.doc_count))
+        return SynonymSpec(tuple(t for t in q.terms if term_df.get(t)), float(w), fld)
     if isinstance(q, A.TermInSetQuery):
         terms = tuple(t for t in q.terms if term_df.get(t))
         return ConstSpec(terms, float(b32)) if terms else NoneSpec()
@@ -168,28 +196,31 @@ def compile_query(q: A.Query, stats: BM25Stats, term_df: dict[str, int], boost: 
     if isinstance(q, A.PhraseQuery):
         if any(not term_df.get(t) for t in q.terms):
             return NoneSpec()
-        total = float(np.sum([float(idf(term_df[t], stats.doc_count)) for t in q.terms]))
-        return PhraseSpec(q.terms, float(np.float32(b32 * np.float32(total))), q.slop)
+        fld, st = _stats_of(q.terms[0])
+        total = float(np.sum([float(idf(term_df[t], st.doc_count)) for t in q.terms]))
+        return PhraseSpec(q.terms, float(np.float32(b32 * np.float32(total))), q.slop, fld)
     if isinstance(q, A.SpanNearQuery):
         if any(not term_df.get(t) for t in q.terms):
             return NoneSpec()
-        total = float(np.sum([float(idf(term_df[t], stats.doc_count)) for t in q.terms]))
-        return SpanNearSpec(q.terms, float(np.float32(b32 * np.float32(total))), q.slop, q.in_order)
+        fld, st = _stats_of(q.terms[0])
+        total = float(np.sum([float(idf(term_df[t], st.doc_count)) for t in q.terms]))
+        return SpanNearSpec(q.terms, float(np.float32(b32 * np.float32(total))), q.slop, q.in_order, fld)
     if isinstance(q, A.MultiPhraseQuery):
         slots = tuple(tuple(t for t in slot if term_df.get(t)) for slot in q.positions)
         if any(not s for s in slots):
             return NoneSpec()
         uniq = sorted({t for slot in slots for t in slot})
-        total = float(np.sum([float(idf(term_df[t], stats.doc_count)) for t in uniq]))
-        return MultiPhraseSpec(slots, float(np.float32(b32 * np.float32(total))), q.slop)
+        fld, st = _stats_of(uniq[0])
+        total = float(np.sum([float(idf(term_df[t], st.doc_count)) for t in uniq]))
+        return MultiPhraseSpec(slots, float(np.float32(b32 * np.float32(total))), q.slop, fld)
     if isinstance(q, A.DisjunctionMaxQuery):
-        subs = tuple(compile_query(s, stats, term_df, float(b32)) for s in q.queries)
+        subs = tuple(compile_query(s, stats, term_df, float(b32), stats_by_field) for s in q.queries)
         subs = tuple(s for s in subs if not isinstance(s, NoneSpec))
         return DisMaxSpec(subs, q.tie_breaker) if subs else NoneSpec()
     if isinstance(q, A.BooleanQuery):
         musts, shoulds, filters, nots = [], [], [], []
         for occ, sub in q.clauses:
-            spec = compile_query(sub, stats, term_df, float(b32) if occ is not A.Occur.FILTER else 1.0)
+            spec = compile_query(sub, stats, term_df, float(b32) if occ is not A.Occur.FILTER else 1.0, stats_by_field)
             if occ is A.Occur.MUST:
                 if isinstance(spec, NoneSpec):
                     return NoneSpec()
@@ -275,6 +306,14 @@ class ChunkContext:
         # distributed mode; whole set in driver mode)
         self.docsets = docsets or {}
 
+    def cache_for(self, field: str) -> np.ndarray:
+        """Norm-inverse cache for a field ("" = primary). ``cache`` is
+        a plain array (single-field index) or a field → array dict
+        (multi-field: per-field avgdl ⇒ per-field cache)."""
+        if isinstance(self.cache, dict):
+            return self.cache[field]
+        return self.cache
+
     def term(self, t: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return self.arrays.get(t, (EMPTY_I, EMPTY_I, EMPTY_I))
 
@@ -289,7 +328,7 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
         docs, tfs, norms = ctx.term(spec.term)
         if not len(docs):
             return EMPTY_I, EMPTY_F
-        return docs, score_freqs(np.float32(spec.weight), tfs, norms, ctx.cache)
+        return docs, score_freqs(np.float32(spec.weight), tfs, norms, ctx.cache_for(spec.field))
     if isinstance(spec, SynonymSpec):
         # union with per-doc tf sums (SynonymQuery.java:196-212)
         parts = [ctx.term(t) for t in spec.terms]
@@ -303,7 +342,7 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
             mask, idx = _membership(d, docs)
             tf_sum[mask] += t[idx[mask]]
             norms_out[mask] = nm[idx[mask]]
-        return docs, score_freqs(np.float32(spec.weight), tf_sum, norms_out, ctx.cache)
+        return docs, score_freqs(np.float32(spec.weight), tf_sum, norms_out, ctx.cache_for(spec.field))
     if isinstance(spec, DocSetSpec):
         d = np.asarray(spec.docs, dtype=np.int64)
         if ctx.doc_range is not None:
@@ -443,7 +482,7 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
         return EMPTY_I, EMPTY_F
     docs0, _, norms0 = parts[0]
     idx0 = np.searchsorted(docs0, cand[matched])
-    scores = score_freqs(np.float32(spec.weight), freqs[matched], norms0[idx0], ctx.cache)
+    scores = score_freqs(np.float32(spec.weight), freqs[matched], norms0[idx0], ctx.cache_for(spec.field))
     return cand[matched], scores
 
 
@@ -513,7 +552,7 @@ def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.
             if len(d):
                 mask, idx = _membership(d, cand)
                 norms_out[mask] = nm[idx[mask]]
-        scores = score_freqs(np.float32(spec.weight), freqs[matched], norms_out[matched], ctx.cache)
+        scores = score_freqs(np.float32(spec.weight), freqs[matched], norms_out[matched], ctx.cache_for(spec.field))
         return cand[matched], scores
 
     slots = [_slot_union(ctx, s) for s in spec.slots]
@@ -544,7 +583,7 @@ def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.
         return EMPTY_I, EMPTY_F
     d0, nm0, _ = slots[0]
     idx0 = np.searchsorted(d0, cand[matched])
-    scores = score_freqs(np.float32(spec.weight), freqs[matched], nm0[idx0], ctx.cache)
+    scores = score_freqs(np.float32(spec.weight), freqs[matched], nm0[idx0], ctx.cache_for(spec.field))
     return cand[matched], scores
 
 
@@ -594,7 +633,7 @@ def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, n
         return EMPTY_I, EMPTY_F
     docs0, _, norms0 = parts[0]
     idx0 = np.searchsorted(docs0, cand[matched])
-    scores = score_freqs(np.float32(spec.weight), freqs[matched], norms0[idx0], ctx.cache)
+    scores = score_freqs(np.float32(spec.weight), freqs[matched], norms0[idx0], ctx.cache_for(spec.field))
     return cand[matched], scores
 
 
