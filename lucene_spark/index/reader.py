@@ -155,11 +155,18 @@ class SearchIndex:
     # ---- term dictionary ---------------------------------------------------
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """term → (df, ttf); point lookups pushed to the parquet scan."""
+        """term → (df, ttf); point lookups pushed to the parquet scan.
+        Aggregated across tiers (a tiered-writer index keeps one
+        term_stats row per (term, tier) — per-segment term dicts)."""
         if not terms:
             return {}
-        rows = self.term_stats_df.filter(F.col("term").isin(list(terms))).collect()
-        return {r["term"]: (r["df"], r["ttf"]) for r in rows}
+        rows = (
+            self.term_stats_df.filter(F.col("term").isin(list(terms)))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
 
     def expand_terms(self, kind: str, arg, limit: int = MAX_EXPANSION, field: str | None = None) -> list[str]:
         """MultiTermQuery expansion against the term dictionary
@@ -205,7 +212,10 @@ class SearchIndex:
                 cond = cond & c
         else:
             raise ValueError(kind)
-        out = [r["term"] for r in t.filter(cond).select("term").orderBy("term").limit(limit).collect()]
+        out = [
+            r["term"]
+            for r in t.filter(cond).select("term").distinct().orderBy("term").limit(limit).collect()
+        ]
         self._expand_cache[ckey] = out
         while len(self._expand_cache) > 1024:
             self._expand_cache.popitem(last=False)
@@ -226,7 +236,12 @@ class SearchIndex:
         cache = self._row_cache
         missing = [t for t in terms if t not in cache]
         if missing:
-            rows = self.postings_rows(missing).orderBy("term", "chunk_id").collect()
+            # tiered indexes: tiers cover increasing doc-id ranges, so
+            # (chunk_id, tier) order = global doc order within a term
+            order_cols = ["term", "chunk_id"] + (
+                ["tier"] if "tier" in self.postings.columns else []
+            )
+            rows = self.postings_rows(missing).orderBy(*order_cols).collect()
             fetched: dict[str, list] = {t: [] for t in missing}
             for r in rows:
                 fetched[r["term"]].append(r)

@@ -147,25 +147,178 @@ class IndexWriter:
 
     # ---- commit ------------------------------------------------------------
 
-    def commit(self, expunge_deletes: bool = False) -> SearchIndex:
-        """Merge all segments into the searchable layout and advance the
-        manifest (the segments_N commit point). ``expunge_deletes``
-        physically drops tombstoned docs and recomputes stats
-        (forceMergeDeletes); otherwise tombstones stay liveDocs masks."""
+    _TABLES = ("postings", "term_stats", "docs", "norms")
+
+    def _commits_path(self) -> str:
+        return f"{self.index_dir}/commits.json"
+
+    def _load_commits(self) -> dict:
+        p = self._commits_path()
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {"tiers": []}
+
+    def _save_commits(self, commits: dict) -> None:
+        tmp = self._commits_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(commits, fh, indent=2)
+        os.replace(tmp, self._commits_path())  # atomic, the segments_N role
+
+    def _staged_segments(self) -> list[str]:
+        seg_root = f"{self.index_dir}/segments"
+        if not os.path.exists(seg_root):
+            return []
+        return sorted(p.split("=", 1)[1] for p in os.listdir(seg_root) if p.startswith("seg="))
+
+    def _is_tiered(self, table: str) -> bool:
+        d = f"{self.index_dir}/{table}"
+        return os.path.exists(d) and any(p.startswith("tier=") for p in os.listdir(d))
+
+    def _flatten_to_tier0(self, covered: list[str], n_docs: int) -> dict:
+        """Move existing FLAT final tables under ``tier=0`` hive dirs
+        (pure filesystem renames — no data job), so tiered commits can
+        append sibling tiers. ``covered``: the staged segments the flat
+        tables were merged from."""
+        for t in self._TABLES:
+            d = f"{self.index_dir}/{t}"
+            if not os.path.exists(d) or self._is_tiered(t):
+                continue
+            tmp = f"{d}._tmp_tier0"
+            os.rename(d, tmp)
+            os.makedirs(d)
+            os.rename(tmp, f"{d}/tier=0")
+            self.spark.catalog.refreshByPath(d)
+        commits = {"tiers": [{"tier": 0, "segments": covered, "n_docs": int(n_docs)}]}
+        self._save_commits(commits)
+        return commits
+
+    def _write_collection_stats(self) -> int:
+        """Recompute collection stats over ALL tiers (aggregation scan
+        of norms + term_stats — no shuffle, no postings decode)."""
+        cfg = self.config
+        norms = self.spark.read.parquet(f"{self.index_dir}/norms")
+        n_docs, sum_ttf = norms.agg(F.count("*"), F.sum("dl")).first()
+        sum_df = self.spark.read.parquet(f"{self.index_dir}/term_stats").agg(F.sum("df")).first()[0]
+        self.spark.createDataFrame(
+            [(int(n_docs), int(sum_ttf or 0), int(sum_df or 0), cfg.field)],
+            schema="doc_count long, sum_ttf long, sum_df long, field string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.index_dir}/collection_stats")
+        self.spark.catalog.refreshByPath(f"{self.index_dir}/collection_stats")
+        return int(n_docs)
+
+    def _tiered_commit(self) -> dict:
+        """Pack ONLY the not-yet-committed segments into a new tier —
+        commit cost is O(new docs), not O(index) (the TieredMergePolicy
+        contract, lucene/core/src/java/org/apache/lucene/index/
+        TieredMergePolicy.java:89-95: merges are sized by the segments
+        being merged, never the whole index). Each tier is a hive
+        partition dir (``postings/tier=K`` …) covering a disjoint
+        doc-id range; the reader unions tiers and orders chunk rows by
+        (chunk_id, tier) = global doc order."""
+        import time
+
+        t0 = time.time()
+        staged = self._staged_segments()
+        commits = self._load_commits()
+        committed = {s for t in commits["tiers"] for s in t["segments"]}
+        flat_exists = os.path.exists(f"{self.index_dir}/postings") and not self._is_tiered("postings")
+        if flat_exists:
+            if commits["tiers"]:
+                # flat tables from a prior merge-down; commits.json says
+                # exactly which segments they cover
+                covered = sorted(committed)
+            else:
+                # flat tables from a prior full merge with no commit
+                # record: coverage = segments whose docs all precede the
+                # flat max doc id (ids are assigned monotonically with
+                # staging order)
+                flat_max = self.spark.read.parquet(f"{self.index_dir}/norms").agg(
+                    F.max("doc_id")
+                ).first()[0]
+                covered = []
+                for s in staged:
+                    mn = self.spark.read.parquet(
+                        f"{self.index_dir}/segments/seg={s}/norms"
+                    ).agg(F.min("doc_id")).first()[0]
+                    if mn is not None and int(mn) <= int(flat_max):
+                        covered.append(s)
+            n_flat = self.spark.read.parquet(f"{self.index_dir}/norms").count()
+            commits = self._flatten_to_tier0(covered, n_flat)
+            committed = set(covered)
+        new = [s for s in staged if s not in committed]
+        if not new:
+            return {"mode": "tiered", "packed_segments": [], "packed_docs": 0}
+        tier = max((t["tier"] for t in commits["tiers"]), default=-1) + 1
+        seg_root = f"{self.index_dir}/segments"
+        inverted = self.spark.read.parquet(*[f"{seg_root}/seg={s}/inverted" for s in new])
+        docs = self.spark.read.parquet(*[f"{seg_root}/seg={s}/docs" for s in new])
+        norms = self.spark.read.parquet(*[f"{seg_root}/seg={s}/norms" for s in new])
+        cfg = self.config
+        # chunk_all: a tier's rows must live in their true doc-range
+        # chunk (cold terms included) so distributed leaf grouping
+        # stays doc-range-partitioned across tiers
+        postings, term_stats = self._inner.posting_lists(inverted, chunk_all=True)
+        postings.repartition(cfg.term_buckets, "term").sortWithinPartitions(
+            "term", "chunk_id"
+        ).write.mode("overwrite").parquet(f"{self.index_dir}/postings/tier={tier}")
+        term_stats.repartition(cfg.term_buckets, "term").sortWithinPartitions("term").write.mode(
+            "overwrite"
+        ).parquet(f"{self.index_dir}/term_stats/tier={tier}")
+        docs.repartitionByRange(cfg.term_buckets, "doc_id").sortWithinPartitions("doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{self.index_dir}/docs/tier={tier}")
+        norms.repartitionByRange(cfg.term_buckets, "doc_id").sortWithinPartitions("doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{self.index_dir}/norms/tier={tier}")
+        for t in self._TABLES:
+            self.spark.catalog.refreshByPath(f"{self.index_dir}/{t}")
+        n_new = norms.count()
+        commits["tiers"].append({"tier": tier, "segments": new, "n_docs": int(n_new)})
+        self._save_commits(commits)
+        return {
+            "mode": "tiered",
+            "tier": tier,
+            "packed_segments": new,
+            "packed_docs": int(n_new),
+            "commit_sec": round(time.time() - t0, 3),
+        }
+
+    def commit(
+        self, expunge_deletes: bool = False, full: bool = False, max_tiers: int = 10
+    ) -> SearchIndex:
+        """Advance the commit point (segments_N). Default: a TIERED
+        commit — pack only the new segments into a new tier, cost
+        bounded by the new docs (TieredMergePolicy role). When the tier
+        count exceeds ``max_tiers``, or with ``full=True`` /
+        ``expunge_deletes=True``, all segments re-merge into one flat
+        layout (forceMerge / forceMergeDeletes)."""
         from lucene_spark.index.checkpoint import ResumableIndexBuilder
         from lucene_spark.index.deletes import purge_deletes
 
+        rec: dict = {}
         if expunge_deletes and os.path.exists(f"{self.index_dir}/deletes"):
-            purge_deletes(self.spark, self.index_dir, self.config)
-        else:
+            purge_deletes(self.spark, self.index_dir, self.config)  # full collapse
+            self._save_commits({"tiers": [{"tier": 0, "segments": self._staged_segments(), "n_docs": -1}]})
+        elif full:
             ResumableIndexBuilder(self.spark, self.config).merge(self.index_dir)
-        stats = self.spark.read.parquet(f"{self.index_dir}/collection_stats").first()
+            self._save_commits({"tiers": [{"tier": 0, "segments": self._staged_segments(), "n_docs": -1}]})
+        else:
+            rec = self._tiered_commit()
+            if len(self._load_commits()["tiers"]) > max_tiers:
+                # over budget → merge down (the policy's big merge)
+                ResumableIndexBuilder(self.spark, self.config).merge(self.index_dir)
+                self._save_commits(
+                    {"tiers": [{"tier": 0, "segments": self._staged_segments(), "n_docs": -1}]}
+                )
+        n_docs = self._write_collection_stats()
         with open(f"{self.index_dir}/manifest.json", "w") as fh:
             json.dump(
                 {
-                    "docs": int(stats["doc_count"]),
+                    "docs": n_docs,
                     "docs_per_chunk": self.config.docs_per_chunk,
                     "mode": "writer",
+                    "last_commit": rec,
                 },
                 fh,
             )

@@ -555,9 +555,30 @@ class Searcher:
                         docsets[pred_keys[t]] = ds
                     continue
                 d, tf, nm = unpack_postings(bytes(r.blob))
-                arrays[t] = (d, tf, nm.astype(np.int64))
-                if with_pos and r.pos_blob is not None:
-                    positions[t] = unpack_positions(bytes(r.pos_blob), tf)
+                nm = nm.astype(np.int64)
+                pos = (
+                    unpack_positions(bytes(r.pos_blob), tf)
+                    if with_pos and r.pos_blob is not None
+                    else None
+                )
+                prev = arrays.get(t)
+                if prev is not None:
+                    # tiered index: a boundary chunk can hold one row
+                    # per tier for the same term — concatenate in doc
+                    # order (tiers cover disjoint, increasing ranges)
+                    d = np.concatenate([prev[0], d])
+                    tf = np.concatenate([prev[1], tf])
+                    nm = np.concatenate([prev[2], nm])
+                    if pos is not None and t in positions:
+                        pos = positions[t] + pos
+                    if len(d) > 1 and not (np.diff(d) > 0).all():
+                        order = np.argsort(d, kind="stable")
+                        d, tf, nm = d[order], tf[order], nm[order]
+                        if pos is not None:
+                            pos = [pos[i] for i in order]
+                arrays[t] = (d, tf, nm)
+                if pos is not None:
+                    positions[t] = pos
             for t, (d, tf, nm) in small_arrays.items():
                 i0, i1 = np.searchsorted(d, lo), np.searchsorted(d, hi)
                 arrays[t] = (d[i0:i1], tf[i0:i1], nm[i0:i1])
