@@ -80,6 +80,30 @@ def gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]
     return _CACHE[key]
 
 
+def sorted_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """Index-sorted gate index (IndexWriterConfig.setIndexSort role):
+    doc ids assigned by (n_chars DESC, src doc_id ASC), so sorted
+    search early-terminates. The table's own doc_id rides along as the
+    stored field ``src_id`` for oracle comparison."""
+    key = ("sorted", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gates_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(
+            docs_per_chunk=128,
+            term_buckets=4,
+            positions=True,
+            index_sort=("-n_chars", "src_id"),
+        )
+        corpus = corpus_df(spark, sf_dir).withColumnRenamed("doc_id", "src_id").drop("title")
+        IndexBuilder(spark, cfg).build(corpus, idx_dir)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 _UPDATED_TEXT = "vector table vector merge vector"
 
 
@@ -388,6 +412,26 @@ def queries() -> dict:
         return out.select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
 
     Q["ft_sorted_top10"] = _sorted
+
+    def _indexsort(spark, sf):
+        # early-terminating sorted search over the INDEX-SORTED index;
+        # result mapped back to source doc ids via the stored src_id
+        index, searcher = sorted_gate_index(spark, sf)
+        td = searcher.search_sorted_index(A.TermQuery("table"), k=10)
+        rank = spark.createDataFrame(
+            [(i + 1, int(d)) for i, (d, _) in enumerate(td.hits)], "rank bigint, doc_id bigint"
+        )
+        return (
+            index.docs.join(F.broadcast(rank), "doc_id")
+            .select(
+                "rank",
+                F.col("src_id").cast("long").alias("doc_id"),
+                F.col("n_chars").cast("long"),
+            )
+            .orderBy("rank")
+        )
+
+    Q["ft_indexsort_top10"] = _indexsort
 
     # -- MultiTermQuery family (constant-score doc sets) --
     Q["ft_prefix_ids"] = lambda spark, sf: _ids_df(spark, _search(spark, sf, A.PrefixQuery("s"), k=ALL_K))
@@ -893,6 +937,13 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
     )
     O["ft_sorted_top10"] = (
         base_ctes() + " SELECT d.doc_id, d.n_chars::BIGINT AS n_chars FROM documents d "
+        "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
+        "ORDER BY d.n_chars DESC, d.doc_id LIMIT 10"
+    )
+
+    O["ft_indexsort_top10"] = (
+        base_ctes() + " SELECT row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id)::BIGINT AS rank, "
+        "d.doc_id, d.n_chars::BIGINT AS n_chars FROM documents d "
         "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
         "ORDER BY d.n_chars DESC, d.doc_id LIMIT 10"
     )

@@ -97,6 +97,14 @@ class IndexConfig:
     # posting) and its own collection-stats row, so BM25 scores with
     # per-field df / avgdl / docCount exactly like per-field Lucene.
     extra_fields: tuple[str, ...] = ()
+    # index-time sort (IndexWriterConfig.setIndexSort,
+    # IndexWriterConfig.java:475): doc IDs are assigned in the order of
+    # these metadata columns ("-col" = descending), so doc-id order IS
+    # the sort order and a matching query sort can terminate early
+    # (TopFieldCollector early exit over a sorted index). The spec must
+    # be a TOTAL order (append a unique key column) for deterministic
+    # ids. Empty = sort by DOC_KEYS (the default identity order).
+    index_sort: tuple[str, ...] = ()
 
 
 _POSTINGS_SCHEMA = StructType(
@@ -116,8 +124,22 @@ _POSTINGS_SCHEMA = StructType(
 )
 
 
-def assign_doc_ids(df: DataFrame, keys: tuple[str, ...] = DOC_KEYS, partitions: int | None = None) -> DataFrame:
-    """Deterministic contiguous doc IDs = global rank over ``keys``.
+def parse_sort_spec(spec: tuple[str, ...]) -> list[tuple[str, bool]]:
+    """("-n_chars", "src_id") → [("n_chars", False), ("src_id", True)]
+    (col, ascending) pairs; the Sort/SortField parse."""
+    return [(c[1:], False) if c.startswith("-") else (c, True) for c in spec]
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    keys: tuple[str, ...] = DOC_KEYS,
+    partitions: int | None = None,
+    sort_spec: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic contiguous doc IDs = global rank over ``keys`` —
+    or, with ``sort_spec`` (index-time sort, IndexWriterConfig
+    .setIndexSort), global rank over the sort columns so doc-id order
+    is the index sort order.
 
     Lucene reassigns per-segment IDs on merge (DocIDMerger.java:32-43);
     we instead fix GLOBAL IDs once so merges never remap and rebuilds /
@@ -130,7 +152,12 @@ def assign_doc_ids(df: DataFrame, keys: tuple[str, ...] = DOC_KEYS, partitions: 
     """
     spark = df.sparkSession
     p = partitions or max(spark.sparkContext.defaultParallelism, 8)
-    kcols = [F.col(k) for k in keys]
+    if sort_spec:
+        kcols = [
+            F.col(c).asc() if asc else F.col(c).desc() for c, asc in parse_sort_spec(sort_spec)
+        ]
+    else:
+        kcols = [F.col(k) for k in keys]
     ordered = (
         df.repartitionByRange(p, *kcols)
         .sortWithinPartitions(*kcols)
@@ -453,7 +480,11 @@ class IndexBuilder:
         cfg = self.config
         from pyspark import StorageLevel
 
-        base = corpus if not assign_ids else assign_doc_ids(corpus, partitions=cfg.id_partitions)
+        base = (
+            corpus
+            if not assign_ids
+            else assign_doc_ids(corpus, partitions=cfg.id_partitions, sort_spec=cfg.index_sort)
+        )
         # ONE persisted intermediate: the inverted relation (DISK_ONLY —
         # cached on-heap it dominates the heap at scale and turns into
         # GC churn). It feeds the term_stats aggregation, the chunked
@@ -616,6 +647,7 @@ class IndexBuilder:
             "docs_per_chunk": cfg.docs_per_chunk,
             "field": cfg.field,
             "extra_fields": list(cfg.extra_fields),
+            "index_sort": list(cfg.index_sort),
         }
         with open(f"{index_dir}/manifest.json", "w") as fh:
             json.dump(metrics, fh, indent=2)

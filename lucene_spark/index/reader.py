@@ -77,6 +77,24 @@ class SearchIndex:
         return out
 
     @cached_property
+    def manifest(self) -> dict:
+        import json
+        import os
+
+        path = os.path.join(self.index_dir, "manifest.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                return json.load(fh)
+        return {}
+
+    @property
+    def index_sort(self) -> list[str]:
+        """The index-time sort spec this index was built with
+        (IndexWriterConfig.setIndexSort / LeafMetaData.getSort role);
+        empty = unsorted (doc ids follow DOC_KEYS identity order)."""
+        return list(self.manifest.get("index_sort") or [])
+
+    @cached_property
     def postings(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/postings")
 

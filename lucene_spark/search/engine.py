@@ -360,6 +360,140 @@ class Searcher:
         docs, scores = self._apply_live_docs(*evaluate(spec, ctx))
         return TopDocs(top_k_from_arrays(docs, scores, k), len(docs), "EQUAL_TO", {})
 
+    def search_sorted_index(self, query: str | A.Query, k: int = 10) -> TopDocs:
+        """Early-terminating sorted search over an INDEX-SORTED index
+        (IndexWriterConfig.setIndexSort + TopFieldCollector early exit,
+        TopFieldCollector.java canEarlyTerminate: when the query sort
+        is a prefix of the index sort, stop after k collected hits).
+
+        Doc-id order IS the sort order on a sorted index, so the top-k
+        by the index sort = the FIRST k matches in doc order. Doc-range
+        chunks are visited in ascending order and the loop stops — and
+        stops DECODING — at the first chunk boundary with >= k hits
+        collected; ``total_hits`` degrades to a lower bound with
+        relation GREATER_THAN_OR_EQUAL_TO exactly like the reference
+        collector. Hits carry their BM25 scores (TopFieldCollector
+        with setScores). At cluster scale the same contract holds
+        per-leaf: each doc-range task collects its first k and the
+        merge keeps the globally-first k (chunks here, executors
+        there)."""
+        import math
+
+        index = self.index
+        sort_spec = index.index_sort
+        if not sort_spec:
+            raise ValueError(
+                "search_sorted_index requires an index built with IndexConfig.index_sort"
+            )
+        q, spec, stats, rows = self.prepare(query, collect_rows=True)
+        info: dict = {"index_sort": sort_spec}
+        if isinstance(spec, NoneSpec) or k <= 0:
+            return TopDocs([], 0, "EQUAL_TO", info)
+        cache = self._norm_caches(stats)
+        from lucene_spark.codec.forutil import unpack_postings
+        from lucene_spark.codec.positions import unpack_positions
+
+        manifest = index.manifest
+        dpc = int(manifest.get("docs_per_chunk", 1 << 17))
+        max_doc, _, contiguous = index.doc_id_bounds
+        with_pos = _has_phrase(spec)
+        needs_all = _needs_all_docs(spec)
+        deleted = index.deleted_ids
+
+        # hot terms: per-chunk rows decoded on demand (the skip); cold
+        # terms: one small row, decoded once, sliced per chunk
+        hot_rows_by_chunk: dict[int, list] = {}
+        cold_terms: list[str] = []
+        chunk_ids: set[int] = set()
+        for term, rs in rows.items():
+            if len(rs) > 1 or (rs and int(rs[0]["chunk_id"]) > 0):
+                for r in rs:
+                    c = int(r["chunk_id"])
+                    hot_rows_by_chunk.setdefault(c, []).append((term, r))
+                    chunk_ids.add(c)
+            else:
+                cold_terms.append(term)
+        cold = index.postings_from_rows(
+            {t: rows[t] for t in cold_terms}, with_positions=with_pos
+        )
+        for t, p in cold.items():
+            chunk_ids |= set(np.unique(p.docs // dpc).tolist())
+        for ds in _collect_docsets(spec):
+            d = np.asarray(ds.docs, dtype=np.int64)
+            chunk_ids |= set(np.unique(d // dpc).tolist())
+        if needs_all:
+            all_ids = index.all_doc_ids()
+            chunk_ids |= set(range(math.ceil(max_doc / dpc))) if contiguous else set(
+                np.unique(all_ids // dpc).tolist()
+            )
+        ordered_chunks = sorted(chunk_ids)
+
+        collected: list[tuple[int, float]] = []
+        scanned = 0
+        for c in ordered_chunks:
+            lo, hi = c * dpc, (c + 1) * dpc
+            arrays: dict = {}
+            positions: dict = {}
+            for term, r in hot_rows_by_chunk.get(c, ()):
+                d, tf, nm = unpack_postings(bytes(r["blob"]))
+                nm = nm.astype(np.int64)
+                pos = (
+                    unpack_positions(bytes(r["pos_blob"]), tf)
+                    if with_pos and r["pos_blob"] is not None
+                    else None
+                )
+                prev = arrays.get(term)
+                if prev is not None:  # tiered: one row per tier, concat in doc order
+                    d = np.concatenate([prev[0], d])
+                    tf = np.concatenate([prev[1], tf])
+                    nm = np.concatenate([prev[2], nm])
+                    if pos is not None and term in positions:
+                        pos = positions[term] + pos
+                    if len(d) > 1 and not (np.diff(d) > 0).all():
+                        order = np.argsort(d, kind="stable")
+                        d, tf, nm = d[order], tf[order], nm[order]
+                        if pos is not None:
+                            pos = [pos[i] for i in order]
+                arrays[term] = (d, tf, nm)
+                if pos is not None:
+                    positions[term] = pos
+            for t, p in cold.items():
+                i0, i1 = np.searchsorted(p.docs, lo), np.searchsorted(p.docs, hi)
+                arrays[t] = (p.docs[i0:i1], p.tfs[i0:i1], p.norms[i0:i1])
+                if with_pos and p.positions is not None:
+                    positions[t] = p.positions[i0:i1]
+            if needs_all:
+                all_docs = (
+                    np.arange(lo, min(hi, max_doc), dtype=np.int64)
+                    if contiguous
+                    else all_ids[np.searchsorted(all_ids, lo) : np.searchsorted(all_ids, hi)]
+                )
+            else:
+                all_docs = None
+            ctx = ChunkContext(
+                arrays, cache, all_docs, positions if with_pos else None, doc_range=(lo, hi)
+            )
+            docs, scores = evaluate(spec, ctx)
+            if len(deleted) and len(docs):
+                live = ~np.isin(docs, deleted, assume_unique=False)
+                docs, scores = docs[live], scores[live]
+            collected.extend(zip(docs.tolist(), scores.tolist()))
+            scanned += 1
+            if len(collected) >= k:
+                break
+        early = scanned < len(ordered_chunks)
+        info.update(
+            {
+                "chunks_scanned": scanned,
+                "chunks_total": len(ordered_chunks),
+                "early_terminated": early,
+            }
+        )
+        relation = "GREATER_THAN_OR_EQUAL_TO" if early else "EQUAL_TO"
+        return TopDocs(
+            [(int(d), float(s)) for d, s in collected[:k]], len(collected), relation, info
+        )
+
     def search_after(self, after: tuple[int, float] | None, query: str | A.Query, k: int = 10) -> TopDocs:
         """IndexSearcher.searchAfter(ScoreDoc, Query, int): the top-k
         hits strictly after the (doc_id, score) mark in (score desc,

@@ -216,7 +216,7 @@ def wand_top_k(
                 heap_docs = np.array([d for d, _ in top], dtype=np.int64)
                 heap_scores = np.array([s for _, s in top], dtype=np.float32)
             if len(heap_docs) >= k:
-                kth = sorted(heap_scores, reverse=True)[k - 1] if len(heap_scores) >= k else -np.inf
+                kth = np.partition(heap_scores, len(heap_scores) - k)[len(heap_scores) - k]
                 # minCompetitiveScore = Math.nextUp(kth) (TopScoreDocCollector.java:335-355)
                 min_competitive = float(np.nextafter(np.float32(kth), np.float32(np.inf)))
     result = top_k_from_arrays(heap_docs, heap_scores, k)
