@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v5"  # v5: multi-field (title) composite-key postings + per-field stats
+ENGINE_VERSION = "v6"  # v6: + vectors sidecar (knn_search) on the gate index
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
@@ -72,9 +72,13 @@ def gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]
     if not os.path.exists(f"{idx_dir}/manifest.json"):
         cfg = IndexConfig(
             docs_per_chunk=128, term_buckets=4, positions=True, offsets=True,
-            extra_fields=("title",),
+            extra_fields=("title",), vector_field="embedding",
         )
-        IndexBuilder(spark, cfg).build(corpus_df(spark, sf_dir), idx_dir, assign_ids=False)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+            F.col("vec_id").cast("long").alias("doc_id"), "embedding"
+        )
+        corpus = corpus_df(spark, sf_dir).join(emb, "doc_id", "left")
+        IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
     index = SearchIndex(spark, idx_dir)
     _CACHE[key] = (index, Searcher(index))
     return _CACHE[key]
@@ -147,6 +151,12 @@ def _round2(x: float) -> float:
     import math
 
     return math.floor(x * 100.0 + 0.5) / 100.0 if x >= 0 else -math.floor(-x * 100.0 + 0.5) / 100.0
+
+
+def _round4(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e4 + 0.5) / 1e4 if x >= 0 else -math.floor(-x * 1e4 + 0.5) / 1e4
 
 
 def _hits_df(spark: SparkSession, td: TopDocs) -> DataFrame:
@@ -432,6 +442,22 @@ def queries() -> dict:
         )
 
     Q["ft_indexsort_top10"] = _indexsort
+
+    def _knn(spark, sf):
+        # KnnFloatVectorQuery with a keyword pre-filter: top-5 by
+        # cosine among docs with lang='en' (the filter pushes to the
+        # docs-table scan; candidates never reach the driver)
+        _, searcher = gate_index(spark, sf)
+        qv = (
+            spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+            .filter(F.col("vec_id") == 0)
+            .first()["embedding"]
+        )
+        td = searcher.knn_search(qv, k=5, filter=A.FieldValueQuery("lang", "en"))
+        rows = [(i + 1, int(d), _round4(float(s))) for i, (d, s) in enumerate(td.hits)]
+        return spark.createDataFrame(rows, "rank bigint, doc_id bigint, score_r double")
+
+    Q["ft_knn_top5"] = _knn
 
     # -- MultiTermQuery family (constant-score doc sets) --
     Q["ft_prefix_ids"] = lambda spark, sf: _ids_df(spark, _search(spark, sf, A.PrefixQuery("s"), k=ALL_K))
@@ -947,6 +973,23 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
         "ORDER BY d.n_chars DESC, d.doc_id LIMIT 10"
     )
+
+    # KnnFloatVectorQuery w/ pre-filter: cosine vs embedding 0 among
+    # lang='en' docs; score transform (1+cos)/2 per
+    # VectorSimilarityFunction.java COSINE
+    O["ft_knn_top5"] = """WITH q AS (
+  SELECT unnest(embedding)::DOUBLE AS x, unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(x * x)) AS nr FROM q),
+ex AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(range(1, len(embedding) + 1)) AS i
+       FROM embeddings),
+dots AS (SELECT e.vec_id, sum(e.x * q.x) AS dp, sqrt(sum(e.x * e.x)) AS nr
+         FROM ex e JOIN q ON q.i = e.i GROUP BY e.vec_id),
+scored AS (SELECT d.vec_id AS doc_id, (1 + dp / (d.nr * (SELECT nr FROM qn))) / 2 AS s
+           FROM dots d JOIN documents doc ON doc.doc_id = d.vec_id WHERE doc.lang = 'en')
+SELECT row_number() OVER (ORDER BY s DESC, doc_id)::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, round(s, 4) AS score_r
+FROM scored ORDER BY s DESC, doc_id LIMIT 5"""
 
     O["ft_prefix_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term LIKE 's%'")
     O["ft_wildcard_ids"] = ids_sql("SELECT doc_id FROM tf WHERE regexp_full_match(term, '.*ow')")

@@ -97,6 +97,13 @@ class IndexConfig:
     # posting) and its own collection-stats row, so BM25 scores with
     # per-field df / avgdl / docCount exactly like per-field Lucene.
     extra_fields: tuple[str, ...] = ()
+    # KNN vector field (KnnFloatVectorField / Lucene94HnswVectorsFormat
+    # role): name of an array<float> corpus column stored as the
+    # ``vectors`` sidecar table (doc_id, vec, vnorm), doc-range
+    # partitioned. Search = Searcher.knn_search (exact, JVM-side);
+    # the HNSW graph's scale role is played by partition pruning +
+    # the IVF/LSH variants in pipeline.similarity (SURVEY §2).
+    vector_field: str | None = None
     # index-time sort (IndexWriterConfig.setIndexSort,
     # IndexWriterConfig.java:475): doc IDs are assigned in the order of
     # these metadata columns ("-col" = descending), so doc-id order IS
@@ -516,7 +523,11 @@ class IndexBuilder:
         # Catalyst pushdown on this doc_id-sorted table. Derived from
         # the SOURCE relation (columnar scan + JVM sha2), not the
         # tokenize pass — no Python in this branch at all.
-        meta_cols = [c for c in corpus.columns if c not in (cfg.field, "doc_id", "content_sha256")]
+        meta_cols = [
+            c
+            for c in corpus.columns
+            if c not in (cfg.field, "doc_id", "content_sha256", cfg.vector_field)
+        ]
         docs = base.select(
             "doc_id",
             *[F.col(c) for c in meta_cols],
@@ -625,13 +636,36 @@ class IndexBuilder:
             ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/collection_stats")
             return nd, st, sd
 
+        def _write_vectors():
+            # vectors sidecar (.vec/.vem role): doc-range partitioned
+            # like docs/norms so knn + filter co-locates; vnorm is
+            # precomputed JVM-side (cosine denominators at build time)
+            vec = F.col(cfg.vector_field).alias("vec")
+            vnorm = F.sqrt(
+                F.aggregate(
+                    F.transform(cfg.vector_field, lambda x: x.cast("double") * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("vnorm")
+            # docs without the vector field are absent from the sidecar
+            # (Lucene: no vector value → not in the HNSW graph)
+            base.filter(F.col(cfg.vector_field).isNotNull()).select(
+                "doc_id", vec, vnorm
+            ).repartitionByRange(
+                cfg.term_buckets, "doc_id"
+            ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+                f"{index_dir}/vectors"
+            )
+
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        writers = [_write_postings, _write_docs, _write_norms, _write_term_stats]
+        if cfg.vector_field:
+            writers.append(_write_vectors)
+        with ThreadPoolExecutor(max_workers=6) as pool:
             stats_fut = pool.submit(_collect_stats)
-            futures = [
-                pool.submit(f) for f in (_write_postings, _write_docs, _write_norms, _write_term_stats)
-            ]
+            futures = [pool.submit(f) for f in writers]
             for fut in futures:
                 fut.result()
             n_docs, sum_ttf, sum_df = stats_fut.result()
@@ -648,6 +682,7 @@ class IndexBuilder:
             "field": cfg.field,
             "extra_fields": list(cfg.extra_fields),
             "index_sort": list(cfg.index_sort),
+            "vector_field": cfg.vector_field,
         }
         with open(f"{index_dir}/manifest.json", "w") as fh:
             json.dump(metrics, fh, indent=2)

@@ -95,6 +95,16 @@ class SearchIndex:
         return list(self.manifest.get("index_sort") or [])
 
     @cached_property
+    def vectors(self) -> DataFrame:
+        """The KNN vector sidecar (doc_id, vec, vnorm) — the .vec/.vem
+        role. Raises if the index was built without a vector_field."""
+        import os
+
+        if not os.path.exists(f"{self.index_dir}/vectors"):
+            raise ValueError("index has no vector field (built without IndexConfig.vector_field)")
+        return self.spark.read.parquet(f"{self.index_dir}/vectors")
+
+    @cached_property
     def postings(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/postings")
 

@@ -494,6 +494,104 @@ class Searcher:
             [(int(d), float(s)) for d, s in collected[:k]], len(collected), relation, info
         )
 
+    def knn_search(
+        self,
+        query_vec,
+        k: int = 10,
+        filter: "str | A.Query | None" = None,
+        metric: str = "cosine",
+    ) -> TopDocs:
+        """KnnFloatVectorQuery(field, target, k, filter) — exact top-k
+        vector search over the index's vector sidecar with PRE-filter
+        semantics (AbstractKnnVectorQuery.rewrite: the filter's doc set
+        restricts candidates BEFORE nearest-neighbor selection, so
+        exactly k survivors come back).
+
+        Scores follow VectorSimilarityFunction.java: COSINE →
+        (1+cos)/2, DOT_PRODUCT → (1+dot)/2, EUCLIDEAN → 1/(1+d²);
+        tie-break doc_id asc. The whole scan is JVM-side column
+        arithmetic (zip_with/aggregate inside whole-stage codegen —
+        no Python in the plan) and the top-k is Catalyst
+        TakeOrderedAndProject: per-partition top-k + driver merge,
+        exactly the per-leaf HNSW collect + TopDocs.merge shape. The
+        reference's HNSW graph is an index-side accelerator for this
+        same contract; at 100 TB the accelerated paths are the
+        doc-range-partitioned scan here plus pipeline.similarity's
+        IVF (partition-pruned) and sign-LSH variants.
+
+        Metadata-only filters (field = value / numeric range) push
+        down to the docs-table parquet scan — no ids ever reach the
+        driver. Text-query filters evaluate on the driver like every
+        driver-mode query (the reference materializes the same filter
+        BitSet per leaf)."""
+        import pyspark.sql.functions as F
+
+        index = self.index
+        vdf = index.vectors
+        qv = np.asarray(query_vec, dtype=np.float64)
+        info: dict = {"metric": metric, "filtered": filter is not None}
+        if k <= 0:
+            return TopDocs([], 0, "EQUAL_TO", info)
+        if filter is not None:
+            q0 = parse_query(filter) if isinstance(filter, str) else A.rewrite(filter)
+            if len(index.text_fields) > 1:
+                q0 = self._fieldize(q0)
+            if isinstance(q0, (A.FieldValueQuery, A.FieldRangeQuery)):
+                # (_fieldize already rewrote tokenized-field values to
+                # term/phrase queries, so this is a keyword/range
+                # predicate on the docs table)
+                # pushed-down predicate: semi-join against the docs
+                # scan, both sides doc-range partitioned
+                _, cond = self._field_cond(q0)
+                ids_df = index.docs.filter(cond).select("doc_id")
+                vdf = vdf.join(ids_df, "doc_id", "left_semi")
+            else:
+                q, spec, stats, rows = self.prepare(q0, collect_rows=True)
+                if isinstance(spec, NoneSpec):
+                    return TopDocs([], 0, "EQUAL_TO", info)
+                ctx = self._driver_context(spec, self._norm_caches(stats), rows)
+                docs, _ = evaluate(spec, ctx)
+                if not len(docs):
+                    return TopDocs([], 0, "EQUAL_TO", info)
+                ids_df = index.spark.createDataFrame(
+                    [(int(d),) for d in docs], "doc_id bigint"
+                )
+                vdf = vdf.join(F.broadcast(ids_df), "doc_id", "left_semi")
+        deletes = index.deletes_df()
+        if deletes is not None:
+            vdf = vdf.join(deletes, "doc_id", "left_anti")
+
+        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        dot = F.aggregate(
+            F.zip_with(F.col("vec"), qlit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if metric == "cosine":
+            qn = float(np.sqrt(np.dot(qv, qv)))
+            score = (F.lit(1.0) + dot / (F.col("vnorm") * F.lit(qn))) / F.lit(2.0)
+        elif metric == "dot":
+            score = (F.lit(1.0) + dot) / F.lit(2.0)
+        elif metric == "euclidean":
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col("vec"), qlit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            score = F.lit(1.0) / (F.lit(1.0) + d2)
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
+        top = (
+            vdf.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        hits = [(int(r["doc_id"]), float(r["score"])) for r in top]
+        return TopDocs(hits, len(hits), "EQUAL_TO", info)
+
     def search_after(self, after: tuple[int, float] | None, query: str | A.Query, k: int = 10) -> TopDocs:
         """IndexSearcher.searchAfter(ScoreDoc, Query, int): the top-k
         hits strictly after the (doc_id, score) mark in (score desc,
