@@ -524,14 +524,25 @@ class Searcher:
         driver. Text-query filters evaluate on the driver like every
         driver-mode query (the reference materializes the same filter
         BitSet per leaf)."""
+        info: dict = {"metric": metric, "filtered": filter is not None}
+        if k <= 0:
+            return TopDocs([], 0, "EQUAL_TO", info)
+        frame = self.knn_frame(query_vec, k, filter, metric)
+        if frame is None:
+            return TopDocs([], 0, "EQUAL_TO", info)
+        top = frame.collect()
+        hits = [(int(r["doc_id"]), float(r["score"])) for r in top]
+        return TopDocs(hits, len(hits), "EQUAL_TO", info)
+
+    def knn_frame(self, query_vec, k: int, filter=None, metric: str = "cosine"):
+        """The knn_search plan as a DataFrame (doc_id, score) LIMIT k —
+        exposed separately so the physical plan is inspectable
+        (explain_audit) and composable. None = provably-empty filter."""
         import pyspark.sql.functions as F
 
         index = self.index
         vdf = index.vectors
         qv = np.asarray(query_vec, dtype=np.float64)
-        info: dict = {"metric": metric, "filtered": filter is not None}
-        if k <= 0:
-            return TopDocs([], 0, "EQUAL_TO", info)
         if filter is not None:
             q0 = parse_query(filter) if isinstance(filter, str) else A.rewrite(filter)
             if len(index.text_fields) > 1:
@@ -548,11 +559,11 @@ class Searcher:
             else:
                 q, spec, stats, rows = self.prepare(q0, collect_rows=True)
                 if isinstance(spec, NoneSpec):
-                    return TopDocs([], 0, "EQUAL_TO", info)
+                    return None
                 ctx = self._driver_context(spec, self._norm_caches(stats), rows)
                 docs, _ = evaluate(spec, ctx)
                 if not len(docs):
-                    return TopDocs([], 0, "EQUAL_TO", info)
+                    return None
                 ids_df = index.spark.createDataFrame(
                     [(int(d),) for d in docs], "doc_id bigint"
                 )
@@ -583,14 +594,11 @@ class Searcher:
             score = F.lit(1.0) / (F.lit(1.0) + d2)
         else:
             raise ValueError(f"unknown metric {metric!r}")
-        top = (
+        return (
             vdf.select("doc_id", score.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
-            .collect()
         )
-        hits = [(int(r["doc_id"]), float(r["score"])) for r in top]
-        return TopDocs(hits, len(hits), "EQUAL_TO", info)
 
     def search_after(self, after: tuple[int, float] | None, query: str | A.Query, k: int = 10) -> TopDocs:
         """IndexSearcher.searchAfter(ScoreDoc, Query, int): the top-k

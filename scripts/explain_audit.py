@@ -129,6 +129,19 @@ def main() -> None:
     )
     sections.append(("Percolator match (reverse search)", plan))
 
+    # 9. knn with metadata pre-filter: predicate pushed to the docs
+    # scan, top-k is TakeOrderedAndProject, zero Python in the plan
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").limit(1).first()["embedding"]
+    kf = searcher.knn_frame(list(emb), k=5, filter=A.FieldValueQuery("lang", "en"))
+    plan = _capture(kf)
+    check("knn filter pushed to docs scan", plan, r"PushedFilters: \[.*EqualTo\(lang")
+    check("knn top-k is TakeOrderedAndProject", plan, r"TakeOrderedAndProject")
+    CHECKS.append(
+        ("knn plan has zero Python stages", "no ArrowEvalPython/BatchEvalPython",
+         "EvalPython" not in plan)
+    )
+    sections.append(("KNN vector search (filtered)", plan))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     with open(out, "w") as fh:
         fh.write("# PLANS — physical-plan audit (scripts/explain_audit.py)\n\n")
