@@ -395,6 +395,30 @@ def queries() -> dict:
         ),
     )
 
+    # the same keyword filter through DISTRIBUTED leaf-parallel search:
+    # the lang='en' doc set arrives per-chunk from the pushed-down docs
+    # scan (PredSpec lazy path) — ids never reach the driver
+    Q["ft_dist_filter_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(
+                (
+                    (A.Occur.MUST, A.TermQuery("table")),
+                    (A.Occur.FILTER, A.FieldValueQuery("lang", "en")),
+                )
+            ),
+            mode="distributed",
+        ),
+    )
+
+    # MatchAllDocs through distributed mode: each chunk synthesizes its
+    # doc range arithmetically (no all_doc_ids() driver collect)
+    Q["ft_dist_matchall_ids"] = lambda spark, sf: _ids_df(
+        spark, _search(spark, sf, A.MatchAllDocsQuery(), k=ALL_K, mode="distributed")
+    )
+
     # numeric metadata range (PointRangeQuery role): Catalyst range
     # predicate on the docs table as a FILTER clause
     Q["ft_numrange_ids"] = lambda spark, sf: _ids_df(
@@ -409,6 +433,34 @@ def queries() -> dict:
                 )
             ),
             k=ALL_K,
+        ),
+    )
+
+    def _searchafter(spark, sf):
+        # deep pagination (IndexSearcher.searchAfter / PagingTop-
+        # ScoreDocCollector): page 2 of the 'table' ranking — the top
+        # 10 strictly after page 1's last (doc, score) mark
+        _, searcher = gate_index(spark, sf)
+        page1 = searcher.search(A.TermQuery("table"), k=10)
+        after = page1.hits[-1]
+        td = searcher.search_after((after[0], after[1]), A.TermQuery("table"), k=10)
+        return _hits_df(spark, td)
+
+    Q["ft_searchafter_top10"] = _searchafter
+
+    Q["ft_dist_numrange_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(
+                (
+                    (A.Occur.MUST, A.TermQuery("table")),
+                    (A.Occur.FILTER, A.FieldRangeQuery("n_chars", 200, 400)),
+                )
+            ),
+            k=ALL_K,
+            mode="distributed",
         ),
     )
 
@@ -961,6 +1013,19 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "SELECT doc_id FROM tf WHERE term = 'table' AND doc_id IN "
         "(SELECT doc_id FROM documents WHERE n_chars BETWEEN 200 AND 400)"
     )
+    # searchAfter page 2 == global ranks 11..20, re-numbered 1..10
+    O["ft_searchafter_top10"] = (
+        base_ctes() + ", q AS (SELECT doc_id, s FROM tscore WHERE term = 'table') "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) - 10 AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q "
+        "QUALIFY row_number() OVER (ORDER BY s DESC, doc_id) BETWEEN 11 AND 20 "
+        "ORDER BY s DESC, doc_id"
+    )
+
+    # distributed-mode twins: identical semantics, leaf-parallel plan
+    O["ft_dist_filter_top10"] = O["ft_lang_filter_top10"]
+    O["ft_dist_numrange_ids"] = O["ft_numrange_ids"]
+    O["ft_dist_matchall_ids"] = "SELECT doc_id::BIGINT AS doc_id FROM documents ORDER BY doc_id"
     O["ft_sorted_top10"] = (
         base_ctes() + " SELECT d.doc_id, d.n_chars::BIGINT AS n_chars FROM documents d "
         "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
