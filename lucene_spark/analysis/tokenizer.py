@@ -67,9 +67,20 @@ def _raw_tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
 
 
-def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
-    """StandardAnalyzer(text): UAX#29 words → drop >255 → lowercase."""
-    return [t.lower() for t in _raw_tokens(text) if len(t) <= max_token_length]
+def _stemmer(stem: bool):
+    if not stem:
+        return None
+    from lucene_spark.analysis.porter import porter_stem
+
+    return porter_stem
+
+
+def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH, stem: bool = False) -> list[str]:
+    """StandardAnalyzer(text): UAX#29 words → drop >255 → lowercase
+    [→ PorterStemFilter with ``stem=True``]."""
+    out = [t.lower() for t in _raw_tokens(text) if len(t) <= max_token_length]
+    st = _stemmer(stem)
+    return [st(t) for t in out] if st else out
 
 
 def tokenize_with_positions(
@@ -86,21 +97,22 @@ def tokenize_with_positions(
 
 
 def tokenize_pos_off_series(
-    texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH
+    texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH, stem: bool = False
 ) -> tuple[pd.Series, pd.Series, pd.Series, pd.Series]:
     """Batch tokenization with positions AND char offsets (the
     IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS analyzer
     contract, IndexOptions.java:29-50 / OffsetAttribute): returns
     (tokens, positions, starts, ends) Series of equal-length lists.
-    Offsets index the ORIGINAL text (lowercasing never moves offsets —
-    LowerCaseFilter is offset-preserving)."""
+    Offsets index the ORIGINAL text (lowercasing and stemming never
+    move offsets — both filters are offset-preserving)."""
+    st = _stemmer(stem)
     toks_out, pos_out, st_out, en_out = [], [], [], []
     for text in texts.fillna(""):
         toks, poss, sts, ens = [], [], [], []
         for p, m in enumerate(_TOKEN_RE.finditer(text)):
             t = m.group()
             if len(t) <= max_token_length:
-                toks.append(t.lower())
+                toks.append(st(t.lower()) if st else t.lower())
                 poss.append(p)
                 sts.append(m.start())
                 ens.append(m.end())
@@ -117,29 +129,35 @@ def tokenize_pos_off_series(
     )
 
 
-def tokenize_series(texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH) -> pd.Series:
+def tokenize_series(
+    texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH, stem: bool = False
+) -> pd.Series:
     """Vectorized batch tokenization for pandas UDFs (Arrow path)."""
     # str.findall is the pandas-vectorized regex scan; the lowercase +
     # length filter runs on the token lists (tiny vs the regex cost).
     raw = texts.fillna("").str.findall(_TOKEN_RE)
+    st = _stemmer(stem)
+    if st:
+        return raw.map(lambda ts: [st(t.lower()) for t in ts if len(t) <= max_token_length])
     if max_token_length is None:
         return raw.map(lambda ts: [t.lower() for t in ts])
     return raw.map(lambda ts: [t.lower() for t in ts if len(t) <= max_token_length])
 
 
 def tokenize_pos_series(
-    texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH
+    texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH, stem: bool = False
 ) -> tuple[pd.Series, pd.Series]:
     """Batch tokenization with Lucene positions (dropped over-length
     tokens still consume a position increment). Returns (tokens,
     positions) Series of equal-length lists."""
     raw = texts.fillna("").str.findall(_TOKEN_RE)
+    st = _stemmer(stem)
     toks_out, pos_out = [], []
     for ts in raw:
         toks, poss = [], []
         for p, t in enumerate(ts):
             if len(t) <= max_token_length:
-                toks.append(t.lower())
+                toks.append(st(t.lower()) if st else t.lower())
                 poss.append(p)
         toks_out.append(toks)
         pos_out.append(poss)

@@ -97,6 +97,12 @@ class IndexConfig:
     # posting) and its own collection-stats row, so BM25 scores with
     # per-field df / avgdl / docCount exactly like per-field Lucene.
     extra_fields: tuple[str, ...] = ()
+    # analyzer: "standard" (StandardAnalyzer default pipeline) or
+    # "porter" (= standard + PorterStemFilter, the EnglishAnalyzer's
+    # stemming stage with the empty default stop set kept;
+    # PorterStemFilter.java:33-55). Recorded in the manifest so the
+    # Searcher stems query terms identically.
+    analyzer: str = "standard"
     # KNN vector field (KnnFloatVectorField / Lucene94HnswVectorsFormat
     # role): name of an array<float> corpus column stored as the
     # ``vectors`` sidecar table (doc_id, vec, vnorm), doc-range
@@ -188,17 +194,17 @@ def assign_doc_ids(
     return out
 
 
-def _tokenize_udf():
+def _tokenize_udf(stem: bool = False):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(ArrayType(StringType()))
     def _tok(content: pd.Series) -> pd.Series:
-        return tokenize_series(content)
+        return tokenize_series(content, stem=stem)
 
     return _tok
 
 
-def _tokenize_pos_udf():
+def _tokenize_pos_udf(stem: bool = False):
     """Tokens + Lucene positions (dropped >255-char tokens consume a
     position — StandardTokenizer.java:158-166) as a struct of arrays."""
     from pyspark.sql.functions import pandas_udf
@@ -214,13 +220,13 @@ def _tokenize_pos_udf():
     def _tok(content: pd.Series) -> pd.DataFrame:
         from lucene_spark.analysis.tokenizer import tokenize_pos_series
 
-        toks, poss = tokenize_pos_series(content)
+        toks, poss = tokenize_pos_series(content, stem=stem)
         return pd.DataFrame({"tokens": toks, "positions": poss})
 
     return _tok
 
 
-def _tokenize_pos_off_udf():
+def _tokenize_pos_off_udf(stem: bool = False):
     """Tokens + positions + char offsets (OffsetAttribute contract)."""
     from pyspark.sql.functions import pandas_udf
 
@@ -237,7 +243,7 @@ def _tokenize_pos_off_udf():
     def _tok(content: pd.Series) -> pd.DataFrame:
         from lucene_spark.analysis.tokenizer import tokenize_pos_off_series
 
-        toks, poss, sts, ens = tokenize_pos_off_series(content)
+        toks, poss, sts, ens = tokenize_pos_off_series(content, stem=stem)
         return pd.DataFrame({"tokens": toks, "positions": poss, "starts": sts, "ends": ens})
 
     return _tok
@@ -331,8 +337,9 @@ class IndexBuilder:
         FIELD's own length stats (per-field norms, FieldInfos role)."""
         field = field or self.config.field
         norm = _norm_udf()
+        stem = self.config.analyzer == "porter"
         if self.config.offsets:
-            tok = _tokenize_pos_off_udf()
+            tok = _tokenize_pos_off_udf(stem)
             out = (
                 corpus.withColumn("_tp", tok(F.col(field)))
                 .withColumn("tokens", F.col("_tp.tokens"))
@@ -342,7 +349,7 @@ class IndexBuilder:
                 .drop("_tp")
             )
         elif self.config.positions:
-            tok = _tokenize_pos_udf()
+            tok = _tokenize_pos_udf(stem)
             out = (
                 corpus.withColumn("_tp", tok(F.col(field)))
                 .withColumn("tokens", F.col("_tp.tokens"))
@@ -350,7 +357,7 @@ class IndexBuilder:
                 .drop("_tp")
             )
         else:
-            tok = _tokenize_udf()
+            tok = _tokenize_udf(stem)
             out = corpus.withColumn("tokens", tok(F.col(field)))
         return out.withColumn("dl", F.size("tokens")).withColumn("norm", norm(F.col("dl")))
 
@@ -683,6 +690,7 @@ class IndexBuilder:
             "extra_fields": list(cfg.extra_fields),
             "index_sort": list(cfg.index_sort),
             "vector_field": cfg.vector_field,
+            "analyzer": cfg.analyzer,
         }
         with open(f"{index_dir}/manifest.json", "w") as fh:
             json.dump(metrics, fh, indent=2)

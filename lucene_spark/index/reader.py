@@ -88,6 +88,13 @@ class SearchIndex:
         return {}
 
     @property
+    def analyzer(self) -> str:
+        """Analyzer the index was built with ("standard" | "porter") —
+        the Searcher analyzes query terms with the same chain, the
+        IndexWriterConfig.getAnalyzer contract."""
+        return self.manifest.get("analyzer") or "standard"
+
+    @property
     def index_sort(self) -> list[str]:
         """The index-time sort spec this index was built with
         (IndexWriterConfig.setIndexSort / LeafMetaData.getSort role);

@@ -136,7 +136,7 @@ class Searcher:
         if isinstance(q, A.FieldValueQuery) and is_extra(q.field):
             from lucene_spark.analysis.tokenizer import tokenize
 
-            toks = tokenize(q.value)
+            toks = tokenize(q.value, stem=self.index.analyzer == "porter")
             if not toks:
                 return A.MatchNoDocsQuery(f"empty analyzed value for {q.field}")
             if len(toks) == 1:
@@ -152,6 +152,42 @@ class Searcher:
             return A.ConstantScoreQuery(self._fieldize(q.query))
         if isinstance(q, A.DisjunctionMaxQuery):
             return A.DisjunctionMaxQuery(tuple(self._fieldize(s) for s in q.queries), q.tie_breaker)
+        return q
+
+    def _stem_query(self, q: A.Query) -> A.Query:
+        """Apply the index's PorterStemFilter to query-side terms
+        (QueryBuilder.createFieldQuery analyzes query text through the
+        SAME analyzer as indexing). MultiTermQuery patterns (prefix /
+        wildcard / regexp / fuzzy / term ranges) are NOT analyzed,
+        matching the classic QueryParser contract."""
+        from lucene_spark.analysis.porter import porter_stem as ps
+
+        if isinstance(q, A.TermQuery):
+            return A.TermQuery(ps(q.term), q.field)
+        if isinstance(q, A.PhraseQuery):
+            return A.PhraseQuery(tuple(ps(t) for t in q.terms), q.slop, q.field)
+        if isinstance(q, A.MultiPhraseQuery):
+            return A.MultiPhraseQuery(
+                tuple(tuple(ps(t) for t in slot) for slot in q.positions), q.slop, q.field
+            )
+        if isinstance(q, A.SpanNearQuery):
+            return A.SpanNearQuery(tuple(ps(t) for t in q.terms), q.slop, q.in_order, q.field)
+        if isinstance(q, A.SynonymQuery):
+            return A.SynonymQuery(tuple(ps(t) for t in q.terms), q.field)
+        if isinstance(q, A.TermInSetQuery):
+            return A.TermInSetQuery(tuple(ps(t) for t in q.terms), q.field)
+        if isinstance(q, A.BooleanQuery):
+            return A.BooleanQuery(
+                tuple((o, self._stem_query(s)) for o, s in q.clauses), q.minimum_should_match
+            )
+        if isinstance(q, A.BoostQuery):
+            return A.BoostQuery(self._stem_query(q.query), q.boost)
+        if isinstance(q, A.ConstantScoreQuery):
+            return A.ConstantScoreQuery(self._stem_query(q.query))
+        if isinstance(q, A.DisjunctionMaxQuery):
+            return A.DisjunctionMaxQuery(
+                tuple(self._stem_query(s) for s in q.queries), q.tie_breaker
+            )
         return q
 
     def _expand_multiterm(self, q: A.Query, lazy_docsets: bool = False) -> A.Query:
@@ -211,6 +247,8 @@ class Searcher:
         Spark job and df/ttf derive from their columns — no separate
         term_stats lookup; the whole driver query path is one job."""
         q = parse_query(query) if isinstance(query, str) else A.rewrite(query)
+        if self.index.analyzer == "porter":
+            q = self._stem_query(q)
         if len(self.index.text_fields) > 1:
             q = self._fieldize(q)
         q = A.rewrite(self._expand_multiterm(q, lazy_docsets))
@@ -658,6 +696,8 @@ class Searcher:
         MatchAllDocsQuery count == docCount) — a stats-table point read
         instead of decoding any postings."""
         q0 = parse_query(query) if isinstance(query, str) else A.rewrite(query)
+        if self.index.analyzer == "porter":
+            q0 = self._stem_query(q0)
         if len(self.index.text_fields) > 1:
             q0 = self._fieldize(q0)  # composite-key the df point-read too
         if not len(self.index.deleted_ids):
@@ -665,7 +705,9 @@ class Searcher:
                 return self.index.term_stats([q0.term]).get(q0.term, (0, 0))[0]
             if isinstance(q0, A.MatchAllDocsQuery):
                 return self.index.stats.doc_count
-        q, spec, stats, rows = self.prepare(q0, collect_rows=True)
+        # prepare() re-analyzes from the pristine query (stemming is
+        # not guaranteed idempotent, so never feed q0 back through)
+        q, spec, stats, rows = self.prepare(query, collect_rows=True)
         if isinstance(spec, NoneSpec):
             return 0
         ctx = self._driver_context(spec, self._norm_caches(stats), rows)
