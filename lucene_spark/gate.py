@@ -584,6 +584,54 @@ def queries() -> dict:
 
     Q["ft_join_top"] = _join
 
+    def _funcscore(spark, sf):
+        # FunctionScoreQuery (boostByValue-style expression rescoring):
+        # BM25('table') × ln(1 + n_chars), Catalyst-evaluated
+        from lucene_spark.search.functionscore import function_score
+
+        index, searcher = gate_index(spark, sf)
+        out = function_score(
+            searcher, A.TermQuery("table"), "_score * ln(1 + n_chars)", index.docs, k=10
+        )
+        return out.select("rank", "doc_id", F.round("score", 2).alias("score_r"))
+
+    Q["ft_funcscore_top10"] = _funcscore
+
+    def _facet_range(spark, sf):
+        from lucene_spark.search.postprocess import facet_range_counts
+
+        _, searcher = gate_index(spark, sf)
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        ranges = [
+            ("short", 0, 200),
+            ("mid", 200, 400),
+            ("long", 400, 1000),
+            ("all", 0, 1000),  # overlapping: counted independently
+        ]
+        return facet_range_counts(searcher, A.TermQuery("table"), docs, "n_chars", ranges)
+
+    Q["ft_facet_range"] = _facet_range
+
+    def _facet_path(spark, sf):
+        # hierarchical dim (lang → source): top children of path ('en',)
+        from lucene_spark.search.postprocess import taxonomy_counts
+
+        _, searcher = gate_index(spark, sf)
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        q = A.BooleanQuery(((A.Occur.MUST, A.TermQuery("table")), (A.Occur.MUST, A.TermQuery("merge"))))
+        return taxonomy_counts(searcher, q, docs, ["lang", "source"], path=("en",))
+
+    Q["ft_facet_path"] = _facet_path
+
+    def _drilldown(spark, sf):
+        from lucene_spark.search.postprocess import drill_down
+
+        _, searcher = gate_index(spark, sf)
+        q = drill_down(A.TermQuery("table"), {"lang": ("en", "de")})
+        return _hits_df(spark, searcher.search(q, k=10))
+
+    Q["ft_drilldown_top10"] = _drilldown
+
     def _mlt(spark, sf):
         from lucene_spark.search.mlt import more_like_this
 
@@ -952,6 +1000,33 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "      FROM q JOIN documents d USING (doc_id) GROUP BY d.source) "
         "SELECT CAST(row_number() OVER (ORDER BY s DESC, parent) AS BIGINT) AS rank, "
         "parent, round(s, 2) AS score_r, n_children FROM g ORDER BY s DESC, parent LIMIT 10"
+    )
+    # FunctionScoreQuery: BM25 × ln(1 + n_chars), re-ranked
+    O["ft_funcscore_top10"] = topk_sql(
+        "SELECT t.doc_id, t.s * ln(1 + d.n_chars) AS s FROM tscore t "
+        "JOIN documents d USING (doc_id) WHERE t.term = 'table'"
+    )
+    # LongRangeFacetCounts: overlapping ranges each counted independently
+    O["ft_facet_range"] = (
+        base_ctes() + ", m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'table'), "
+        "j AS (SELECT d.n_chars FROM documents d JOIN m USING (doc_id)) "
+        "SELECT 'short' AS label, count(*) FILTER (WHERE n_chars >= 0 AND n_chars < 200)::BIGINT AS cnt FROM j "
+        "UNION ALL SELECT 'mid', count(*) FILTER (WHERE n_chars >= 200 AND n_chars < 400)::BIGINT FROM j "
+        "UNION ALL SELECT 'long', count(*) FILTER (WHERE n_chars >= 400 AND n_chars < 1000)::BIGINT FROM j "
+        "UNION ALL SELECT 'all', count(*) FILTER (WHERE n_chars >= 0 AND n_chars < 1000)::BIGINT FROM j"
+    )
+    # taxonomy getTopChildren(lang='en' → source)
+    O["ft_facet_path"] = (
+        base_ctes() + " SELECT d.source AS child, count(*)::BIGINT AS cnt "
+        "FROM documents d WHERE d.lang = 'en' AND d.doc_id IN "
+        "(SELECT doc_id FROM tf WHERE term IN ('table','merge') "
+        " GROUP BY doc_id HAVING count(*) = 2) "
+        "GROUP BY d.source ORDER BY cnt DESC, child"
+    )
+    # DrillDownQuery: FILTER dims don't score
+    O["ft_drilldown_top10"] = topk_sql(
+        "SELECT t.doc_id, t.s FROM tscore t JOIN documents d USING (doc_id) "
+        "WHERE t.term = 'table' AND d.lang IN ('en','de')"
     )
     O["ft_mlt_top10"] = topk_sql(
         "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ("

@@ -1,0 +1,73 @@
+"""FunctionScoreQuery: rescore matches with an expression over the
+relevance score and per-doc values.
+
+Reference surface re-expressed Spark-first:
+- lucene/queries/src/java/org/apache/lucene/queries/function/
+  FunctionScoreQuery.java:38-74 — a Query whose score is a
+  DoubleValuesSource evaluated per matching doc (static helpers
+  boostByValue/boostByQuery multiply the wrapped query's score).
+- lucene/expressions/src/java/org/apache/lucene/expressions/
+  Expression.java:21-60 — compiled arithmetic expressions over the
+  score and doc-value fields bound through SimpleBindings.
+
+Here the DoubleValuesSource IS a Spark SQL expression string: the
+wrapped query produces the full scored match set, the expression is
+evaluated by Catalyst over (hit ⨝ docs-table) columns with the BM25
+relevance exposed as `_score`, and the top-k re-rank is a
+TakeOrderedAndProject (ORDER BY new score DESC LIMIT k). Everything
+after the match phase is whole-stage-codegen JVM arithmetic — the
+expression never runs in Python, which is exactly the
+compiled-Expression contract of the reference module.
+
+Scale shape: the only driver-side object is the scored hit-id array
+(the same contract as facets/grouping — at cluster scale pass the
+distributed hits relation instead; the join side with the docs table
+stays a broadcast of hits either way, never a shuffle of the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def function_score(
+    searcher,
+    query,
+    expr: str,
+    docs_df: DataFrame,
+    k: int = 10,
+    score_col: str = "_score",
+) -> DataFrame:
+    """Rescore ``query``'s full match set with Spark SQL ``expr`` (may
+    reference ``_score`` = the BM25 relevance and any docs-table
+    column) and return the top-k rows ordered by the new score
+    (FunctionScoreQuery.java:38-74; expression role of
+    lucene/expressions Expression.java). Ties break by doc_id asc like
+    TopScoreDocCollector (HitQueue.java:78-84).
+
+    Returns (rank, doc_id, score) where score is the expression value.
+    """
+    matches = searcher.search(query, k=1_000_000_000)
+    spark = docs_df.sparkSession
+    hits = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in matches.hits], f"doc_id bigint, {score_col} double"
+    )
+    rescored = (
+        docs_df.join(F.broadcast(hits), "doc_id")
+        .withColumn("score", F.expr(expr).cast("double"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return rescored.select(
+        w.cast("long").alias("rank"), F.col("doc_id").cast("long"), "score"
+    )
+
+
+def boost_by_value(searcher, query, value_col: str, docs_df: DataFrame, k: int = 10) -> DataFrame:
+    """FunctionScoreQuery.boostByValue role
+    (FunctionScoreQuery.java:52-58): relevance × per-doc numeric
+    field."""
+    return function_score(searcher, query, f"_score * {value_col}", docs_df, k=k)

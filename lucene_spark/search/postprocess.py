@@ -80,6 +80,93 @@ def group_top_hits(
     )
 
 
+def facet_range_counts(
+    searcher, query, docs_df: DataFrame, value_col: str, ranges
+) -> DataFrame:
+    """Numeric range facets (lucene/facet/src/java/org/apache/lucene/
+    facet/range/LongRangeFacetCounts.java:30-90): counts of matching
+    docs whose ``value_col`` falls in each labeled range. ``ranges`` is
+    a list of (label, lo, hi, min_incl, max_incl) — or (label, lo, hi)
+    meaning [lo, hi) like LongRange's minInclusive/maxExclusive
+    default. Ranges MAY overlap; each is counted independently (the
+    reference counts a doc once per containing range). Returns
+    (label, cnt) in the given range order.
+
+    Plan shape: one broadcast semi-join of the hit ids against the docs
+    scan, then a single pass computing every range predicate as a
+    conditional sum — no per-range scan, no shuffle beyond the final
+    1-row-per-range aggregate."""
+    matches = searcher.search(query, k=1_000_000_000)
+    spark = docs_df.sparkSession
+    ids = spark.createDataFrame([(int(d),) for d, _ in matches.hits], "doc_id bigint")
+    v = F.col(value_col)
+    aggs = []
+    for r in ranges:
+        label, lo, hi = r[0], r[1], r[2]
+        min_incl = r[3] if len(r) > 3 else True
+        max_incl = r[4] if len(r) > 4 else False
+        cond = (v >= lo if min_incl else v > lo) & (v <= hi if max_incl else v < hi)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(label))
+    wide = docs_df.join(F.broadcast(ids), "doc_id").agg(*aggs)
+    # unpivot to (label, cnt) preserving the caller's range order
+    labels = [r[0] for r in ranges]
+    stack = ", ".join(f"'{label}', `{label}`" for label in labels)
+    return wide.selectExpr(f"stack({len(labels)}, {stack}) AS (label, cnt)")
+
+
+def taxonomy_counts(
+    searcher, query, docs_df: DataFrame, components, path: tuple = ()
+) -> DataFrame:
+    """Hierarchical (taxonomy) facet counts (lucene/facet taxonomy:
+    FastTaxonomyFacetCounts.getTopChildren over a hierarchical dim,
+    lucene/facet/src/java/org/apache/lucene/facet/taxonomy/
+    TaxonomyFacets.java): the dimension's path components are doc
+    columns in order (FacetsConfig.setHierarchical role). Given a
+    ``path`` prefix of values for the first len(path) components,
+    return (child, cnt) counts of the NEXT component among matching
+    docs under that prefix, sorted by cnt desc then child asc —
+    getTopChildren's ordering."""
+    if len(path) >= len(components):
+        raise ValueError("path must be a strict prefix of components")
+    matches = searcher.search(query, k=1_000_000_000)
+    spark = docs_df.sparkSession
+    ids = spark.createDataFrame([(int(d),) for d, _ in matches.hits], "doc_id bigint")
+    out = docs_df.join(F.broadcast(ids), "doc_id")
+    for col, val in zip(components, path):
+        out = out.filter(F.col(col) == val)
+    child = components[len(path)]
+    return (
+        out.groupBy(F.col(child).alias("child"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("child"))
+    )
+
+
+def drill_down(base_query, dims: dict) -> "object":
+    """DrillDownQuery role (lucene/facet/src/java/org/apache/lucene/
+    facet/DrillDownQuery.java:38-120): narrow ``base_query`` by facet
+    selections — each dimension's values OR together, dimensions AND
+    together, all as non-scoring FILTER clauses (the reference adds
+    drill-down terms with Occur.FILTER). Returns the combined Query;
+    run it through Searcher.search as usual. ``dims`` maps a keyword
+    doc column to one value or a tuple of values."""
+    from lucene_spark.search import ast as A
+
+    clauses = [(A.Occur.MUST, base_query)] if base_query is not None else []
+    if not clauses:
+        clauses = [(A.Occur.MUST, A.MatchAllDocsQuery())]
+    for col, vals in dims.items():
+        vals = vals if isinstance(vals, (tuple, list)) else (vals,)
+        alts = [A.FieldValueQuery(col, v) for v in vals]
+        one = (
+            alts[0]
+            if len(alts) == 1
+            else A.BooleanQuery(tuple((A.Occur.SHOULD, a) for a in alts))
+        )
+        clauses.append((A.Occur.FILTER, one))
+    return A.BooleanQuery(tuple(clauses))
+
+
 def term_occurrences(searcher, term: str) -> dict[int, tuple]:
     """doc_id → (starts, ends) char-offset arrays of ``term``'s
     occurrences, straight from the offsets index (no re-analysis —
