@@ -67,20 +67,70 @@ def _raw_tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
 
 
-def _stemmer(stem: bool):
-    if not stem:
+# EnglishAnalyzer's default stop set (EnglishAnalyzer.java:43-53,
+# ENGLISH_STOP_WORDS_SET — the classic 33-word list, matched
+# case-insensitively post-LowerCaseFilter).
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with".split()
+)
+
+_APOS = "'’＇"  # ', ’, ＇ (EnglishPossessiveFilter.java:40-48)
+
+
+def _strip_possessive(t: str) -> str:
+    """EnglishPossessiveFilter (EnglishPossessiveFilter.java:38-52):
+    strip a trailing <apostrophe>s / <apostrophe>S."""
+    if len(t) >= 2 and t[-2] in _APOS and (t[-1] == "s" or t[-1] == "S"):
+        return t[:-2]
+    return t
+
+
+def _emitter(stem):
+    """Analyzer filter chain AFTER the tokenizer, as one
+    token → (token | None) function; None = token removed but still
+    consuming a position (StopFilter position-increment contract).
+
+    ``stem`` selects the analyzer (the IndexConfig.analyzer value;
+    bools are the legacy spelling):
+    - False / "standard": StandardAnalyzer — lowercase only
+      (StandardAnalyzer.java:50-53, empty default stop set)
+    - True / "porter": standard + PorterStemFilter
+    - "english": EnglishAnalyzer.createComponents
+      (EnglishAnalyzer.java:102-110) — EnglishPossessiveFilter →
+      LowerCaseFilter → StopFilter(ENGLISH_STOP_WORDS_SET) →
+      PorterStemFilter (no stem-exclusion set)
+
+    Returns None for the standard chain so hot paths keep their
+    branch-free vectorized form."""
+    if stem in (False, None, "standard"):
         return None
     from lucene_spark.analysis.porter import porter_stem
 
-    return porter_stem
+    if stem in (True, "porter"):
+        return lambda t: porter_stem(t.lower())
+    if stem == "english":
+
+        def emit(t: str):
+            t = _strip_possessive(t).lower()
+            if t in ENGLISH_STOP_WORDS:
+                return None
+            return porter_stem(t)
+
+        return emit
+    raise ValueError(f"unknown analyzer: {stem!r}")
 
 
 def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH, stem: bool = False) -> list[str]:
-    """StandardAnalyzer(text): UAX#29 words → drop >255 → lowercase
-    [→ PorterStemFilter with ``stem=True``]."""
-    out = [t.lower() for t in _raw_tokens(text) if len(t) <= max_token_length]
-    st = _stemmer(stem)
-    return [st(t) for t in out] if st else out
+    """Analyze ``text``: UAX#29 words → drop >255 → the ``stem``
+    analyzer chain (standard lowercase / porter / english — see
+    :func:`_emitter`). Stop-removed tokens are dropped from the output
+    (positions are only tracked by the *_positions variants)."""
+    out = [t for t in _raw_tokens(text) if len(t) <= max_token_length]
+    em = _emitter(stem)
+    if em is None:
+        return [t.lower() for t in out]
+    return [r for r in (em(t) for t in out) if r is not None]
 
 
 def tokenize_with_positions(
@@ -105,14 +155,17 @@ def tokenize_pos_off_series(
     (tokens, positions, starts, ends) Series of equal-length lists.
     Offsets index the ORIGINAL text (lowercasing and stemming never
     move offsets — both filters are offset-preserving)."""
-    st = _stemmer(stem)
+    em = _emitter(stem)
     toks_out, pos_out, st_out, en_out = [], [], [], []
     for text in texts.fillna(""):
         toks, poss, sts, ens = [], [], [], []
         for p, m in enumerate(_TOKEN_RE.finditer(text)):
             t = m.group()
             if len(t) <= max_token_length:
-                toks.append(st(t.lower()) if st else t.lower())
+                r = em(t) if em else t.lower()
+                if r is None:  # stop-removed: consumes position only
+                    continue
+                toks.append(r)
                 poss.append(p)
                 sts.append(m.start())
                 ens.append(m.end())
@@ -136,9 +189,13 @@ def tokenize_series(
     # str.findall is the pandas-vectorized regex scan; the lowercase +
     # length filter runs on the token lists (tiny vs the regex cost).
     raw = texts.fillna("").str.findall(_TOKEN_RE)
-    st = _stemmer(stem)
-    if st:
-        return raw.map(lambda ts: [st(t.lower()) for t in ts if len(t) <= max_token_length])
+    em = _emitter(stem)
+    if em:
+        return raw.map(
+            lambda ts: [
+                r for t in ts if len(t) <= max_token_length if (r := em(t)) is not None
+            ]
+        )
     if max_token_length is None:
         return raw.map(lambda ts: [t.lower() for t in ts])
     return raw.map(lambda ts: [t.lower() for t in ts if len(t) <= max_token_length])
@@ -151,13 +208,16 @@ def tokenize_pos_series(
     tokens still consume a position increment). Returns (tokens,
     positions) Series of equal-length lists."""
     raw = texts.fillna("").str.findall(_TOKEN_RE)
-    st = _stemmer(stem)
+    em = _emitter(stem)
     toks_out, pos_out = [], []
     for ts in raw:
         toks, poss = [], []
         for p, t in enumerate(ts):
             if len(t) <= max_token_length:
-                toks.append(st(t.lower()) if st else t.lower())
+                r = em(t) if em else t.lower()
+                if r is None:  # stop-removed: consumes position only
+                    continue
+                toks.append(r)
                 poss.append(p)
         toks_out.append(toks)
         pos_out.append(poss)

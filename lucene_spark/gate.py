@@ -584,6 +584,32 @@ def queries() -> dict:
 
     Q["ft_join_top"] = _join
 
+    def _within(spark, sf):
+        # Intervals.containedBy: occurrences of 'merge' inside a minimal
+        # ordered (table .. hash) interval
+        from lucene_spark.search.intervals import IContainedBy, IOrdered, ITerm
+
+        _, searcher = gate_index(spark, sf)
+        src = IContainedBy(ITerm("merge"), IOrdered((ITerm("table"), ITerm("hash"))))
+        return _hits_df(spark, searcher.search(A.IntervalQuery(src), k=10))
+
+    Q["ft_within_top10"] = _within
+
+    def _interval_or(spark, sf):
+        # Intervals.or of two ordered pairs, minimalized across sources
+        from lucene_spark.search.intervals import IOr, IOrdered, ITerm
+
+        _, searcher = gate_index(spark, sf)
+        src = IOr(
+            (
+                IOrdered((ITerm("table"), ITerm("hash"))),
+                IOrdered((ITerm("scan"), ITerm("merge"))),
+            )
+        )
+        return _hits_df(spark, searcher.search(A.IntervalQuery(src), k=10))
+
+    Q["ft_intervalor_top10"] = _interval_or
+
     def _funcscore(spark, sf):
         # FunctionScoreQuery (boostByValue-style expression rescoring):
         # BM25('table') × ln(1 + n_chars), Catalyst-evaluated
@@ -647,6 +673,19 @@ def queries() -> dict:
         return complete_prefix(index, "s", k=10)
 
     Q["sg_prefix_top10"] = _suggest_prefix
+
+    def _suggest_infix(spark, sf):
+        # AnalyzingInfixSuggester: suggestions = stored titles, lookup
+        # matches any token with the fragment as prefix, weight = n_chars
+        from lucene_spark.search.suggest import infix_suggest
+
+        index, _ = gate_index(spark, sf)
+        sugg = index.docs.select(
+            F.col("title").alias("suggestion"), F.col("n_chars").alias("weight")
+        )
+        return infix_suggest(sugg, "tab", k=10)
+
+    Q["sg_infix_top10"] = _suggest_infix
 
     def _suggest_spell(spark, sf):
         from lucene_spark.search.suggest import spell_suggest
@@ -1001,6 +1040,35 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "SELECT CAST(row_number() OVER (ORDER BY s DESC, parent) AS BIGINT) AS rank, "
         "parent, round(s, 2) AS score_r, n_children FROM g ORDER BY s DESC, parent LIMIT 10"
     )
+    # Intervals.containedBy('merge', ordered(table, hash)): each merge
+    # occurrence inside a minimal pair contributes 1/(1+0) → pf = count
+    O["ft_within_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s FROM ("
+        " SELECT doc_id, count(*)::BIGINT AS pf FROM ("
+        f"  SELECT DISTINCT po.doc_id, po.pos FROM post po JOIN ({_mutual_pairs('table', 'hash')}) mp"
+        "   ON po.doc_id = mp.doc_id AND po.pos >= mp.pa AND po.pos <= mp.pb"
+        "   WHERE po.term = 'merge') z"
+        " GROUP BY doc_id) p JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','merge')) ws"
+    )
+    # Intervals.or(ordered(table,hash), ordered(scan,merge)): union of
+    # both minimal-pair sets, re-minimalized across sources (drop any
+    # pair properly containing another); freq term = 1/(1 + gaps) =
+    # 1/(e - s) for 2-term pairs
+    O["ft_intervalor_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s FROM ("
+        " SELECT doc_id, sum(1.0 / (e - s)) AS pf FROM ("
+        "  SELECT DISTINCT doc_id, s, e FROM ("
+        f"   SELECT doc_id, pa AS s, pb AS e FROM ({_mutual_pairs('table', 'hash')})"
+        f"   UNION ALL SELECT doc_id, pa, pb FROM ({_mutual_pairs('scan', 'merge')})) u0"
+        "  ) u WHERE NOT EXISTS ("
+        "   SELECT 1 FROM ("
+        f"    SELECT doc_id, pa AS s, pb AS e FROM ({_mutual_pairs('table', 'hash')})"
+        f"    UNION ALL SELECT doc_id, pa, pb FROM ({_mutual_pairs('scan', 'merge')})) v"
+        "   WHERE v.doc_id = u.doc_id AND ((v.s > u.s AND v.e <= u.e) OR (v.s = u.s AND v.e < u.e)))"
+        " GROUP BY doc_id) p JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','scan','merge')) ws"
+    )
     # FunctionScoreQuery: BM25 × ln(1 + n_chars), re-ranked
     O["ft_funcscore_top10"] = topk_sql(
         "SELECT t.doc_id, t.s * ln(1 + d.n_chars) AS s FROM tscore t "
@@ -1073,6 +1141,15 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
     O["sg_prefix_top10"] = (
         base_ctes() + " SELECT term, ttf::BIGINT AS weight FROM dfr "
         "WHERE term LIKE 's%' ORDER BY weight DESC, term LIMIT 10"
+    )
+    # infix suggester: any title token with 'tab' as prefix
+    O["sg_infix_top10"] = (
+        "WITH ttl AS (SELECT array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') "
+        "AS suggestion, n_chars FROM documents) "
+        "SELECT suggestion, n_chars::BIGINT AS weight FROM ttl "
+        "WHERE len(list_filter(regexp_extract_all(lower(suggestion), '[a-z0-9]+'), "
+        "t -> t LIKE 'tab%')) > 0 "
+        "ORDER BY weight DESC, suggestion LIMIT 10"
     )
     O["sg_spell_top5"] = (
         base_ctes() + " SELECT term, levenshtein(term, 'dat')::BIGINT AS dist, df::BIGINT AS df "

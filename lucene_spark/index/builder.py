@@ -97,11 +97,13 @@ class IndexConfig:
     # posting) and its own collection-stats row, so BM25 scores with
     # per-field df / avgdl / docCount exactly like per-field Lucene.
     extra_fields: tuple[str, ...] = ()
-    # analyzer: "standard" (StandardAnalyzer default pipeline) or
-    # "porter" (= standard + PorterStemFilter, the EnglishAnalyzer's
-    # stemming stage with the empty default stop set kept;
-    # PorterStemFilter.java:33-55). Recorded in the manifest so the
-    # Searcher stems query terms identically.
+    # analyzer: "standard" (StandardAnalyzer default pipeline),
+    # "porter" (= standard + PorterStemFilter, PorterStemFilter.java:
+    # 33-55), or "english" (EnglishAnalyzer.createComponents,
+    # EnglishAnalyzer.java:102-110: EnglishPossessiveFilter → lowercase
+    # → StopFilter(ENGLISH_STOP_WORDS_SET) → PorterStemFilter; stop-
+    # removed tokens consume positions). Recorded in the manifest so
+    # the Searcher analyzes query terms identically.
     analyzer: str = "standard"
     # KNN vector field (KnnFloatVectorField / Lucene94HnswVectorsFormat
     # role): name of an array<float> corpus column stored as the
@@ -194,7 +196,7 @@ def assign_doc_ids(
     return out
 
 
-def _tokenize_udf(stem: bool = False):
+def _tokenize_udf(stem=False):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(ArrayType(StringType()))
@@ -204,7 +206,7 @@ def _tokenize_udf(stem: bool = False):
     return _tok
 
 
-def _tokenize_pos_udf(stem: bool = False):
+def _tokenize_pos_udf(stem=False):
     """Tokens + Lucene positions (dropped >255-char tokens consume a
     position — StandardTokenizer.java:158-166) as a struct of arrays."""
     from pyspark.sql.functions import pandas_udf
@@ -226,7 +228,7 @@ def _tokenize_pos_udf(stem: bool = False):
     return _tok
 
 
-def _tokenize_pos_off_udf(stem: bool = False):
+def _tokenize_pos_off_udf(stem=False):
     """Tokens + positions + char offsets (OffsetAttribute contract)."""
     from pyspark.sql.functions import pandas_udf
 
@@ -337,7 +339,9 @@ class IndexBuilder:
         FIELD's own length stats (per-field norms, FieldInfos role)."""
         field = field or self.config.field
         norm = _norm_udf()
-        stem = self.config.analyzer == "porter"
+        # the analyzer name selects the whole post-tokenizer filter
+        # chain (standard / porter / english) — tokenizer._emitter
+        stem = self.config.analyzer
         if self.config.offsets:
             tok = _tokenize_pos_off_udf(stem)
             out = (

@@ -163,6 +163,22 @@ class SpanNearQuery(Query):
 
 
 @dataclass(frozen=True)
+class IntervalQuery(Query):
+    """Full interval algebra — the lucene/queries/intervals
+    IntervalQuery role (IntervalQuery.java; combinators in
+    Intervals.java:66-443). ``source`` is a tree of
+    :mod:`lucene_spark.search.intervals` sources (ITerm / IOrdered /
+    IUnordered / IOr / IMaxGaps / IContaining / IContainedBy).
+    Matches docs where the source yields >= 1 minimal interval;
+    freq = Σ 1/(1 + gaps) per emitted interval (SpanScorer sloppy
+    accumulation), BM25-scored with the summed-idf weight.
+    Primary field only (documented subset)."""
+
+    source: object
+    field: str = "content"
+
+
+@dataclass(frozen=True)
 class PredDocSetQuery(Query):
     """UNRESOLVED doc-set: a docs-table predicate identified by ``key``
     (internal: produced by the Searcher in distributed mode instead of
@@ -331,6 +347,10 @@ def extract_terms(q: Query) -> set[str]:
         return {t for slot in q.positions for t in slot}
     if isinstance(q, (SynonymQuery, TermInSetQuery, SpanNearQuery)):
         return set(q.terms)
+    if isinstance(q, IntervalQuery):
+        from lucene_spark.search.intervals import terms_of
+
+        return terms_of(q.source)
     if isinstance(q, BooleanQuery):
         return set().union(*(extract_terms(s) for _, s in q.clauses)) if q.clauses else set()
     if isinstance(q, DisjunctionMaxQuery):

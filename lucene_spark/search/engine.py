@@ -136,7 +136,7 @@ class Searcher:
         if isinstance(q, A.FieldValueQuery) and is_extra(q.field):
             from lucene_spark.analysis.tokenizer import tokenize
 
-            toks = tokenize(q.value, stem=self.index.analyzer == "porter")
+            toks = tokenize(q.value, stem=self.index.analyzer)
             if not toks:
                 return A.MatchNoDocsQuery(f"empty analyzed value for {q.field}")
             if len(toks) == 1:
@@ -155,39 +155,85 @@ class Searcher:
         return q
 
     def _stem_query(self, q: A.Query) -> A.Query:
-        """Apply the index's PorterStemFilter to query-side terms
+        """Apply the index's analyzer filter chain to query-side terms
         (QueryBuilder.createFieldQuery analyzes query text through the
         SAME analyzer as indexing). MultiTermQuery patterns (prefix /
         wildcard / regexp / fuzzy / term ranges) are NOT analyzed,
-        matching the classic QueryParser contract."""
-        from lucene_spark.analysis.porter import porter_stem as ps
+        matching the classic QueryParser contract.
+
+        Stop-removed terms (the "english" analyzer): a bare stop term
+        becomes MatchNoDocs and a boolean clause that analyzes away is
+        OMITTED — QueryBuilder returns null for an all-stopwords field
+        query and the parser drops null clauses. Inside positional
+        queries stop terms are removed WITHOUT a position gap (the
+        query-side enablePositionIncrements=false convention); since
+        the INDEX keeps the gap (StopFilter position increments), an
+        exact phrase spanning a removed stopword does not match — use
+        slop >= number of removed terms. Documented subset."""
+        from lucene_spark.analysis.tokenizer import _emitter
+
+        em = _emitter(self.index.analyzer)
+        out = self._analyze_node(q, em)
+        return out if out is not None else A.MatchNoDocsQuery("query analyzed to no terms")
+
+    def _analyze_node(self, q: A.Query, em):
+        def one(t: str):
+            return em(t)
+
+        def keep(ts):
+            return tuple(r for r in (one(t) for t in ts) if r is not None)
 
         if isinstance(q, A.TermQuery):
-            return A.TermQuery(ps(q.term), q.field)
+            t = one(q.term)
+            return A.TermQuery(t, q.field) if t is not None else None
         if isinstance(q, A.PhraseQuery):
-            return A.PhraseQuery(tuple(ps(t) for t in q.terms), q.slop, q.field)
+            ts = keep(q.terms)
+            if not ts:
+                return None
+            return A.TermQuery(ts[0], q.field) if len(ts) == 1 else A.PhraseQuery(ts, q.slop, q.field)
         if isinstance(q, A.MultiPhraseQuery):
-            return A.MultiPhraseQuery(
-                tuple(tuple(ps(t) for t in slot) for slot in q.positions), q.slop, q.field
-            )
+            slots = tuple(s for s in (keep(slot) for slot in q.positions) if s)
+            if not slots:
+                return None
+            return A.MultiPhraseQuery(slots, q.slop, q.field)
         if isinstance(q, A.SpanNearQuery):
-            return A.SpanNearQuery(tuple(ps(t) for t in q.terms), q.slop, q.in_order, q.field)
+            ts = keep(q.terms)
+            if not ts:
+                return None
+            return A.TermQuery(ts[0], q.field) if len(ts) == 1 else A.SpanNearQuery(ts, q.slop, q.in_order, q.field)
+        if isinstance(q, A.IntervalQuery):
+            # analyze terms in place; a stop term keeps its surface form
+            # (it is absent from the index, so the source just won't
+            # match — dropping an interval operand would change shape)
+            from lucene_spark.search.intervals import map_terms
+
+            return A.IntervalQuery(map_terms(q.source, em), q.field)
         if isinstance(q, A.SynonymQuery):
-            return A.SynonymQuery(tuple(ps(t) for t in q.terms), q.field)
+            ts = keep(q.terms)
+            return A.SynonymQuery(ts, q.field) if ts else None
         if isinstance(q, A.TermInSetQuery):
-            return A.TermInSetQuery(tuple(ps(t) for t in q.terms), q.field)
+            ts = keep(q.terms)
+            return A.TermInSetQuery(ts, q.field) if ts else None
         if isinstance(q, A.BooleanQuery):
-            return A.BooleanQuery(
-                tuple((o, self._stem_query(s)) for o, s in q.clauses), q.minimum_should_match
+            clauses = tuple(
+                (o, s)
+                for o, s in ((o, self._analyze_node(s, em)) for o, s in q.clauses)
+                if s is not None
             )
+            if not clauses:
+                return None
+            return A.BooleanQuery(clauses, q.minimum_should_match)
         if isinstance(q, A.BoostQuery):
-            return A.BoostQuery(self._stem_query(q.query), q.boost)
+            s = self._analyze_node(q.query, em)
+            return A.BoostQuery(s, q.boost) if s is not None else None
         if isinstance(q, A.ConstantScoreQuery):
-            return A.ConstantScoreQuery(self._stem_query(q.query))
+            s = self._analyze_node(q.query, em)
+            return A.ConstantScoreQuery(s) if s is not None else None
         if isinstance(q, A.DisjunctionMaxQuery):
-            return A.DisjunctionMaxQuery(
-                tuple(self._stem_query(s) for s in q.queries), q.tie_breaker
+            subs = tuple(
+                s for s in (self._analyze_node(s, em) for s in q.queries) if s is not None
             )
+            return A.DisjunctionMaxQuery(subs, q.tie_breaker) if subs else None
         return q
 
     def _expand_multiterm(self, q: A.Query, lazy_docsets: bool = False) -> A.Query:
@@ -247,7 +293,7 @@ class Searcher:
         Spark job and df/ttf derive from their columns — no separate
         term_stats lookup; the whole driver query path is one job."""
         q = parse_query(query) if isinstance(query, str) else A.rewrite(query)
-        if self.index.analyzer == "porter":
+        if self.index.analyzer not in ("standard", None):
             q = self._stem_query(q)
         if len(self.index.text_fields) > 1:
             q = self._fieldize(q)
@@ -696,7 +742,7 @@ class Searcher:
         MatchAllDocsQuery count == docCount) — a stats-table point read
         instead of decoding any postings."""
         q0 = parse_query(query) if isinstance(query, str) else A.rewrite(query)
-        if self.index.analyzer == "porter":
+        if self.index.analyzer not in ("standard", None):
             q0 = self._stem_query(q0)
         if len(self.index.text_fields) > 1:
             q0 = self._fieldize(q0)  # composite-key the df point-read too
@@ -945,9 +991,15 @@ class Searcher:
 
 
 def _has_phrase(spec) -> bool:
-    from lucene_spark.search.kernels import DisMaxSpec, MultiPhraseSpec, PhraseSpec, SpanNearSpec
+    from lucene_spark.search.kernels import (
+        DisMaxSpec,
+        IntervalSpec,
+        MultiPhraseSpec,
+        PhraseSpec,
+        SpanNearSpec,
+    )
 
-    if isinstance(spec, (PhraseSpec, MultiPhraseSpec, SpanNearSpec)):
+    if isinstance(spec, (PhraseSpec, MultiPhraseSpec, SpanNearSpec, IntervalSpec)):
         return True
     if isinstance(spec, BoolSpec):
         return any(_has_phrase(s) for g in (spec.musts, spec.shoulds, spec.filters, spec.nots) for s in g)

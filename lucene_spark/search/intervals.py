@@ -1,0 +1,312 @@
+"""Interval query algebra — the lucene/queries/intervals module role.
+
+Reference surface (all under /root/reference/lucene/queries/src/java/
+org/apache/lucene/queries/intervals/):
+- Intervals.java:66-120 term / ordered / unordered sources,
+  :298 maxgaps, :417 within/containedBy, :443 containing, :127 or —
+  the combinator factory.
+- OrderedIntervalsSource.java / UnorderedIntervalsSource.java — the
+  minimal-interval iteration contracts: an emitted interval never has
+  another match properly nested inside it (the MinimizingConjunction
+  algorithm of Vigna's "Efficient Lazy Algorithms for Minimal-Interval
+  Semantics").
+- IntervalQuery.java — scores matching docs through the similarity
+  with a proximity-weighted freq; we use the SpanScorer sloppy
+  accumulation freq = Σ 1/(1 + gaps) per emitted interval (the same
+  convention the engine's SpanNearQuery kernel uses), where
+  gaps = width − covered positions.
+
+The evaluator here is a per-doc numpy kernel over the positions index
+(the same data the phrase kernels read); candidate docs are pruned
+doc-level first (conjunction/union over term postings), so the Python
+tree walk only ever runs on position-verified candidates — the same
+cost shape as the sloppy-phrase kernel.
+
+Each source evaluates to a list of (start, end, covered) triples,
+start-ascending, minimal (no proper nesting). ``covered`` counts the
+term positions the interval binds, so gaps = (end - start + 1) -
+covered generalizes "width - #terms" through nested combinators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = [
+    "ITerm",
+    "IOrdered",
+    "IUnordered",
+    "IOr",
+    "IMaxGaps",
+    "IContaining",
+    "IContainedBy",
+    "terms_of",
+    "eval_source",
+]
+
+
+@dataclass(frozen=True)
+class ITerm:
+    term: str
+
+
+@dataclass(frozen=True)
+class IOrdered:
+    """Intervals.ordered: one interval per source, in order, each
+    starting after the previous ends (no overlap)."""
+
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IUnordered:
+    """Intervals.unordered: one interval per source in any order
+    (overlaps allowed, matching the reference default)."""
+
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IOr:
+    """Intervals.or: union of the sources' intervals, minimalized."""
+
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IMaxGaps:
+    """Intervals.maxgaps: only intervals with at most ``gaps`` interior
+    gaps (width - covered <= gaps)."""
+
+    gaps: int
+    source: object
+
+
+@dataclass(frozen=True)
+class IContaining:
+    """Intervals.containing(big, small): intervals of big containing an
+    interval of small."""
+
+    big: object
+    small: object
+
+
+@dataclass(frozen=True)
+class IContainedBy:
+    """Intervals.containedBy(small, big): intervals of small contained
+    by an interval of big (Intervals.within with 0 slack)."""
+
+    small: object
+    big: object
+
+
+def terms_of(src) -> set[str]:
+    if isinstance(src, ITerm):
+        return {src.term}
+    if isinstance(src, (IOrdered, IUnordered, IOr)):
+        out: set[str] = set()
+        for s in src.sources:
+            out |= terms_of(s)
+        return out
+    if isinstance(src, IMaxGaps):
+        return terms_of(src.source)
+    if isinstance(src, (IContaining, IContainedBy)):
+        a = src.big if isinstance(src, IContaining) else src.small
+        b = src.small if isinstance(src, IContaining) else src.big
+        return terms_of(a) | terms_of(b)
+    raise TypeError(type(src))
+
+
+def map_terms(src, fn):
+    """Rebuild the source tree with every term mapped through ``fn``
+    (query-side analysis: stemming etc.). ``fn`` returning None keeps
+    the original term (an unanalyzable term simply won't match)."""
+    if isinstance(src, ITerm):
+        t = fn(src.term)
+        return ITerm(t if t is not None else src.term)
+    if isinstance(src, IOrdered):
+        return IOrdered(tuple(map_terms(s, fn) for s in src.sources))
+    if isinstance(src, IUnordered):
+        return IUnordered(tuple(map_terms(s, fn) for s in src.sources))
+    if isinstance(src, IOr):
+        return IOr(tuple(map_terms(s, fn) for s in src.sources))
+    if isinstance(src, IMaxGaps):
+        return IMaxGaps(src.gaps, map_terms(src.source, fn))
+    if isinstance(src, IContaining):
+        return IContaining(map_terms(src.big, fn), map_terms(src.small, fn))
+    if isinstance(src, IContainedBy):
+        return IContainedBy(map_terms(src.small, fn), map_terms(src.big, fn))
+    raise TypeError(type(src))
+
+
+def candidate_docs(src, doc_arrays: dict[str, np.ndarray]) -> np.ndarray:
+    """Doc-level necessary condition: docs that could match the source
+    (conjunction across combinator children, union for Or). Exact for
+    term/or; an upper bound the position pass refines for the rest."""
+    if isinstance(src, ITerm):
+        return doc_arrays[src.term]
+    if isinstance(src, IOr):
+        out = None
+        for s in src.sources:
+            d = candidate_docs(s, doc_arrays)
+            out = d if out is None else np.union1d(out, d)
+        return out if out is not None else np.empty(0, dtype=np.int64)
+    if isinstance(src, IMaxGaps):
+        return candidate_docs(src.source, doc_arrays)
+    if isinstance(src, (IOrdered, IUnordered)):
+        children = src.sources
+    else:  # IContaining / IContainedBy
+        children = (
+            (src.big, src.small) if isinstance(src, IContaining) else (src.small, src.big)
+        )
+    out = None
+    for s in children:
+        d = candidate_docs(s, doc_arrays)
+        out = d if out is None else np.intersect1d(out, d, assume_unique=True)
+    return out if out is not None else np.empty(0, dtype=np.int64)
+
+
+def _minimalize(iv: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
+    """Drop intervals that properly contain another interval of the
+    set (the minimal-interval invariant). Input need not be sorted."""
+    if len(iv) <= 1:
+        return sorted(iv)
+    iv = sorted(iv, key=lambda t: (t[0], t[1]))
+    # dedupe same (start,end) keeping max covered (tightest metadata)
+    dedup: list[tuple[int, int, int]] = []
+    for s, e, c in iv:
+        if dedup and dedup[-1][0] == s and dedup[-1][1] == e:
+            if c > dedup[-1][2]:
+                dedup[-1] = (s, e, c)
+            continue
+        dedup.append((s, e, c))
+    iv = dedup
+    # suffix-min of ends over later-starting intervals: (s,e) contains a
+    # later interval iff some interval with start > s has end <= e; with
+    # equal starts the sort already puts the shorter first, and a longer
+    # same-start interval contains it too.
+    out: list[tuple[int, int, int]] = []
+    n = len(iv)
+    sufmin = [0] * (n + 1)
+    INF = 1 << 62
+    sufmin[n] = INF
+    for i in range(n - 1, -1, -1):
+        sufmin[i] = min(iv[i][1], sufmin[i + 1])
+    for i, (s, e, c) in enumerate(iv):
+        # a later-sorted interval (start >= s) with end <= e is properly
+        # contained (later same-start entries are strictly longer, so
+        # equality of start can only flag the longer one correctly via
+        # the explicit same-start check below)
+        if sufmin[i + 1] <= e:
+            continue
+        if out and out[-1][0] == s:  # shorter same-start already kept
+            continue
+        out.append((s, e, c))
+    return out
+
+
+def eval_source(src, pos_of) -> list[tuple[int, int, int]]:
+    """Evaluate ``src`` for one document. ``pos_of(term)`` returns the
+    sorted int64 position array of a term in this doc (empty if
+    absent). Returns minimal (start, end, covered) triples sorted by
+    start."""
+    if isinstance(src, ITerm):
+        return [(int(p), int(p), 1) for p in pos_of(src.term)]
+    if isinstance(src, IOr):
+        merged: list[tuple[int, int, int]] = []
+        for s in src.sources:
+            merged.extend(eval_source(s, pos_of))
+        return _minimalize(merged)
+    if isinstance(src, IMaxGaps):
+        return [
+            (s, e, c) for s, e, c in eval_source(src.source, pos_of) if (e - s + 1) - c <= src.gaps
+        ]
+    if isinstance(src, IContaining):
+        big = eval_source(src.big, pos_of)
+        small = eval_source(src.small, pos_of)
+        if not small:
+            return []
+        return [bi for bi in big if any(bi[0] <= s and e <= bi[1] for s, e, _ in small)]
+    if isinstance(src, IContainedBy):
+        small = eval_source(src.small, pos_of)
+        big = eval_source(src.big, pos_of)
+        if not big:
+            return []
+        return [si for si in small if any(s <= si[0] and si[1] <= e for s, e, _ in big)]
+    if isinstance(src, IOrdered):
+        kids = [eval_source(s, pos_of) for s in src.sources]
+        return _ordered(kids)
+    if isinstance(src, IUnordered):
+        kids = [eval_source(s, pos_of) for s in src.sources]
+        return _unordered(kids)
+    raise TypeError(type(src))
+
+
+def _ordered(kids: list[list[tuple[int, int, int]]]) -> list[tuple[int, int, int]]:
+    """Ordered conjunction over child interval lists: chain greedily
+    forward (each child's first interval starting after the previous
+    ends), then stretch-to-minimal backward (latest child intervals
+    still forming a chain) — the OrderedIntervalsSource algorithm
+    generalized from term positions to sub-intervals."""
+    n = len(kids)
+    if any(not k for k in kids):
+        return []
+    out: list[tuple[int, int, int]] = []
+    i0 = 0
+    while i0 < len(kids[0]):
+        chain = [kids[0][i0]]
+        ok = True
+        for j in range(1, n):
+            prev_end = chain[-1][1]
+            nxt = None
+            for iv in kids[j]:
+                if iv[0] > prev_end:
+                    nxt = iv
+                    break
+            if nxt is None:
+                ok = False
+                break
+            chain.append(nxt)
+        if not ok:
+            break
+        # backward stretch: latest interval of child j fully before
+        # chain[j+1].start
+        for j in range(n - 2, -1, -1):
+            best = chain[j]
+            for iv in kids[j]:
+                if iv[1] < chain[j + 1][0] and iv[0] > best[0]:
+                    best = iv
+            chain[j] = best
+        s, e = chain[0][0], chain[-1][1]
+        out.append((s, e, sum(c for _, _, c in chain)))
+        # advance past this start
+        nxt_i0 = i0 + 1
+        while nxt_i0 < len(kids[0]) and kids[0][nxt_i0][0] <= chain[0][0]:
+            nxt_i0 += 1
+        i0 = nxt_i0
+    return _minimalize(out)
+
+
+def _unordered(kids: list[list[tuple[int, int, int]]]) -> list[tuple[int, int, int]]:
+    """Unordered conjunction (overlaps allowed): sliding window holding
+    one interval per child; repeatedly advance the child whose interval
+    starts earliest, emitting the window when advancing would move the
+    left edge (UnorderedIntervalsSource's queue algorithm)."""
+    n = len(kids)
+    if any(not k for k in kids):
+        return []
+    idx = [0] * n
+    out: list[tuple[int, int, int]] = []
+    while True:
+        cur = [kids[j][idx[j]] for j in range(n)]
+        s = min(iv[0] for iv in cur)
+        e = max(iv[1] for iv in cur)
+        out.append((s, e, sum(c for _, _, c in cur)))
+        # advance the child contributing the earliest start
+        jmin = min(range(n), key=lambda j: kids[j][idx[j]][0])
+        idx[jmin] += 1
+        if idx[jmin] >= len(kids[jmin]):
+            break
+    return _minimalize(out)

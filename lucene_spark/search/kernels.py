@@ -127,6 +127,19 @@ class SpanNearSpec:
 
 
 @dataclass(frozen=True)
+class IntervalSpec:
+    """Interval algebra query (IntervalQuery.java role): ``source`` is
+    a lucene_spark.search.intervals tree; terms = its literal terms
+    (postings + positions fetched like phrase kernels); freq =
+    Σ 1/(1 + max(0, gaps)) over the source's minimal intervals."""
+
+    source: object
+    terms: tuple[str, ...]
+    weight: float
+    field: str = ""
+
+
+@dataclass(frozen=True)
 class MultiPhraseSpec:
     """Alternatives per slot (MultiPhraseQuery.java); weight = summed
     idf over ALL distinct terms, like PhraseWeight over the union."""
@@ -205,6 +218,16 @@ def compile_query(
         fld, st = _stats_of(q.terms[0])
         total = float(np.sum([float(idf(term_df[t], st.doc_count)) for t in q.terms]))
         return SpanNearSpec(q.terms, float(np.float32(b32 * np.float32(total))), q.slop, q.in_order, fld)
+    if isinstance(q, A.IntervalQuery):
+        from lucene_spark.search.intervals import terms_of
+
+        terms = tuple(sorted(terms_of(q.source)))
+        present = [t for t in terms if term_df.get(t)]
+        if not present:
+            return NoneSpec()
+        fld, st = _stats_of(present[0])
+        total = float(np.sum([float(idf(term_df[t], st.doc_count)) for t in present]))
+        return IntervalSpec(q.source, terms, float(np.float32(b32 * np.float32(total))), fld)
     if isinstance(q, A.MultiPhraseQuery):
         slots = tuple(tuple(t for t in slot if term_df.get(t)) for slot in q.positions)
         if any(not s for s in slots):
@@ -244,7 +267,7 @@ def compile_query(
 def spec_terms(spec) -> set[str]:
     if isinstance(spec, (TermSpec,)):
         return {spec.term}
-    if isinstance(spec, (SynonymSpec, ConstSpec, PhraseSpec, SpanNearSpec)):
+    if isinstance(spec, (SynonymSpec, ConstSpec, PhraseSpec, SpanNearSpec, IntervalSpec)):
         return set(spec.terms)
     if isinstance(spec, MultiPhraseSpec):
         return {t for slot in spec.slots for t in slot}
@@ -385,6 +408,8 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
         return _evaluate_multiphrase(spec, ctx)
     if isinstance(spec, SpanNearSpec):
         return _evaluate_spannear(spec, ctx)
+    if isinstance(spec, IntervalSpec):
+        return _evaluate_interval(spec, ctx)
     raise TypeError(type(spec))
 
 
@@ -483,6 +508,66 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
     docs0, _, norms0 = parts[0]
     idx0 = np.searchsorted(docs0, cand[matched])
     scores = score_freqs(np.float32(spec.weight), freqs[matched], norms0[idx0], ctx.cache_for(spec.field))
+    return cand[matched], scores
+
+
+def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
+    """Interval-algebra kernel: doc-level candidate pruning via the
+    source's conjunction/union structure, then per-candidate minimal-
+    interval evaluation over the positions index. freq accumulates
+    1/(1 + gaps) per emitted interval with gaps = max(0, width -
+    covered) (overlapping unordered operands can cover more than the
+    width; clamped like SloppyPhraseMatcher clamps negative slop)."""
+    from lucene_spark.search.intervals import candidate_docs, eval_source
+
+    parts = {t: ctx.term(t) for t in spec.terms}
+    doc_arrays = {t: p[0] for t, p in parts.items()}
+    cand = candidate_docs(spec.source, doc_arrays)
+    if cand is None or not len(cand):
+        return EMPTY_I, EMPTY_F
+    # per-term row index of each candidate (−1 = doc absent from term)
+    idxs: dict[str, np.ndarray] = {}
+    present: dict[str, np.ndarray] = {}
+    plists: dict[str, object] = {}
+    for t in spec.terms:
+        d = doc_arrays[t]
+        i = np.searchsorted(d, cand)
+        i_clip = np.minimum(i, max(len(d) - 1, 0))
+        present[t] = (len(d) > 0) & (d[i_clip] == cand) if len(d) else np.zeros(len(cand), bool)
+        idxs[t] = i_clip
+        pl = ctx.positions.get(t)
+        if pl is None and len(d):
+            raise ValueError(f"no positions available for term {t!r}")
+        plists[t] = pl
+    one = np.float32(1.0)
+    empty = np.empty(0, dtype=np.int64)
+    freqs = np.zeros(len(cand), dtype=np.float64)
+    norms = np.zeros(len(cand), dtype=np.int64)
+    has_norm = np.zeros(len(cand), dtype=bool)
+    for ci in range(len(cand)):
+
+        def pos_of(t: str, _ci=ci):
+            if not present[t][_ci]:
+                return empty
+            return np.asarray(plists[t][idxs[t][_ci]], dtype=np.int64)
+
+        f = np.float32(0.0)
+        for s, e, c in eval_source(spec.source, pos_of):
+            gaps = max(0, (e - s + 1) - c)
+            f = np.float32(f + one / (one + np.float32(gaps)))
+        freqs[ci] = f
+        if f > 0 and not has_norm[ci]:
+            for t in spec.terms:  # norm from any term containing the doc
+                if present[t][ci]:
+                    norms[ci] = parts[t][2][idxs[t][ci]]
+                    has_norm[ci] = True
+                    break
+    matched = freqs > 0
+    if not matched.any():
+        return EMPTY_I, EMPTY_F
+    scores = score_freqs(
+        np.float32(spec.weight), freqs[matched], norms[matched], ctx.cache_for(spec.field)
+    )
     return cand[matched], scores
 
 

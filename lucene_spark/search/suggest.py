@@ -40,6 +40,48 @@ def complete_prefix(index, prefix: str, k: int = 10) -> DataFrame:
     )
 
 
+def infix_suggest(
+    suggestions_df: DataFrame,
+    fragment: str,
+    k: int = 10,
+    text_col: str = "suggestion",
+    weight_col: str = "weight",
+    token_pattern: str = "[a-z0-9]+",
+) -> DataFrame:
+    """AnalyzingInfixSuggester role (lucene/suggest/src/java/org/
+    apache/lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java:
+    60-96, lookup at :560-640): suggestions are full texts analyzed
+    into tokens; a lookup matches every suggestion with ANY token
+    having ``fragment`` as a prefix (the 'infix' = the match may start
+    at any token, not just the first), ranked by weight desc.
+
+    The reference builds a dedicated aux index over the suggestion
+    texts; here the suggestion relation IS the aux index — the token-
+    prefix predicate evaluates JVM-side (regexp_extract_all + EXISTS
+    lambda, whole-stage codegen) over the scan and the top-k is a
+    TakeOrderedAndProject, so the lookup is one pruned pass at any
+    scale. ``token_pattern`` is the regex analyzer (default: the
+    lowercase-alnum subset the corpus guarantees; swap for a stricter
+    pattern to match a custom analyzer).
+
+    Returns (suggestion, weight) ordered by weight desc, suggestion asc.
+    """
+    frag = fragment.lower().replace("'", "\\'")
+    tok = F.expr(
+        f"exists(regexp_extract_all(lower(`{text_col}`), '{token_pattern}', 0), "
+        f"t -> t LIKE '{frag}%')"
+    )
+    return (
+        suggestions_df.filter(tok)
+        .select(
+            F.col(text_col).alias("suggestion"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
 def spell_suggest(index, term: str, k: int = 5, max_edits: int = 2) -> DataFrame:
     """Top-k corrections for ``term``: candidates with
     0 < levenshtein <= max_edits, ordered by (distance asc, df desc,

@@ -1,0 +1,208 @@
+"""Interval query algebra vs a from-definitions brute-force reference.
+
+The brute enumerates EVERY combination of child intervals allowed by
+the operator definition (Intervals.java semantics), then applies the
+minimal-interval filter (drop any interval that properly contains
+another emitted interval) — independent of the engine's greedy/sliding
+algorithms.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import ast as A
+from lucene_spark.search.engine import Searcher
+from lucene_spark.search.intervals import (
+    IContainedBy,
+    IContaining,
+    IMaxGaps,
+    IOr,
+    IOrdered,
+    ITerm,
+    IUnordered,
+    eval_source,
+    terms_of,
+)
+
+
+# ---- brute reference -------------------------------------------------------
+
+
+def brute_minimalize(iv):
+    iv = sorted(set(iv), key=lambda t: (t[0], t[1]))
+    out = []
+    for i, a in enumerate(iv):
+        contains_other = any(
+            (b[0] > a[0] and b[1] <= a[1]) or (b[0] == a[0] and b[1] < a[1])
+            for b in iv
+            if b is not a
+        )
+        if not contains_other:
+            out.append(a)
+    # dedupe same (s,e) keeping max covered
+    ded = {}
+    for s, e, c in out:
+        ded[(s, e)] = max(ded.get((s, e), -1), c)
+    return sorted((s, e, c) for (s, e), c in ded.items())
+
+
+def brute(src, pos_of):
+    if isinstance(src, ITerm):
+        return [(int(p), int(p), 1) for p in pos_of(src.term)]
+    if isinstance(src, IOr):
+        allv = []
+        for s in src.sources:
+            allv.extend(brute(s, pos_of))
+        return brute_minimalize(allv)
+    if isinstance(src, IMaxGaps):
+        return [
+            (s, e, c) for s, e, c in brute(src.source, pos_of) if (e - s + 1) - c <= src.gaps
+        ]
+    if isinstance(src, IContaining):
+        big, small = brute(src.big, pos_of), brute(src.small, pos_of)
+        return [b for b in big if any(b[0] <= s and e <= b[1] for s, e, _ in small)]
+    if isinstance(src, IContainedBy):
+        small, big = brute(src.small, pos_of), brute(src.big, pos_of)
+        return [si for si in small if any(s <= si[0] and si[1] <= e for s, e, _ in big)]
+    kids = [brute(s, pos_of) for s in src.sources]
+    if any(not k for k in kids):
+        return []
+    cands = []
+    for combo in product(*kids):
+        if isinstance(src, IOrdered):
+            ok = all(combo[j][0] > combo[j - 1][1] for j in range(1, len(combo)))
+            if not ok:
+                continue
+        s = min(iv[0] for iv in combo)
+        e = max(iv[1] for iv in combo)
+        cands.append((s, e, sum(c for _, _, c in combo)))
+    return brute_minimalize(cands)
+
+
+def rand_source(rng, vocab, depth=0):
+    kind = rng.choice(
+        ["term"] if depth >= 2 else ["term", "ordered", "unordered", "or", "maxgaps", "containing", "containedby"],
+    )
+    if kind == "term":
+        return ITerm(rng.choice(vocab))
+    if kind in ("ordered", "unordered"):
+        n = int(rng.integers(2, 4))
+        subs = tuple(rand_source(rng, vocab, depth + 1) for _ in range(n))
+        return IOrdered(subs) if kind == "ordered" else IUnordered(subs)
+    if kind == "or":
+        n = int(rng.integers(2, 4))
+        return IOr(tuple(rand_source(rng, vocab, depth + 1) for _ in range(n)))
+    if kind == "maxgaps":
+        return IMaxGaps(int(rng.integers(0, 5)), rand_source(rng, vocab, depth + 1))
+    big = rand_source(rng, vocab, depth + 1)
+    small = rand_source(rng, vocab, depth + 1)
+    return IContaining(big, small) if kind == "containing" else IContainedBy(small, big)
+
+
+class TestEvalVsBrute:
+    def test_fuzz_random_trees(self):
+        rng = np.random.default_rng(11)
+        vocab = ["a", "b", "c", "d"]
+        mismatches = []
+        for trial in range(400):
+            n_tok = int(rng.integers(1, 30))
+            doc = [vocab[i] for i in rng.integers(0, len(vocab), n_tok)]
+            pos = {t: np.array([i for i, x in enumerate(doc) if x == t], dtype=np.int64) for t in vocab}
+
+            def pos_of(t):
+                return pos.get(t, np.empty(0, dtype=np.int64))
+
+            src = rand_source(rng, vocab)
+            got = eval_source(src, pos_of)
+            want = brute(src, pos_of)
+            if sorted(got) != sorted(want):
+                mismatches.append((trial, src, doc, got, want))
+        assert not mismatches, mismatches[:2]
+
+    def test_ordered_basic(self):
+        pos = {"a": np.array([0, 10]), "b": np.array([2, 12])}
+
+        def pos_of(t):
+            return pos.get(t, np.empty(0, dtype=np.int64))
+
+        got = eval_source(IOrdered((ITerm("a"), ITerm("b"))), pos_of)
+        assert got == [(0, 2, 2), (10, 12, 2)]
+        # maxgaps 1 kills both (each has 1 gap? width 3 - covered 2 = 1 → kept)
+        assert eval_source(IMaxGaps(1, IOrdered((ITerm("a"), ITerm("b")))), pos_of) == got
+        assert eval_source(IMaxGaps(0, IOrdered((ITerm("a"), ITerm("b")))), pos_of) == []
+
+    def test_containedby_basic(self):
+        pos = {
+            "a": np.array([0, 20]),
+            "b": np.array([5, 25]),
+            "x": np.array([3, 7, 40]),
+        }
+
+        def pos_of(t):
+            return pos.get(t, np.empty(0, dtype=np.int64))
+
+        # x occurrences inside a minimal a..b interval: 3 and 7 inside
+        # (0,5)? 3 yes, 7 no; (20,25): 40 no → [(3,3,1)]
+        got = eval_source(IContainedBy(ITerm("x"), IOrdered((ITerm("a"), ITerm("b")))), pos_of)
+        assert got == [(3, 3, 1)]
+
+    def test_terms_of(self):
+        src = IContaining(IOrdered((ITerm("a"), ITerm("b"))), IOr((ITerm("c"), ITerm("a"))))
+        assert terms_of(src) == {"a", "b", "c"}
+
+
+class TestIntervalQueryEndToEnd:
+    def test_interval_query_scores_vs_brute(self, spark, search_index, corpus_pdf, oracle):
+        from lucene_spark.analysis.tokenizer import tokenize
+        from lucene_spark.codec.smallfloat import int_to_byte4
+        from lucene_spark.search.similarity import idf, score_freqs
+
+        s = Searcher(search_index)
+        src = IMaxGaps(6, IUnordered((ITerm("return"), ITerm("if"))))
+        got = s.search(A.IntervalQuery(src), k=10).hits
+
+        ordered = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        stats = oracle.stats
+        w = np.float32(
+            float(idf(len(oracle.postings["return"]), stats.doc_count))
+            + float(idf(len(oracle.postings["if"]), stats.doc_count))
+        )
+        docs, freqs, norms = [], [], []
+        for i in range(len(ordered)):
+            toks = tokenize(ordered.loc[i, "content"])
+            pos = {"return": [], "if": []}
+            for p, t in enumerate(toks):
+                if t in pos:
+                    pos[t].append(p)
+
+            def pos_of(t, _pos=pos):
+                return np.array(_pos.get(t, []), dtype=np.int64)
+
+            f = np.float32(0.0)
+            for st, en, c in brute(src, pos_of):
+                gaps = max(0, (en - st + 1) - c)
+                f = np.float32(f + np.float32(1.0) / (np.float32(1.0) + np.float32(gaps)))
+            if f > 0:
+                docs.append(i)
+                freqs.append(float(f))
+                norms.append(int_to_byte4(len(toks)))
+        scores = score_freqs(
+            w,
+            np.array(freqs, dtype=np.float32),
+            np.array(norms, dtype=np.int64),
+            oracle.cache,
+        )
+        want = sorted(zip(docs, scores), key=lambda t: (-t[1], t[0]))[:10]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        assert np.allclose([x for _, x in got], [x for _, x in want], rtol=1e-5)
+
+    def test_distributed_matches_driver(self, spark, search_index):
+        s = Searcher(search_index)
+        src = IContainedBy(ITerm("return"), IMaxGaps(8, IOrdered((ITerm("int"), ITerm("if")))))
+        drv = s.search(A.IntervalQuery(src), k=10).hits
+        dist = s.search(A.IntervalQuery(src), k=10, mode="distributed").hits
+        assert [(d, round(x, 5)) for d, x in drv] == [(d, round(x, 5)) for d, x in dist]

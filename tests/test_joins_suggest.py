@@ -106,6 +106,47 @@ class TestSuggest:
         rows = spell_suggest(search_index, "return", k=10).collect()
         assert all(r["term"] != "return" for r in rows)
 
+    def test_infix_vs_brute(self, spark, corpus_pdf):
+        # AnalyzingInfixSuggester: suggestions = paths, weight = doc len;
+        # a lookup matches any token with the fragment as a prefix
+        from lucene_spark.search.suggest import infix_suggest
+        import re
+
+        ordered = _ordered(corpus_pdf)
+        sugg = spark.createDataFrame(
+            [
+                (ordered.loc[i, "path"], len(ordered.loc[i, "content"]))
+                for i in range(len(ordered))
+            ],
+            "suggestion string, weight long",
+        )
+        got = [(r["suggestion"], r["weight"]) for r in infix_suggest(sugg, "re", k=10).collect()]
+        want = sorted(
+            (
+                (ordered.loc[i, "path"], len(ordered.loc[i, "content"]))
+                for i in range(len(ordered))
+                if any(
+                    t.startswith("re")
+                    for t in re.findall("[a-z0-9]+", ordered.loc[i, "path"].lower())
+                )
+            ),
+            key=lambda p: (-p[1], p[0]),
+        )[:10]
+        assert got == want
+
+    def test_infix_matches_mid_text_token(self, spark):
+        from lucene_spark.search.suggest import infix_suggest
+
+        sugg = spark.createDataFrame(
+            [("alpha beta gamma", 5), ("nothing here", 9), ("BETA first", 1)],
+            "suggestion string, weight long",
+        )
+        got = [r["suggestion"] for r in infix_suggest(sugg, "bet", k=10).collect()]
+        # matches mid-text and case-insensitively; ranked by weight desc
+        assert got == ["alpha beta gamma", "BETA first"]
+        # prefix-of-token only: 'eta' is infix of 'beta' but not a token prefix
+        assert infix_suggest(sugg, "eta", k=10).count() == 0
+
 
 class TestMoreLikeThis:
     def test_interesting_terms_vs_brute(self, spark, search_index, corpus_pdf):
