@@ -25,6 +25,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from lucene_spark.search import ast as A  # noqa: E402
+from lucene_spark.search.intervals import IMaxGaps, ITerm, IUnordered  # noqa: E402
 
 QUERIES: dict[str, A.Query] = {
     "q_term": A.TermQuery("table"),
@@ -46,6 +47,8 @@ QUERIES: dict[str, A.Query] = {
     "q_sloppy": A.PhraseQuery(("table", "hash"), slop=3),
     "q_dismax": A.DisjunctionMaxQuery((A.TermQuery("table"), A.TermQuery("merge")), 0.3),
     "q_wildcard": A.WildcardQuery("*ow"),
+    "q_spannear": A.SpanNearQuery(("table", "hash"), slop=4, in_order=True),
+    "q_interval": A.IntervalQuery(IMaxGaps(6, IUnordered((ITerm("table"), ITerm("merge"))))),
     "q_field_filter": A.BooleanQuery(
         ((A.Occur.MUST, A.TermQuery("table")), (A.Occur.FILTER, A.FieldValueQuery("lang", "en")))
     ),

@@ -561,6 +561,43 @@ def queries() -> dict:
 
     Q["ft_group_top"] = _group
 
+    # distributed-hit-relation twins: the SAME aggregations computed
+    # over Searcher.match_frame (no driver hit materialization) must
+    # match the same oracles as the driver-mode originals
+    def _facet_dist(spark, sf):
+        from lucene_spark.search.postprocess import facet_counts
+
+        _, searcher = gate_index(spark, sf)
+        q = A.BooleanQuery(((A.Occur.MUST, A.TermQuery("table")), (A.Occur.MUST, A.TermQuery("merge"))))
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return facet_counts(searcher, q, docs, "lang", mode="distributed").select(
+            "lang", F.col("cnt").cast("long")
+        )
+
+    Q["ft_dist_facet_lang"] = _facet_dist
+
+    def _group_dist(spark, sf):
+        from lucene_spark.search.postprocess import group_top_hits
+
+        _, searcher = gate_index(spark, sf)
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        g = group_top_hits(searcher, A.TermQuery("table"), docs, "lang", 2, mode="distributed")
+        return g.select("lang", "grank", "doc_id", F.round("score", 2).alias("score_r"))
+
+    Q["ft_dist_group_top"] = _group_dist
+
+    def _funcscore_dist(spark, sf):
+        from lucene_spark.search.functionscore import function_score
+
+        index, searcher = gate_index(spark, sf)
+        out = function_score(
+            searcher, A.TermQuery("table"), "_score * ln(1 + n_chars)", index.docs, k=10,
+            mode="distributed",
+        )
+        return out.select("rank", "doc_id", F.round("score", 2).alias("score_r"))
+
+    Q["ft_dist_funcscore_top10"] = _funcscore_dist
+
     def _highlight(spark, sf):
         # offsets-index highlight probe: snippets sliced from stored
         # text at INDEXED char offsets (UnifiedHighlighter offsets
@@ -1387,6 +1424,10 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
        CASE WHEN doc_id % 3 = 0 THEN 1 ELSE octet_length(encode(text)) % 24 + 1 END::BIGINT AS n_frames,
        sha256(text) AS sha256
 FROM documents"""
+    # distributed-hit-relation twins share the driver-mode oracles
+    O["ft_dist_facet_lang"] = O["ft_facet_lang"]
+    O["ft_dist_group_top"] = O["ft_group_top"]
+    O["ft_dist_funcscore_top10"] = O["ft_funcscore_top10"]
     return O
 
 

@@ -775,12 +775,57 @@ class Searcher:
         per-chunk (purged/gappy index)."""
         import pyspark.sql.functions as F
 
+        kind, payload = self._distributed_plan(spec, k, cache)
+        if kind == "topdocs":
+            return payload
+        result = payload.persist()
+        # global merge: TakeOrderedAndProject (TopDocs.merge role)
+        top_rows = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        total = (
+            result.groupBy("chunk_id").agg(F.max("n_matched").alias("m")).agg(F.sum("m")).first()[0]
+        )
+        result.unpersist()
+        hits = [(r["doc_id"], r["score"]) for r in top_rows]
+        return TopDocs(hits, int(total or 0), "EQUAL_TO", {"mode": "distributed"})
+
+    def match_frame(self, query: str | A.Query):
+        """The FULL scored match set of ``query`` as a DataFrame
+        (doc_id, score) — the distributed hit relation for facets /
+        grouping / function-score / exports. Per-chunk kernels emit
+        every match (no per-chunk top-k) and the result stays a
+        DataFrame end-to-end: nothing O(matches) ever lands on the
+        driver, unlike TopDocs-returning search. The CollectorManager-
+        over-all-hits role (IndexSearcher.search(Query, Collector))."""
+        spec, cache = self._prepared_spec(query)
+        kind, payload = self._distributed_plan(spec, None, cache)
+        if kind == "topdocs":  # term-free query shapes fall back to
+            # the driver evaluator (bounded: MatchAll/doc-set guards)
+            rows = [(int(d), float(s)) for d, s in payload.hits]
+            return self.index.spark.createDataFrame(rows, "doc_id bigint, score double")
+        import pyspark.sql.functions as F
+
+        return payload.select("doc_id", F.col("score").cast("double"))
+
+    def _prepared_spec(self, query):
+        """prepare() with lazy doc sets (the distributed contract)."""
+        _q, spec, stats, _rows = self.prepare(query, lazy_docsets=True)
+        return spec, self._norm_caches(stats)
+
+    def _distributed_plan(self, spec, k: int | None, cache):
+        """Build the chunked scoring plan. Returns ("topdocs", TopDocs)
+        when the query resolves driver-side (no terms / all-small
+        terms), else ("df", result) with result = one row per (chunk,
+        match) — per-chunk top-k rows when k is set, every match when
+        k is None."""
+        import pyspark.sql.functions as F
+
         index = self.index
         terms = sorted(spec_terms(spec))
         preds = _collect_predspecs(spec)
         needs_all = _needs_all_docs(spec)
         if not terms and not preds:
-            return self._search_exhaustive(spec, k, cache)
+            td = self._search_exhaustive(spec, k if k is not None else 1 << 62, cache)
+            return "topdocs", td
         rows_df = index.postings_rows(terms)
         # hot terms: >1 chunk row or chunk_id > 0
         chunk_counts = (
@@ -797,9 +842,12 @@ class Searcher:
         small_arrays = {t: (p.docs, p.tfs, p.norms) for t, p in small.items()}
         small_positions = {t: p.positions for t, p in small.items()} if with_pos else {}
         if not hot_terms and not preds and not needs_all:
+            # all-small-term query: bounded driver evaluation (each
+            # small term covers ≤ docs_per_chunk docs by construction)
             ctx = ChunkContext(small_arrays, cache, None, small_positions if with_pos else None)
             docs, scores = self._apply_live_docs(*evaluate(spec, ctx))
-            return TopDocs(top_k_from_arrays(docs, scores, k), len(docs), "EQUAL_TO", {})
+            top = top_k_from_arrays(docs, scores, k if k is not None else len(docs))
+            return "topdocs", TopDocs(top, len(docs), "EQUAL_TO", {})
 
         from lucene_spark.codec.forutil import unpack_postings
 
@@ -926,6 +974,17 @@ class Searcher:
             if deleted is not None and len(docs):
                 live = ~np.isin(docs, deleted, assume_unique=False)
                 docs, scores = docs[live], scores[live]
+            if kk is None:  # match_frame: emit EVERY match in the chunk
+                if not len(docs):
+                    return pd.DataFrame({"chunk_id": [], "doc_id": [], "score": [], "n_matched": []})
+                return pd.DataFrame(
+                    {
+                        "chunk_id": chunk_id,
+                        "doc_id": docs,
+                        "score": scores.astype(np.float32),
+                        "n_matched": len(docs),
+                    }
+                )
             top = top_k_from_arrays(docs, scores, kk)
             if not top:
                 return pd.DataFrame({"chunk_id": [], "doc_id": [], "score": [], "n_matched": []})
@@ -979,15 +1038,8 @@ class Searcher:
             grouped_src = grouped_src.unionByName(p)
         result = grouped_src.groupBy("chunk_id").applyInPandas(
             score_chunk, schema="chunk_id long, doc_id long, score float, n_matched long"
-        ).persist()
-        # global merge: TakeOrderedAndProject (TopDocs.merge role)
-        top_rows = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-        total = (
-            result.groupBy("chunk_id").agg(F.max("n_matched").alias("m")).agg(F.sum("m")).first()[0]
         )
-        result.unpersist()
-        hits = [(r["doc_id"], r["score"]) for r in top_rows]
-        return TopDocs(hits, int(total or 0), "EQUAL_TO", {"mode": "distributed"})
+        return "df", result
 
 
 def _has_phrase(spec) -> bool:

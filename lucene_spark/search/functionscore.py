@@ -39,6 +39,7 @@ def function_score(
     docs_df: DataFrame,
     k: int = 10,
     score_col: str = "_score",
+    mode: str = "driver",
 ) -> DataFrame:
     """Rescore ``query``'s full match set with Spark SQL ``expr`` (may
     reference ``_score`` = the BM25 relevance and any docs-table
@@ -49,14 +50,16 @@ def function_score(
 
     Returns (rank, doc_id, score) where score is the expression value.
     """
-    matches = searcher.search(query, k=1_000_000_000)
-    spark = docs_df.sparkSession
-    hits = spark.createDataFrame(
-        [(int(d), float(s)) for d, s in matches.hits], f"doc_id bigint, {score_col} double"
+    from lucene_spark.search.postprocess import hits_frame
+
+    hits = (
+        hits_frame(searcher, query, mode)
+        .withColumn(score_col, F.col("score").cast("double"))
+        .select("doc_id", score_col)
     )
+    joined = docs_df.join(F.broadcast(hits) if mode == "driver" else hits, "doc_id")
     rescored = (
-        docs_df.join(F.broadcast(hits), "doc_id")
-        .withColumn("score", F.expr(expr).cast("double"))
+        joined.withColumn("score", F.expr(expr).cast("double"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

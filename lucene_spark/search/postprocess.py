@@ -23,22 +23,49 @@ from pyspark.sql.types import StringType
 from lucene_spark.analysis.tokenizer import tokenize
 
 
-def facet_counts(searcher, query, docs_df: DataFrame, facet_col: str) -> DataFrame:
+def hits_frame(searcher, query, mode: str = "driver") -> DataFrame:
+    """The scored match set as a (doc_id, score) DataFrame.
+
+    mode="driver": interactive path — TopDocs hits lifted into a tiny
+    local relation (broadcast-join side). mode="distributed": the
+    engine's match_frame — per-chunk kernels emit every match and the
+    relation NEVER materializes on the driver; this is the 100 TB shape
+    for facets/grouping/rescoring over non-selective queries."""
+    if mode == "distributed":
+        return searcher.match_frame(query)
+    matches = searcher.search(query, k=1_000_000_000)
+    spark = searcher.index.spark
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in matches.hits], "doc_id bigint, score double"
+    )
+
+
+def _join_hits(docs_df: DataFrame, hits: DataFrame, mode: str) -> DataFrame:
+    """Join the docs table to the hit relation: broadcast the hits in
+    driver mode (small by construction); in distributed mode leave the
+    strategy to Catalyst/AQE (the hit set can be O(corpus))."""
+    h = F.broadcast(hits) if mode == "driver" else hits
+    return docs_df.join(h, "doc_id")
+
+
+def facet_counts(
+    searcher, query, docs_df: DataFrame, facet_col: str, mode: str = "driver"
+) -> DataFrame:
     """Counts of ``facet_col`` over ALL docs matching ``query``
     (lucene/facet FastTaxonomyFacetCounts role). Returns
     (facet value, cnt) sorted by cnt desc, value asc."""
-    matches = searcher.search(query, k=1_000_000_000)
-    spark = docs_df.sparkSession
-    ids = spark.createDataFrame([(int(d),) for d, _ in matches.hits], "doc_id bigint")
+    ids = hits_frame(searcher, query, mode).select("doc_id")
     return (
-        docs_df.join(F.broadcast(ids), "doc_id")
+        _join_hits(docs_df, ids, mode)
         .groupBy(facet_col)
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc(facet_col))
     )
 
 
-def sorted_search(searcher, query, docs_df: DataFrame, sort_cols, k: int = 10) -> DataFrame:
+def sorted_search(
+    searcher, query, docs_df: DataFrame, sort_cols, k: int = 10, mode: str = "driver"
+) -> DataFrame:
     """Sort/SortField + TopFieldCollector role (SURVEY §2.3 sorted
     search): matches of ``query`` ordered by doc-table columns instead
     of relevance — ``ORDER BY ... LIMIT k``, which Catalyst executes as
@@ -46,15 +73,13 @@ def sorted_search(searcher, query, docs_df: DataFrame, sort_cols, k: int = 10) -
     termination the reference gets from index sorting). ``sort_cols``
     is a list of (col, ascending) pairs; doc_id asc is the final
     tie-break."""
-    matches = searcher.search(query, k=1_000_000_000)
-    spark = docs_df.sparkSession
-    ids = spark.createDataFrame([(int(d),) for d, _ in matches.hits], "doc_id bigint")
+    ids = hits_frame(searcher, query, mode).select("doc_id")
     exprs = [F.asc(c) if asc else F.desc(c) for c, asc in sort_cols] + [F.asc("doc_id")]
-    return docs_df.join(F.broadcast(ids), "doc_id").orderBy(*exprs).limit(k)
+    return _join_hits(docs_df, ids, mode).orderBy(*exprs).limit(k)
 
 
 def group_top_hits(
-    searcher, query, docs_df: DataFrame, group_col: str, k_per_group: int = 2
+    searcher, query, docs_df: DataFrame, group_col: str, k_per_group: int = 2, mode: str = "driver"
 ) -> DataFrame:
     """Top-k hits per group value (lucene/grouping
     TopGroups/FirstPassGroupingCollector role, block-join-free variant:
@@ -64,16 +89,12 @@ def group_top_hits(
     (group_col, grank, doc_id, score). At scale the hit set stays a
     DataFrame and the window is a shuffle on the group key; the
     broadcast here is of the scored hit ids only."""
-    matches = searcher.search(query, k=1_000_000_000)
-    spark = docs_df.sparkSession
-    hits = spark.createDataFrame(
-        [(int(d), float(s)) for d, s in matches.hits], "doc_id bigint, score double"
-    )
+    hits = hits_frame(searcher, query, mode).withColumn("score", F.col("score").cast("double"))
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        docs_df.join(F.broadcast(hits), "doc_id")
+        _join_hits(docs_df, hits, mode)
         .withColumn("grank", F.row_number().over(w))
         .filter(F.col("grank") <= k_per_group)
         .select(group_col, F.col("grank").cast("long"), "doc_id", "score")
@@ -81,7 +102,7 @@ def group_top_hits(
 
 
 def facet_range_counts(
-    searcher, query, docs_df: DataFrame, value_col: str, ranges
+    searcher, query, docs_df: DataFrame, value_col: str, ranges, mode: str = "driver"
 ) -> DataFrame:
     """Numeric range facets (lucene/facet/src/java/org/apache/lucene/
     facet/range/LongRangeFacetCounts.java:30-90): counts of matching
@@ -96,9 +117,7 @@ def facet_range_counts(
     scan, then a single pass computing every range predicate as a
     conditional sum — no per-range scan, no shuffle beyond the final
     1-row-per-range aggregate."""
-    matches = searcher.search(query, k=1_000_000_000)
-    spark = docs_df.sparkSession
-    ids = spark.createDataFrame([(int(d),) for d, _ in matches.hits], "doc_id bigint")
+    ids = hits_frame(searcher, query, mode).select("doc_id")
     v = F.col(value_col)
     aggs = []
     for r in ranges:
@@ -107,7 +126,7 @@ def facet_range_counts(
         max_incl = r[4] if len(r) > 4 else False
         cond = (v >= lo if min_incl else v > lo) & (v <= hi if max_incl else v < hi)
         aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(label))
-    wide = docs_df.join(F.broadcast(ids), "doc_id").agg(*aggs)
+    wide = _join_hits(docs_df, ids, mode).agg(*aggs)
     # unpivot to (label, cnt) preserving the caller's range order
     labels = [r[0] for r in ranges]
     stack = ", ".join(f"'{label}', `{label}`" for label in labels)
@@ -115,7 +134,7 @@ def facet_range_counts(
 
 
 def taxonomy_counts(
-    searcher, query, docs_df: DataFrame, components, path: tuple = ()
+    searcher, query, docs_df: DataFrame, components, path: tuple = (), mode: str = "driver"
 ) -> DataFrame:
     """Hierarchical (taxonomy) facet counts (lucene/facet taxonomy:
     FastTaxonomyFacetCounts.getTopChildren over a hierarchical dim,
@@ -128,10 +147,8 @@ def taxonomy_counts(
     getTopChildren's ordering."""
     if len(path) >= len(components):
         raise ValueError("path must be a strict prefix of components")
-    matches = searcher.search(query, k=1_000_000_000)
-    spark = docs_df.sparkSession
-    ids = spark.createDataFrame([(int(d),) for d, _ in matches.hits], "doc_id bigint")
-    out = docs_df.join(F.broadcast(ids), "doc_id")
+    ids = hits_frame(searcher, query, mode).select("doc_id")
+    out = _join_hits(docs_df, ids, mode)
     for col, val in zip(components, path):
         out = out.filter(F.col(col) == val)
     child = components[len(path)]

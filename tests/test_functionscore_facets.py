@@ -134,6 +134,64 @@ class TestTaxonomyFacets:
             )
 
 
+class TestDistributedHitRelation:
+    """match_frame + mode="distributed" post-processing: the hit set
+    stays a DataFrame (no driver materialization) and must agree
+    exactly with the driver path."""
+
+    def test_match_frame_equals_driver_hits(self, spark, searcher, oracle):
+        q = A.TermQuery("return")
+        rows = searcher.match_frame(q).collect()
+        got = {r["doc_id"]: r["score"] for r in rows}
+        want = dict(oracle.top_k(q, k=10**9))
+        assert set(got) == set(want)
+        for d in got:
+            assert math.isclose(got[d], float(want[d]), rel_tol=1e-6)
+
+    def test_facets_distributed_equals_driver(self, spark, searcher, search_index):
+        q = A.TermQuery("return")
+        a = facet_range_counts(
+            searcher, q, search_index.docs, "doc_id", [("lo", 0, 100), ("hi", 100, 200)]
+        ).collect()
+        b = facet_range_counts(
+            searcher, q, search_index.docs, "doc_id", [("lo", 0, 100), ("hi", 100, 200)],
+            mode="distributed",
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_taxonomy_distributed_equals_driver(self, spark, searcher, search_index):
+        q = A.TermQuery("merge")
+        a = taxonomy_counts(searcher, q, search_index.docs, ["lang", "repo"]).collect()
+        b = taxonomy_counts(
+            searcher, q, search_index.docs, ["lang", "repo"], mode="distributed"
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_group_top_distributed_equals_driver(self, spark, searcher, search_index):
+        from lucene_spark.search.postprocess import group_top_hits
+
+        q = A.TermQuery("return")
+        a = group_top_hits(searcher, q, search_index.docs, "lang", 2).orderBy("lang", "grank").collect()
+        b = (
+            group_top_hits(searcher, q, search_index.docs, "lang", 2, mode="distributed")
+            .orderBy("lang", "grank")
+            .collect()
+        )
+        assert [(r["lang"], r["grank"], r["doc_id"], round(r["score"], 5)) for r in a] == [
+            (r["lang"], r["grank"], r["doc_id"], round(r["score"], 5)) for r in b
+        ]
+
+    def test_function_score_distributed_equals_driver(self, spark, searcher, search_index):
+        q = A.TermQuery("return")
+        a = function_score(searcher, q, "_score * (1 + doc_id % 7)", search_index.docs, k=10).collect()
+        b = function_score(
+            searcher, q, "_score * (1 + doc_id % 7)", search_index.docs, k=10, mode="distributed"
+        ).collect()
+        assert [(r["rank"], r["doc_id"]) for r in a] == [(r["rank"], r["doc_id"]) for r in b]
+        for ra, rb in zip(a, b):
+            assert math.isclose(ra["score"], rb["score"], rel_tol=1e-6)
+
+
 class TestDrillDown:
     def test_filters_do_not_score(self, spark, searcher, oracle, ordered):
         base = A.TermQuery("return")
