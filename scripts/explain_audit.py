@@ -142,6 +142,21 @@ def main() -> None:
     )
     sections.append(("KNN vector search (filtered)", plan))
 
+    # 10. distributed facet over match_frame: the hit relation is never
+    # collected — one chunk-groupBy exchange feeds the kernel, the facet
+    # aggregate is a partial-agg HashAggregate over its output, and the
+    # plan contains no local (driver) hits relation at all
+    from lucene_spark.search.postprocess import facet_counts
+
+    plan = _capture(facet_counts(searcher, A.TermQuery("table"), docs, "lang", mode="distributed"))
+    check("dist facet: partial agg over chunk kernel output", plan, r"HashAggregate")
+    CHECKS.append(
+        ("dist facet: no driver-materialized hits (no LocalTableScan of ids)",
+         "no 'Scan ExistingRDD' / LocalTableScan doc_id-only relation",
+         re.search(r"LocalTableScan \[doc_id", plan) is None)
+    )
+    sections.append(("Distributed facet over match_frame", plan))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     with open(out, "w") as fh:
         fh.write("# PLANS — physical-plan audit (scripts/explain_audit.py)\n\n")
