@@ -471,6 +471,52 @@ def minimal_intervals(pos_lists: list[np.ndarray], in_order: bool) -> list[tuple
             hi = cur[lo_list]
 
 
+def _mutual_pairs_py(a, b) -> list[tuple[int, int]]:
+    """Minimal ordered 2-term intervals as (pa, pb) pairs: pb is the
+    FIRST b after its nearest a-predecessor pa (the mutual-nearest
+    characterization the gate oracle uses, fuzz-verified against
+    minimal_intervals). Pure-int two-pointer — O(len(a)+len(b)) with no
+    per-step numpy overhead (the same trick as the 2-slot sloppy
+    kernel)."""
+    out: list[tuple[int, int]] = []
+    i, la = 0, len(a)
+    prev_pa = -1
+    for pb in b:
+        while i < la and a[i] < pb:
+            i += 1
+        if i == 0:
+            continue
+        pa = a[i - 1]
+        if pa != prev_pa:  # later pb with the same pa nests this one
+            out.append((pa, pb))
+            prev_pa = pa
+    return out
+
+
+def _two_term_minimal(a, b, in_order: bool) -> list[tuple[int, int]]:
+    """Minimal intervals for a 2-term ordered/unordered source over
+    plain int lists. Unordered = union of both orientations with
+    cross-orientation nesting removed."""
+    if in_order:
+        return _mutual_pairs_py(a, b)
+    iv = _mutual_pairs_py(a, b) + _mutual_pairs_py(b, a)
+    if len(iv) <= 1:
+        return iv
+    iv = sorted(set(iv))
+    n = len(iv)
+    suf = [1 << 62] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        suf[i] = min(iv[i][1], suf[i + 1])
+    out: list[tuple[int, int]] = []
+    for i, (s, e) in enumerate(iv):
+        if suf[i + 1] <= e:  # properly contains a later-sorted pair
+            continue
+        if out and out[-1][0] == s:  # shorter same-start already kept
+            continue
+        out.append((s, e))
+    return out
+
+
 def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
     """Span-near over the positions index: candidate docs = term
     conjunction (position-filtered first, like the phrase kernels), then
@@ -494,14 +540,28 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
     one = np.float32(1.0)
     freqs = np.zeros(len(cand), dtype=np.float64)
     idxs = [np.searchsorted(p[0], cand) for p in parts]
-    for ci in range(len(cand)):
-        pls = [np.asarray(plists[j][idxs[j][ci]], dtype=np.int64) for j in range(n)]
-        f = np.float32(0.0)
-        for lo, hi in minimal_intervals(pls, spec.in_order):
-            gaps = (hi - lo + 1) - n
-            if gaps <= spec.slop:
-                f = np.float32(f + one / (one + np.float32(gaps)))
-        freqs[ci] = f
+    if n == 2:
+        # tight two-pointer fast path (same float32 accumulation order)
+        pl0, pl1 = plists[0], plists[1]
+        i0s, i1s = idxs[0], idxs[1]
+        slop = spec.slop
+        in_order = spec.in_order
+        for ci in range(len(cand)):
+            f = np.float32(0.0)
+            for lo, hi in _two_term_minimal(pl0[i0s[ci]], pl1[i1s[ci]], in_order):
+                gaps = hi - lo - 1
+                if gaps <= slop:
+                    f = np.float32(f + one / (one + np.float32(gaps)))
+            freqs[ci] = f
+    else:
+        for ci in range(len(cand)):
+            pls = [np.asarray(plists[j][idxs[j][ci]], dtype=np.int64) for j in range(n)]
+            f = np.float32(0.0)
+            for lo, hi in minimal_intervals(pls, spec.in_order):
+                gaps = (hi - lo + 1) - n
+                if gaps <= spec.slop:
+                    f = np.float32(f + one / (one + np.float32(gaps)))
+            freqs[ci] = f
     matched = freqs > 0
     if not matched.any():
         return EMPTY_I, EMPTY_F
@@ -509,6 +569,25 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
     idx0 = np.searchsorted(docs0, cand[matched])
     scores = score_freqs(np.float32(spec.weight), freqs[matched], norms0[idx0], ctx.cache_for(spec.field))
     return cand[matched], scores
+
+
+def _fast_two_term_shape(src):
+    """(term_a, term_b, in_order, gaps_cap|None) when ``src`` is the
+    common 2-term proximity shape — [maxgaps(g,)] ordered/unordered of
+    two bare terms — else None. These route to the two-pointer kernel
+    instead of the generic tree evaluator."""
+    from lucene_spark.search.intervals import IMaxGaps, IOrdered, ITerm, IUnordered
+
+    cap = None
+    if isinstance(src, IMaxGaps):
+        cap, src = src.gaps, src.source
+    if (
+        isinstance(src, (IOrdered, IUnordered))
+        and len(src.sources) == 2
+        and all(isinstance(x, ITerm) for x in src.sources)
+    ):
+        return src.sources[0].term, src.sources[1].term, isinstance(src, IOrdered), cap
+    return None
 
 
 def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
@@ -544,6 +623,31 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
     freqs = np.zeros(len(cand), dtype=np.float64)
     norms = np.zeros(len(cand), dtype=np.int64)
     has_norm = np.zeros(len(cand), dtype=bool)
+    fast = _fast_two_term_shape(spec.source)
+    if fast is not None:
+        ta, tb, in_order, cap = fast
+        pa, pb = plists[ta], plists[tb]
+        ia, ib = idxs[ta], idxs[tb]
+        prsa, prsb = present[ta], present[tb]
+        for ci in range(len(cand)):
+            if not (prsa[ci] and prsb[ci]):
+                continue
+            f = np.float32(0.0)
+            for s, e in _two_term_minimal(pa[ia[ci]], pb[ib[ci]], in_order):
+                gaps = max(0, e - s - 1)
+                if cap is None or gaps <= cap:
+                    f = np.float32(f + one / (one + np.float32(gaps)))
+            freqs[ci] = f
+            if f > 0:
+                norms[ci] = parts[ta][2][ia[ci]]
+                has_norm[ci] = True
+        matched = freqs > 0
+        if not matched.any():
+            return EMPTY_I, EMPTY_F
+        scores = score_freqs(
+            np.float32(spec.weight), freqs[matched], norms[matched], ctx.cache_for(spec.field)
+        )
+        return cand[matched], scores
     for ci in range(len(cand)):
 
         def pos_of(t: str, _ci=ci):

@@ -150,6 +150,30 @@ class TestEvalVsBrute:
         got = eval_source(IContainedBy(ITerm("x"), IOrdered((ITerm("a"), ITerm("b")))), pos_of)
         assert got == [(3, 3, 1)]
 
+    def test_two_term_fast_kernel_equals_generic(self):
+        # the kernels' two-pointer fast path must emit exactly the
+        # generic evaluator's minimal intervals for both orders
+        from lucene_spark.search.kernels import _two_term_minimal
+
+        rng = np.random.default_rng(5)
+        for _ in range(300):
+            na, nb = int(rng.integers(0, 12)), int(rng.integers(0, 12))
+            a = np.unique(rng.integers(0, 40, na))
+            b = np.unique(rng.integers(0, 40, nb))
+            b = np.setdiff1d(b, a)  # distinct positions like real tokens
+            pos = {"a": a, "b": b}
+
+            def pos_of(t):
+                return pos[t]
+
+            for ordered in (True, False):
+                src = IOrdered((ITerm("a"), ITerm("b"))) if ordered else IUnordered(
+                    (ITerm("a"), ITerm("b"))
+                )
+                want = [(s, e) for s, e, _c in eval_source(src, pos_of)]
+                got = _two_term_minimal(list(a), list(b), ordered)
+                assert got == want, (ordered, a, b, got, want)
+
     def test_terms_of(self):
         src = IContaining(IOrdered((ITerm("a"), ITerm("b"))), IOr((ITerm("c"), ITerm("a"))))
         assert terms_of(src) == {"a", "b", "c"}

@@ -81,3 +81,50 @@ def indexer_index(spark, idx):
     from lucene_spark.index.reader import SearchIndex
 
     return SearchIndex(spark, idx)
+
+
+class TestStreamingPercolate:
+    def test_stream_matches_equal_batch_matches(self, spark, tmp_path):
+        """Percolation composes with Structured Streaming unchanged:
+        QueryMonitor.match is map-only (zero shuffles, the PLANS.md
+        check), so the same call works on a readStream DataFrame —
+        the lucene/monitor 'register queries, stream documents' shape.
+        """
+        from lucene_spark.search.percolate import QueryMonitor
+
+        pdf = make_corpus(n_docs=80, seed=23).drop(columns=["content_sha256"])
+        pdf = pdf.reset_index().rename(columns={"index": "doc_id"})[["doc_id", "content"]]
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        spark.createDataFrame(pdf.iloc[:40]).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(pdf.iloc[40:]).coalesce(1).write.mode("append").parquet(src)
+
+        qm = QueryMonitor(
+            spark,
+            {
+                "q_term": A.TermQuery("return"),
+                "q_and": "return AND if",
+                "q_phrase": '"return if"',
+            },
+        )
+        batch_df = spark.createDataFrame(pdf)
+        want = sorted(
+            (r["doc_id"], r["query_id"])
+            for r in qm.match(batch_df, text_col="content").collect()
+        )
+
+        schema = batch_df.schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = qm.match(stream, text_col="content")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("pc_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["doc_id"], r["query_id"]) for r in spark.sql("SELECT * FROM pc_stream").collect()
+        )
+        assert got == want and len(got) > 0
