@@ -621,6 +621,15 @@ def queries() -> dict:
 
     Q["ft_join_top"] = _join
 
+    def _surround(spark, sf):
+        # surround language: 3W(table, hash) = ordered within distance 3
+        from lucene_spark.search.surround import parse_surround
+
+        _, searcher = gate_index(spark, sf)
+        return _hits_df(spark, searcher.search(parse_surround("3W(table, hash)"), k=10))
+
+    Q["ft_surround_top10"] = _surround
+
     def _within(spark, sf):
         # Intervals.containedBy: occurrences of 'merge' inside a minimal
         # ordered (table .. hash) interval
@@ -1076,6 +1085,15 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "      FROM q JOIN documents d USING (doc_id) GROUP BY d.source) "
         "SELECT CAST(row_number() OVER (ORDER BY s DESC, parent) AS BIGINT) AS rank, "
         "parent, round(s, 2) AS score_r, n_children FROM g ORDER BY s DESC, parent LIMIT 10"
+    )
+    # surround 3W(table, hash): ordered minimal pairs with <= 2 gaps
+    O["ft_surround_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, sum(1.0 / (pb - pa)) AS pf "
+        f"      FROM ({_mutual_pairs('table', 'hash')}) mp "
+        "      WHERE pb - pa - 1 <= 2 GROUP BY doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws"
     )
     # Intervals.containedBy('merge', ordered(table, hash)): each merge
     # occurrence inside a minimal pair contributes 1/(1+0) → pf = count
