@@ -865,6 +865,9 @@ def _pipeline_queries() -> dict:
     Q["dd_minhash"] = lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf), threshold=0.5).select(
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), F.round("jaccard", 3).alias("jaccard_r")
     )
+    Q["dd_clusters"] = lambda spark, sf: dedup.duplicate_clusters(
+        dedup.jaccard_pairs(_docs(spark, sf), threshold=0.5)
+    ).select(F.col("doc_id").cast("long"), F.col("cluster").cast("long"))
     # SimHash: FNV-1a-64 re-derived in DuckDB as a recursive CTE, the
     # banding verified against exact all-pairs hamming → full oracle
     Q["dd_simhash"] = lambda spark, sf: dedup.simhash_pairs(_docs(spark, sf), max_hamming=3).select(
@@ -1332,6 +1335,19 @@ inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
     )
     O["dd_jaccard"] = _jacc
     O["dd_minhash"] = _jacc  # LSH+verify must equal exact all-pairs at this sim gap
+    # connected components over the same pair set: cluster = min doc id
+    # reachable (recursive transitive closure; small at gate scale)
+    O["dd_clusters"] = (
+        _SHINGLE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+prs AS (SELECT da AS a, db AS b FROM inter JOIN sz sa ON sa.doc_id = da
+        JOIN sz sb ON sb.doc_id = db WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5),
+edges AS (SELECT a AS s, b AS d FROM prs UNION ALL SELECT b, a FROM prs),
+reach(v, r) AS (SELECT s, d FROM edges
+                UNION SELECT rc.v, e.d FROM reach rc JOIN edges e ON e.s = rc.r)
+SELECT v::BIGINT AS doc_id, least(v, min(r))::BIGINT AS cluster
+FROM reach GROUP BY v ORDER BY doc_id"""
+    )
 
     # SimHash: FNV-1a 64-bit per distinct token re-derived as a
     # recursive CTE (HUGEINT keeps the 64x41-bit product exact before

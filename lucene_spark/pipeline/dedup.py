@@ -286,3 +286,72 @@ def _fnv1a64(s: str) -> np.uint64:
     for c in s.encode():
         h = np.uint64(h ^ np.uint64(c)) * np.uint64(0x100000001B3)
     return h
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over duplicate pairs: (doc_id, cluster)
+    where cluster = min doc id in the component — the step that turns
+    pairwise near-dup output into keep/drop decisions for a training
+    corpus.
+
+    Algorithm: min-label propagation (each round every vertex takes the
+    min label among itself and its neighbors; the simple variant of the
+    MapReduce connected-components family — "Connected Components in
+    MapReduce and Beyond" small-star/large-star is the O(log n) cousin).
+    Rounds needed = component diameter; LSH/verify dup clusters are
+    near-cliques, so 2–3 rounds is typical. Each round is one
+    shuffle-join + one aggregation, fully declarative; labels are
+    localCheckpoint()ed per round so the plan (and lineage) stays O(1)
+    across iterations — the standard Spark iterative-algorithm pattern.
+
+    Only docs that appear in ``pairs`` are returned (singletons have no
+    component)."""
+    e = pairs.select(
+        F.col("doc_a").cast("long").alias("src"), F.col("doc_b").cast("long").alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("v"), F.least(F.col("src"), F.col("m")).alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("v", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+            .withColumnRenamed("src", "v")
+        )
+        new_labels = (
+            labels.join(prop, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "v")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def canonical_docs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop every duplicate except its cluster representative (min doc
+    id): the end-to-end dedup filter a data pipeline applies before
+    training. Docs not in any pair pass through untouched."""
+    losers = (
+        duplicate_clusters(pairs)
+        .filter(F.col("cluster") != F.col("doc_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")

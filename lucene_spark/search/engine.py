@@ -735,12 +735,14 @@ class Searcher:
         )
         return self.index.docs.join(F.broadcast(hits), "doc_id").orderBy("rank")
 
-    def count(self, query: str | A.Query) -> int:
+    def count(self, query: str | A.Query, mode: str = "driver") -> int:
         """TotalHitCountCollector equivalent, with the reference's
         Weight#count shortcuts when the reader has no deletions
         (TermQuery count == docFreq, TermQuery.java Weight#count;
         MatchAllDocsQuery count == docCount) — a stats-table point read
-        instead of decoding any postings."""
+        instead of decoding any postings. mode="distributed" counts
+        over the chunked match relation (one long per chunk reaches the
+        driver — the cluster shape for non-selective queries)."""
         q0 = parse_query(query) if isinstance(query, str) else A.rewrite(query)
         if self.index.analyzer not in ("standard", None):
             q0 = self._stem_query(q0)
@@ -751,6 +753,8 @@ class Searcher:
                 return self.index.term_stats([q0.term]).get(q0.term, (0, 0))[0]
             if isinstance(q0, A.MatchAllDocsQuery):
                 return self.index.stats.doc_count
+        if mode == "distributed":
+            return self.match_frame(query).count()
         # prepare() re-analyzes from the pristine query (stemming is
         # not guaranteed idempotent, so never feed q0 back through)
         q, spec, stats, rows = self.prepare(query, collect_rows=True)

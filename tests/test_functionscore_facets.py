@@ -148,6 +148,12 @@ class TestDistributedHitRelation:
         for d in got:
             assert math.isclose(got[d], float(want[d]), rel_tol=1e-6)
 
+    def test_count_distributed_equals_driver(self, spark, searcher):
+        q = A.BooleanQuery(
+            ((A.Occur.MUST, A.TermQuery("return")), (A.Occur.MUST, A.TermQuery("if")))
+        )
+        assert searcher.count(q, mode="distributed") == searcher.count(q)
+
     def test_facets_distributed_equals_driver(self, spark, searcher, search_index):
         q = A.TermQuery("return")
         a = facet_range_counts(

@@ -293,3 +293,63 @@ class TestMultimodal:
         rows = frame_sample(payloads).collect()
         assert {r["doc_id"] for r in rows} <= video_ids
         assert all(len(r["frame_bytes"]) > 0 for r in rows)
+
+
+class TestDuplicateClusters:
+    @staticmethod
+    def _union_find(n_pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in n_pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    def test_random_graphs_vs_union_find(self, spark):
+        import numpy as np
+        from lucene_spark.pipeline.dedup import duplicate_clusters
+
+        rng = np.random.default_rng(3)
+        for _ in range(3):
+            n = int(rng.integers(5, 40))
+            m = int(rng.integers(1, 60))
+            pairs = sorted(
+                {
+                    (int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, n, (m, 2))
+                    if a != b
+                }
+            )
+            if not pairs:
+                continue
+            pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+            got = {
+                r["doc_id"]: r["cluster"] for r in duplicate_clusters(pdf).collect()
+            }
+            assert got == self._union_find(pairs)
+
+    def test_chain_diameter(self, spark):
+        # worst case for label propagation: a path graph
+        from lucene_spark.pipeline.dedup import duplicate_clusters
+
+        pairs = [(i, i + 1) for i in range(12)]
+        pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["cluster"] for r in duplicate_clusters(pdf).collect()}
+        assert got == {i: 0 for i in range(13)}
+
+    def test_canonical_docs_keeps_reps_and_singletons(self, spark):
+        from lucene_spark.pipeline.dedup import canonical_docs
+
+        docs = spark.createDataFrame([(i, f"t{i}") for i in range(8)], "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 3), (3, 5), (6, 7)], "doc_a long, doc_b long")
+        kept = sorted(r["doc_id"] for r in canonical_docs(docs, pairs).collect())
+        # clusters {1,3,5} -> keep 1; {6,7} -> keep 6; singletons 0,2,4 kept
+        assert kept == [0, 1, 2, 4, 6]
