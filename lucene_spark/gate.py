@@ -621,6 +621,60 @@ def queries() -> dict:
 
     Q["ft_join_top"] = _join
 
+    def _blockjoin(spark, sf):
+        # ToParentBlockJoinQuery: every 5th doc is the block parent
+        # (children 5k..5k+3, parent 5k+4), ScoreMode.Total
+        from lucene_spark.search.blockjoin import to_parent_block_join
+
+        _, searcher = gate_index(spark, sf)
+        j = to_parent_block_join(searcher, A.TermQuery("table"), "doc_id % 5 = 4", "total", k=10)
+        return j.select("rank", "parent_doc_id", F.round("score", 2).alias("score_r"), "n_children")
+
+    Q["ft_blockjoin_top10"] = _blockjoin
+
+    def _childjoin(spark, sf):
+        # ToChildBlockJoinQuery: children of parent-query matches,
+        # each inheriting the parent's score
+        from lucene_spark.search.blockjoin import to_child_block_join
+
+        _, searcher = gate_index(spark, sf)
+        j = to_child_block_join(searcher, A.TermQuery("table"), "doc_id % 5 = 4", k=10)
+        return j.select("rank", "doc_id", "parent_doc_id", F.round("score", 2).alias("score_r"))
+
+    Q["ft_childjoin_top10"] = _childjoin
+
+    def _covering(spark, sf):
+        # CoveringQuery: per-doc minimum-should-match 1 + doc_id % 3
+        from lucene_spark.search.covering import covering_top_k
+
+        _, searcher = gate_index(spark, sf)
+        j = covering_top_k(
+            searcher,
+            [A.TermQuery("table"), A.TermQuery("hash"), A.TermQuery("scan")],
+            "1 + doc_id % 3",
+            k=10,
+        )
+        return j.select("rank", "doc_id", F.round("score", 2).alias("score_r"), "n_matched")
+
+    Q["ft_covering_top10"] = _covering
+
+    def _sideways(spark, sf):
+        # DrillSideways: each dim's counts computed with the OTHER
+        # dim's filter applied; distributed hit relations
+        from lucene_spark.search.postprocess import drill_sideways
+
+        index, searcher = gate_index(spark, sf)
+        # corpus_df maps documents.source -> the index's repo column
+        return drill_sideways(
+            searcher,
+            A.TermQuery("table"),
+            {"lang": "en", "repo": "src0"},
+            index.docs,
+            mode="distributed",
+        )
+
+    Q["ft_sideways_counts"] = _sideways
+
     def _surround(spark, sf):
         # surround language: 3W(table, hash) = ordered within distance 3
         from lucene_spark.search.surround import parse_surround
@@ -1088,6 +1142,51 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "      FROM q JOIN documents d USING (doc_id) GROUP BY d.source) "
         "SELECT CAST(row_number() OVER (ORDER BY s DESC, parent) AS BIGINT) AS rank, "
         "parent, round(s, 2) AS score_r, n_children FROM g ORDER BY s DESC, parent LIMIT 10"
+    )
+    # CoveringQuery: sum of matching clause scores, per-doc threshold
+    O["ft_covering_top10"] = (
+        base_ctes() + ", q AS (SELECT doc_id, sum(s) AS s, count(*)::BIGINT AS n_matched "
+        "      FROM tscore WHERE term IN ('table','hash','scan') GROUP BY doc_id), "
+        "f AS (SELECT q.doc_id, q.s, q.n_matched FROM q "
+        "      WHERE q.n_matched >= greatest(1 + q.doc_id % 3, 1)) "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r, n_matched FROM f ORDER BY s DESC, doc_id LIMIT 10"
+    )
+    # DrillSideways: dim X's counts apply every filter EXCEPT X's own
+    O["ft_sideways_counts"] = (
+        base_ctes() + ", m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'table'), "
+        "lc AS (SELECT 'lang' AS dim, d.lang AS value, count(*)::BIGINT AS cnt "
+        "       FROM m JOIN documents d USING (doc_id) WHERE d.source = 'src0' GROUP BY d.lang), "
+        "sc AS (SELECT 'repo' AS dim, d.source AS value, count(*)::BIGINT AS cnt "
+        "       FROM m JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY d.source) "
+        "SELECT dim, value, cnt FROM (SELECT * FROM lc UNION ALL SELECT * FROM sc) "
+        "ORDER BY dim, cnt DESC, value"
+    )
+    # block join: parent(c) = min parent doc id > c (BitSet nextSetBit);
+    # parent-doc matches excluded, ScoreMode.Total over child scores
+    O["ft_blockjoin_top10"] = (
+        base_ctes() + ", q AS (SELECT doc_id, s FROM tscore WHERE term = 'table'), "
+        "par AS (SELECT doc_id AS p_id FROM documents WHERE doc_id % 5 = 4), "
+        "m AS (SELECT q.doc_id, q.s, "
+        "      (SELECT min(p.p_id) FROM par p WHERE p.p_id > q.doc_id) AS parent "
+        "      FROM q WHERE q.doc_id % 5 <> 4), "
+        "g AS (SELECT parent AS parent_doc_id, sum(s) AS s, count(*)::BIGINT AS n_children "
+        "      FROM m WHERE parent IS NOT NULL GROUP BY parent) "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, parent_doc_id) AS BIGINT) AS rank, "
+        "parent_doc_id, round(s, 2) AS score_r, n_children FROM g "
+        "ORDER BY s DESC, parent_doc_id LIMIT 10"
+    )
+    O["ft_childjoin_top10"] = (
+        base_ctes() + ", ph AS (SELECT doc_id AS p_id, s FROM tscore "
+        "               WHERE term = 'table' AND doc_id % 5 = 4), "
+        "kids AS (SELECT d.doc_id, (SELECT min(p.doc_id) FROM documents p "
+        "         WHERE p.doc_id % 5 = 4 AND p.doc_id > d.doc_id) AS parent "
+        "         FROM documents d WHERE d.doc_id % 5 <> 4), "
+        "j AS (SELECT k.doc_id, k.parent AS parent_doc_id, ph.s FROM kids k "
+        "      JOIN ph ON ph.p_id = k.parent) "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, parent_doc_id, round(s, 2) AS score_r FROM j "
+        "ORDER BY s DESC, doc_id LIMIT 10"
     )
     # surround 3W(table, hash): ordered minimal pairs with <= 2 gaps
     O["ft_surround_top10"] = topk_sql(

@@ -184,6 +184,35 @@ def drill_down(base_query, dims: dict) -> "object":
     return A.BooleanQuery(tuple(clauses))
 
 
+def drill_sideways(
+    searcher, base_query, dims: dict, docs_df: DataFrame, mode: str = "driver"
+) -> DataFrame:
+    """DrillSideways role (lucene/facet/src/java/org/apache/lucene/
+    facet/DrillSideways.java:63-90): for each drilled dimension, facet
+    counts are computed over the base query narrowed by every OTHER
+    dimension's filter — so the UI can show the counts a user would
+    get by switching that dimension's selection — while hits use the
+    full drill-down.  Returns one relation (dim, value, cnt) across
+    all drilled dims, each dim's rows sorted by cnt desc, value asc.
+
+    Spark disposition: one match relation per dimension (the
+    reference's DrillSidewaysScorer likewise tracks one
+    near-miss-scorer per dim); each is a hits_frame groupBy — in
+    distributed mode nothing O(matches) lands on the driver."""
+    from functools import reduce
+
+    frames = []
+    for d in dims:
+        others = {c: v for c, v in dims.items() if c != d}
+        q = drill_down(base_query, others)
+        counts = facet_counts(searcher, q, docs_df, d, mode).select(
+            F.lit(d).alias("dim"), F.col(d).cast("string").alias("value"), "cnt"
+        )
+        frames.append(counts)
+    out = reduce(DataFrame.unionByName, frames)
+    return out.orderBy(F.asc("dim"), F.desc("cnt"), F.asc("value"))
+
+
 def term_occurrences(searcher, term: str) -> dict[int, tuple]:
     """doc_id → (starts, ends) char-offset arrays of ``term``'s
     occurrences, straight from the offsets index (no re-analysis —
