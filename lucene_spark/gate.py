@@ -695,6 +695,28 @@ def queries() -> dict:
 
     Q["ft_within_top10"] = _within
 
+    def _notcontaining(spark, sf):
+        # Intervals.notContaining: ordered (table .. hash) pairs with
+        # NO 'merge' occurrence inside
+        from lucene_spark.search.intervals import INotContaining, IOrdered, ITerm
+
+        _, searcher = gate_index(spark, sf)
+        src = INotContaining(IOrdered((ITerm("table"), ITerm("hash"))), ITerm("merge"))
+        return _hits_df(spark, searcher.search(A.IntervalQuery(src), k=10))
+
+    Q["ft_notcontaining_top10"] = _notcontaining
+
+    def _before(spark, sf):
+        # Intervals.before: 'merge' occurrences ending before the start
+        # of some 'table' occurrence
+        from lucene_spark.search.intervals import IBefore, ITerm
+
+        _, searcher = gate_index(spark, sf)
+        src = IBefore(ITerm("merge"), ITerm("table"))
+        return _hits_df(spark, searcher.search(A.IntervalQuery(src), k=10))
+
+    Q["ft_before_top10"] = _before
+
     def _interval_or(spark, sf):
         # Intervals.or of two ordered pairs, minimalized across sources
         from lucene_spark.search.intervals import IOr, IOrdered, ITerm
@@ -1072,6 +1094,32 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "      WHERE pb - pa - 1 <= 6 GROUP BY doc_id) p "
         "JOIN norms n ON n.doc_id = p.doc_id, "
         "(SELECT sum(w) AS w FROM idfw WHERE term IN ('merge','vector')) ws"
+    )
+
+    # Intervals.notContaining(ordered(table,hash), merge): minimal
+    # ordered pairs with no merge position inside [pa, pb]; weight sums
+    # idf over ALL source terms incl. the subtrahend (IntervalQuery
+    # scores through every term of the source tree)
+    O["ft_notcontaining_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, sum(1.0 / (pb - pa)) AS pf "
+        f"      FROM ({_mutual_pairs('table', 'hash')}) mp "
+        "      WHERE NOT EXISTS (SELECT 1 FROM post po WHERE po.doc_id = mp.doc_id "
+        "            AND po.term = 'merge' AND po.pos >= mp.pa AND po.pos <= mp.pb) "
+        "      GROUP BY doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','merge')) ws"
+    )
+    # Intervals.before(merge, table): merge positions strictly before
+    # the latest table position; each contributes 1/(1+0) -> pf = count
+    O["ft_before_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT po.doc_id, count(*)::BIGINT AS pf FROM post po "
+        "      JOIN (SELECT doc_id, max(pos) AS mx FROM post WHERE term = 'table' "
+        "            GROUP BY doc_id) t ON t.doc_id = po.doc_id "
+        "      WHERE po.term = 'merge' AND po.pos < t.mx GROUP BY po.doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('merge','table')) ws"
     )
 
     O["ft_synonym_top10"] = topk_sql(

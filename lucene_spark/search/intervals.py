@@ -40,8 +40,17 @@ __all__ = [
     "IUnordered",
     "IOr",
     "IMaxGaps",
+    "IMaxWidth",
     "IContaining",
     "IContainedBy",
+    "INotContaining",
+    "INotContainedBy",
+    "IOverlapping",
+    "INonOverlapping",
+    "IBefore",
+    "IAfter",
+    "IExtend",
+    "not_within",
     "terms_of",
     "eval_source",
 ]
@@ -102,6 +111,113 @@ class IContainedBy:
     big: object
 
 
+@dataclass(frozen=True)
+class IMaxWidth:
+    """Intervals.maxwidth (Intervals.java:288 →
+    FilteredIntervalsSource.maxWidth): only intervals spanning at most
+    ``width`` positions (end - start + 1 <= width)."""
+
+    width: int
+    source: object
+
+
+@dataclass(frozen=True)
+class INotContaining:
+    """Intervals.notContaining(minuend, subtrahend) (Intervals.java:430
+    → NotContainingIntervalsSource): intervals of the minuend that do
+    NOT contain any subtrahend interval.  The subtrahend never
+    restricts candidate docs — a doc without it matches wholesale."""
+
+    minuend: object
+    subtrahend: object
+
+
+@dataclass(frozen=True)
+class INotContainedBy:
+    """Intervals.notContainedBy(small, big) (Intervals.java:456):
+    intervals of small NOT contained by any big interval."""
+
+    small: object
+    big: object
+
+
+@dataclass(frozen=True)
+class IOverlapping:
+    """Intervals.overlapping(source, reference) (Intervals.java:387 →
+    OverlappingIntervalsSource): source intervals overlapping at least
+    one reference interval."""
+
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class INonOverlapping:
+    """Intervals.nonOverlapping(minuend, subtrahend)
+    (Intervals.java:376 → NonOverlappingIntervalsSource): minuend
+    intervals overlapping NO subtrahend interval."""
+
+    minuend: object
+    subtrahend: object
+
+
+@dataclass(frozen=True)
+class IBefore:
+    """Intervals.before(source, reference) (Intervals.java:490):
+    source intervals that END before the start of some reference
+    interval (the reference builds this as containedBy(source,
+    extend(offset(reference, true), MAX, 0)) — algebraically the same
+    predicate end < max(reference starts))."""
+
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IAfter:
+    """Intervals.after(source, reference) (Intervals.java:496):
+    source intervals that START after the end of some reference
+    interval (start > min(reference ends))."""
+
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IExtend:
+    """Intervals.extend(source, before, after) (Intervals.java:320 →
+    ExtendedIntervalsSource): each interval stretched ``before``
+    positions left (clipped at 0) and ``after`` right.  ``covered`` is
+    kept from the wrapped interval (the reference's gaps() likewise
+    delegates to the wrapped iterator), so a downstream IMaxGaps sees
+    the extension as extra gaps — documented deviation: the reference
+    excludes extensions from gaps(); ours counts them, which only
+    matters when composing extend inside maxgaps."""
+
+    source: object
+    before: int
+    after: int
+
+
+def not_within(minuend, positions: int, subtrahend):
+    """Intervals.notWithin (Intervals.java:402): minuend intervals at
+    least ``positions`` away from any subtrahend interval — built, as
+    in the reference, from nonOverlapping + extend."""
+    return INonOverlapping(minuend, IExtend(subtrahend, positions, positions))
+
+
+# (positive operand, filter-only operand) of each filtered source; the
+# filter operand never restricts candidate docs for the NOT variants.
+_FILTER_SHAPES = {
+    INotContaining: ("minuend", "subtrahend", False),
+    INotContainedBy: ("small", "big", False),
+    INonOverlapping: ("minuend", "subtrahend", False),
+    IOverlapping: ("source", "reference", True),
+    IBefore: ("source", "reference", True),
+    IAfter: ("source", "reference", True),
+}
+
+
 def terms_of(src) -> set[str]:
     if isinstance(src, ITerm):
         return {src.term}
@@ -112,10 +228,18 @@ def terms_of(src) -> set[str]:
         return out
     if isinstance(src, IMaxGaps):
         return terms_of(src.source)
+    if isinstance(src, IMaxWidth):
+        return terms_of(src.source)
+    if isinstance(src, IExtend):
+        return terms_of(src.source)
     if isinstance(src, (IContaining, IContainedBy)):
         a = src.big if isinstance(src, IContaining) else src.small
         b = src.small if isinstance(src, IContaining) else src.big
         return terms_of(a) | terms_of(b)
+    shape = _FILTER_SHAPES.get(type(src))
+    if shape is not None:
+        pos_attr, flt_attr, _req = shape
+        return terms_of(getattr(src, pos_attr)) | terms_of(getattr(src, flt_attr))
     raise TypeError(type(src))
 
 
@@ -138,6 +262,16 @@ def map_terms(src, fn):
         return IContaining(map_terms(src.big, fn), map_terms(src.small, fn))
     if isinstance(src, IContainedBy):
         return IContainedBy(map_terms(src.small, fn), map_terms(src.big, fn))
+    if isinstance(src, IMaxWidth):
+        return IMaxWidth(src.width, map_terms(src.source, fn))
+    if isinstance(src, IExtend):
+        return IExtend(map_terms(src.source, fn), src.before, src.after)
+    shape = _FILTER_SHAPES.get(type(src))
+    if shape is not None:
+        pos_attr, flt_attr, _req = shape
+        return type(src)(
+            map_terms(getattr(src, pos_attr), fn), map_terms(getattr(src, flt_attr), fn)
+        )
     raise TypeError(type(src))
 
 
@@ -153,8 +287,18 @@ def candidate_docs(src, doc_arrays: dict[str, np.ndarray]) -> np.ndarray:
             d = candidate_docs(s, doc_arrays)
             out = d if out is None else np.union1d(out, d)
         return out if out is not None else np.empty(0, dtype=np.int64)
-    if isinstance(src, IMaxGaps):
+    if isinstance(src, (IMaxGaps, IMaxWidth)):
         return candidate_docs(src.source, doc_arrays)
+    if isinstance(src, IExtend):
+        return candidate_docs(src.source, doc_arrays)
+    shape = _FILTER_SHAPES.get(type(src))
+    if shape is not None:
+        pos_attr, flt_attr, required = shape
+        pos = candidate_docs(getattr(src, pos_attr), doc_arrays)
+        if not required:  # NOT variants: subtrahend never restricts
+            return pos
+        ref = candidate_docs(getattr(src, flt_attr), doc_arrays)
+        return np.intersect1d(pos, ref, assume_unique=True)
     if isinstance(src, (IOrdered, IUnordered)):
         children = src.sources
     else:  # IContaining / IContainedBy
@@ -235,6 +379,47 @@ def eval_source(src, pos_of) -> list[tuple[int, int, int]]:
         if not big:
             return []
         return [si for si in small if any(s <= si[0] and si[1] <= e for s, e, _ in big)]
+    if isinstance(src, IMaxWidth):
+        return [
+            (s, e, c) for s, e, c in eval_source(src.source, pos_of) if e - s + 1 <= src.width
+        ]
+    if isinstance(src, IExtend):
+        return _minimalize(
+            [
+                (max(0, s - src.before), e + src.after, c)
+                for s, e, c in eval_source(src.source, pos_of)
+            ]
+        )
+    if isinstance(src, INotContaining):
+        m = eval_source(src.minuend, pos_of)
+        sub = eval_source(src.subtrahend, pos_of)
+        return [mi for mi in m if not any(mi[0] <= s and e <= mi[1] for s, e, _ in sub)]
+    if isinstance(src, INotContainedBy):
+        sm = eval_source(src.small, pos_of)
+        big = eval_source(src.big, pos_of)
+        return [si for si in sm if not any(s <= si[0] and si[1] <= e for s, e, _ in big)]
+    if isinstance(src, IOverlapping):
+        sv = eval_source(src.source, pos_of)
+        ref = eval_source(src.reference, pos_of)
+        return [si for si in sv if any(s <= si[1] and si[0] <= e for s, e, _ in ref)]
+    if isinstance(src, INonOverlapping):
+        m = eval_source(src.minuend, pos_of)
+        sub = eval_source(src.subtrahend, pos_of)
+        return [mi for mi in m if not any(s <= mi[1] and mi[0] <= e for s, e, _ in sub)]
+    if isinstance(src, IBefore):
+        sv = eval_source(src.source, pos_of)
+        ref = eval_source(src.reference, pos_of)
+        if not ref:
+            return []
+        max_start = max(s for s, _, _ in ref)
+        return [si for si in sv if si[1] < max_start]
+    if isinstance(src, IAfter):
+        sv = eval_source(src.source, pos_of)
+        ref = eval_source(src.reference, pos_of)
+        if not ref:
+            return []
+        min_end = min(e for _, e, _ in ref)
+        return [si for si in sv if si[0] > min_end]
     if isinstance(src, IOrdered):
         kids = [eval_source(s, pos_of) for s in src.sources]
         return _ordered(kids)

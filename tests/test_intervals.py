@@ -17,14 +17,23 @@ import pytest
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher
 from lucene_spark.search.intervals import (
+    IAfter,
+    IBefore,
     IContainedBy,
     IContaining,
+    IExtend,
     IMaxGaps,
+    IMaxWidth,
+    INonOverlapping,
+    INotContainedBy,
+    INotContaining,
     IOr,
     IOrdered,
+    IOverlapping,
     ITerm,
     IUnordered,
     eval_source,
+    not_within,
     terms_of,
 )
 
@@ -68,6 +77,30 @@ def brute(src, pos_of):
     if isinstance(src, IContainedBy):
         small, big = brute(src.small, pos_of), brute(src.big, pos_of)
         return [si for si in small if any(s <= si[0] and si[1] <= e for s, e, _ in big)]
+    if isinstance(src, IMaxWidth):
+        return [(s, e, c) for s, e, c in brute(src.source, pos_of) if e - s + 1 <= src.width]
+    if isinstance(src, IExtend):
+        return brute_minimalize(
+            [(max(0, s - src.before), e + src.after, c) for s, e, c in brute(src.source, pos_of)]
+        )
+    if isinstance(src, INotContaining):
+        m, sub = brute(src.minuend, pos_of), brute(src.subtrahend, pos_of)
+        return [mi for mi in m if not any(mi[0] <= s and e <= mi[1] for s, e, _ in sub)]
+    if isinstance(src, INotContainedBy):
+        sm, big = brute(src.small, pos_of), brute(src.big, pos_of)
+        return [si for si in sm if not any(s <= si[0] and si[1] <= e for s, e, _ in big)]
+    if isinstance(src, IOverlapping):
+        sv, ref = brute(src.source, pos_of), brute(src.reference, pos_of)
+        return [si for si in sv if any(s <= si[1] and si[0] <= e for s, e, _ in ref)]
+    if isinstance(src, INonOverlapping):
+        m, sub = brute(src.minuend, pos_of), brute(src.subtrahend, pos_of)
+        return [mi for mi in m if not any(s <= mi[1] and mi[0] <= e for s, e, _ in sub)]
+    if isinstance(src, IBefore):
+        sv, ref = brute(src.source, pos_of), brute(src.reference, pos_of)
+        return [si for si in sv if any(si[1] < s for s, _, _ in ref)]
+    if isinstance(src, IAfter):
+        sv, ref = brute(src.source, pos_of), brute(src.reference, pos_of)
+        return [si for si in sv if any(si[0] > e for _, e, _ in ref)]
     kids = [brute(s, pos_of) for s in src.sources]
     if any(not k for k in kids):
         return []
@@ -83,9 +116,24 @@ def brute(src, pos_of):
     return brute_minimalize(cands)
 
 
+_PAIR_KINDS = {
+    "containing": lambda a, b: IContaining(a, b),
+    "containedby": lambda a, b: IContainedBy(a, b),
+    "notcontaining": lambda a, b: INotContaining(a, b),
+    "notcontainedby": lambda a, b: INotContainedBy(a, b),
+    "overlapping": lambda a, b: IOverlapping(a, b),
+    "nonoverlapping": lambda a, b: INonOverlapping(a, b),
+    "before": lambda a, b: IBefore(a, b),
+    "after": lambda a, b: IAfter(a, b),
+}
+
+
 def rand_source(rng, vocab, depth=0):
     kind = rng.choice(
-        ["term"] if depth >= 2 else ["term", "ordered", "unordered", "or", "maxgaps", "containing", "containedby"],
+        ["term"]
+        if depth >= 2
+        else ["term", "ordered", "unordered", "or", "maxgaps", "maxwidth", "extend"]
+        + list(_PAIR_KINDS),
     )
     if kind == "term":
         return ITerm(rng.choice(vocab))
@@ -98,9 +146,15 @@ def rand_source(rng, vocab, depth=0):
         return IOr(tuple(rand_source(rng, vocab, depth + 1) for _ in range(n)))
     if kind == "maxgaps":
         return IMaxGaps(int(rng.integers(0, 5)), rand_source(rng, vocab, depth + 1))
-    big = rand_source(rng, vocab, depth + 1)
-    small = rand_source(rng, vocab, depth + 1)
-    return IContaining(big, small) if kind == "containing" else IContainedBy(small, big)
+    if kind == "maxwidth":
+        return IMaxWidth(int(rng.integers(1, 8)), rand_source(rng, vocab, depth + 1))
+    if kind == "extend":
+        return IExtend(
+            rand_source(rng, vocab, depth + 1), int(rng.integers(0, 3)), int(rng.integers(0, 3))
+        )
+    a = rand_source(rng, vocab, depth + 1)
+    b = rand_source(rng, vocab, depth + 1)
+    return _PAIR_KINDS[kind](a, b)
 
 
 class TestEvalVsBrute:
@@ -230,3 +284,32 @@ class TestIntervalQueryEndToEnd:
         drv = s.search(A.IntervalQuery(src), k=10).hits
         dist = s.search(A.IntervalQuery(src), k=10, mode="distributed").hits
         assert [(d, round(x, 5)) for d, x in drv] == [(d, round(x, 5)) for d, x in dist]
+
+    @pytest.mark.parametrize(
+        "src",
+        [
+            INotContaining(IMaxGaps(4, IOrdered((ITerm("return"), ITerm("if")))), ITerm("int")),
+            INotContainedBy(ITerm("return"), IUnordered((ITerm("int"), ITerm("if")))),
+            IBefore(ITerm("return"), ITerm("if")),
+            IAfter(ITerm("return"), ITerm("if")),
+            IOverlapping(IOrdered((ITerm("return"), ITerm("if"))), ITerm("int")),
+            not_within(ITerm("return"), 2, ITerm("if")),
+            IMaxWidth(3, IUnordered((ITerm("return"), ITerm("if")))),
+        ],
+        ids=["notcontaining", "notcontainedby", "before", "after", "overlap", "notwithin", "maxwidth"],
+    )
+    def test_filtered_sources_distributed_matches_driver(self, spark, search_index, src):
+        s = Searcher(search_index)
+        drv = s.search(A.IntervalQuery(src), k=10).hits
+        dist = s.search(A.IntervalQuery(src), k=10, mode="distributed").hits
+        assert [(d, round(x, 5)) for d, x in drv] == [(d, round(x, 5)) for d, x in dist]
+        assert drv  # fixture corpus has matches for every shape
+
+    def test_not_variant_matches_docs_without_subtrahend(self, spark, search_index, oracle):
+        # a doc with the minuend phrase and NO subtrahend term at all
+        # must match (the subtrahend never restricts candidates)
+        s = Searcher(search_index)
+        src = INotContaining(ITerm("return"), ITerm("zzznotaterm"))
+        got = {d for d, _ in s.search(A.IntervalQuery(src), k=10**6).hits}
+        want = {d for d, _ in oracle.top_k(A.TermQuery("return"), k=10**9)}
+        assert got == want
