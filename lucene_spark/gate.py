@@ -695,6 +695,54 @@ def queries() -> dict:
 
     Q["ft_within_top10"] = _within
 
+    def _phrasewild(spark, sf):
+        # PhraseWildcardQuery: "table s*" — slot 2 expands against the
+        # term dictionary, then the union-postings phrase kernel
+        from lucene_spark.search.misc import phrase_wildcard
+
+        index, searcher = gate_index(spark, sf)
+        return _hits_df(spark, searcher.search(phrase_wildcard(index, ["table", "s*"]), k=10))
+
+    Q["ft_phrasewild_top10"] = _phrasewild
+
+    def _diversified(spark, sf):
+        # DiversifiedTopDocsCollector: top-10 with <=1 hit per lang
+        from lucene_spark.search.misc import diversified_top_k
+
+        _, searcher = gate_index(spark, sf)
+        j = diversified_top_k(searcher, A.TermQuery("table"), "lang", 1, k=10)
+        return j.select("rank", "doc_id", "key", F.round("score", 2).alias("score_r"))
+
+    Q["ft_diversified_top10"] = _diversified
+
+    def _dvstats(spark, sf):
+        # DocValuesStats over n_chars for docs matching 'table'
+        from lucene_spark.search.misc import doc_values_stats
+
+        _, searcher = gate_index(spark, sf)
+        st = doc_values_stats(searcher, A.TermQuery("table"), "n_chars")
+        return st.select(
+            F.col("count").alias("n_vals"),
+            F.col("missing").alias("n_missing"),
+            "vmin",
+            "vmax",
+            "vsum",
+            F.round("mean", 4).alias("mean_r"),
+            F.round("variance", 2).alias("var_r"),
+        )
+
+    Q["ft_dvstats"] = _dvstats
+
+    def _simpleq(spark, sf):
+        # SimpleQueryParser: never-throws syntax, right-to-left
+        # precedence; 'table + (hash | scan)' = table AND (hash OR scan)
+        from lucene_spark.search.simpleparser import parse_simple
+
+        _, searcher = gate_index(spark, sf)
+        return _hits_df(spark, searcher.search(parse_simple("table + (hash | scan)"), k=10))
+
+    Q["ft_simpleq_top10"] = _simpleq
+
     def _notcontaining(spark, sf):
         # Intervals.notContaining: ordered (table .. hash) pairs with
         # NO 'merge' occurrence inside
@@ -1135,6 +1183,46 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "WHERE term IN ('table','hash','vector','dup') "
         "AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
         "AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'hash') "
+        "GROUP BY doc_id"
+    )
+    # PhraseWildcardQuery "table s*": union-postings adjacency; weight
+    # sums idf over the literal slot + EVERY dictionary term the
+    # wildcard slot expands to (MultiPhraseQuery weight convention)
+    O["ft_phrasewild_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT a.doc_id, count(DISTINCT a.pos)::BIGINT AS pf FROM post a "
+        "      JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "      WHERE a.term = 'table' AND b.term LIKE 's%' GROUP BY a.doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term = 'table' OR term LIKE 's%') ws"
+    )
+    # DiversifiedTopDocsCollector: per-key rank then the global cut
+    O["ft_diversified_top10"] = (
+        base_ctes() + ", q AS (SELECT t.doc_id, d.lang AS key, t.s FROM tscore t "
+        "      JOIN documents d USING (doc_id) WHERE t.term = 'table'), "
+        "r AS (SELECT doc_id, key, s, row_number() OVER "
+        "      (PARTITION BY key ORDER BY s DESC, doc_id) AS rn FROM q) "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, key, round(s, 2) AS score_r FROM r WHERE rn <= 1 "
+        "ORDER BY s DESC, doc_id LIMIT 10"
+    )
+    # DocValuesStats(n_chars) over the 'table' match set
+    O["ft_dvstats"] = (
+        base_ctes() + " SELECT count(d.n_chars)::BIGINT AS n_vals, "
+        "(count(*) - count(d.n_chars))::BIGINT AS n_missing, "
+        "min(d.n_chars)::BIGINT AS vmin, max(d.n_chars)::BIGINT AS vmax, "
+        "sum(d.n_chars)::BIGINT AS vsum, round(avg(d.n_chars), 4) AS mean_r, "
+        "round(var_pop(d.n_chars), 2) AS var_r "
+        "FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'table') m "
+        "JOIN documents d USING (doc_id)"
+    )
+    # SimpleQueryParser 'table + (hash | scan)': required term + a
+    # required SHOULD group scoring the sum of its matching clauses
+    O["ft_simpleq_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM tscore "
+        "WHERE term IN ('table','hash','scan') "
+        "AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
+        "AND doc_id IN (SELECT doc_id FROM tf WHERE term IN ('hash','scan')) "
         "GROUP BY doc_id"
     )
     O["ft_dismax_top10"] = topk_sql(

@@ -223,6 +223,11 @@ class SearchIndex:
         if keyprefix:
             t = t.filter(F.col("term").startswith(keyprefix))
             bare = F.col("term").substr(F.lit(len(keyprefix) + 1), F.length("term"))
+        else:
+            # primary-field expansion must not leak other fields'
+            # composite keys (e.g. wildcard '*ow' matching
+            # 'title<SEP>window') — the FieldInfos key-space boundary
+            t = t.filter(~F.col("term").contains(FIELD_SEP))
         if kind == "prefix":
             cond = bare.startswith(arg)
         elif kind == "regexp":

@@ -127,6 +127,33 @@ class TestMultiField:
         expect = path_oracle.top_k(A.PrefixQuery("ja"), 200)
         assert {d for d, _ in hits} == {d for d, _ in expect}
 
+    def test_primary_expansion_excludes_composite_keys(self, mf_index, corpus_pdf):
+        """A PRIMARY-field multi-term expansion must not leak other
+        fields' composite keys: 'java' lives only in path terms, so a
+        content wildcard '*ava' matches nothing — before the key-space
+        filter it matched 'path<SEP>java' and returned path hits."""
+        from lucene_spark.index.builder import FIELD_SEP
+
+        for kind, arg in [("regexp", ".*ava"), ("prefix", "j"), ("range", ("pata", "pati", True, True))]:
+            terms = mf_index.expand_terms(kind, arg)
+            assert all(FIELD_SEP not in t for t in terms), (kind, terms)
+        # 'java' lives in every .java path term; the content wildcard
+        # must return exactly the docs whose CONTENT has an *ava term
+        import re
+
+        from lucene_spark.analysis import tokenize as _tok
+
+        s = Searcher(mf_index)
+        got = {d for d, _ in s.search(A.WildcardQuery("*ava"), k=10**6).hits}
+        ordered = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        pat = re.compile(r".*ava$")
+        want = {
+            i
+            for i in range(len(ordered))
+            if any(pat.fullmatch(x) for x in _tok(ordered.loc[i, "content"]))
+        }
+        assert got == want
+
     def test_count_and_explain(self, mf_index, path_oracle):
         s = Searcher(mf_index)
         n_py = len(path_oracle.score(A.TermQuery("py")))
