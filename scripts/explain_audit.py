@@ -157,6 +157,41 @@ def main() -> None:
     )
     sections.append(("Distributed facet over match_frame", plan))
 
+    # 11. block join: the docs-table reads prune to the key columns
+    # (never the content), the tiny next-bucket relation broadcasts,
+    # and the top-k merge is TakeOrderedAndProject — no global sort,
+    # no corpus-wide window
+    from lucene_spark.search.blockjoin import to_parent_block_join
+
+    plan = _capture(to_parent_block_join(searcher, A.TermQuery("table"), "doc_id % 5 = 4", "total", k=10))
+    CHECKS.append(
+        ("block join never reads doc content", "no 'content' in any ReadSchema",
+         re.search(r"ReadSchema:[^\n]*content", plan) is None)
+    )
+    check("block join next-bucket fallback broadcast", plan, r"BroadcastHashJoin")
+    check("block join top-k is TakeOrderedAndProject", plan, r"TakeOrderedAndProject")
+    sections.append(("Block join (ToParentBlockJoinQuery)", plan))
+
+    # 12. covering query: match-frame union -> ONE doc_id aggregation,
+    # threshold filter stays a JVM expression, top-k merge shape
+    from lucene_spark.search.covering import covering_top_k
+
+    plan = _capture(
+        covering_top_k(searcher, [A.TermQuery("table"), A.TermQuery("hash")], "1 + doc_id % 3", k=10)
+    )
+    check("covering: hash agg over the union", plan, r"HashAggregate")
+    check("covering top-k is TakeOrderedAndProject", plan, r"TakeOrderedAndProject")
+    sections.append(("CoveringQuery (per-doc msm)", plan))
+
+    # 13. diversified top-k: per-key window = ONE Exchange keyed by the
+    # key column; the global cut is TakeOrderedAndProject
+    from lucene_spark.search.misc import diversified_top_k
+
+    plan = _capture(diversified_top_k(searcher, A.TermQuery("table"), "lang", 1, k=10))
+    check("diversified: per-key exchange", plan, r"hashpartitioning\(key")
+    check("diversified top-k is TakeOrderedAndProject", plan, r"TakeOrderedAndProject")
+    sections.append(("Diversified top-k (per-key cap)", plan))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     with open(out, "w") as fh:
         fh.write("# PLANS — physical-plan audit (scripts/explain_audit.py)\n\n")
