@@ -272,6 +272,17 @@ def queries() -> dict:
     Q["ft_synonym_top10"] = lambda spark, sf: _hits_df(
         spark, _search(spark, sf, A.SynonymQuery(("table", "dup")))
     )
+    def _synexp(spark, sf):
+        # query-time synonym expansion: 'hash' rewrites to the blended
+        # SynonymQuery(hash, scan) via the SynonymMap
+        from lucene_spark.analysis.synonyms import expand_synonyms
+
+        _, searcher = gate_index(spark, sf)
+        q = expand_synonyms(A.TermQuery("hash"), {"hash": ("scan",)})
+        return _hits_df(spark, searcher.search(q, k=10))
+
+    Q["ft_synexp_top10"] = _synexp
+
     Q["ft_dismax_top10"] = lambda spark, sf: _hits_df(
         spark,
         _search(
@@ -620,6 +631,22 @@ def queries() -> dict:
         return j.select("rank", "parent", F.round("score", 2).alias("score_r"), "n_children")
 
     Q["ft_join_top"] = _join
+
+    def _chunks(spark, sf):
+        # training-pipeline chunking: 64-token windows, 16 overlap
+        from lucene_spark.pipeline.chunking import chunk_documents
+
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        c = chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16)
+        return c.select(
+            "doc_id",
+            "chunk_idx",
+            "n_chunk_tokens",
+            "begin_tok",
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+        )
+
+    Q["tx_chunks"] = _chunks
 
     def _blockjoin(spark, sf):
         # ToParentBlockJoinQuery: every 5th doc is the block parent
@@ -1178,6 +1205,15 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "(SELECT ln(1 + ((SELECT n FROM stats) - max(df) + 0.5) / (max(df) + 0.5)) AS w "
         " FROM dfr WHERE term IN ('table','dup')) ws"
     )
+    # synonym-map expansion of 'hash' -> blended SynonymQuery(hash,scan)
+    O["ft_synexp_top10"] = topk_sql(
+        "SELECT f.doc_id, ws.w - ws.w / (1 + f.tfs * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, sum(tf)::BIGINT AS tfs FROM tf WHERE term IN ('hash','scan') "
+        "      GROUP BY doc_id) f "
+        "JOIN norms n ON n.doc_id = f.doc_id, "
+        "(SELECT ln(1 + ((SELECT n FROM stats) - max(df) + 0.5) / (max(df) + 0.5)) AS w "
+        " FROM dfr WHERE term IN ('hash','scan')) ws"
+    )
     O["ft_mustshould_top10"] = topk_sql(
         "SELECT doc_id, sum(s) AS s FROM tscore "
         "WHERE term IN ('table','hash','vector','dup') "
@@ -1278,6 +1314,21 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "      FROM q JOIN documents d USING (doc_id) GROUP BY d.source) "
         "SELECT CAST(row_number() OVER (ORDER BY s DESC, parent) AS BIGINT) AS rank, "
         "parent, round(s, 2) AS score_r, n_children FROM g ORDER BY s DESC, parent LIMIT 10"
+    )
+    # sliding-window chunking: 64-token windows, stride 48, last window
+    # reaches the end; md5 over the space-rejoined window
+    O["tx_chunks"] = (
+        r"WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), "
+        "x -> len(x) > 0) AS toks FROM documents), "
+        "nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0), "
+        "c AS (SELECT doc_id, toks, CASE WHEN n <= 64 THEN 1 "
+        "      ELSE 1 + CAST(ceil((n - 64)::DOUBLE / 48) AS BIGINT) END AS nc FROM nz), "
+        "e AS (SELECT doc_id, toks, unnest(range(nc)) AS chunk_idx FROM c), "
+        "w AS (SELECT doc_id, chunk_idx, "
+        "      list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64) AS win FROM e) "
+        "SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, len(win)::BIGINT AS n_chunk_tokens, "
+        "(chunk_idx*48)::BIGINT AS begin_tok, md5(array_to_string(win, ' ')) AS chunk_md5 "
+        "FROM w ORDER BY doc_id, chunk_idx"
     )
     # CoveringQuery: sum of matching clause scores, per-doc threshold
     O["ft_covering_top10"] = (
