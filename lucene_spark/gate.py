@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v6"  # v6: + vectors sidecar (knn_search) on the gate index
+ENGINE_VERSION = "v7"  # v7: + term-vectors table (TermVectors.get point read)
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
@@ -72,7 +72,7 @@ def gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]
     if not os.path.exists(f"{idx_dir}/manifest.json"):
         cfg = IndexConfig(
             docs_per_chunk=128, term_buckets=4, positions=True, offsets=True,
-            extra_fields=("title",), vector_field="embedding",
+            extra_fields=("title",), vector_field="embedding", term_vectors=True,
         )
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
             F.col("vec_id").cast("long").alias("doc_id"), "embedding"
@@ -631,6 +631,18 @@ def queries() -> dict:
         return j.select("rank", "parent", F.round("score", 2).alias("score_r"), "n_children")
 
     Q["ft_join_top"] = _join
+
+    def _termvec(spark, sf):
+        # TermVectors.get(7): per-doc term/tf/positions point read
+        index, _ = gate_index(spark, sf)
+        tv = index.term_vector(7)
+        return tv.select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.array_join(F.col("poss").cast("array<string>"), ",").alias("pos_list"),
+        )
+
+    Q["ix_termvec"] = _termvec
 
     def _chunks(spark, sf):
         # training-pipeline chunking: 64-token windows, 16 overlap
@@ -1314,6 +1326,13 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "      FROM q JOIN documents d USING (doc_id) GROUP BY d.source) "
         "SELECT CAST(row_number() OVER (ORDER BY s DESC, parent) AS BIGINT) AS rank, "
         "parent, round(s, 2) AS score_r, n_children FROM g ORDER BY s DESC, parent LIMIT 10"
+    )
+    # TermVectors.get(7): terms of one doc with tf + 0-based positions
+    # (the oracle's post CTE is 1-based)
+    O["ix_termvec"] = (
+        base_ctes() + " SELECT term, count(*)::BIGINT AS tf, "
+        "array_to_string(list_sort(list(pos - 1)), ',') AS pos_list "
+        "FROM post WHERE doc_id = 7 GROUP BY term ORDER BY term"
     )
     # sliding-window chunking: 64-token windows, stride 48, last window
     # reaches the end; md5 over the space-rejoined window

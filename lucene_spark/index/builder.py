@@ -120,6 +120,15 @@ class IndexConfig:
     # be a TOTAL order (append a unique key column) for deterministic
     # ids. Empty = sort by DOC_KEYS (the default identity order).
     index_sort: tuple[str, ...] = ()
+    # term vectors (Lucene90TermVectorsFormat role,
+    # lucene/core/src/java/org/apache/lucene/codecs/lucene90/compressing/
+    # Lucene90CompressingTermVectorsFormat.java): the per-DOCUMENT view
+    # of the inverted index — (doc_id, term, tf [, positions]) stored
+    # doc-range partitioned + doc-sorted so TermVectors.get(doc) is a
+    # pushed-down point read, not a scan over the term-keyed postings.
+    # Opt-in like Field.Store term vectors (costs a second copy of the
+    # inverted relation).
+    term_vectors: bool = False
 
 
 _POSTINGS_SCHEMA = StructType(
@@ -669,11 +678,23 @@ class IndexBuilder:
                 f"{index_dir}/vectors"
             )
 
+        def _write_term_vectors():
+            # the doc-keyed copy of the inverted relation; positions
+            # ride along when indexed (TermVectorsFormat positions bit)
+            cols = ["doc_id", "term", "tf"] + (["poss"] if "poss" in inverted.columns else [])
+            inverted.select(*cols).repartitionByRange(
+                cfg.term_buckets, "doc_id"
+            ).sortWithinPartitions("doc_id", "term").write.mode("overwrite").parquet(
+                f"{index_dir}/term_vectors"
+            )
+
         from concurrent.futures import ThreadPoolExecutor
 
         writers = [_write_postings, _write_docs, _write_norms, _write_term_stats]
         if cfg.vector_field:
             writers.append(_write_vectors)
+        if cfg.term_vectors:
+            writers.append(_write_term_vectors)
         with ThreadPoolExecutor(max_workers=6) as pool:
             stats_fut = pool.submit(_collect_stats)
             futures = [pool.submit(f) for f in writers]

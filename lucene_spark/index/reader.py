@@ -112,6 +112,37 @@ class SearchIndex:
         return self.spark.read.parquet(f"{self.index_dir}/vectors")
 
     @cached_property
+    def term_vectors_df(self) -> DataFrame:
+        """The doc-keyed term-vector table (doc_id, term, tf [, poss])
+        — Lucene90CompressingTermVectorsFormat role. Raises if the
+        index was built without IndexConfig.term_vectors."""
+        import os
+
+        if not os.path.exists(f"{self.index_dir}/term_vectors"):
+            raise ValueError("index has no term vectors (built without IndexConfig.term_vectors)")
+        return self.spark.read.parquet(f"{self.index_dir}/term_vectors")
+
+    def term_vector(self, doc_id: int, field: str | None = None) -> DataFrame:
+        """TermVectors.get(doc, field): the terms of ONE document with
+        tf (and positions when indexed), served by a doc-range
+        pushed-down point read on the doc-sorted table — parquet
+        min/max prunes to one file + row group, the same access shape
+        as the reference's per-doc chunk lookup. ``field`` scopes to a
+        field's key space (default: the primary field); bare terms are
+        returned (composite prefix stripped)."""
+        from lucene_spark.index.builder import FIELD_SEP
+
+        tv = self.term_vectors_df.filter(F.col("doc_id") == int(doc_id))
+        if field in (None, self.primary_field):
+            tv = tv.filter(~F.col("term").contains(FIELD_SEP))
+        else:
+            pre = field + FIELD_SEP
+            tv = tv.filter(F.col("term").startswith(pre)).withColumn(
+                "term", F.col("term").substr(F.lit(len(pre) + 1), F.length("term"))
+            )
+        return tv.orderBy("term")
+
+    @cached_property
     def postings(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/postings")
 

@@ -1,0 +1,65 @@
+"""Term vectors (Lucene90CompressingTermVectorsFormat role): per-doc
+term/tf/positions vs a brute re-tokenization, including field scoping
+and the no-term-vectors error path."""
+
+from __future__ import annotations
+
+import shutil
+from collections import Counter
+
+import pytest
+
+from lucene_spark.analysis.tokenizer import tokenize_with_positions
+from lucene_spark.index.builder import IndexBuilder, IndexConfig
+from lucene_spark.index.reader import SearchIndex
+
+
+@pytest.fixture(scope="module")
+def tv_index(tmp_path_factory, spark, corpus_df):
+    d = str(tmp_path_factory.mktemp("tv_index"))
+    cfg = IndexConfig(
+        docs_per_chunk=64, term_buckets=4, positions=True,
+        extra_fields=("path",), term_vectors=True,
+    )
+    IndexBuilder(spark, cfg).build(corpus_df.drop("content_sha256"), d)
+    yield SearchIndex(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _brute(text: str):
+    toks, poss = tokenize_with_positions(text)
+    tf = Counter(toks)
+    pos_of: dict[str, list[int]] = {}
+    for t, p in zip(toks, poss):
+        pos_of.setdefault(t, []).append(p)
+    return tf, pos_of
+
+
+class TestTermVectors:
+    @pytest.mark.parametrize("doc", [0, 7, 42, 199])
+    def test_primary_field_vs_brute(self, tv_index, corpus_pdf, doc):
+        ordered = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        tf, pos_of = _brute(ordered.loc[doc, "content"])
+        rows = tv_index.term_vector(doc).collect()
+        assert {r["term"]: r["tf"] for r in rows} == dict(tf)
+        for r in rows:
+            assert sorted(r["poss"]) == pos_of[r["term"]]
+
+    def test_extra_field_scoped(self, tv_index, corpus_pdf):
+        ordered = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        tf, _ = _brute(ordered.loc[3, "path"])
+        rows = tv_index.term_vector(3, field="path").collect()
+        assert {r["term"]: r["tf"] for r in rows} == dict(tf)
+
+    def test_point_read_is_pushed_down(self, tv_index):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            tv_index.term_vector(7).explain(True)
+        assert "GreaterThan" in buf.getvalue() or "EqualTo(doc_id" in buf.getvalue() or "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)" in buf.getvalue()
+
+    def test_missing_table_raises(self, search_index):
+        with pytest.raises(ValueError, match="term vectors"):
+            search_index.term_vectors_df  # the session index is built without them
