@@ -120,6 +120,18 @@ class FieldValueQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldExistsQuery(Query):
+    """Docs that have ANY value for a stored field — the
+    FieldExistsQuery role (lucene/core/src/java/org/apache/lucene/
+    search/FieldExistsQuery.java:42: matches via norms/docValues/
+    vector presence). Spark disposition: ``col IS NOT NULL`` on the
+    docs table (Catalyst null-count pruning per row group), surfaced
+    as a constant-score doc set like FieldValueQuery."""
+
+    field: str
+
+
+@dataclass(frozen=True)
 class FieldRangeQuery(Query):
     """Range over a stored metadata column — the PointRangeQuery role
     (PointRangeQuery.java:50; BKD traversal → SURVEY §2.3 disposition:

@@ -88,6 +88,8 @@ class Searcher:
         """(key, Catalyst cond) for a metadata-field predicate node."""
         import pyspark.sql.functions as F
 
+        if isinstance(q, A.FieldExistsQuery):
+            return ("exists", q.field), F.col(q.field).isNotNull()
         if isinstance(q, A.FieldRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:
@@ -258,7 +260,7 @@ class Searcher:
                 "range", (q.lower, q.upper, q.include_lower, q.include_upper), field=q.field
             )
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
-        if isinstance(q, (A.FieldRangeQuery, A.FieldValueQuery)):
+        if isinstance(q, (A.FieldRangeQuery, A.FieldValueQuery, A.FieldExistsQuery)):
             # PointRangeQuery / StringField equality = pushed-down
             # predicate on the docs table (parquet min-max pruning =
             # the BKD traversal; SURVEY §1.1 StringField disposition).
@@ -631,7 +633,7 @@ class Searcher:
             q0 = parse_query(filter) if isinstance(filter, str) else A.rewrite(filter)
             if len(index.text_fields) > 1:
                 q0 = self._fieldize(q0)
-            if isinstance(q0, (A.FieldValueQuery, A.FieldRangeQuery)):
+            if isinstance(q0, (A.FieldValueQuery, A.FieldRangeQuery, A.FieldExistsQuery)):
                 # (_fieldize already rewrote tokenized-field values to
                 # term/phrase queries, so this is a keyword/range
                 # predicate on the docs table)

@@ -241,6 +241,13 @@ class _Parser:
             _, raw = self.next()
             if field == "content":
                 return self._term_query(raw)
+            if kind == "star" or raw == "*":
+                # `field:*` = any value for the field — FieldExistsQuery
+                # (the classic parser's field-scoped all-wildcard
+                # rewrites to FieldExistsQuery, WildcardQuery.java:74)
+                from lucene_spark.search.ast import FieldExistsQuery
+
+                return FieldExistsQuery(field)
             return FieldValueQuery(field, raw)
         raise ValueError(f"expected value after {field}:")
 

@@ -128,3 +128,41 @@ class TestStreamingPercolate:
             (r["doc_id"], r["query_id"]) for r in spark.sql("SELECT * FROM pc_stream").collect()
         )
         assert got == want and len(got) > 0
+
+
+class TestStreamDedup:
+    def test_cross_batch_exact_dedup(self, spark, tmp_path):
+        """Duplicates in LATER batches are suppressed by streaming
+        state: two parquet drops where the second repeats half the
+        first's contents + adds new docs."""
+        import pandas as pd
+
+        from lucene_spark.streaming.dedup import stream_exact_dedup
+
+        pdf = make_corpus(n_docs=40, seed=31).drop(columns=["content_sha256"])
+        pdf = pdf.reset_index().rename(columns={"index": "doc_id"})[["doc_id", "content"]]
+        batch1 = pdf.iloc[:20]
+        dups = batch1.iloc[:10].copy()
+        dups["doc_id"] += 1000  # same content, new ids
+        batch2 = pd.concat([dups, pdf.iloc[20:]])
+
+        src = str(tmp_path / "dsrc")
+        os.makedirs(src)
+        spark.createDataFrame(batch1).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(batch2).coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(spark.createDataFrame(pdf).schema).parquet(src)
+        out = stream_exact_dedup(stream, text_col="content")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dd_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM dd_stream").collect()
+        # exactly one survivor per distinct content; all 40 contents present
+        shas = [r["content_sha256"] for r in rows]
+        assert len(shas) == len(set(shas)) == 40
