@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v7"  # v7: + term-vectors table (TermVectors.get point read)
+ENGINE_VERSION = "v8"  # v8: + per-field dense norms (CombinedFieldQuery/BM25F)
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
@@ -272,6 +272,20 @@ def queries() -> dict:
     Q["ft_synonym_top10"] = lambda spark, sf: _hits_df(
         spark, _search(spark, sf, A.SynonymQuery(("table", "dup")))
     )
+    def _combined(spark, sf):
+        # CombinedFieldQuery (BM25F): 'table' across content+title as
+        # one pseudo-field, weights 1.0
+        from lucene_spark.search.combined import combined_field_search
+
+        _, searcher = gate_index(spark, sf)
+        hits = combined_field_search(searcher, ["table"], {"content": 1.0, "title": 1.0}, k=10)
+        return spark.createDataFrame(
+            [(i + 1, int(d), round(float(s), 2)) for i, (d, s) in enumerate(hits)],
+            "rank bigint, doc_id bigint, score_r double",
+        )
+
+    Q["ft_combined_top10"] = _combined
+
     def _synexp(spark, sf):
         # query-time synonym expansion: 'hash' rewrites to the blended
         # SynonymQuery(hash, scan) via the SynonymMap
@@ -1216,6 +1230,36 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "JOIN norms n ON n.doc_id = f.doc_id, "
         "(SELECT ln(1 + ((SELECT n FROM stats) - max(df) + 0.5) / (max(df) + 0.5)) AS w "
         " FROM dfr WHERE term IN ('table','dup')) ws"
+    )
+    # CombinedFieldQuery (BM25F): freq = tf_content + tf_title; norm =
+    # intToByte4(LENGTH[norm_c] + LENGTH[norm_t]) -> dlen2 = max table
+    # value <= that sum; pseudo df = max per-field df, docCount = max
+    # per-field docCount, sumTTF = sum of per-field sums
+    O["ft_combined_top10"] = (
+        base_ctes() + ", cf AS (SELECT doc_id, count(*)::BIGINT AS ctf FROM toks "
+        "      WHERE term = 'table' GROUP BY doc_id), "
+        "tf2 AS (SELECT doc_id, count(*)::BIGINT AS ttf2 FROM ttoks "
+        "      WHERE term = 'table' GROUP BY doc_id), "
+        "m AS (SELECT coalesce(cf.doc_id, tf2.doc_id) AS doc_id, "
+        "      coalesce(ctf, 0) + coalesce(ttf2, 0) AS fr "
+        "      FROM cf FULL OUTER JOIN tf2 ON cf.doc_id = tf2.doc_id), "
+        "nv AS (SELECT m.doc_id, m.fr, "
+        "      coalesce(n.dlen, 0) + coalesce(tn.dlen, 0) AS nvv "
+        "      FROM m LEFT JOIN norms n ON n.doc_id = m.doc_id "
+        "      LEFT JOIN tnorms tn ON tn.doc_id = m.doc_id), "
+        "cn AS (SELECT doc_id, fr, "
+        "      (SELECT max(v) FROM dtab WHERE v <= nvv) AS dlen2 FROM nv), "
+        "ps AS (SELECT greatest((SELECT count(*) FROM cf), (SELECT count(*) FROM tf2)) AS df, "
+        "      greatest((SELECT n FROM stats), (SELECT count(*) FROM tdl)) AS dc, "
+        "      (SELECT sum_ttf FROM stats) + (SELECT sum(dl) FROM tdl) AS sttf), "
+        "q AS (SELECT cn.doc_id, "
+        "      ln(1 + (ps.dc - ps.df + 0.5) / (ps.df + 0.5)) "
+        "      - ln(1 + (ps.dc - ps.df + 0.5) / (ps.df + 0.5)) "
+        "        / (1 + cn.fr * (1.0 / (1.2 * ((1 - 0.75) + 0.75 * cn.dlen2 "
+        "           / (ps.sttf::DOUBLE / ps.dc))))) AS s "
+        "      FROM cn, ps) "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"
     )
     # synonym-map expansion of 'hash' -> blended SynonymQuery(hash,scan)
     O["ft_synexp_top10"] = topk_sql(

@@ -575,6 +575,20 @@ class IndexBuilder:
                 F.coalesce(F.col("norm"), F.lit(int(int_to_byte4(0)))).cast("int").alias("norm"),
             )
         )
+        # dense per-extra-field norm bytes (Lucene stores norms PER
+        # FIELD — reader.getNormValues(field)): CombinedFieldQuery's
+        # MultiNormsLeafSimScorer needs a doc's norm for EVERY queried
+        # field, including fields whose postings the doc doesn't match,
+        # so the sparse inline-per-posting copies aren't enough. NULL =
+        # the doc has no tokens of the field (advanceExact false).
+        for xf in cfg.extra_fields:
+            pre = xf + FIELD_SEP
+            agg_f = (
+                inverted.filter(F.col("term").startswith(pre))
+                .groupBy("doc_id")
+                .agg(F.max("norm").cast("int").alias(f"norm_{xf}"))
+            )
+            norms = norms.join(agg_f, "doc_id", "left")
 
         os.makedirs(index_dir, exist_ok=True)
         # materialize each persisted intermediate exactly once (a count
