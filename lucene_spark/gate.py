@@ -231,11 +231,36 @@ def _search(spark, sf_dir, query: A.Query, k: int = 10, mode: str = "driver") ->
     return searcher.search(query, k=k, mode=mode)
 
 
+def _sim_search(spark, sf_dir, model: str, query: A.Query, k: int = 10) -> TopDocs:
+    """Search under a non-default Similarity (IndexSearcher.setSimilarity)."""
+    index, _ = gate_index(spark, sf_dir)
+    return Searcher(index, similarity=model).search(query, k=k)
+
+
 def queries() -> dict:
     Q: dict = {}
 
     # -- scored top-k (BM25 rank identity) --
     Q["ft_term_top10"] = lambda spark, sf: _hits_df(spark, _search(spark, sf, A.TermQuery("table")))
+    # pluggable Similarity models (ClassicSimilarity.java, BooleanSimilarity.java,
+    # LMDirichletSimilarity.java) over the same index/norms
+    Q["ft_classic_top10"] = lambda spark, sf: _hits_df(
+        spark, _sim_search(spark, sf, "classic", A.TermQuery("table"))
+    )
+    Q["ft_lmd_top10"] = lambda spark, sf: _hits_df(
+        spark, _sim_search(spark, sf, "lmdirichlet", A.TermQuery("table"))
+    )
+    Q["ft_boolsim_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _sim_search(
+            spark,
+            sf,
+            "boolean",
+            A.BooleanQuery(
+                ((A.Occur.SHOULD, A.TermQuery("merge")), (A.Occur.SHOULD, A.TermQuery("vector")))
+            ),
+        ),
+    )
     Q["ft_and_top10"] = lambda spark, sf: _hits_df(
         spark,
         _search(
@@ -1106,6 +1131,25 @@ def _pipeline_queries() -> dict:
 def oracle_sql() -> dict[str, str]:
     O: dict[str, str] = {}
     O["ft_term_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    # ClassicSimilarity: tf = sqrt(freq), idf = ln((N+1)/(df+1)) + 1,
+    # lengthNorm = 1/sqrt(len) (ClassicSimilarity.java:38-64)
+    O["ft_classic_top10"] = topk_sql(
+        "SELECT f.doc_id, sqrt(f.tf) * (ln(((SELECT n FROM stats) + 1) / (d.df + 1.0)) + 1.0) "
+        "* (1.0 / sqrt(n.dlen)) AS s "
+        "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
+    )
+    # LMDirichlet mu=2000: max(0, ln(1 + tf/(mu*p)) + ln(mu/(len+mu))),
+    # p = (ttf+1)/(sumTtf+1) (LMDirichletSimilarity.java:70-75)
+    O["ft_lmd_top10"] = topk_sql(
+        "SELECT f.doc_id, greatest(ln(1 + f.tf / (2000.0 * (d.ttf + 1.0) / "
+        "((SELECT sum_ttf FROM stats) + 1.0))) + ln(2000.0 / (n.dlen + 2000.0)), 0.0) AS s "
+        "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
+    )
+    # BooleanSimilarity: per-clause score == boost (1.0); SHOULD sum =
+    # number of matched clauses (BooleanSimilarity.java:58-60)
+    O["ft_boolsim_top10"] = topk_sql(
+        "SELECT doc_id, count(*)::DOUBLE AS s FROM tf WHERE term IN ('merge','vector') GROUP BY doc_id"
+    )
     O["ft_and_top10"] = topk_sql(
         "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('merge','vector') "
         "GROUP BY doc_id HAVING count(*) = 2"

@@ -56,9 +56,19 @@ class TopDocs:
 
 
 class Searcher:
-    def __init__(self, index: SearchIndex, total_hits_threshold: int = 1000):
+    def __init__(
+        self,
+        index: SearchIndex,
+        total_hits_threshold: int = 1000,
+        similarity="bm25",
+    ):
+        from lucene_spark.search.similarity import get_similarity
+
         self.index = index
         self.total_hits_threshold = total_hits_threshold
+        # pluggable scoring model (IndexSearcher.setSimilarity role);
+        # "bm25" | "classic" | "boolean" | "lmdirichlet" or an instance
+        self.sim = get_similarity(similarity)
         # PredDocSetQuery key → Catalyst Column (distributed mode keeps
         # field predicates lazy; the ids never land on the driver)
         self._pred_conds: dict[tuple, object] = {}
@@ -73,13 +83,15 @@ class Searcher:
 
     def _norm_caches(self, stats):
         """ChunkContext cache argument: plain array (single field) or
-        {field: cache} dict with "" = primary (multi-field)."""
+        {field: cache} dict with "" = primary (multi-field). The table
+        is similarity-specific (norm-inverse cache for BM25, lengthNorm
+        table for TF-IDF, ln(mu/(len+mu)) for LMDirichlet, ...)."""
         sbf = self._stats_by_field()
         if not sbf:
-            return stats.cache()
-        caches = {"": stats.cache()}
+            return self.sim.table(stats)
+        caches = {"": self.sim.table(stats)}
         for f, st in sbf.items():
-            caches[f] = st.cache()
+            caches[f] = self.sim.table(st)
         return caches
 
     # ---- query preparation -------------------------------------------------
@@ -303,14 +315,19 @@ class Searcher:
         terms = sorted(A.extract_terms(q))
         stats = self.index.stats
         rows_by_term = None
+        term_ttf = None
         if collect_rows:
             rows_by_term = self.index.collect_rows(terms)
             term_df = {t: sum(r["df"] for r in rs) for t, rs in rows_by_term.items()}
+            if self.sim.needs_ttf:
+                term_ttf = {t: sum(int(r["ttf"]) for r in rs) for t, rs in rows_by_term.items()}
         else:
             tstats = self.index.term_stats(terms)
             term_df = {t: df for t, (df, _) in tstats.items()}
+            if self.sim.needs_ttf:
+                term_ttf = {t: ttf for t, (_, ttf) in tstats.items()}
         sbf = self._stats_by_field()
-        spec = compile_query(q, stats, term_df, stats_by_field=sbf)
+        spec = compile_query(q, stats, term_df, stats_by_field=sbf, sim=self.sim, term_ttf=term_ttf)
         return q, spec, stats, rows_by_term
 
     # ---- search -------------------------------------------------------------
@@ -383,7 +400,9 @@ class Searcher:
             return cache[ts.field] if isinstance(cache, dict) else cache
 
         return [
-            PostingSource(ts.weight, _c(ts), by_term[ts.term]) for ts in term_specs if ts.term in by_term
+            PostingSource(ts.weight, _c(ts), by_term[ts.term], sim=self.sim)
+            for ts in term_specs
+            if ts.term in by_term
         ]
 
     def _search_wand(self, spec, k: int, cache, rows_by_term=None) -> TopDocs:
@@ -430,7 +449,7 @@ class Searcher:
         arrays = {t: (p.docs, p.tfs, p.norms) for t, p in plists.items()}
         positions = {t: p.positions for t, p in plists.items()} if with_pos else None
         all_docs = self.index.all_doc_ids() if _needs_all_docs(spec) else None
-        return ChunkContext(arrays, cache, all_docs, positions)
+        return ChunkContext(arrays, cache, all_docs, positions, sim=self.sim)
 
     def _apply_live_docs(self, docs, scores):
         """Mask tombstoned docs (liveDocs applied at search,
@@ -557,7 +576,7 @@ class Searcher:
             else:
                 all_docs = None
             ctx = ChunkContext(
-                arrays, cache, all_docs, positions if with_pos else None, doc_range=(lo, hi)
+                arrays, cache, all_docs, positions if with_pos else None, doc_range=(lo, hi), sim=self.sim
             )
             docs, scores = evaluate(spec, ctx)
             if len(deleted) and len(docs):
@@ -850,7 +869,7 @@ class Searcher:
         if not hot_terms and not preds and not needs_all:
             # all-small-term query: bounded driver evaluation (each
             # small term covers ≤ docs_per_chunk docs by construction)
-            ctx = ChunkContext(small_arrays, cache, None, small_positions if with_pos else None)
+            ctx = ChunkContext(small_arrays, cache, None, small_positions if with_pos else None, sim=self.sim)
             docs, scores = self._apply_live_docs(*evaluate(spec, ctx))
             top = top_k_from_arrays(docs, scores, k if k is not None else len(docs))
             return "topdocs", TopDocs(top, len(docs), "EQUAL_TO", {})
@@ -859,6 +878,7 @@ class Searcher:
 
         spec_b = spec
         cache_b = cache
+        sim_b = self.sim
         kk = k
         manifest = _read_manifest(index)
         dpc = int(manifest.get("docs_per_chunk", 1 << 17))
@@ -975,6 +995,7 @@ class Searcher:
                 positions if with_pos else None,
                 doc_range=(lo, hi),
                 docsets=docsets,
+                sim=sim_b,
             )
             docs, scores = evaluate(spec_b, ctx)
             if deleted is not None and len(docs):

@@ -23,7 +23,7 @@ import numpy as np
 
 from lucene_spark.index.builder import FIELD_SEP
 from lucene_spark.search import ast as A
-from lucene_spark.search.similarity import BM25Stats, idf, score_freqs
+from lucene_spark.search.similarity import BM25_SIM, BM25Stats
 
 
 def field_of_key(key: str) -> str:
@@ -40,7 +40,7 @@ EMPTY_F = np.empty(0, dtype=np.float32)
 @dataclass(frozen=True)
 class TermSpec:
     term: str  # composite key ("field\x1fterm") for non-primary fields
-    weight: float  # float32 value: boost * idf
+    weight: object  # similarity weight params (BM25: float32 boost * idf)
     field: str = ""  # "" = primary field (selects the norm-inverse cache)
 
 
@@ -156,14 +156,24 @@ def compile_query(
     term_df: dict[str, int],
     boost: float = 1.0,
     stats_by_field: dict[str, BM25Stats] | None = None,
+    sim=None,
+    term_ttf: dict[str, int] | None = None,
 ):
     """AST (+ global stats) → spec tree. ``term_df`` maps term → df;
     missing terms score nothing. Boost folds into weights as float32
     (BM25Scorer weight = boost * idf, BM25Similarity.java:236-238).
     ``stats_by_field`` supplies per-field CollectionStatistics for
     composite term keys (multi-field indexes); a key's field picks its
-    own docCount for idf and its own norm-inverse cache at score time."""
+    own docCount for idf and its own norm-inverse cache at score time.
+    ``sim`` picks the Similarity (default BM25; Similarity.scorer role);
+    ``term_ttf`` supplies totalTermFreq for models that need it
+    (sim.needs_ttf, e.g. LMDirichlet's collection probability)."""
     b32 = np.float32(boost)
+    sim = sim if sim is not None else BM25_SIM
+    ttf_of = (term_ttf or {}).get
+
+    def _recur(sub, b):
+        return compile_query(sub, stats, term_df, b, stats_by_field, sim, term_ttf)
 
     def _stats_of(key: str) -> tuple[str, BM25Stats]:
         f = field_of_key(key)
@@ -175,7 +185,7 @@ def compile_query(
     if isinstance(q, A.MatchAllDocsQuery):
         return AllSpec(float(b32))
     if isinstance(q, A.BoostQuery):
-        return compile_query(q.query, stats, term_df, float(np.float32(b32 * np.float32(q.boost))), stats_by_field)
+        return _recur(q.query, float(np.float32(b32 * np.float32(q.boost))))
     if isinstance(q, A.ConstantScoreQuery):
         inner = q.query
         if isinstance(inner, A.TermInSetQuery):
@@ -184,21 +194,22 @@ def compile_query(
         if isinstance(inner, A.TermQuery):
             return ConstSpec((inner.term,), float(b32)) if term_df.get(inner.term) else NoneSpec()
         # generic: score inner, replace scores by boost
-        sub = compile_query(inner, stats, term_df, 1.0, stats_by_field)
+        sub = _recur(inner, 1.0)
         return ("const", sub, float(b32))
     if isinstance(q, A.TermQuery):
         df = term_df.get(q.term, 0)
         if df == 0:
             return NoneSpec()
         fld, st = _stats_of(q.term)
-        return TermSpec(q.term, float(st.term_weight(df, float(b32))), fld)
+        return TermSpec(q.term, sim.term_weight(st, df, ttf_of(q.term, 0), float(b32)), fld)
     if isinstance(q, A.SynonymQuery):
-        dfs = [term_df[t] for t in q.terms if term_df.get(t)]
-        if not dfs:
+        present = [t for t in q.terms if term_df.get(t)]
+        if not present:
             return NoneSpec()
         fld, st = _stats_of(q.terms[0])
-        w = np.float32(b32 * idf(max(dfs), st.doc_count))
-        return SynonymSpec(tuple(t for t in q.terms if term_df.get(t)), float(w), fld)
+        dfs = [term_df[t] for t in present]
+        w = sim.synonym_weight(st, dfs, [ttf_of(t, 0) for t in present], float(b32))
+        return SynonymSpec(tuple(present), w, fld)
     if isinstance(q, A.TermInSetQuery):
         terms = tuple(t for t in q.terms if term_df.get(t))
         return ConstSpec(terms, float(b32)) if terms else NoneSpec()
@@ -210,14 +221,14 @@ def compile_query(
         if any(not term_df.get(t) for t in q.terms):
             return NoneSpec()
         fld, st = _stats_of(q.terms[0])
-        total = float(np.sum([float(idf(term_df[t], st.doc_count)) for t in q.terms]))
-        return PhraseSpec(q.terms, float(np.float32(b32 * np.float32(total))), q.slop, fld)
+        w = sim.multi_weight(st, [term_df[t] for t in q.terms], [ttf_of(t, 0) for t in q.terms], float(b32))
+        return PhraseSpec(q.terms, w, q.slop, fld)
     if isinstance(q, A.SpanNearQuery):
         if any(not term_df.get(t) for t in q.terms):
             return NoneSpec()
         fld, st = _stats_of(q.terms[0])
-        total = float(np.sum([float(idf(term_df[t], st.doc_count)) for t in q.terms]))
-        return SpanNearSpec(q.terms, float(np.float32(b32 * np.float32(total))), q.slop, q.in_order, fld)
+        w = sim.multi_weight(st, [term_df[t] for t in q.terms], [ttf_of(t, 0) for t in q.terms], float(b32))
+        return SpanNearSpec(q.terms, w, q.slop, q.in_order, fld)
     if isinstance(q, A.IntervalQuery):
         from lucene_spark.search.intervals import terms_of
 
@@ -226,24 +237,24 @@ def compile_query(
         if not present:
             return NoneSpec()
         fld, st = _stats_of(present[0])
-        total = float(np.sum([float(idf(term_df[t], st.doc_count)) for t in present]))
-        return IntervalSpec(q.source, terms, float(np.float32(b32 * np.float32(total))), fld)
+        w = sim.multi_weight(st, [term_df[t] for t in present], [ttf_of(t, 0) for t in present], float(b32))
+        return IntervalSpec(q.source, terms, w, fld)
     if isinstance(q, A.MultiPhraseQuery):
         slots = tuple(tuple(t for t in slot if term_df.get(t)) for slot in q.positions)
         if any(not s for s in slots):
             return NoneSpec()
         uniq = sorted({t for slot in slots for t in slot})
         fld, st = _stats_of(uniq[0])
-        total = float(np.sum([float(idf(term_df[t], st.doc_count)) for t in uniq]))
-        return MultiPhraseSpec(slots, float(np.float32(b32 * np.float32(total))), q.slop, fld)
+        w = sim.multi_weight(st, [term_df[t] for t in uniq], [ttf_of(t, 0) for t in uniq], float(b32))
+        return MultiPhraseSpec(slots, w, q.slop, fld)
     if isinstance(q, A.DisjunctionMaxQuery):
-        subs = tuple(compile_query(s, stats, term_df, float(b32), stats_by_field) for s in q.queries)
+        subs = tuple(_recur(s, float(b32)) for s in q.queries)
         subs = tuple(s for s in subs if not isinstance(s, NoneSpec))
         return DisMaxSpec(subs, q.tie_breaker) if subs else NoneSpec()
     if isinstance(q, A.BooleanQuery):
         musts, shoulds, filters, nots = [], [], [], []
         for occ, sub in q.clauses:
-            spec = compile_query(sub, stats, term_df, float(b32) if occ is not A.Occur.FILTER else 1.0, stats_by_field)
+            spec = _recur(sub, float(b32) if occ is not A.Occur.FILTER else 1.0)
             if occ is A.Occur.MUST:
                 if isinstance(spec, NoneSpec):
                     return NoneSpec()
@@ -316,9 +327,12 @@ class ChunkContext:
         positions: dict[str, list] | None = None,
         doc_range: tuple[int, int] | None = None,
         docsets: dict | None = None,
+        sim=None,
     ):
         self.arrays = arrays
         self.cache = cache
+        # pluggable Similarity (BM25 default); owns score(freq, norm)
+        self.sim = sim if sim is not None else BM25_SIM
         self.all_docs = all_docs if all_docs is not None else EMPTY_I
         self.positions = positions or {}
         # [lo, hi) doc-id window of this chunk; None = whole corpus.
@@ -328,6 +342,10 @@ class ChunkContext:
         # PredSpec key → this context's doc-id slice (chunk-local in
         # distributed mode; whole set in driver mode)
         self.docsets = docsets or {}
+
+    def score(self, weight, freqs, norms, field: str) -> np.ndarray:
+        """Vectorized SimScorer.score over this context's field table."""
+        return self.sim.score(weight, freqs, norms, self.cache_for(field))
 
     def cache_for(self, field: str) -> np.ndarray:
         """Norm-inverse cache for a field ("" = primary). ``cache`` is
@@ -351,7 +369,7 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
         docs, tfs, norms = ctx.term(spec.term)
         if not len(docs):
             return EMPTY_I, EMPTY_F
-        return docs, score_freqs(np.float32(spec.weight), tfs, norms, ctx.cache_for(spec.field))
+        return docs, ctx.score(spec.weight, tfs, norms, spec.field)
     if isinstance(spec, SynonymSpec):
         # union with per-doc tf sums (SynonymQuery.java:196-212)
         parts = [ctx.term(t) for t in spec.terms]
@@ -365,7 +383,7 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
             mask, idx = _membership(d, docs)
             tf_sum[mask] += t[idx[mask]]
             norms_out[mask] = nm[idx[mask]]
-        return docs, score_freqs(np.float32(spec.weight), tf_sum, norms_out, ctx.cache_for(spec.field))
+        return docs, ctx.score(spec.weight, tf_sum, norms_out, spec.field)
     if isinstance(spec, DocSetSpec):
         d = np.asarray(spec.docs, dtype=np.int64)
         if ctx.doc_range is not None:
@@ -567,7 +585,7 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
         return EMPTY_I, EMPTY_F
     docs0, _, norms0 = parts[0]
     idx0 = np.searchsorted(docs0, cand[matched])
-    scores = score_freqs(np.float32(spec.weight), freqs[matched], norms0[idx0], ctx.cache_for(spec.field))
+    scores = ctx.score(spec.weight, freqs[matched], norms0[idx0], spec.field)
     return cand[matched], scores
 
 
@@ -644,9 +662,7 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
         matched = freqs > 0
         if not matched.any():
             return EMPTY_I, EMPTY_F
-        scores = score_freqs(
-            np.float32(spec.weight), freqs[matched], norms[matched], ctx.cache_for(spec.field)
-        )
+        scores = ctx.score(spec.weight, freqs[matched], norms[matched], spec.field)
         return cand[matched], scores
     for ci in range(len(cand)):
 
@@ -669,9 +685,7 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
     matched = freqs > 0
     if not matched.any():
         return EMPTY_I, EMPTY_F
-    scores = score_freqs(
-        np.float32(spec.weight), freqs[matched], norms[matched], ctx.cache_for(spec.field)
-    )
+    scores = ctx.score(spec.weight, freqs[matched], norms[matched], spec.field)
     return cand[matched], scores
 
 
@@ -741,7 +755,7 @@ def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.
             if len(d):
                 mask, idx = _membership(d, cand)
                 norms_out[mask] = nm[idx[mask]]
-        scores = score_freqs(np.float32(spec.weight), freqs[matched], norms_out[matched], ctx.cache_for(spec.field))
+        scores = ctx.score(spec.weight, freqs[matched], norms_out[matched], spec.field)
         return cand[matched], scores
 
     slots = [_slot_union(ctx, s) for s in spec.slots]
@@ -772,7 +786,7 @@ def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.
         return EMPTY_I, EMPTY_F
     d0, nm0, _ = slots[0]
     idx0 = np.searchsorted(d0, cand[matched])
-    scores = score_freqs(np.float32(spec.weight), freqs[matched], nm0[idx0], ctx.cache_for(spec.field))
+    scores = ctx.score(spec.weight, freqs[matched], nm0[idx0], spec.field)
     return cand[matched], scores
 
 
@@ -822,7 +836,7 @@ def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, n
         return EMPTY_I, EMPTY_F
     docs0, _, norms0 = parts[0]
     idx0 = np.searchsorted(docs0, cand[matched])
-    scores = score_freqs(np.float32(spec.weight), freqs[matched], norms0[idx0], ctx.cache_for(spec.field))
+    scores = ctx.score(spec.weight, freqs[matched], norms0[idx0], spec.field)
     return cand[matched], scores
 
 

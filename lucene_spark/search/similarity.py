@@ -76,3 +76,191 @@ class BM25Stats:
         (BM25Similarity.java:185-194, SynonymQuery.java:196-212)."""
         total = float(np.sum([float(idf(df, self.doc_count)) for df in doc_freqs]))
         return np.float32(np.float32(boost) * np.float32(total))
+
+
+# ---- pluggable Similarity strategies ----------------------------------------
+#
+# The reference keeps scoring pluggable (Similarity.java; 45 models under
+# lucene/core/src/java/org/apache/lucene/search/similarities/). The engine
+# mirrors the plug: a Similarity object owns (a) the per-term weight folding
+# done at Weight-creation time, (b) the 256-entry norm-byte table shipped to
+# kernels, and (c) the vectorized score(freq, norm) kernel. BM25 stays the
+# default and its numerics are byte-identical to the module-level functions
+# above. All models are monotone non-decreasing in freq and non-increasing
+# in length, so the block-max WAND/conjunction pruning bounds computed from
+# competitive impacts remain true upper bounds for every model.
+
+
+class Similarity:
+    """SimScorer factory (Similarity.java:143 scorer()). ``weight`` is
+    whatever ``term_weight``/``multi_weight`` returned — a plain float
+    for single-scalar models, a tuple of per-term params for
+    SimilarityBase's MultiSimScorer composition."""
+
+    name = "?"
+    needs_ttf = False  # does term_weight require totalTermFreq?
+
+    def table(self, stats: BM25Stats) -> np.ndarray:
+        raise NotImplementedError
+
+    def term_weight(self, stats: BM25Stats, df: int, ttf: int, boost: float):
+        raise NotImplementedError
+
+    def synonym_weight(self, stats: BM25Stats, dfs: list[int], ttfs: list[int], boost: float):
+        """SynonymQuery merges term statistics into ONE TermStatistics
+        (docFreq = max, totalTermFreq = sum; SynonymQuery.java:156-170)."""
+        return self.term_weight(stats, max(dfs), int(sum(ttfs)), boost)
+
+    def multi_weight(self, stats: BM25Stats, dfs: list[int], ttfs: list[int], boost: float):
+        """PhraseWeight-style scorer over a term-stats ARRAY
+        (Similarity.scorer(boost, collectionStats, termStats...))."""
+        raise NotImplementedError
+
+    def score(self, weight, freqs, norm_bytes, table: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class BM25Sim(Similarity):
+    """BM25Similarity.java — the default; delegates to the exact-float32
+    helpers above so numerics are unchanged from the non-pluggable path."""
+
+    name = "bm25"
+
+    def table(self, stats: BM25Stats) -> np.ndarray:
+        return stats.cache()
+
+    def term_weight(self, stats: BM25Stats, df: int, ttf: int, boost: float):
+        return float(stats.term_weight(df, boost))
+
+    def synonym_weight(self, stats, dfs, ttfs, boost):
+        # engine's SynonymSpec semantics: merged df = max (see kernels)
+        return float(np.float32(np.float32(boost) * idf(max(dfs), stats.doc_count)))
+
+    def multi_weight(self, stats, dfs, ttfs, boost):
+        total = float(np.sum([float(idf(df, stats.doc_count)) for df in dfs]))
+        return float(np.float32(np.float32(boost) * np.float32(total)))
+
+    def score(self, weight, freqs, norm_bytes, table):
+        return score_freqs(np.float32(weight), freqs, norm_bytes, table)
+
+
+class ClassicSim(Similarity):
+    """ClassicSimilarity.java (TF-IDF): tf = sqrt(freq), idf =
+    ln((docCount+1)/(docFreq+1)) + 1, lengthNorm = 1/sqrt(len).
+    TFIDFSimilarity.java:489-510: queryWeight = boost * idf (f32);
+    score = (tf(freq) * queryWeight) * normTable[normByte], all f32;
+    normTable[0] = 1/normTable[255] (:475-481)."""
+
+    name = "classic"
+
+    @staticmethod
+    def idf(df: int, doc_count: int) -> np.float32:
+        return np.float32(np.log((doc_count + 1) / float(df + 1)) + 1.0)
+
+    def table(self, stats: BM25Stats) -> np.ndarray:
+        t = np.zeros(256, dtype=np.float32)
+        lens = NORM_LENGTH_TABLE[1:].astype(np.float64)
+        t[1:] = (1.0 / np.sqrt(lens)).astype(np.float32)
+        t[0] = np.float32(1.0) / t[255]
+        return t
+
+    def term_weight(self, stats, df, ttf, boost):
+        return float(np.float32(np.float32(boost) * self.idf(df, stats.doc_count)))
+
+    def synonym_weight(self, stats, dfs, ttfs, boost):
+        return self.term_weight(stats, max(dfs), int(sum(ttfs)), boost)
+
+    def multi_weight(self, stats, dfs, ttfs, boost):
+        # TFIDFSimilarity.idfExplain(termStats[]): sum of per-term idfs
+        # (double accumulate, float cast), then queryWeight = boost*idf
+        total = float(np.sum([float(self.idf(df, stats.doc_count)) for df in dfs]))
+        return float(np.float32(np.float32(boost) * np.float32(total)))
+
+    def score(self, weight, freqs, norm_bytes, table):
+        tf = np.sqrt(np.asarray(freqs, dtype=np.float64)).astype(np.float32)
+        raw = tf * np.float32(weight)
+        return (raw * table[np.asarray(norm_bytes, dtype=np.int64)]).astype(np.float32)
+
+
+class BooleanSim(Similarity):
+    """BooleanSimilarity.java:58-60 — score == query boost; norms and
+    freqs are ignored entirely."""
+
+    name = "boolean"
+
+    def table(self, stats):
+        return np.zeros(256, dtype=np.float32)
+
+    def term_weight(self, stats, df, ttf, boost):
+        return float(np.float32(boost))
+
+    def synonym_weight(self, stats, dfs, ttfs, boost):
+        return float(np.float32(boost))
+
+    def multi_weight(self, stats, dfs, ttfs, boost):
+        return float(np.float32(boost))
+
+    def score(self, weight, freqs, norm_bytes, table):
+        return np.full(len(np.asarray(freqs)), np.float32(weight), dtype=np.float32)
+
+
+class LMDirichletSim(Similarity):
+    """LMDirichletSimilarity.java:70-75 — score = boost * (ln(1 +
+    freq/(mu*p)) + ln(mu/(docLen+mu))), clamped at 0, cast f32; p =
+    (totalTermFreq+1)/(numberOfFieldTokens+1) (LMSimilarity.java:145-147,
+    DefaultCollectionModel). docLen is the DECODED norm length
+    (SimilarityBase.java:211-225 BasicSimScorer). Multi-term weights
+    compose as MultiSimilarity.MultiSimScorer — a float32 sum of the
+    per-term clamped scores (SimilarityBase.scorer for termStats.length
+    > 1). ``weight`` is a tuple of (boost, collectionProbability)."""
+
+    name = "lmdirichlet"
+    needs_ttf = True
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(mu)
+
+    def table(self, stats):
+        lens = NORM_LENGTH_TABLE.astype(np.float64)
+        return np.log(self.mu / (lens + self.mu))
+
+    def term_weight(self, stats, df, ttf, boost):
+        p = (ttf + 1.0) / (stats.sum_total_term_freq + 1.0)
+        return ((float(boost), p),)
+
+    def synonym_weight(self, stats, dfs, ttfs, boost):
+        return self.term_weight(stats, max(dfs), int(sum(ttfs)), boost)
+
+    def multi_weight(self, stats, dfs, ttfs, boost):
+        return tuple(self.term_weight(stats, df, ttf, boost)[0] for df, ttf in zip(dfs, ttfs))
+
+    def score(self, weight, freqs, norm_bytes, table):
+        f = np.asarray(freqs, dtype=np.float64)
+        tl = table[np.asarray(norm_bytes, dtype=np.int64)]
+        out = np.zeros(len(f), dtype=np.float32)
+        for boost, p in weight:
+            s = boost * (np.log1p(f / (self.mu * p)) + tl)
+            out = out + np.maximum(s, 0.0).astype(np.float32)  # f32 accumulate
+        return out.astype(np.float32)
+
+
+BM25_SIM = BM25Sim()
+
+_SIMILARITIES = {
+    "bm25": BM25Sim,
+    "classic": ClassicSim,
+    "boolean": BooleanSim,
+    "lmdirichlet": LMDirichletSim,
+}
+
+
+def get_similarity(sim) -> Similarity:
+    """Name or instance → Similarity (IndexSearcher.setSimilarity role)."""
+    if isinstance(sim, Similarity):
+        return sim
+    if sim is None:
+        return BM25_SIM
+    try:
+        return _SIMILARITIES[sim]()
+    except KeyError:
+        raise ValueError(f"unknown similarity {sim!r}; one of {sorted(_SIMILARITIES)}") from None

@@ -32,7 +32,7 @@ import numpy as np
 
 from lucene_spark.codec.forutil import BLOCK_SIZE, decode_blocks
 from lucene_spark.search.kernels import top_k_from_arrays
-from lucene_spark.search.similarity import score_freqs
+from lucene_spark.search.similarity import BM25_SIM
 
 _INF_DOC = np.int64(2**62)
 
@@ -43,13 +43,18 @@ class PostingSource:
 
     def __init__(
         self,
-        weight: float,
+        weight,
         cache: np.ndarray,
         chunks: list[tuple[bytes, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]],
+        sim=None,
     ):
         """chunks: list of (blob, block_last, imp_block, imp_freq, imp_norm, df)
-        in ascending doc-range order (chunk rows from the index)."""
-        self.weight = np.float32(weight)
+        in ascending doc-range order (chunk rows from the index). ``sim``
+        is the pluggable Similarity (BM25 default); every model is
+        monotone in freq and anti-monotone in length, so block maxima
+        over the competitive-impact Pareto pairs stay true upper bounds."""
+        self.sim = sim if sim is not None else BM25_SIM
+        self.weight = weight
         self.cache = cache
         self.chunks = chunks
         # global block table: (chunk_idx, local_block, end_doc, ub_score)
@@ -58,7 +63,7 @@ class PostingSource:
             n_blocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
             ub = np.zeros(n_blocks, dtype=np.float32)
             if len(ib):
-                s = score_freqs(self.weight, np.asarray(if_), np.asarray(in_), cache)
+                s = self.sim.score(self.weight, np.asarray(if_), np.asarray(in_), cache)
                 np.maximum.at(ub, np.asarray(ib, dtype=np.int64), s)
             for b in range(n_blocks):
                 end = int(block_last[b])  # exact per-block last doc (incl. tail)
@@ -114,7 +119,7 @@ class PostingSource:
         docs = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         norms = np.concatenate([p[2] for p in parts])
-        return docs, score_freqs(self.weight, tfs, norms, self.cache)
+        return docs, self.sim.score(self.weight, tfs, norms, self.cache)
 
 
 def wand_top_k(

@@ -1,0 +1,216 @@
+"""Pluggable Similarity models vs from-definition brute force.
+
+References:
+- ClassicSimilarity.java:38-64 (tf = sqrt(freq), idf = ln((N+1)/(df+1))+1,
+  lengthNorm = 1/sqrt(len)); TFIDFSimilarity.java:475-510 (normTable,
+  queryWeight = boost*idf, score = tf*queryWeight*normTable[norm], f32)
+- BooleanSimilarity.java:58-60 (score == boost)
+- LMDirichletSimilarity.java:70-75 + LMSimilarity.java:145-147
+  (score = boost*(ln(1+freq/(mu*p)) + ln(mu/(len+mu))) clamped at 0;
+  p = (ttf+1)/(numFieldTokens+1)); SimilarityBase.java:76-96 multi-term
+  composition = MultiSimScorer f32 sum of per-term clamped scores.
+
+Every model must agree with the brute scorer on score VALUES and on
+rank order, in driver mode (WAND + conjunction + exhaustive kernels)
+and distributed mode, and block-max pruning must stay exact.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis.tokenizer import tokenize
+from lucene_spark.codec.smallfloat import NORM_LENGTH_TABLE, int_to_byte4
+from lucene_spark.search.engine import Searcher
+from lucene_spark.search.similarity import get_similarity
+
+MU = 2000.0
+
+
+class BruteSim:
+    """From-definitions exhaustive scorer for all 4 models."""
+
+    def __init__(self, corpus_pdf):
+        ordered = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        self.toks = {i: tokenize(ordered.loc[i, "content"]) for i in range(len(ordered))}
+        self.tfs = {i: Counter(t) for i, t in self.toks.items()}
+        self.N = len(self.toks)
+        self.sum_ttf = sum(len(t) for t in self.toks.values())
+        # engine stores the SmallFloat-encoded length; decode like kernels do
+        self.enc_len = {
+            i: int(NORM_LENGTH_TABLE[int_to_byte4(len(t))]) for i, t in self.toks.items()
+        }
+
+    def df(self, term):
+        return sum(1 for c in self.tfs.values() if term in c)
+
+    def ttf(self, term):
+        return sum(c[term] for c in self.tfs.values())
+
+    def term_scores(self, term, model, boost=1.0):
+        df, ttf = self.df(term), self.ttf(term)
+        out = {}
+        for i, c in self.tfs.items():
+            f = c.get(term, 0)
+            if not f:
+                continue
+            out[i] = self._score(model, f, self.enc_len[i], df, ttf, boost)
+        return out
+
+    def _score(self, model, f, L, df, ttf, boost=1.0):
+        b = np.float32(boost)
+        if model == "bm25":
+            idf = np.float32(np.log(1.0 + (self.N - df + 0.5) / (df + 0.5)))
+            w = np.float32(b * idf)
+            avgdl = np.float32(self.sum_ttf / float(self.N))
+            inv = np.float32(1.0) / (
+                np.float32(1.2) * ((np.float32(0.25)) + np.float32(0.75) * np.float32(L) / avgdl)
+            )
+            return float(w - w / (np.float32(1.0) + np.float32(f) * inv))
+        if model == "classic":
+            idf = np.float32(np.log((self.N + 1) / float(df + 1)) + 1.0)
+            w = np.float32(b * idf)
+            tf = np.float32(np.sqrt(float(f)))
+            return float(np.float32(np.float32(tf * w) * np.float32(1.0 / np.sqrt(L))))
+        if model == "boolean":
+            return float(b)
+        if model == "lmdirichlet":
+            p = (ttf + 1.0) / (self.sum_ttf + 1.0)
+            s = float(boost) * (np.log1p(f / (MU * p)) + np.log(MU / (L + MU)))
+            return float(np.float32(max(s, 0.0)))
+        raise ValueError(model)
+
+    def top_k(self, scores: dict, k=10):
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(d, round(s, 4)) for d, s in ranked]
+
+
+@pytest.fixture(scope="module")
+def brute(corpus_pdf):
+    return BruteSim(corpus_pdf)
+
+
+def _hits(td, k=10):
+    return [(d, round(float(s), 4)) for d, s in td.hits[:k]]
+
+
+MODELS = ["classic", "boolean", "lmdirichlet"]
+
+
+@pytest.mark.parametrize("model", MODELS)
+def test_term_query_matches_brute(search_index, brute, model):
+    se = Searcher(search_index, similarity=model)
+    for term in ["return", "import", "data"]:
+        want = brute.top_k(brute.term_scores(term, model))
+        assert _hits(se.search(term, k=10)) == want, (model, term)
+        assert _hits(se.search(term, k=10, mode="distributed")) == want, (model, term)
+
+
+@pytest.mark.parametrize("model", MODELS)
+def test_bool_or_and_matches_brute(search_index, brute, model):
+    se = Searcher(search_index, similarity=model)
+    a = brute.term_scores("return", model)
+    c = brute.term_scores("class", model)
+    # OR: f32 sum via float64 accumulate then cast (DisjunctionSumScorer)
+    union = {}
+    for d in set(a) | set(c):
+        union[d] = float(np.float32(np.float64(a.get(d, 0.0)) + np.float64(c.get(d, 0.0))))
+    want_or = brute.top_k(union)
+    got_or = _hits(se.search("return OR class", k=10))
+    assert got_or == want_or, model
+    # AND
+    inter = {d: union[d] for d in set(a) & set(c)}
+    want_and = brute.top_k(inter)
+    assert _hits(se.search("return AND class", k=10)) == want_and, model
+    assert _hits(se.search("return AND class", k=10, mode="distributed")) == want_and, model
+
+
+@pytest.mark.parametrize("model", MODELS)
+def test_wand_equals_exhaustive(search_index, brute, model):
+    """Block-max pruning must stay exact for every model (upper bounds
+    from impacts hold because all models are monotone in freq and
+    anti-monotone in length)."""
+    se = Searcher(search_index, similarity=model, total_hits_threshold=1)
+    se_full = Searcher(search_index, similarity=model, total_hits_threshold=10**9)
+    for q in ["return OR class OR data", "import OR the"]:
+        assert _hits(se.search(q, k=5)) == _hits(se_full.search(q, k=5)), (model, q)
+
+
+@pytest.mark.parametrize("model", MODELS)
+def test_phrase_weight_composition(search_index, brute, model):
+    """PhraseWeight = Similarity.scorer over the term-stats ARRAY:
+    summed idf (TFIDF), boost (Boolean), MultiSimScorer sum (LMD)."""
+    se = Searcher(search_index, similarity=model)
+    got = se.search('"the data"', k=10)
+    # recompute phrase freqs by brute positional scan
+    freqs = {}
+    for i, toks in brute.toks.items():
+        f = sum(
+            1
+            for j in range(len(toks) - 1)
+            if toks[j] == "the" and toks[j + 1] == "data"
+        )
+        if f:
+            freqs[i] = f
+    if model == "classic":
+        idf = np.float32(
+            np.float32(np.log((brute.N + 1) / float(brute.df("the") + 1)) + 1.0)
+            + np.float32(np.log((brute.N + 1) / float(brute.df("data") + 1)) + 1.0)
+        )
+        w = np.float32(np.float32(1.0) * np.float32(float(idf)))
+        want = {
+            i: float(
+                np.float32(
+                    np.float32(np.float32(np.sqrt(float(f))) * w)
+                    * np.float32(1.0 / np.sqrt(brute.enc_len[i]))
+                )
+            )
+            for i, f in freqs.items()
+        }
+    elif model == "boolean":
+        want = {i: 1.0 for i in freqs}
+    else:  # lmdirichlet: MultiSimScorer f32 sum of per-term clamped scores
+        want = {}
+        for i, f in freqs.items():
+            tot = np.float32(0.0)
+            for t in ("the", "data"):
+                p = (brute.ttf(t) + 1.0) / (brute.sum_ttf + 1.0)
+                s = 1.0 * (np.log1p(f / (MU * p)) + np.log(MU / (brute.enc_len[i] + MU)))
+                tot = tot + np.float32(max(s, 0.0))
+            want[i] = float(tot)
+    assert _hits(got) == brute.top_k(want), model
+
+
+def test_bm25_is_default_and_unchanged(search_index):
+    assert Searcher(search_index).sim.name == "bm25"
+    a = Searcher(search_index).search("return OR class", k=10)
+    b = Searcher(search_index, similarity="bm25").search("return OR class", k=10)
+    assert a.hits == b.hits
+
+
+def test_get_similarity_errors():
+    with pytest.raises(ValueError):
+        get_similarity("nope")
+
+
+@pytest.mark.parametrize("model", MODELS)
+def test_synonym_merged_stats(search_index, brute, model):
+    """SynonymQuery merges term stats (df = max, ttf = sum,
+    SynonymQuery.java:156-170) and scores the SUMMED tf once."""
+    from lucene_spark.search import ast as A
+
+    se = Searcher(search_index, similarity=model)
+    terms = ("return", "class")
+    got = se.search(A.SynonymQuery(terms), k=10)
+    tf_union = {}
+    for i, c in brute.tfs.items():
+        f = c.get("return", 0) + c.get("class", 0)
+        if f:
+            tf_union[i] = f
+    df = max(brute.df(t) for t in terms)
+    ttf = sum(brute.ttf(t) for t in terms)
+    want = {i: brute._score(model, f, brute.enc_len[i], df, ttf) for i, f in tf_union.items()}
+    assert _hits(got) == brute.top_k(want), model
