@@ -86,6 +86,50 @@ def _strip_possessive(t: str) -> str:
     return t
 
 
+# ---- the "code" analyzer: WordDelimiterGraphFilter-style splitting ---------
+#
+# WordDelimiterGraphFilter (lucene/analysis/common/src/java/org/apache/lucene/
+# analysis/miscellaneous/WordDelimiterGraphFilter.java:63-105 javadoc;
+# WordDelimiterIterator.java charType machine) with the configuration a
+# source-code search deployment uses: GENERATE_WORD_PARTS |
+# GENERATE_NUMBER_PARTS | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS |
+# STEM_ENGLISH_POSSESSIVE, no catenation and no preserveOriginal — with
+# only generate flags the output is a LINEAR token stream (each part
+# consumes one position, first part taking the original's position,
+# WordDelimiterGraphFilter.java:380-393), so no token graph arises.
+# "XMLHttpRequest" → xml,http,request; "snake_case" → snake,case;
+# "SD500" → sd,500; "O'Neil's" → o,neil.
+#
+# Part boundaries (WordDelimiterIterator): category runs of
+# digit / UPPER / lower, where an UPPER run followed by Upper+lower
+# surrenders its last upper to the next part, and every non-alnum char
+# (incl. the underscores StandardTokenizer keeps via ExtendNumLet) is a
+# delimiter. Non-ASCII cased letters are grouped with the lowercase
+# class (documented subset: source-code identifiers are ASCII; the
+# reference uses Character.isUpperCase over all of Unicode).
+_CODE_PART_RE = re.compile(r"\d+|[A-Z]+(?![a-z])|[A-Z]?[^\W\d_A-Z]+")
+
+
+def code_parts(token: str) -> list[str]:
+    """Subword parts of one StandardTokenizer token, lowercased."""
+    return [m.group().lower() for m in _CODE_PART_RE.finditer(_strip_possessive(token))]
+
+
+def code_parts_spans(token: str) -> list[tuple[str, int, int]]:
+    """(part, start, end) with offsets relative to the token start
+    (OffsetAttribute contract: parts point into the original text)."""
+    return [
+        (m.group().lower(), m.start(), m.end())
+        for m in _CODE_PART_RE.finditer(_strip_possessive(token))
+    ]
+
+
+def _expander(stem):
+    """token → list-of-parts analyzers (1:N chains, currently "code");
+    None for every 1:1 chain handled by :func:`_emitter`."""
+    return code_parts if stem == "code" else None
+
+
 def _emitter(stem):
     """Analyzer filter chain AFTER the tokenizer, as one
     token → (token | None) function; None = token removed but still
@@ -127,6 +171,9 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH, stem: bool = F
     :func:`_emitter`). Stop-removed tokens are dropped from the output
     (positions are only tracked by the *_positions variants)."""
     out = [t for t in _raw_tokens(text) if len(t) <= max_token_length]
+    ex = _expander(stem)
+    if ex is not None:
+        return [p for t in out for p in ex(t)]
     em = _emitter(stem)
     if em is None:
         return [t.lower() for t in out]
@@ -155,20 +202,39 @@ def tokenize_pos_off_series(
     (tokens, positions, starts, ends) Series of equal-length lists.
     Offsets index the ORIGINAL text (lowercasing and stemming never
     move offsets — both filters are offset-preserving)."""
-    em = _emitter(stem)
+    ex = _expander(stem)
+    em = None if ex is not None else _emitter(stem)
     toks_out, pos_out, st_out, en_out = [], [], [], []
     for text in texts.fillna(""):
         toks, poss, sts, ens = [], [], [], []
-        for p, m in enumerate(_TOKEN_RE.finditer(text)):
-            t = m.group()
-            if len(t) <= max_token_length:
-                r = em(t) if em else t.lower()
-                if r is None:  # stop-removed: consumes position only
+        if ex is not None:
+            pos = 0
+            for m in _TOKEN_RE.finditer(text):
+                t = m.group()
+                if len(t) > max_token_length:
+                    pos += 1
                     continue
-                toks.append(r)
-                poss.append(p)
-                sts.append(m.start())
-                ens.append(m.end())
+                spans = code_parts_spans(t)
+                if not spans:
+                    pos += 1
+                    continue
+                for part, rs, re_ in spans:
+                    toks.append(part)
+                    poss.append(pos)
+                    sts.append(m.start() + rs)
+                    ens.append(m.start() + re_)
+                    pos += 1
+        else:
+            for p, m in enumerate(_TOKEN_RE.finditer(text)):
+                t = m.group()
+                if len(t) <= max_token_length:
+                    r = em(t) if em else t.lower()
+                    if r is None:  # stop-removed: consumes position only
+                        continue
+                    toks.append(r)
+                    poss.append(p)
+                    sts.append(m.start())
+                    ens.append(m.end())
         toks_out.append(toks)
         pos_out.append(poss)
         st_out.append(sts)
@@ -189,6 +255,9 @@ def tokenize_series(
     # str.findall is the pandas-vectorized regex scan; the lowercase +
     # length filter runs on the token lists (tiny vs the regex cost).
     raw = texts.fillna("").str.findall(_TOKEN_RE)
+    ex = _expander(stem)
+    if ex is not None:
+        return raw.map(lambda ts: [p for t in ts if len(t) <= max_token_length for p in ex(t)])
     em = _emitter(stem)
     if em:
         return raw.map(
@@ -208,17 +277,37 @@ def tokenize_pos_series(
     tokens still consume a position increment). Returns (tokens,
     positions) Series of equal-length lists."""
     raw = texts.fillna("").str.findall(_TOKEN_RE)
-    em = _emitter(stem)
+    ex = _expander(stem)
+    em = None if ex is not None else _emitter(stem)
     toks_out, pos_out = [], []
     for ts in raw:
         toks, poss = [], []
-        for p, t in enumerate(ts):
-            if len(t) <= max_token_length:
-                r = em(t) if em else t.lower()
-                if r is None:  # stop-removed: consumes position only
+        if ex is not None:
+            # 1:N chains: each part consumes one position (first part
+            # takes the original token's position, the rest increment —
+            # WordDelimiterGraphFilter.java:380-393); a dropped or
+            # part-less token still consumes one position
+            pos = 0
+            for t in ts:
+                if len(t) > max_token_length:
+                    pos += 1
                     continue
-                toks.append(r)
-                poss.append(p)
+                parts = ex(t)
+                if not parts:
+                    pos += 1
+                    continue
+                for part in parts:
+                    toks.append(part)
+                    poss.append(pos)
+                    pos += 1
+        else:
+            for p, t in enumerate(ts):
+                if len(t) <= max_token_length:
+                    r = em(t) if em else t.lower()
+                    if r is None:  # stop-removed: consumes position only
+                        continue
+                    toks.append(r)
+                    poss.append(p)
         toks_out.append(toks)
         pos_out.append(poss)
     return pd.Series(toks_out, index=texts.index), pd.Series(pos_out, index=texts.index)

@@ -84,6 +84,64 @@ def gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]
     return _CACHE[key]
 
 
+def code_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """Index with the "code" analyzer (WordDelimiterGraphFilter role)
+    over a camelCase-joined derivation of the documents text: initcap
+    each word, then join (word, Capitalized-word) pairs. Splitting the
+    joined identifiers on case transitions restores EXACTLY the
+    standard token stream of the ORIGINAL text (the corpus is pure
+    lowercase alpha words — verified at every sf), so the standard
+    BM25 SQL oracles (tscore/post CTEs) apply to these queries
+    unchanged: the gate proves the 1:N analyzer round-trips through
+    the whole index + query pipeline."""
+    key = ("code", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gatec_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True, analyzer="code")
+        corpus = corpus_df(spark, sf_dir).drop("title").withColumn(
+            "content",
+            F.regexp_replace(F.initcap(F.col("content")), r"(\w+) ([A-Z][a-z]+)", "$1$2"),
+        )
+        IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
+def multi_gate_index(spark: SparkSession, sf_dir: str):
+    """Two half-indexes split at the doc-id midpoint (local 0-based ids
+    in each) + a MultiSearcher over them (MultiReader role). Global
+    stats sum across leaves and doc ids rebase by cumulative maxDoc, so
+    composite hits coincide with the whole-corpus index — the standard
+    tscore oracle applies unchanged (IndexSearcher.java:947-962)."""
+    from lucene_spark.search.multi import MultiSearcher
+
+    key = ("multi", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    halves = []
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    mid = n_docs // 2
+    for i, (lo, hi, shift) in enumerate([(0, mid, 0), (mid, n_docs, mid)]):
+        idx_dir = f"/tmp/lucene_spark_gatem_{ENGINE_VERSION}/{name}_{i}"
+        if not os.path.exists(f"{idx_dir}/manifest.json"):
+            cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True)
+            corpus = (
+                corpus_df(spark, sf_dir)
+                .drop("title")
+                .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                .withColumn("doc_id", F.col("doc_id") - F.lit(shift))
+            )
+            IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
+        halves.append(SearchIndex(spark, idx_dir))
+    _CACHE[key] = MultiSearcher(halves)
+    return _CACHE[key]
+
+
 def sorted_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
     """Index-sorted gate index (IndexWriterConfig.setIndexSort role):
     doc ids assigned by (n_chars DESC, src doc_id ASC), so sorted
@@ -246,6 +304,22 @@ def queries() -> dict:
     # LMDirichletSimilarity.java) over the same index/norms
     Q["ft_classic_top10"] = lambda spark, sf: _hits_df(
         spark, _sim_search(spark, sf, "classic", A.TermQuery("table"))
+    )
+    # "code" analyzer (WordDelimiterGraphFilter): same scores as the
+    # standard index over the original text — the camel join is
+    # inverted by the splitter (round-trip proof, see code_gate_index)
+    Q["ft_code_top10"] = lambda spark, sf: _hits_df(
+        spark, code_gate_index(spark, sf)[1].search("table", k=10)
+    )
+    # MultiReader: two half-indexes, summed stats, rebased doc ids —
+    # must equal the single-index tscore oracle exactly
+    Q["ft_multi_top10"] = lambda spark, sf: _hits_df(
+        spark, multi_gate_index(spark, sf).search("table OR merge", k=10)
+    )
+    # quoted camelCase identifier splices into a positional phrase
+    # (QueryBuilder.createFieldQuery(quoted=true) over the parts)
+    Q["ft_codephrase_top10"] = lambda spark, sf: _hits_df(
+        spark, code_gate_index(spark, sf)[1].search('"tableHash"', k=10)
     )
     Q["ft_lmd_top10"] = lambda spark, sf: _hits_df(
         spark, _sim_search(spark, sf, "lmdirichlet", A.TermQuery("table"))
@@ -1133,6 +1207,10 @@ def oracle_sql() -> dict[str, str]:
     O["ft_term_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     # ClassicSimilarity: tf = sqrt(freq), idf = ln((N+1)/(df+1)) + 1,
     # lengthNorm = 1/sqrt(len) (ClassicSimilarity.java:38-64)
+    O["ft_code_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    O["ft_multi_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('table','merge') GROUP BY doc_id"
+    )
     O["ft_classic_top10"] = topk_sql(
         "SELECT f.doc_id, sqrt(f.tf) * (ln(((SELECT n FROM stats) + 1) / (d.df + 1.0)) + 1.0) "
         "* (1.0 / sqrt(n.dlen)) AS s "
@@ -1169,6 +1247,9 @@ def oracle_sql() -> dict[str, str]:
         "JOIN norms n ON n.doc_id = p.doc_id, "
         "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws"
     )
+    # the code-analyzer phrase gate splices "tableHash" → [table, hash]:
+    # identical positional semantics to the standard exact phrase
+    O["ft_codephrase_top10"] = O["ft_phrase_top10"]
     # 2-term sloppy phrase ("table hash"~3): the reference pq traversal
     # (SloppyPhraseMatcher.java:162-205) reduces, for two distinct
     # terms, to an alternating cross-list successor chain over the

@@ -183,69 +183,111 @@ class Searcher:
         query-side enablePositionIncrements=false convention); since
         the INDEX keeps the gap (StopFilter position increments), an
         exact phrase spanning a removed stopword does not match — use
-        slop >= number of removed terms. Documented subset."""
-        from lucene_spark.analysis.tokenizer import _emitter
+        slop >= number of removed terms. Documented subset.
 
-        em = _emitter(self.index.analyzer)
-        out = self._analyze_node(q, em)
+        1:N chains (the "code" analyzer): a term that splits into
+        multiple parts follows QueryBuilder.createFieldQuery
+        (QueryBuilder.java:350-384) — an unquoted term producing
+        several sequential tokens becomes a SHOULD BooleanQuery of the
+        parts (analyzeMultiBoolean), a phrase term splices its parts
+        into the phrase slots in order (positions are sequential, no
+        graph arises with generate-only flags)."""
+        from lucene_spark.analysis.tokenizer import _emitter, _expander
+
+        ex = _expander(self.index.analyzer)
+        if ex is None:
+            em = _emitter(self.index.analyzer)
+
+            def mex(t: str) -> list[str]:
+                r = em(t)
+                return [r] if r is not None else []
+
+        else:
+            mex = ex
+        out = self._analyze_node(q, mex)
         return out if out is not None else A.MatchNoDocsQuery("query analyzed to no terms")
 
-    def _analyze_node(self, q: A.Query, em):
+    def _analyze_node(self, q: A.Query, mex):
+        """``mex``: token → list of analyzed parts ([] = removed)."""
+
         def one(t: str):
-            return em(t)
+            parts = mex(t)
+            return parts[0] if parts else None
 
         def keep(ts):
             return tuple(r for r in (one(t) for t in ts) if r is not None)
 
+        def flat(ts):
+            return tuple(p for t in ts for p in mex(t))
+
         if isinstance(q, A.TermQuery):
-            t = one(q.term)
-            return A.TermQuery(t, q.field) if t is not None else None
+            parts = mex(q.term)
+            if not parts:
+                return None
+            if len(parts) == 1:
+                return A.TermQuery(parts[0], q.field)
+            # analyzeMultiBoolean: multi-token unquoted term → SHOULD
+            return A.BooleanQuery(
+                tuple((A.Occur.SHOULD, A.TermQuery(p, q.field)) for p in parts)
+            )
         if isinstance(q, A.PhraseQuery):
-            ts = keep(q.terms)
+            ts = flat(q.terms)
             if not ts:
                 return None
             return A.TermQuery(ts[0], q.field) if len(ts) == 1 else A.PhraseQuery(ts, q.slop, q.field)
         if isinstance(q, A.MultiPhraseQuery):
-            slots = tuple(s for s in (keep(slot) for slot in q.positions) if s)
+            slots = []
+            for slot in q.positions:
+                if len(slot) == 1:
+                    # single-alternative slot: parts splice in sequence
+                    slots.extend((p,) for p in mex(slot[0]))
+                else:
+                    alts = keep(slot)
+                    if alts:
+                        slots.append(alts)
             if not slots:
                 return None
-            return A.MultiPhraseQuery(slots, q.slop, q.field)
+            return A.MultiPhraseQuery(tuple(slots), q.slop, q.field)
         if isinstance(q, A.SpanNearQuery):
-            ts = keep(q.terms)
+            ts = flat(q.terms)
             if not ts:
                 return None
             return A.TermQuery(ts[0], q.field) if len(ts) == 1 else A.SpanNearQuery(ts, q.slop, q.in_order, q.field)
         if isinstance(q, A.IntervalQuery):
             # analyze terms in place; a stop term keeps its surface form
             # (it is absent from the index, so the source just won't
-            # match — dropping an interval operand would change shape)
+            # match — dropping an interval operand would change shape).
+            # 1:N chains map each term to its FIRST part (documented
+            # subset: interval sources are positional trees, not graphs)
             from lucene_spark.search.intervals import map_terms
 
-            return A.IntervalQuery(map_terms(q.source, em), q.field)
+            return A.IntervalQuery(
+                map_terms(q.source, lambda t: (mex(t) or [t])[0]), q.field
+            )
         if isinstance(q, A.SynonymQuery):
-            ts = keep(q.terms)
+            ts = flat(q.terms)
             return A.SynonymQuery(ts, q.field) if ts else None
         if isinstance(q, A.TermInSetQuery):
-            ts = keep(q.terms)
+            ts = flat(q.terms)
             return A.TermInSetQuery(ts, q.field) if ts else None
         if isinstance(q, A.BooleanQuery):
             clauses = tuple(
                 (o, s)
-                for o, s in ((o, self._analyze_node(s, em)) for o, s in q.clauses)
+                for o, s in ((o, self._analyze_node(s, mex)) for o, s in q.clauses)
                 if s is not None
             )
             if not clauses:
                 return None
             return A.BooleanQuery(clauses, q.minimum_should_match)
         if isinstance(q, A.BoostQuery):
-            s = self._analyze_node(q.query, em)
+            s = self._analyze_node(q.query, mex)
             return A.BoostQuery(s, q.boost) if s is not None else None
         if isinstance(q, A.ConstantScoreQuery):
-            s = self._analyze_node(q.query, em)
+            s = self._analyze_node(q.query, mex)
             return A.ConstantScoreQuery(s) if s is not None else None
         if isinstance(q, A.DisjunctionMaxQuery):
             subs = tuple(
-                s for s in (self._analyze_node(s, em) for s in q.queries) if s is not None
+                s for s in (self._analyze_node(s, mex) for s in q.queries) if s is not None
             )
             return A.DisjunctionMaxQuery(subs, q.tie_breaker) if subs else None
         return q
@@ -306,7 +348,17 @@ class Searcher:
         (driver mode) the query's posting rows are point-read in ONE
         Spark job and df/ttf derive from their columns — no separate
         term_stats lookup; the whole driver query path is one job."""
-        q = parse_query(query) if isinstance(query, str) else A.rewrite(query)
+        from lucene_spark.analysis.tokenizer import _expander
+
+        one_to_n = _expander(self.index.analyzer) is not None
+        if isinstance(query, str):
+            # cased 1:N chains ("code") analyze AFTER parsing and need
+            # the surface form AND the un-rewritten shape (a quoted
+            # single identifier must stay a phrase until its parts are
+            # spliced); 1:1 chains lowercase themselves
+            q = parse_query(query, preserve_case=one_to_n, rewrite_tree=not one_to_n)
+        else:
+            q = query if one_to_n else A.rewrite(query)
         if self.index.analyzer not in ("standard", None):
             q = self._stem_query(q)
         if len(self.index.text_fields) > 1:

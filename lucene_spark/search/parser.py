@@ -25,6 +25,7 @@ from __future__ import annotations
 import re
 
 from lucene_spark.analysis import tokenize
+from lucene_spark.analysis.tokenizer import MAX_TOKEN_LENGTH, _raw_tokens
 from lucene_spark.search.ast import (
     BooleanQuery,
     BoostQuery,
@@ -107,6 +108,8 @@ def _lex(s: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
+    preserve_case = False
+
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
         self.i = 0
@@ -190,12 +193,16 @@ class _Parser:
                 self.next()
         elif kind == "phrase":
             body, slop = val
-            terms = tuple(tokenize(body))
+            terms = tuple(self._tok(body))
             if not terms:
                 q = MatchNoDocsQuery("empty phrase")
-            elif len(terms) == 1:
+            elif len(terms) == 1 and not self.preserve_case:
                 q = TermQuery(terms[0])
             else:
+                # preserve_case keeps single-token phrases AS phrases:
+                # the index analyzer may split the token into several
+                # sequential parts and quoted text must stay positional
+                # (QueryBuilder.createFieldQuery(quoted=true))
                 q = PhraseQuery(terms, slop=slop)
         elif kind == "regex":
             q = RegexpQuery(val)
@@ -233,10 +240,12 @@ class _Parser:
             _, (body, slop) = self.next()
             if field != "content":
                 return FieldValueQuery(field, body)
-            terms = tuple(tokenize(body))
+            terms = tuple(self._tok(body))
             if not terms:
                 return MatchNoDocsQuery("empty phrase")
-            return TermQuery(terms[0]) if len(terms) == 1 else PhraseQuery(terms, slop=slop)
+            if len(terms) == 1 and not self.preserve_case:
+                return TermQuery(terms[0])
+            return PhraseQuery(terms, slop=slop)
         if kind in ("term", "star"):
             _, raw = self.next()
             if field == "content":
@@ -251,8 +260,18 @@ class _Parser:
             return FieldValueQuery(field, raw)
         raise ValueError(f"expected value after {field}:")
 
-    @staticmethod
-    def _term_query(text: str) -> Query:
+    def _tok(self, body: str) -> list[str]:
+        """Analyzed tokens of quoted/bare text. ``preserve_case`` keeps
+        the surface form (1:N cased analyzers like "code" split on case
+        transitions AFTER parsing — QueryParser hands the raw term text
+        to the index analyzer); default lowercases like
+        StandardAnalyzer (the engine re-analyzes for porter/english,
+        whose chains lowercase themselves)."""
+        if self.preserve_case:
+            return [t for t in _raw_tokens(body) if len(t) <= MAX_TOKEN_LENGTH]
+        return tokenize(body)
+
+    def _term_query(self, text: str) -> Query:
         m = re.fullmatch(r"(?P<body>.+?)~(?P<edits>\d)?", text)
         if m and "*" not in text and "?" not in text:
             edits = int(m.group("edits")) if m.group("edits") else 2
@@ -264,7 +283,7 @@ class _Parser:
             if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
                 return PrefixQuery(body[:-1])
             return WildcardQuery(body)
-        toks = tokenize(text)
+        toks = self._tok(text)
         if not toks:
             return MatchNoDocsQuery("term analyzed to nothing")
         if len(toks) == 1:
@@ -284,13 +303,19 @@ def _range_bound(text: str):
     return text
 
 
-def parse_query(s: str) -> Query:
-    """Parse + rewrite a classic-syntax query string."""
+def parse_query(s: str, preserve_case: bool = False, rewrite_tree: bool = True) -> Query:
+    """Parse + rewrite a classic-syntax query string. ``preserve_case``
+    keeps term/phrase surface forms for cased 1:N analyzer chains;
+    those callers pass ``rewrite_tree=False`` so shape-normalizing
+    rewrites (e.g. single-slot phrase → term) run AFTER analysis —
+    analysis may re-expand a slot into several (QueryBuilder analyzes
+    before BooleanQuery rewrite in the reference lifecycle)."""
     toks = _lex(s)
     if not toks:
         return MatchNoDocsQuery("empty query")
     p = _Parser(toks)
+    p.preserve_case = preserve_case
     q = p.parse_or()
     if isinstance(q, tuple):
         q = BooleanQuery((q,))
-    return rewrite(q)
+    return rewrite(q) if rewrite_tree else q
