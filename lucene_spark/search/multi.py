@@ -1,0 +1,186 @@
+"""Multi-index search — the MultiReader / composite-reader role.
+
+Reference:
+- lucene/core/src/java/org/apache/lucene/index/MultiReader.java:33-60 —
+  a composite IndexReader over sub-readers; docBase offsets per leaf
+  (BaseCompositeReader.java:58-77: starts[i] = cumulative maxDoc).
+- lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:947-962 —
+  collectionStatistics/termStatistics SUM over all leaves, so one
+  Weight (one idf, one norm cache) scores every leaf: two half-indexes
+  searched together are score-identical to one index over the union.
+
+The facade exposes the subset of the SearchIndex surface the driver
+query path touches, with doc ids rebased into the composite space.
+At cluster scale each sub-index is typically a time- or shard-
+partitioned index directory; the same docBase arithmetic applies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_spark.index.reader import MAX_EXPANSION, PostingList, SearchIndex
+from lucene_spark.search.engine import Searcher, TopDocs
+from lucene_spark.search.kernels import NoneSpec
+from lucene_spark.search.similarity import BM25Stats
+
+
+class MultiSearchIndex:
+    """Composite read-only view over N sub-indexes (MultiReader)."""
+
+    def __init__(self, indexes: list[SearchIndex]):
+        if not indexes:
+            raise ValueError("MultiSearchIndex needs at least one sub-index")
+        a = indexes[0].analyzer
+        f = indexes[0].primary_field
+        for ix in indexes[1:]:
+            if ix.analyzer != a or ix.primary_field != f:
+                raise ValueError("sub-indexes must share analyzer and primary field")
+            if len(ix.text_fields) > 1 or len(indexes[0].text_fields) > 1:
+                raise ValueError("multi-index search supports single-field sub-indexes")
+        self.indexes = indexes
+        # BaseCompositeReader.java:58-77 — starts[i] = Σ maxDoc(<i)
+        bases = [0]
+        for ix in indexes[:-1]:
+            bases.append(bases[-1] + ix.doc_id_bounds[0])
+        self.doc_bases = bases
+
+    # ---- identity / config ---------------------------------------------------
+
+    @property
+    def analyzer(self) -> str:
+        return self.indexes[0].analyzer
+
+    @property
+    def primary_field(self) -> str:
+        return self.indexes[0].primary_field
+
+    @property
+    def text_fields(self) -> tuple[str, ...]:
+        return self.indexes[0].text_fields
+
+    @property
+    def index_sort(self):
+        return []
+
+    # ---- global statistics (IndexSearcher.java:947-962) ----------------------
+
+    @property
+    def stats(self) -> BM25Stats:
+        return BM25Stats(
+            doc_count=sum(ix.stats.doc_count for ix in self.indexes),
+            sum_total_term_freq=sum(ix.stats.sum_total_term_freq for ix in self.indexes),
+        )
+
+    def stats_for(self, field: str) -> BM25Stats:
+        if field != self.primary_field:
+            raise ValueError("multi-index search supports the primary field only")
+        return self.stats
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        out: dict[str, list[int]] = {}
+        for ix in self.indexes:
+            for t, (df, ttf) in ix.term_stats(terms).items():
+                cur = out.setdefault(t, [0, 0])
+                cur[0] += df
+                cur[1] += ttf
+        return {t: (df, ttf) for t, (df, ttf) in out.items()}
+
+    # ---- term dictionary / filters -------------------------------------------
+
+    def expand_terms(self, kind, arg, limit: int = MAX_EXPANSION, field=None) -> list[str]:
+        """Union across sub-term-dictionaries (MultiTerms.java role)."""
+        seen: set[str] = set()
+        for ix in self.indexes:
+            seen.update(ix.expand_terms(kind, arg, limit=limit, field=field))
+        out = sorted(seen)
+        if len(out) > limit:
+            raise ValueError(f"expansion produced {len(out)} terms (> {limit})")
+        return out
+
+    def field_doc_set(self, key: tuple, cond) -> tuple:
+        out: list[int] = []
+        for base, ix in zip(self.doc_bases, self.indexes):
+            out.extend(base + d for d in ix.field_doc_set(key, cond))
+        return tuple(out)
+
+    # ---- postings / doc domain (rebased) --------------------------------------
+
+    def collect_postings(
+        self, terms: list[str], with_positions: bool = False, with_offsets: bool = False
+    ) -> dict[str, PostingList]:
+        parts: dict[str, list[tuple[int, PostingList]]] = {}
+        for base, ix in zip(self.doc_bases, self.indexes):
+            got = ix.collect_postings(terms, with_positions, with_offsets)
+            for t, p in got.items():
+                parts.setdefault(t, []).append((base, p))
+        out: dict[str, PostingList] = {}
+        for t, ps in parts.items():
+            docs = np.concatenate([base + p.docs for base, p in ps])
+            tfs = np.concatenate([p.tfs for _, p in ps])
+            norms = np.concatenate([p.norms for _, p in ps])
+            positions = None
+            if with_positions:
+                positions = [pl for _, p in ps for pl in (p.positions or [])]
+            offsets = None
+            if with_offsets:
+                offsets = [ol for _, p in ps for ol in (p.offsets or [])]
+            out[t] = PostingList(t, -1, len(docs), docs, tfs, norms, positions, offsets)
+        return out
+
+    def all_doc_ids(self) -> np.ndarray:
+        return np.concatenate(
+            [base + ix.all_doc_ids() for base, ix in zip(self.doc_bases, self.indexes)]
+        )
+
+    @property
+    def deleted_ids(self) -> np.ndarray:
+        parts = [
+            base + ix.deleted_ids
+            for base, ix in zip(self.doc_bases, self.indexes)
+            if len(ix.deleted_ids)
+        ]
+        return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+
+class MultiSearcher(Searcher):
+    """IndexSearcher over a MultiReader: one Weight from the summed
+    collection/term statistics scores every leaf, hits come back in the
+    composite doc-id space. Runs the exhaustive vectorized kernels per
+    term over the rebased posting arrays (leaf iteration collapses into
+    array concatenation — the block-at-a-time reframing of
+    IndexSearcher.search's leaf loop)."""
+
+    def __init__(self, indexes: list[SearchIndex], total_hits_threshold: int = 1000, similarity="bm25"):
+        super().__init__(MultiSearchIndex(indexes), total_hits_threshold, similarity)
+
+    def search(self, query, k: int = 10, mode: str = "driver") -> TopDocs:
+        if mode != "driver":
+            raise ValueError("multi-index search is a driver-mode surface; "
+                             "run distributed queries per sub-index and merge TopDocs")
+        q, spec, stats, _ = self.prepare(query, collect_rows=False)
+        if isinstance(spec, NoneSpec) or k <= 0:
+            return TopDocs([], 0, "EQUAL_TO", {})
+        cache = self._norm_caches(stats)
+        return self._search_exhaustive(spec, k, cache, rows_by_term=None)
+
+    def count(self, query, mode: str = "driver") -> int:
+        """Weight#count over the composite: TermQuery = summed docFreq,
+        MatchAll = summed docCount (no leaf has deletions); exhaustive
+        evaluation otherwise."""
+        from lucene_spark.search import ast as A
+        from lucene_spark.search.kernels import evaluate
+        from lucene_spark.search.parser import parse_query
+
+        q0 = parse_query(query) if isinstance(query, str) else A.rewrite(query)
+        if not len(self.index.deleted_ids):
+            if isinstance(q0, A.TermQuery):
+                return self.index.term_stats([q0.term]).get(q0.term, (0, 0))[0]
+            if isinstance(q0, A.MatchAllDocsQuery):
+                return self.index.stats.doc_count
+        q, spec, stats, _ = self.prepare(query, collect_rows=False)
+        if isinstance(spec, NoneSpec):
+            return 0
+        ctx = self._driver_context(spec, self._norm_caches(stats), None)
+        docs, _ = self._apply_live_docs(*evaluate(spec, ctx))
+        return len(docs)
