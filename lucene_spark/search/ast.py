@@ -147,6 +147,40 @@ class FieldRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoBoxQuery(Query):
+    """LatLonPoint.newBoxQuery (LatLonPoint.java:236-266): docs whose
+    point lies in [min_lat, max_lat] x [min_lon, max_lon]; a box with
+    min_lon > max_lon crosses the dateline and matches the union of
+    the two longitude ranges. Spark disposition: Catalyst range
+    predicate on the lat/lon doc columns (parquet min-max stats = the
+    BKD traversal), constant score."""
+
+    lat_field: str
+    lon_field: str
+    min_lat: float
+    max_lat: float
+    min_lon: float
+    max_lon: float
+
+
+@dataclass(frozen=True)
+class GeoDistanceQuery(Query):
+    """LatLonPoint.newDistanceQuery (LatLonPoint.java:272-297): docs
+    within ``radius_m`` meters of (lat, lon) by haversine over the
+    earth mean radius (SloppyMath.haversinMeters / GeoUtils
+    EARTH_MEAN_RADIUS = 6371008.7714 m). Spark disposition: a
+    latitude-band range predicate (pushdown pre-filter, the BKD
+    bounding-box phase) AND the exact haversine test in Catalyst trig
+    (the two-phase match of Lucene's distance query); constant score."""
+
+    lat_field: str
+    lon_field: str
+    lat: float
+    lon: float
+    radius_m: float
+
+
+@dataclass(frozen=True)
 class DocSetQuery(Query):
     """Resolved doc-id set (internal: produced by the Searcher from
     FieldValueQuery after the metadata scan; constant score)."""

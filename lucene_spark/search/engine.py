@@ -100,6 +100,16 @@ class Searcher:
         """(key, Catalyst cond) for a metadata-field predicate node."""
         import pyspark.sql.functions as F
 
+        if isinstance(q, A.GeoBoxQuery):
+            from lucene_spark.search.geo import box_condition
+
+            key = ("geobox", q.lat_field, q.lon_field, q.min_lat, q.max_lat, q.min_lon, q.max_lon)
+            return key, box_condition(q)
+        if isinstance(q, A.GeoDistanceQuery):
+            from lucene_spark.search.geo import distance_condition
+
+            key = ("geodist", q.lat_field, q.lon_field, q.lat, q.lon, q.radius_m)
+            return key, distance_condition(q)
         if isinstance(q, A.FieldExistsQuery):
             return ("exists", q.field), F.col(q.field).isNotNull()
         if isinstance(q, A.FieldRangeQuery):
@@ -314,7 +324,11 @@ class Searcher:
                 "range", (q.lower, q.upper, q.include_lower, q.include_upper), field=q.field
             )
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
-        if isinstance(q, (A.FieldRangeQuery, A.FieldValueQuery, A.FieldExistsQuery)):
+        if isinstance(
+            q,
+            (A.FieldRangeQuery, A.FieldValueQuery, A.FieldExistsQuery,
+             A.GeoBoxQuery, A.GeoDistanceQuery),
+        ):
             # PointRangeQuery / StringField equality = pushed-down
             # predicate on the docs table (parquet min-max pruning =
             # the BKD traversal; SURVEY §1.1 StringField disposition).

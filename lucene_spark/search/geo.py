@@ -1,0 +1,97 @@
+"""Geo queries — the LatLonPoint role.
+
+Reference:
+- lucene/core/src/java/org/apache/lucene/document/LatLonPoint.java:236-297
+  (newBoxQuery / newDistanceQuery; BKD-encoded points, two-phase match)
+- lucene/core/src/java/org/apache/lucene/document/LatLonDocValuesField.java
+  (newDistanceSort: SortField by haversine meters)
+- lucene/core/src/java/org/apache/lucene/util/SloppyMath.java (haversinMeters)
+  with GeoUtils.EARTH_MEAN_RADIUS_METERS = 6371008.7714.
+
+Spark disposition: points live as two double columns on the docs
+table. Box queries are pure Catalyst range predicates (parquet min-max
+row-group pruning plays the BKD tree). Distance queries are a
+latitude-band range pre-filter (pushdown) AND the exact haversine test
+in whole-stage-codegen trig — Lucene's bounding-box-then-exact
+two-phase match. Distance sort is ORDER BY haversine LIMIT k →
+TakeOrderedAndProject. No Python anywhere in these plans.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# GeoUtils.EARTH_MEAN_RADIUS_METERS (GeoUtils.java:40)
+EARTH_MEAN_RADIUS_M = 6371008.7714
+
+
+def haversine_meters(lat_col, lon_col, lat: float, lon: float) -> Column:
+    """Haversine distance (meters) from each row's point to (lat, lon),
+    float64 Catalyst trig (SloppyMath.haversinMeters role)."""
+    lat1 = F.radians(F.lit(float(lat)))
+    lon1 = F.radians(F.lit(float(lon)))
+    lat2 = F.radians(F.col(lat_col) if isinstance(lat_col, str) else lat_col)
+    lon2 = F.radians(F.col(lon_col) if isinstance(lon_col, str) else lon_col)
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = (
+        F.pow(F.sin(dlat / F.lit(2.0)), F.lit(2.0))
+        + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin(dlon / F.lit(2.0)), F.lit(2.0))
+    )
+    return F.lit(2.0 * EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(h))
+
+
+def haversine_meters_sql(lat_col: str, lon_col: str, lat: float, lon: float) -> str:
+    """The same formula as ANSI SQL text (for DuckDB oracles)."""
+    return (
+        f"2.0 * {EARTH_MEAN_RADIUS_M!r} * asin(sqrt("
+        f"pow(sin((radians({lat_col}) - radians({lat!r})) / 2.0), 2.0) + "
+        f"cos(radians({lat!r})) * cos(radians({lat_col})) * "
+        f"pow(sin((radians({lon_col}) - radians({lon!r})) / 2.0), 2.0)))"
+    )
+
+
+def box_condition(q) -> Column:
+    """GeoBoxQuery → Catalyst predicate. min_lon > max_lon crosses the
+    dateline: the box is the UNION of [min_lon, 180] and [-180, max_lon]
+    (LatLonPoint.newBoxQuery's crossesDateline branch)."""
+    lat = (F.col(q.lat_field) >= q.min_lat) & (F.col(q.lat_field) <= q.max_lat)
+    if q.min_lon <= q.max_lon:
+        lon = (F.col(q.lon_field) >= q.min_lon) & (F.col(q.lon_field) <= q.max_lon)
+    else:
+        lon = (F.col(q.lon_field) >= q.min_lon) | (F.col(q.lon_field) <= q.max_lon)
+    return lat & lon
+
+
+def distance_condition(q) -> Column:
+    """GeoDistanceQuery → latitude-band pre-filter (range predicate the
+    parquet scan prunes on — the BKD bounding-box phase) AND the exact
+    haversine test."""
+    dlat_deg = math.degrees(q.radius_m / EARTH_MEAN_RADIUS_M)
+    band = (F.col(q.lat_field) >= q.lat - dlat_deg) & (F.col(q.lat_field) <= q.lat + dlat_deg)
+    exact = haversine_meters(q.lat_field, q.lon_field, q.lat, q.lon) <= F.lit(float(q.radius_m))
+    return band & exact
+
+
+def nearest(searcher, query, lat: float, lon: float, k: int = 10,
+            lat_field: str = "lat", lon_field: str = "lon") -> DataFrame:
+    """LatLonDocValuesField.newDistanceSort: the query's matches ordered
+    by haversine meters ascending (tie: doc_id), top k. Distributed
+    shape: the match relation never lands on the driver — the distance
+    is a docs-table column expression and the cut is
+    TakeOrderedAndProject. Returns (doc_id, distance_m)."""
+    matches = searcher.match_frame(query).select("doc_id")
+    docs = searcher.index.docs
+    dist = haversine_meters(lat_field, lon_field, lat, lon).alias("distance_m")
+    # plain equi-join: AQE converts it to broadcast at runtime when the
+    # match relation turns out small; a non-selective query stays a
+    # shuffle join (never a driver collect)
+    return (
+        docs.join(matches, "doc_id")
+        .select("doc_id", dist)
+        .orderBy(F.asc("distance_m"), F.asc("doc_id"))
+        .limit(k)
+    )
