@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v8"  # v8: + per-field dense norms (CombinedFieldQuery/BM25F)
+ENGINE_VERSION = "v9"  # v9: + lat/lon doc columns (LatLonPoint gates)
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
@@ -56,6 +56,10 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         # space-words of the text — oracle derives the identical
         # relation with list_slice(string_split(...)) in DuckDB
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 6), " ").alias("title"),
+        # deterministic point per doc (LatLonPoint gates); the oracle
+        # derives the identical values from doc_id in SQL
+        ((F.col("doc_id") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
         F.col("text").alias("content"),
     )
 
@@ -139,6 +143,30 @@ def multi_gate_index(spark: SparkSession, sf_dir: str):
             IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
         halves.append(SearchIndex(spark, idx_dir))
     _CACHE[key] = MultiSearcher(halves)
+    return _CACHE[key]
+
+
+def dv_gate_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """Index with a staged numeric doc-values update generation
+    (IndexWriter.updateNumericDocValue role): every doc_id % 10 == 0
+    gets n_chars := -doc_id via the merge-on-read sidecar — postings
+    and norms untouched. Oracle: a CASE over the documents relation."""
+    key = ("dv", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    from lucene_spark.index.dvupdates import update_numeric_doc_values
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gated_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4)
+        IndexBuilder(spark, cfg).build(corpus_df(spark, sf_dir).drop("title"), idx_dir, assign_ids=False)
+    if not os.path.exists(f"{idx_dir}/dv_updates"):
+        n = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+        update_numeric_doc_values(
+            spark, idx_dir, "n_chars", {d: float(-d) for d in range(0, n, 10)}
+        )
+    _CACHE[key] = SearchIndex(spark, idx_dir)
     return _CACHE[key]
 
 
@@ -316,6 +344,25 @@ def queries() -> dict:
     Q["ft_multi_top10"] = lambda spark, sf: _hits_df(
         spark, multi_gate_index(spark, sf).search("table OR merge", k=10)
     )
+    # LatLonPoint geo queries over the docs table's lat/lon columns
+    Q["ft_geobox_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(spark, sf, A.GeoBoxQuery("lat", "lon", -30.0, 45.0, -90.0, 60.0), k=ALL_K),
+    )
+    Q["ft_geodist_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(spark, sf, A.GeoDistanceQuery("lat", "lon", 10.0, 20.0, 4_000_000.0), k=ALL_K),
+    )
+
+    def _geosort(spark, sf):
+        from lucene_spark.search.geo import nearest
+
+        _, searcher = gate_index(spark, sf)
+        return nearest(searcher, "table", 48.8, 2.3, k=5).select(
+            F.col("doc_id").cast("long"), F.round("distance_m", 1).alias("dist_r")
+        )
+
+    Q["ft_geosort_top5"] = _geosort
     # quoted camelCase identifier splices into a positional phrase
     # (QueryBuilder.createFieldQuery(quoted=true) over the parts)
     Q["ft_codephrase_top10"] = lambda spark, sf: _hits_df(
@@ -1071,6 +1118,14 @@ def queries() -> dict:
 
     Q["ix_writer_update"] = _writer_update
 
+    def _dv_update(spark, sf):
+        index = dv_gate_index(spark, sf)
+        return index.docs.select(
+            F.col("doc_id").cast("long"), F.col("n_chars").cast("long")
+        ).orderBy("doc_id")
+
+    Q["ix_dv_update"] = _dv_update
+
     # -- index-table invariants --
     def _term_stats(spark, sf):
         index, _ = gate_index(spark, sf)
@@ -1208,6 +1263,23 @@ def oracle_sql() -> dict[str, str]:
     # ClassicSimilarity: tf = sqrt(freq), idf = ln((N+1)/(df+1)) + 1,
     # lengthNorm = 1/sqrt(len) (ClassicSimilarity.java:38-64)
     O["ft_code_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    O["ft_geobox_ids"] = (
+        "WITH coords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "
+        "SELECT doc_id FROM coords WHERE lat BETWEEN -30.0 AND 45.0 "
+        "AND lon BETWEEN -90.0 AND 60.0 ORDER BY doc_id"
+    )
+    O["ft_geodist_ids"] = (
+        "WITH coords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "
+        "SELECT doc_id FROM coords WHERE 2.0 * 6371008.7714 * asin(sqrt(pow(sin((radians(lat) - radians(10.0)) / 2.0), 2.0) + cos(radians(10.0)) * cos(radians(lat)) * pow(sin((radians(lon) - radians(20.0)) / 2.0), 2.0))) <= 4000000.0 "
+        "ORDER BY doc_id"
+    )
+    O["ft_geosort_top5"] = (
+        base_ctes()
+        + ", gcoords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "
+        + "SELECT m.doc_id, round(2.0 * 6371008.7714 * asin(sqrt(pow(sin((radians(lat) - radians(48.8)) / 2.0), 2.0) + cos(radians(48.8)) * cos(radians(lat)) * pow(sin((radians(lon) - radians(2.3)) / 2.0), 2.0))), 1) AS dist_r "
+        + "FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'table') m "
+        + "JOIN gcoords USING (doc_id) ORDER BY 2.0 * 6371008.7714 * asin(sqrt(pow(sin((radians(lat) - radians(48.8)) / 2.0), 2.0) + cos(radians(48.8)) * cos(radians(lat)) * pow(sin((radians(lon) - radians(2.3)) / 2.0), 2.0))), doc_id LIMIT 5"
+    )
     O["ft_multi_top10"] = topk_sql(
         "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('table','merge') GROUP BY doc_id"
     )
@@ -1669,6 +1741,10 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         )
         + " SELECT concat('doc/', CAST(doc_id AS VARCHAR)) AS path, round(s, 2) AS score_r "
         "FROM tscore WHERE term = 'vector' ORDER BY path"
+    )
+    O["ix_dv_update"] = (
+        "SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN -doc_id ELSE n_chars END AS n_chars "
+        "FROM documents ORDER BY doc_id"
     )
     O["sg_prefix_top10"] = (
         base_ctes() + " SELECT term, ttf::BIGINT AS weight FROM dfr "

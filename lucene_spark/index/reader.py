@@ -156,7 +156,13 @@ class SearchIndex:
 
     @cached_property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/docs")
+        """Stored fields / doc values. Staged numeric DV updates (see
+        index/dvupdates.py — IndexWriter.updateNumericDocValue role)
+        overlay merge-on-read; snapshot at first touch per reader."""
+        from lucene_spark.index.dvupdates import overlay_docs
+
+        base = self.spark.read.parquet(f"{self.index_dir}/docs")
+        return overlay_docs(self.spark, self.index_dir, base)
 
     def deletes_df(self) -> DataFrame | None:
         """Tombstones as a DataFrame (distinct doc_id), or None if the

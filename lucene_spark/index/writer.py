@@ -99,10 +99,16 @@ class IndexWriter:
         )
         d = f"{self.index_dir}/segments/seg=w{gen}"
         tokenized = self._inner.tokenized(with_ids)
+        # keep EVERY metadata column (the one-shot builder contract:
+        # docs = doc values store; extra columns pass through)
+        meta_cols = [
+            c
+            for c in df.columns
+            if c not in (cfg.field, "doc_id", "content_sha256", cfg.vector_field)
+        ]
         tokenized.select(
             "doc_id",
-            *[F.col(k) for k in DOC_KEYS if k in df.columns],
-            *([F.col("lang")] if "lang" in df.columns else []),
+            *[F.col(c) for c in meta_cols],
             F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
         ).write.mode("overwrite").parquet(f"{d}/docs")
         tokenized.select("doc_id", "dl", "norm").write.mode("overwrite").parquet(f"{d}/norms")
@@ -144,6 +150,26 @@ class IndexWriter:
         from lucene_spark.search.engine import Searcher
 
         return delete_by_query(Searcher(SearchIndex(self.spark, self.index_dir)), query)
+
+    def update_numeric_doc_value(self, query, field: str, value: float) -> int:
+        """updateNumericDocValue(Term, field, value)
+        (IndexWriter.java:1900-1930): set ``field`` to ``value`` on
+        every COMMITTED doc matching ``query`` (Lucene's Term selector
+        generalized to any query) without re-inverting anything —
+        a parquet delta the readers overlay merge-on-read. Needs a
+        committed, searchable index; new readers see the change.
+        Returns the number of docs updated."""
+        from lucene_spark.index.dvupdates import update_numeric_doc_values
+        from lucene_spark.search.engine import Searcher
+
+        searcher = Searcher(SearchIndex(self.spark, self.index_dir))
+        td = searcher.search(query, k=10**9)
+        if not td.hits:
+            return 0
+        update_numeric_doc_values(
+            self.spark, self.index_dir, field, {d: value for d, _ in td.hits}
+        )
+        return len(td.hits)
 
     # ---- commit ------------------------------------------------------------
 

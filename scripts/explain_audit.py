@@ -192,6 +192,47 @@ def main() -> None:
     check("diversified top-k is TakeOrderedAndProject", plan, r"TakeOrderedAndProject")
     sections.append(("Diversified top-k (per-key cap)", plan))
 
+    # 14. geo: the box predicate reaches the parquet scan (BKD role);
+    # the distance sort is TakeOrderedAndProject over JVM trig — no
+    # Python eval anywhere in the plan
+    from lucene_spark.search.geo import box_condition, nearest
+
+    geo_docs = index.docs
+    if "lat" in geo_docs.columns:
+        plan = _capture(
+            geo_docs.filter(
+                box_condition(A.GeoBoxQuery("lat", "lon", -30.0, 45.0, -90.0, 60.0))
+            ).select("doc_id")
+        )
+        check("geo box predicate pushed to scan", plan, r"PushedFilters: \[.*GreaterThanOrEqual\(lat")
+        sections.append(("Geo box filter (LatLonPoint.newBoxQuery)", plan))
+        plan = _capture(nearest(searcher, "table", 48.8, 2.3, k=5))
+        check("geo distance sort is TakeOrderedAndProject", plan, r"TakeOrderedAndProject")
+        CHECKS.append(
+            ("geo distance sort stays JVM-side (no Python eval)",
+             "no ArrowEvalPython/BatchEvalPython in plan",
+             re.search(r"(ArrowEvalPython|BatchEvalPython)", plan) is None)
+        )
+        sections.append(("Geo distance sort (LatLonDocValuesField.newDistanceSort)", plan))
+
+    # 15. DV-update overlay: merge-on-read join is broadcast (delta is
+    # small), base docs scan still prunes columns
+    import tempfile
+
+    from lucene_spark.index.dvupdates import update_numeric_doc_values
+
+    dvdir = tempfile.mkdtemp(prefix="audit_dv_")
+    import shutil as _sh
+
+    _sh.copytree(index.index_dir, dvdir, dirs_exist_ok=True)
+    update_numeric_doc_values(spark, dvdir, "n_chars", {0: -1.0})
+    from lucene_spark.index.reader import SearchIndex as _SI
+
+    plan = _capture(_SI(spark, dvdir).docs.filter(F.col("n_chars") < 0).select("doc_id", "n_chars"))
+    check("dv-update overlay join is broadcast", plan, r"BroadcastHashJoin")
+    sections.append(("DocValues-update merge-on-read overlay", plan))
+    _sh.rmtree(dvdir, ignore_errors=True)
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     with open(out, "w") as fh:
         fh.write("# PLANS — physical-plan audit (scripts/explain_audit.py)\n\n")
