@@ -1239,6 +1239,24 @@ def _pipeline_queries() -> dict:
         _emb(spark, sf), _ann_queries(spark, sf), k=5, n_centroids=8, n_probe=8
     ).select("query_id", "rank", F.col("vec_id").cast("long"), F.round("sim", 4).alias("sim_r"))
 
+    # -- curation: decontamination + deterministic sampling --
+    from lucene_spark.pipeline import curation
+
+    def _bench(spark, sf):
+        return _docs(spark, sf).filter(F.col("doc_id") % 97 == 0).select(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ").alias("text")
+        )
+
+    Q["dd_decontam"] = lambda spark, sf: curation.contaminated_ids(
+        _docs(spark, sf), _bench(spark, sf), n=8
+    ).select(F.col("doc_id").cast("long")).orderBy("doc_id")
+    Q["tx_sample"] = lambda spark, sf: curation.sample_deterministic(
+        _docs(spark, sf), 0.25
+    ).select(F.col("doc_id").cast("long")).orderBy("doc_id")
+    Q["tx_sample_strat"] = lambda spark, sf: curation.sample_stratified(
+        _docs(spark, sf), {"en": 1.0, "fr": 0.5}, "lang", default_rate=0.1
+    ).select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
     Q["tx_quality"] = lambda spark, sf: textstats.quality_metrics(_docs(spark, sf)).select(
         "doc_id", "n_tokens", "n_chars", "avg_token_len", "stopword_ratio", "ttr"
     )
@@ -1958,6 +1976,21 @@ QUALIFY rank <= 5 ORDER BY query_id, rank"""
 
     _SW = ",".join(f"'{s}'" for s in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
     _TOKS = f"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term FROM documents)"
+    O["dd_decontam"] = (
+        "WITH bench AS (SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS btext "
+        "FROM documents WHERE doc_id % 97 = 0), "
+        "bg AS (SELECT DISTINCT gram FROM (SELECT doc_id, array_to_string(list_slice(l, i, i + 7), ' ') AS gram FROM (SELECT doc_id, regexp_extract_all(lower(btext), '[a-z0-9]+') AS l FROM bench), unnest(range(1, len(l) - 8 + 2)) AS u(i) WHERE len(l) >= 8)), "
+        "cg AS (SELECT doc_id, array_to_string(list_slice(l, i, i + 7), ' ') AS gram FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents), unnest(range(1, len(l) - 8 + 2)) AS u(i) WHERE len(l) >= 8) "
+        "SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram) ORDER BY doc_id"
+    )
+    O["tx_sample"] = (
+        "SELECT doc_id FROM documents WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 250000 ORDER BY doc_id"
+    )
+    O["tx_sample_strat"] = (
+        "SELECT doc_id FROM documents WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < "
+        "(CASE WHEN lang = 'en' THEN 1000000 WHEN lang = 'fr' THEN 500000 ELSE 100000 END) "
+        "ORDER BY doc_id"
+    )
     O["tx_quality"] = (
         _TOKS + f""", agg AS (
   SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(len(term))::BIGINT AS sum_len,

@@ -1,0 +1,118 @@
+"""Corpus curation: benchmark decontamination + deterministic sampling.
+
+Training-data pipeline operators beyond the reference (SURVEY's
+LLM-pipeline mandate):
+
+- **Decontamination**: drop/flag corpus documents that share any
+  word n-gram with an evaluation benchmark (the GPT-3 appendix-C /
+  Llama "13-gram overlap" protocol). Scale shape: the benchmark side
+  is SMALL (eval sets are thousands of rows), so its n-gram set
+  BROADCASTS and the corpus side is a map-only semi-join over one
+  projection — zero shuffle, scan-bound at 100 TB. No Python: the
+  shingling is `split` + `sequence`/`transform` + `array_join`
+  (whole-stage codegen), membership is a broadcast hash join.
+
+- **Deterministic sampling**: reproducible document sampling keyed on
+  a stable hash of the id (md5 hex → integer bucket in [0, 10^6)),
+  optionally stratified per group with independent per-group rates.
+  Hash-bucket sampling is the 100 TB shape: no RNG state, no
+  shuffle, identical output on any cluster size or retry — and the
+  same expression is ANSI-SQL, so results are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ngram_col(text_col: str, n: int):
+    """All word n-grams of lower(text) as an array<string> column —
+    pure JVM: split → sequence of start offsets → slice + join."""
+    toks = F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    toks = F.filter(toks, lambda x: x != "")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Distinct corpus ids sharing at least one word ``n``-gram with
+    any benchmark row. The benchmark n-gram set is broadcast (eval
+    sets are small by construction); the corpus explode is a map-only
+    projection — the only wide op is the final distinct on the
+    (tiny) contaminated-id set."""
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(_ngram_col(bcol, n)).alias("gram")).distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("doc_id"), F.explode(_ngram_col(text_col, n)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Corpus minus contaminated docs (left-anti broadcast join)."""
+    bad = contaminated_ids(corpus, benchmark, n, text_col, id_col, bench_text_col)
+    return corpus.join(
+        F.broadcast(bad.withColumnRenamed("doc_id", id_col)), id_col, "left_anti"
+    )
+
+
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(id_col: str):
+    """Stable bucket in [0, 1e6): md5 of the id string, first 8 hex
+    digits as an integer — identical in Spark and ANSI SQL (no
+    engine-specific hash), uniform enough for sampling."""
+    return F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % _BUCKETS
+
+
+def sample_deterministic(
+    df: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reproducible ~``fraction`` sample: keep rows whose hash bucket
+    falls below fraction * 1e6. No RNG, no shuffle; stable under
+    retries, partitioning, and cluster size."""
+    return df.filter(_hash_bucket(id_col) < int(fraction * _BUCKETS))
+
+
+def sample_stratified(
+    df: DataFrame, rates: dict[str, float], group_col: str, id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic rates (quality-tier / language
+    rebalancing): ``rates`` maps group value → keep fraction; groups
+    absent from the map keep ``default_rate``. One scan, no shuffle —
+    the rate lookup is a broadcast-eligible CASE expression."""
+    bucket = _hash_bucket(id_col)
+    expr = F.lit(int(default_rate * _BUCKETS))
+    for val, rate in rates.items():
+        expr = F.when(F.col(group_col) == val, F.lit(int(rate * _BUCKETS))).otherwise(expr)
+    return df.filter(bucket < expr)
