@@ -511,6 +511,76 @@ def _mutual_pairs_py(a, b) -> list[tuple[int, int]]:
     return out
 
 
+def _mutual_pairs_flat(A: np.ndarray, B: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized :func:`_mutual_pairs_py` over FLAT (ci<<32 | pos) key
+    arrays covering every candidate doc at once: mutual-nearest (a, b)
+    pairs — b is the first B-key after a, a is the last A-key before b,
+    both in the same doc. One searchsorted + two masks instead of a
+    Python two-pointer per candidate."""
+    if not len(A) or not len(B):
+        return EMPTY_I, EMPTY_I
+    j = np.searchsorted(B, A, side="right")
+    valid = j < len(B)
+    jc = np.minimum(j, len(B) - 1)
+    valid &= (B[jc] >> 32) == (A >> 32)
+    Ai, Bj = A[valid], B[jc[valid]]
+    if not len(Ai):
+        return EMPTY_I, EMPTY_I
+    keep = np.ones(len(Bj), dtype=bool)
+    keep[:-1] = Bj[1:] != Bj[:-1]  # duplicate next-b → keep the LAST a
+    return Ai[keep], Bj[keep]
+
+
+def _two_term_flat_freqs(
+    A: np.ndarray, B: np.ndarray, in_order: bool, cap, n_cand: int
+) -> np.ndarray:
+    """Sloppy freqs (float32, per candidate index) of the 2-term
+    ordered/unordered minimal-interval source over flat key arrays —
+    the whole-corpus-at-once form of the per-candidate
+    :func:`_two_term_minimal` loop (identical pair sets, identical
+    float32 accumulation order: pairs are monotone per doc and the
+    flat arrays are ci-major). ``cap`` = max gaps (None = unbounded).
+    Cross-doc safety of the containment sweep: composite keys of a
+    later doc are strictly larger, so the suffix-min can never mark a
+    pair as containing one from another doc."""
+    if in_order:
+        S, E = _mutual_pairs_flat(A, B)
+    else:
+        s1, e1 = _mutual_pairs_flat(A, B)
+        s2, e2 = _mutual_pairs_flat(B, A)
+        S = np.concatenate([s1, s2])
+        E = np.concatenate([e1, e2])
+        if len(S) > 1:
+            order = np.lexsort((E, S))
+            S, E = S[order], E[order]
+            dup = np.zeros(len(S), dtype=bool)
+            dup[1:] = (S[1:] == S[:-1]) & (E[1:] == E[:-1])
+            S, E = S[~dup], E[~dup]
+            # drop pairs properly containing a later-sorted pair, and
+            # same-start pairs longer than the first (the suffix-min +
+            # same-start sweep of _two_term_minimal, vectorized)
+            suf_excl = np.full(len(E), np.int64(2**62))
+            if len(E) > 1:
+                suf_excl[:-1] = np.minimum.accumulate(E[::-1])[::-1][1:]
+            same_start = np.zeros(len(S), dtype=bool)
+            same_start[1:] = S[1:] == S[:-1]
+            keep = ~((suf_excl <= E) | same_start)
+            S, E = S[keep], E[keep]
+    freqs = np.zeros(n_cand, dtype=np.float32)
+    if not len(S):
+        return freqs
+    gaps = E - S - 1  # same doc → high bits cancel
+    if cap is not None:
+        m = gaps <= cap
+        S, gaps = S[m], gaps[m]
+        if not len(S):
+            return freqs
+    ci = (S >> 32).astype(np.int64)
+    contrib = np.float32(1.0) / (np.float32(1.0) + gaps.astype(np.float32))
+    np.add.at(freqs, ci, contrib)  # sequential f32 adds in pair order
+    return freqs
+
+
 def _two_term_minimal(a, b, in_order: bool) -> list[tuple[int, int]]:
     """Minimal intervals for a 2-term ordered/unordered source over
     plain int lists. Unordered = union of both orientations with
@@ -559,18 +629,14 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
     freqs = np.zeros(len(cand), dtype=np.float64)
     idxs = [np.searchsorted(p[0], cand) for p in parts]
     if n == 2:
-        # tight two-pointer fast path (same float32 accumulation order)
-        pl0, pl1 = plists[0], plists[1]
-        i0s, i1s = idxs[0], idxs[1]
-        slop = spec.slop
-        in_order = spec.in_order
-        for ci in range(len(cand)):
-            f = np.float32(0.0)
-            for lo, hi in _two_term_minimal(pl0[i0s[ci]], pl1[i1s[ci]], in_order):
-                gaps = hi - lo - 1
-                if gaps <= slop:
-                    f = np.float32(f + one / (one + np.float32(gaps)))
-            freqs[ci] = f
+        # flat vectorized fast path: every candidate in a handful of
+        # numpy passes (same pair sets + float32 accumulation order as
+        # the per-candidate two-pointer)
+        A = _term_flat_keys(parts[0][0], plists[0], cand)
+        B = _term_flat_keys(parts[1][0], plists[1], cand)
+        freqs = _two_term_flat_freqs(A, B, spec.in_order, spec.slop, len(cand)).astype(
+            np.float64
+        )
     else:
         for ci in range(len(cand)):
             pls = [np.asarray(plists[j][idxs[j][ci]], dtype=np.int64) for j in range(n)]
@@ -644,25 +710,14 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
     fast = _fast_two_term_shape(spec.source)
     if fast is not None:
         ta, tb, in_order, cap = fast
-        pa, pb = plists[ta], plists[tb]
-        ia, ib = idxs[ta], idxs[tb]
-        prsa, prsb = present[ta], present[tb]
-        for ci in range(len(cand)):
-            if not (prsa[ci] and prsb[ci]):
-                continue
-            f = np.float32(0.0)
-            for s, e in _two_term_minimal(pa[ia[ci]], pb[ib[ci]], in_order):
-                gaps = max(0, e - s - 1)
-                if cap is None or gaps <= cap:
-                    f = np.float32(f + one / (one + np.float32(gaps)))
-            freqs[ci] = f
-            if f > 0:
-                norms[ci] = parts[ta][2][ia[ci]]
-                has_norm[ci] = True
+        A = _term_flat_keys(doc_arrays[ta], plists[ta], cand)
+        B = _term_flat_keys(doc_arrays[tb], plists[tb], cand)
+        freqs = _two_term_flat_freqs(A, B, in_order, cap, len(cand)).astype(np.float64)
         matched = freqs > 0
         if not matched.any():
             return EMPTY_I, EMPTY_F
-        scores = ctx.score(spec.weight, freqs[matched], norms[matched], spec.field)
+        norms_m = parts[ta][2][idxs[ta][matched]]
+        scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
         return cand[matched], scores
     for ci in range(len(cand)):
 
