@@ -876,6 +876,11 @@ def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, n
     if spec.slop == 0:
         keys = [_term_flat_keys(d, pl, cand) for (d, _, _), pl in zip(parts, plists)]
         freqs = _exact_phrase_freqs_keys(keys, len(cand))
+    elif len(spec.terms) == 2 and spec.terms[0] != spec.terms[1]:
+        # flat vectorized 2-slot sloppy matcher (the dominant shape)
+        A = _term_flat_keys(parts[0][0], plists[0], cand)
+        B = _term_flat_keys(parts[1][0], plists[1], cand)
+        freqs = _sloppy2_flat_freqs(A, B, spec.slop, len(cand)).astype(np.float64)
     else:
         pos_lists = []
         for (d, _, _), plist in zip(parts, plists):
@@ -1102,6 +1107,50 @@ def _sloppy_freq2(a_raw, b_raw, slop: int) -> np.float32:
                 freq = np.float32(freq + one / (one + np.float32(ml)))
             if not crossed:
                 return freq
+
+
+def _sloppy2_flat_freqs(A: np.ndarray, B: np.ndarray, slop: int, n_cand: int) -> np.ndarray:
+    """Flat vectorized :func:`_sloppy_freq2` over every candidate at
+    once. The alternating run-crossing two-pointer emits exactly one
+    match per ADJACENT CROSS-LIST pair in the merged order of
+    (A-positions + 1) and B-positions, with A winning ties (the
+    PhraseQueue slot-0 tie rule) — so the whole PQ simulation collapses
+    to one merge-sort plus a boundary mask. matchLength = the adjacent
+    gap; emissions accumulate in merged (ascending) order, preserving
+    the reference's float32 add sequence. Fuzz-verified bit-equal to
+    _sloppy_freq2 (tests/test_sloppy.py)."""
+    freqs = np.zeros(n_cand, dtype=np.float32)
+    if not len(A) or not len(B):
+        return freqs
+    # adjusted A' = A + 1 (phrase offset: slot-1 expected at pos+1)
+    m = np.concatenate([((A + 1) << 1), (B << 1) | 1])
+    m.sort(kind="stable")
+    keys = m >> 1
+    tags = (m & 1).astype(np.int8)
+    if len(m) < 2:
+        return freqs
+    ci = keys >> 32
+    # tie pairs (same adjusted position, one from each list): the pair
+    # joins the CURRENTLY LEADING run — its order is (previous
+    # element's tag, other), defaulting to slot 0 at a run start
+    # (PhraseQueue pa <= pb tie rule). Resolved sequentially since a
+    # tie's outcome feeds the next tie's "previous tag".
+    tie_idx = np.nonzero((keys[1:] == keys[:-1]) & (ci[1:] == ci[:-1]))[0]
+    for i in tie_idx:
+        prev = tags[i - 1] if i > 0 and ci[i - 1] == ci[i] else 0
+        if prev == 1 and tags[i] == 0:  # b leads → b's element first
+            tags[i], tags[i + 1] = np.int8(1), np.int8(0)
+    boundary = (tags[1:] != tags[:-1]) & (ci[1:] == ci[:-1])
+    if not boundary.any():
+        return freqs
+    gaps = (keys[1:] - keys[:-1])[boundary]
+    bci = ci[1:][boundary]
+    ok = gaps <= slop
+    if not ok.any():
+        return freqs
+    contrib = np.float32(1.0) / (np.float32(1.0) + gaps[ok].astype(np.float32))
+    np.add.at(freqs, bci[ok].astype(np.int64), contrib)
+    return freqs
 
 
 def _sloppy_freq_exact(pos_lists: list, slop: int, terms: tuple | None = None) -> np.float32:
