@@ -171,6 +171,120 @@ class IndexWriter:
         )
         return len(td.hits)
 
+    # ---- rollback / snapshots ------------------------------------------------
+
+    def rollback(self) -> list[str]:
+        """IndexWriter.rollback (IndexWriter.java:2337): discard all
+        staged-but-uncommitted segments; the last commit point stays
+        untouched. Tombstones and DV updates are visible immediately in
+        this engine (documented divergence from Lucene's buffered
+        deletes) — commit-point recovery including deletes is
+        ``snapshot()`` / ``restore()``. Returns the dropped segments."""
+        import shutil
+
+        commits = self._load_commits()
+        committed = {s for t in commits["tiers"] for s in t["segments"]}
+        removed = []
+        for s in self._staged_segments():
+            if s not in committed:
+                shutil.rmtree(f"{self.index_dir}/segments/seg={s}", ignore_errors=True)
+                removed.append(s)
+        return removed
+
+    def _snapshots_path(self) -> str:
+        return f"{self.index_dir}/snapshots.json"
+
+    def _rel_files(self, sub: str) -> list[str]:
+        root = os.path.join(self.index_dir, sub)
+        if not os.path.exists(root):
+            return []
+        out = []
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                out.append(os.path.relpath(os.path.join(dirpath, n), self.index_dir))
+        return sorted(out)
+
+    def snapshot(self) -> str:
+        """SnapshotDeletionPolicy.snapshot() (lucene/core .../index/
+        SnapshotDeletionPolicy.java:38-74): pin the CURRENT commit
+        point. The tiered layout makes this a metadata record — tiers
+        are append-only hive dirs, deletes and DV updates are
+        append-only files — so the snapshot is just the file listing.
+        A later ``full``/``expunge_deletes`` commit rewrites tiers in
+        place and invalidates older snapshots (Lucene's deletion policy
+        would have PREVENTED that merge from reclaiming the commit;
+        here the invariant is checked at restore time instead)."""
+        snaps = {"snapshots": {}}
+        if os.path.exists(self._snapshots_path()):
+            with open(self._snapshots_path()) as fh:
+                snaps = json.load(fh)
+        sid = f"snap{len(snaps['snapshots'])}"
+        snaps["snapshots"][sid] = {
+            "commits": self._load_commits(),
+            "tables": {t: self._rel_files(t) for t in self._TABLES},
+            "deletes": self._rel_files("deletes"),
+            "dv_updates": self._rel_files("dv_updates"),
+        }
+        with open(self._snapshots_path(), "w") as fh:
+            json.dump(snaps, fh, indent=2)
+        return sid
+
+    def restore(self, snapshot_id: str) -> dict:
+        """Roll the index back to a pinned commit point: drop tier
+        dirs, delete files, and DV-update generations created after the
+        snapshot, restore commits.json, and recompute collection stats.
+        Raises if the snapshot's files are no longer on disk (a
+        full-merge rewrote them)."""
+        import shutil
+
+        with open(self._snapshots_path()) as fh:
+            snap = json.load(fh)["snapshots"][snapshot_id]
+        wanted = {
+            f
+            for group in (list(snap["tables"].values()) + [snap["deletes"], snap["dv_updates"]])
+            for f in group
+        }
+        missing = [f for f in wanted if not os.path.exists(os.path.join(self.index_dir, f))]
+        if missing:
+            raise ValueError(
+                f"snapshot {snapshot_id} is gone: {len(missing)} files were rewritten "
+                f"by a later full merge (first: {missing[0]})"
+            )
+        # drop anything under the snapshotted trees that the snapshot
+        # does not reference (newer tiers / delete files / dv gens)
+        removed = 0
+        for sub in (*self._TABLES, "deletes", "dv_updates"):
+            for f in self._rel_files(sub):
+                if f not in wanted:
+                    os.remove(os.path.join(self.index_dir, f))
+                    removed += 1
+        # prune now-empty dirs (e.g. a dropped tier=K or gen=N)
+        for sub in (*self._TABLES, "deletes", "dv_updates"):
+            root = os.path.join(self.index_dir, sub)
+            for dirpath, dirnames, names in list(os.walk(root, topdown=False)):
+                if not dirnames and not names:
+                    shutil.rmtree(dirpath, ignore_errors=True)
+        # staged segments not referenced by the snapshot's commit point
+        committed = {s for t in snap["commits"]["tiers"] for s in t["segments"]}
+        for s in self._staged_segments():
+            if s not in committed:
+                shutil.rmtree(f"{self.index_dir}/segments/seg={s}", ignore_errors=True)
+        self._save_commits(snap["commits"])
+        for t in self._TABLES:
+            self.spark.catalog.refreshByPath(f"{self.index_dir}/{t}")
+        n_docs = self._write_collection_stats()
+        with open(f"{self.index_dir}/manifest.json", "w") as fh:
+            json.dump(
+                {
+                    "docs": n_docs,
+                    "docs_per_chunk": self.config.docs_per_chunk,
+                    "mode": "writer",
+                    "restored_from": snapshot_id,
+                },
+                fh,
+            )
+        return {"snapshot": snapshot_id, "files_removed": removed, "docs": n_docs}
+
     # ---- commit ------------------------------------------------------------
 
     _TABLES = ("postings", "term_stats", "docs", "norms")
