@@ -61,6 +61,7 @@ class Searcher:
         index: SearchIndex,
         total_hits_threshold: int = 1000,
         similarity="bm25",
+        timeout_ms: float | None = None,
     ):
         from lucene_spark.search.similarity import get_similarity
 
@@ -69,6 +70,17 @@ class Searcher:
         # pluggable scoring model (IndexSearcher.setSimilarity role);
         # "bm25" | "classic" | "boolean" | "lmdirichlet" or an instance
         self.sim = get_similarity(similarity)
+        # IndexSearcher.setTimeout(QueryTimeout) role: best-effort time
+        # budget per search() call, checked at kernel checkpoints
+        # (WAND interval batches; conjunction per-term steps). On
+        # expiry the WAND path returns the fully-scored partial top-k,
+        # the conjunction path returns no hits (mid-intersection
+        # candidates are unverified); both set relation GTE and
+        # info["timed_out"]. The exhaustive and distributed paths have
+        # no checkpoints (single vectorized pass / cluster job) and
+        # ignore the budget, like un-wrapped readers under
+        # TimeLimitingCollector.
+        self.timeout_ms = timeout_ms
         # PredDocSetQuery key → Catalyst Column (distributed mode keeps
         # field predicates lazy; the ids never land on the driver)
         self._pred_conds: dict[tuple, object] = {}
@@ -471,6 +483,13 @@ class Searcher:
             if ts.term in by_term
         ]
 
+    def _deadline(self):
+        if self.timeout_ms is None:
+            return None
+        import time
+
+        return time.monotonic() + self.timeout_ms / 1000.0
+
     def _search_wand(self, spec, k: int, cache, rows_by_term=None) -> TopDocs:
         term_specs = [spec] if isinstance(spec, TermSpec) else list(spec.shoulds)
         msm = spec.msm if isinstance(spec, BoolSpec) else 1
@@ -484,8 +503,13 @@ class Searcher:
             self.total_hits_threshold,
             deleted=deleted if len(deleted) else None,
             msm=msm,
+            deadline=self._deadline(),
         )
-        relation = "GREATER_THAN_OR_EQUAL_TO" if info.get("pruned_intervals") else "EQUAL_TO"
+        relation = (
+            "GREATER_THAN_OR_EQUAL_TO"
+            if info.get("pruned_intervals") or info.get("timed_out")
+            else "EQUAL_TO"
+        )
         return TopDocs(hits, info["hits_seen"], relation, info)
 
     def _search_conjunction(self, spec, k: int, cache, rows_by_term=None) -> TopDocs:
@@ -501,9 +525,14 @@ class Searcher:
         )
         deleted = self.index.deleted_ids
         hits, info = conjunction_top_k(
-            sources, k, deleted=deleted if len(deleted) else None, should_sources=should_sources
+            sources,
+            k,
+            deleted=deleted if len(deleted) else None,
+            should_sources=should_sources,
+            deadline=self._deadline(),
         )
-        return TopDocs(hits, info["hits_seen"], "EQUAL_TO", info)
+        relation = "GREATER_THAN_OR_EQUAL_TO" if info.get("timed_out") else "EQUAL_TO"
+        return TopDocs(hits, info["hits_seen"], relation, info)
 
     def _driver_context(self, spec, cache, rows_by_term=None) -> ChunkContext:
         terms = sorted(spec_terms(spec))

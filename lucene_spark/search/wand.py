@@ -128,6 +128,7 @@ def wand_top_k(
     total_hits_threshold: int = 1000,
     deleted: np.ndarray | None = None,
     msm: int = 1,
+    deadline: float | None = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k over the disjunction of term sources, with block-max
     pruning. ``msm`` > 1 applies the WANDScorer
@@ -178,7 +179,19 @@ def wand_top_k(
 
     BATCH = 8
     i = 0
+    timed_out = False
     while i < len(order):
+        # QueryTimeout checkpoint (IndexSearcher.setTimeout /
+        # TimeLimitingCollector role): between interval batches — every
+        # doc already in the heap is fully scored, so the partial
+        # result is a correct (possibly incomplete) top-k
+        if deadline is not None:
+            import time
+
+            if time.monotonic() > deadline:
+                timed_out = True
+                pruned_intervals = len(order) - i
+                break
         batch = []
         while i < len(order) and len(batch) < BATCH:
             j = order[i]
@@ -231,6 +244,7 @@ def wand_top_k(
         "decoded_blocks": int(sum(len(s) for s in scored_blocks)),
         "total_blocks": int(sum(len(s.block_end) for s in sources)),
         "hits_seen": int(hits),
+        "timed_out": timed_out,
     }
     return result, info
 
@@ -240,6 +254,7 @@ def conjunction_top_k(
     k: int,
     deleted: np.ndarray | None = None,
     should_sources: list[PostingSource] | None = None,
+    deadline: float | None = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k over a pure term conjunction with skip-data block
     decoding (BlockMaxConjunctionScorer.java:30-80 cost ordering +
@@ -263,7 +278,18 @@ def conjunction_top_k(
     acc = lead_scores.astype(np.float64)
     blocks_decoded = len(lead.block_end)
     blocks_skipped = 0
+    timed_out = False
     for s in sources[1:]:
+        if deadline is not None:
+            import time
+
+            if time.monotonic() > deadline:
+                # mid-intersection candidates are NOT verified matches —
+                # the only correct partial here is the empty one
+                # (TimeExceededException keeps collected hits; none are)
+                timed_out = True
+                cand = cand[:0]
+                break
         if not len(cand):
             break
         bidx = np.searchsorted(s.block_end, cand)
@@ -303,6 +329,7 @@ def conjunction_top_k(
         "blocks_decoded": blocks_decoded,
         "blocks_skipped": blocks_skipped,
         "hits_seen": len(cand),
+        "timed_out": timed_out,
     }
     return top_k_from_arrays(cand, scores, k), info
 

@@ -184,3 +184,28 @@ class TestCheckIndex:
             check_index(bad)
         report = check_index(bad, raise_on_failure=False)
         assert report["bad_df"] > 0 or report["term_stats_mismatches"] > 0
+
+
+class TestSearchTimeout:
+    """IndexSearcher.setTimeout(QueryTimeout) / TimeLimitingCollector:
+    best-effort budget, partial-but-correct results, relation GTE."""
+
+    def test_no_timeout_is_identity(self, search_index):
+        from lucene_spark.search.engine import Searcher
+
+        a = Searcher(search_index).search("return OR class", k=10)
+        b = Searcher(search_index, timeout_ms=60_000).search("return OR class", k=10)
+        assert a.hits == b.hits and not b.info.get("timed_out")
+
+    def test_expired_budget_flags_and_stays_correct(self, search_index):
+        from lucene_spark.search.engine import Searcher
+
+        full = {d for d, _ in Searcher(search_index).search("return OR class", k=10).hits}
+        # an already-expired budget: first checkpoint trips
+        td = Searcher(search_index, timeout_ms=-1).search("return OR class", k=10)
+        assert td.info.get("timed_out") is True
+        assert td.relation == "GREATER_THAN_OR_EQUAL_TO"
+        # every returned hit is a real fully-scored match
+        assert {d for d, _ in td.hits} <= full
+        td2 = Searcher(search_index, timeout_ms=-1).search("return AND class", k=10)
+        assert td2.info.get("timed_out") is True and td2.hits == []
