@@ -1257,6 +1257,14 @@ def _pipeline_queries() -> dict:
         _docs(spark, sf), {"en": 1.0, "fr": 0.5}, "lang", default_rate=0.1
     ).select(F.col("doc_id").cast("long")).orderBy("doc_id")
 
+    Q["tx_repetition"] = lambda spark, sf: textstats.repetition_signals(
+        _docs(spark, sf)
+    ).select(
+        F.col("doc_id").cast("long"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_ngram_char_frac",
+    )
     Q["tx_quality"] = lambda spark, sf: textstats.quality_metrics(_docs(spark, sf)).select(
         "doc_id", "n_tokens", "n_chars", "avg_token_len", "stopword_ratio", "ttr"
     )
@@ -1989,6 +1997,27 @@ QUALIFY rank <= 5 ORDER BY query_id, rank"""
     O["tx_sample_strat"] = (
         "SELECT doc_id FROM documents WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < "
         "(CASE WHEN lang = 'en' THEN 1000000 WHEN lang = 'fr' THEN 500000 ELSE 100000 END) "
+        "ORDER BY doc_id"
+    )
+    O["tx_repetition"] = (
+        "WITH lns AS (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS l "
+        "FROM documents), "
+        "lm AS (SELECT doc_id, "
+        " CASE WHEN len(l) > 0 THEN round(1.0 - len(list_distinct(l)) / len(l)::DOUBLE, 4) ELSE 0.0 END AS dup_line_frac, "
+        " CASE WHEN list_sum(list_transform(l, x -> length(x))) > 0 THEN "
+        "  round(1.0 - list_sum(list_transform(list_distinct(l), x -> length(x)))::DOUBLE / "
+        "        list_sum(list_transform(l, x -> length(x))), 4) ELSE 0.0 END AS dup_line_char_frac "
+        " FROM lns), "
+        "tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+        "tc AS (SELECT doc_id, coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS tok_chars FROM tk), "
+        "g AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram, count(*)::BIGINT AS cnt "
+        "      FROM tk, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2 GROUP BY doc_id, gram), "
+        "tg AS (SELECT doc_id, cnt, gram, row_number() OVER "
+        "        (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn FROM g) "
+        "SELECT lm.doc_id, lm.dup_line_frac, lm.dup_line_char_frac, "
+        " CASE WHEN tc.tok_chars > 0 AND tg.cnt IS NOT NULL THEN "
+        "  round(tg.cnt * (length(tg.gram) - 1)::DOUBLE / tc.tok_chars, 4) ELSE 0.0 END AS top_ngram_char_frac "
+        "FROM lm JOIN tc USING (doc_id) LEFT JOIN (SELECT * FROM tg WHERE rn = 1) tg USING (doc_id) "
         "ORDER BY doc_id"
     )
     O["tx_quality"] = (

@@ -97,3 +97,76 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     identity for exact-ish dedup keys."""
     t = tokens_df(df, text_col, id_col)
     return t.select("doc_id", F.md5(F.array_join("tokens", " ")).alias("fp"))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 repetition filters):
+
+    - ``dup_line_frac``     fraction of lines that repeat an earlier
+      line (1 - distinct/total over ``\\n``-split lines)
+    - ``dup_line_char_frac`` fraction of line characters inside repeat
+      occurrences (Σ (cnt-1)·len over duplicated lines / Σ cnt·len)
+    - ``top_ngram_char_frac`` fraction of token characters covered by
+      the single most frequent word ``top_n``-gram: cnt·len(gram
+      without separators) / Σ len(token). Ties break to the
+      lexicographically largest gram (struct-max order).
+
+    Shapes: line metrics are pure array expressions (zero shuffle);
+    the top-n-gram needs one (doc, gram) aggregation — one shuffle
+    keyed by doc+gram, partial-aggregated map-side. Everything is
+    JVM-side (whole-stage codegen), no Python.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    lines = F.filter(F.split("_text", "\n"), lambda x: F.length(x) > 0)
+    dlines = F.array_distinct(lines)
+    total_len = F.aggregate(lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long"))
+    dist_len = F.aggregate(dlines, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long"))
+    line_metrics = base.select(
+        "doc_id",
+        F.round(
+            F.when(F.size(lines) > 0, 1.0 - F.size(dlines).cast("double") / F.size(lines)).otherwise(0.0),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(total_len > 0, 1.0 - dist_len.cast("double") / total_len).otherwise(0.0), 4
+        ).alias("dup_line_char_frac"),
+    )
+
+    from lucene_spark.pipeline.curation import _ngram_col
+
+    toks = F.filter(F.split(F.lower("_text"), r"[^a-z0-9]+"), lambda x: x != "")
+    tok_chars = base.select(
+        "doc_id",
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")).alias(
+            "_tok_chars"
+        ),
+    )
+    grams = base.select("doc_id", F.explode(_ngram_col("_text", top_n)).alias("gram"))
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("count"), F.col("gram"))).alias("_cg"))
+        .select("doc_id", F.col("_cg.count").alias("_cnt"), F.col("_cg.gram").alias("_gram"))
+    )
+    return (
+        line_metrics.join(tok_chars, "doc_id")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            F.round(
+                F.when(
+                    F.col("_tok_chars") > 0,
+                    F.col("_cnt")
+                    * (F.length("_gram") - F.lit(top_n - 1)).cast("double")
+                    / F.col("_tok_chars"),
+                ).otherwise(0.0),
+                4,
+            ).alias("top_ngram_char_frac"),
+        )
+    )

@@ -353,3 +353,53 @@ class TestDuplicateClusters:
         kept = sorted(r["doc_id"] for r in canonical_docs(docs, pairs).collect())
         # clusters {1,3,5} -> keep 1; {6,7} -> keep 6; singletons 0,2,4 kept
         assert kept == [0, 1, 2, 4, 6]
+
+
+class TestRepetitionSignals:
+    """Gopher repetition filters (Rae et al. 2021 Table A1) vs python
+    brute force."""
+
+    def test_matches_brute(self, spark):
+        import re
+
+        from lucene_spark.pipeline.textstats import repetition_signals
+
+        rows = [
+            (0, "aa bb\naa bb\ncc dd"),               # one duplicated line
+            (1, "xx yy zz\nqq rr ss"),                 # no repetition
+            (2, "go go go go"),                        # heavy 2-gram repeat
+            (3, ""),                                   # empty doc
+            (4, "one\none\none\ntwo"),                 # 3x same line
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+        for doc_id, text in rows:
+            lines = [l for l in text.split("\n") if l]
+            dl = 1.0 - len(set(lines)) / len(lines) if lines else 0.0
+            tot = sum(len(l) for l in lines)
+            dist = sum(len(l) for l in set(lines))
+            dlc = 1.0 - dist / tot if tot else 0.0
+            toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+            tok_chars = sum(len(t) for t in toks)
+            grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+            if grams and tok_chars:
+                from collections import Counter
+
+                c = Counter(grams)
+                best = max(c.items(), key=lambda kv: (kv[1], kv[0]))
+                tf = best[1] * (len(best[0]) - 1) / tok_chars
+            else:
+                tf = 0.0
+            r = got[doc_id]
+            assert abs(r["dup_line_frac"] - round(dl, 4)) < 1e-9, doc_id
+            assert abs(r["dup_line_char_frac"] - round(dlc, 4)) < 1e-9, doc_id
+            assert abs(r["top_ngram_char_frac"] - round(tf, 4)) < 1e-9, doc_id
+
+    def test_fixture_corpus_runs(self, spark, corpus_pdf):
+        from lucene_spark.pipeline.textstats import repetition_signals
+
+        docs = corpus_pdf.reset_index().rename(columns={"index": "doc_id", "content": "text"})
+        out = repetition_signals(spark.createDataFrame(docs[["doc_id", "text"]]))
+        assert out.count() == len(docs)
+        row = out.first()
+        assert 0.0 <= row["top_ngram_char_frac"] <= 1.0
