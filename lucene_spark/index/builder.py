@@ -535,6 +535,7 @@ class IndexBuilder:
                 self.inverted(self.tokenized(base, field=f), prefix=f + FIELD_SEP)
             )
         inverted = inverted.persist(StorageLevel.DISK_ONLY)
+        t_plan = time.time()
         postings, term_stats = self.posting_lists(inverted)
 
         # all non-content columns ride along as stored fields/DocValues
@@ -598,7 +599,9 @@ class IndexBuilder:
         # core-utilization — and with it N→4N scaling efficiency — flat
         # as parallelism grows (on a cluster: the same trick, one job
         # per output table).
+        t_pre = time.time()
         inverted.count()
+        t_inv = time.time()
 
         def _write_docs():
             # docs/norms: sorted by doc_id → parquet min/max prunes
@@ -704,6 +707,7 @@ class IndexBuilder:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        t_writes = time.time()
         writers = [_write_postings, _write_docs, _write_norms, _write_term_stats]
         if cfg.vector_field:
             writers.append(_write_vectors)
@@ -715,6 +719,7 @@ class IndexBuilder:
             for fut in futures:
                 fut.result()
             n_docs, sum_ttf, sum_df = stats_fut.result()
+        t_done = time.time()
         inverted.unpersist()
         term_stats.unpersist()
 
@@ -723,6 +728,17 @@ class IndexBuilder:
             "docs": int(n_docs),
             "sum_ttf": int(sum_ttf or 0),
             "elapsed_sec": elapsed,
+            # phase wall-clock (driver view): plan = doc-id/table prep
+            # before the inverted materialization, invert = the one
+            # persisted shuffle, pack+writes = the concurrent table
+            # jobs. The serial (non-overlapped) driver fraction is
+            # elapsed - invert - writes.
+            "phase_sec": {
+                "prep": round(t_pre - t0, 2),
+                "invert_materialize": round(t_inv - t_pre, 2),
+                "concurrent_writes": round(t_done - t_writes, 2),
+                "between": round(t_writes - t_inv, 2),
+            },
             "docs_per_sec": (int(n_docs) / elapsed) if elapsed else None,
             "docs_per_chunk": cfg.docs_per_chunk,
             "field": cfg.field,
