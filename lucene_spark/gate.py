@@ -1257,6 +1257,14 @@ def _pipeline_queries() -> dict:
         _docs(spark, sf), {"en": 1.0, "fr": 0.5}, "lang", default_rate=0.1
     ).select(F.col("doc_id").cast("long")).orderBy("doc_id")
 
+    def _fuzzy_suggest(spark, sf):
+        from lucene_spark.search.suggest import fuzzy_suggest
+
+        index, _ = gate_index(spark, sf)
+        return fuzzy_suggest(index, "tablw", k=10)
+
+    Q["sg_fuzzy_top10"] = _fuzzy_suggest
+
     Q["tx_repetition"] = lambda spark, sf: textstats.repetition_signals(
         _docs(spark, sf)
     ).select(
@@ -1998,6 +2006,15 @@ QUALIFY rank <= 5 ORDER BY query_id, rank"""
         "SELECT doc_id FROM documents WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < "
         "(CASE WHEN lang = 'en' THEN 1000000 WHEN lang = 'fr' THEN 500000 ELSE 100000 END) "
         "ORDER BY doc_id"
+    )
+    O["sg_fuzzy_top10"] = (
+        base_ctes()
+        + " SELECT term, ttf::BIGINT AS weight FROM dfr "
+        "WHERE term LIKE 't%' AND least("
+        "levenshtein('tablw', substring(term, 1, 4)), "
+        "levenshtein('tablw', substring(term, 1, 5)), "
+        "levenshtein('tablw', substring(term, 1, 6))) <= 1 "
+        "ORDER BY weight DESC, term LIMIT 10"
     )
     O["tx_repetition"] = (
         "WITH lns AS (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS l "

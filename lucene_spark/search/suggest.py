@@ -99,3 +99,47 @@ def spell_suggest(index, term: str, k: int = 5, max_edits: int = 2) -> DataFrame
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def fuzzy_suggest(
+    index,
+    typed: str,
+    k: int = 10,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+) -> DataFrame:
+    """FuzzySuggester (lucene/suggest/src/java/org/apache/lucene/search/
+    suggest/analyzing/FuzzySuggester.java:47-110): prefix completion
+    tolerating typos — a term suggests for ``typed`` when SOME PREFIX
+    of the term is within ``max_edits`` Levenshtein edits of the typed
+    text. Defaults mirror the reference: maxEdits=1 (:66
+    DEFAULT_MAX_EDITS), nonFuzzyPrefix=1 (:72 — the first typed char
+    must match exactly), minFuzzyLength=3 (:78 — shorter inputs
+    complete exactly, no fuzz). Ranked by weight (ttf) desc, term asc.
+    Documented subset: the reference additionally unions the exact
+    automaton so exact completions can never be starved by the edit
+    budget — with weight ranking over a term dictionary the exact
+    completions already satisfy the prefix-distance test (distance 0).
+
+    Plan shape: the only candidate prefixes of a term that can sit
+    within ``max_edits`` of ``typed`` have length |typed| ± max_edits,
+    so min-prefix-distance = least() over 2·max_edits+1 JVM levenshtein
+    calls — a pure whole-stage-codegen scan of the (pruned) term
+    dictionary, TakeOrderedAndProject for the cut."""
+    t = typed
+    stats = index.term_stats_df
+    if len(t) < min_fuzzy_length:
+        cand = stats.filter(F.col("term").startswith(t))
+    else:
+        pre = t[:non_fuzzy_prefix]
+        lens = range(max(1, len(t) - max_edits), len(t) + max_edits + 1)
+        dist = F.least(
+            *[F.levenshtein(F.lit(t), F.substring("term", 1, L)) for L in lens]
+        )
+        cand = stats.filter(F.col("term").startswith(pre)).filter(dist <= max_edits)
+    return (
+        cand.select("term", F.col("ttf").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(k)
+    )

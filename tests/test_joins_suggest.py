@@ -235,3 +235,50 @@ class TestCommonTerms:
         # absolute cutoff 1: everything with df>1 is high
         q2 = common_terms_query(search_index, ("return", "int"), max_term_frequency=1.0)
         assert isinstance(q2, A.BooleanQuery)
+
+
+class TestFuzzySuggest:
+    """FuzzySuggester: prefix completion within an edit budget."""
+
+    def test_matches_brute(self, search_index):
+        from lucene_spark.search.suggest import fuzzy_suggest
+
+        stats = {
+            r["term"]: int(r["ttf"])
+            for r in search_index.term_stats_df.select("term", "ttf").collect()
+        }
+
+        def lev(a, b):
+            import numpy as np
+
+            d = np.arange(len(b) + 1)
+            for i, ca in enumerate(a, 1):
+                prev, d[0] = d[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+            return int(d[len(b)])
+
+        typed = "retvrn"  # typo for 'return'
+        want = sorted(
+            (
+                (t, w)
+                for t, w in stats.items()
+                if t.startswith(typed[:1])
+                and min(
+                    lev(typed, t[:L])
+                    for L in range(max(1, len(typed) - 1), len(typed) + 2)
+                )
+                <= 1
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        got = [(r["term"], r["weight"]) for r in fuzzy_suggest(search_index, typed).collect()]
+        assert got == want
+        assert any(t == "return" for t, _ in got)
+
+    def test_short_input_is_exact_prefix(self, search_index):
+        from lucene_spark.search.suggest import complete_prefix, fuzzy_suggest
+
+        got = [(r["term"], r["weight"]) for r in fuzzy_suggest(search_index, "re").collect()]
+        want = [(r["term"], r["weight"]) for r in complete_prefix(search_index, "re").collect()]
+        assert got == want
