@@ -551,6 +551,24 @@ def queries() -> dict:
         ),
     )
 
+    # FILTERED block-max WAND: metadata filter + SHOULD disjunction —
+    # the req(filter)+opt(TOP_SCORES) branch; the doc-set rides into
+    # the WAND kernel as an allowed mask, pruning stays exact
+    Q["ft_filterwand_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(
+                (
+                    (A.Occur.SHOULD, A.TermQuery("dup")),
+                    (A.Occur.SHOULD, A.TermQuery("vector")),
+                    (A.Occur.FILTER, A.FieldValueQuery("lang", "en")),
+                )
+            ),
+        ),
+    )
+
     # keyword-field (StringField) filter: column equality as FILTER
     Q["ft_lang_filter_top10"] = lambda spark, sf: _hits_df(
         spark,
@@ -1797,6 +1815,10 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         base_ctes() + " SELECT term, levenshtein(term, 'dat')::BIGINT AS dist, df::BIGINT AS df "
         "FROM dfr WHERE levenshtein(term, 'dat') BETWEEN 1 AND 2 "
         "ORDER BY dist, df DESC, term LIMIT 5"
+    )
+    O["ft_filterwand_top10"] = topk_sql(
+        "SELECT t.doc_id, sum(t.s) AS s FROM tscore t JOIN documents d ON d.doc_id = t.doc_id "
+        "WHERE t.term IN ('dup','vector') AND d.lang = 'en' GROUP BY t.doc_id"
     )
     O["ft_lang_filter_top10"] = topk_sql(
         "SELECT t.doc_id, t.s FROM tscore t JOIN documents d ON d.doc_id = t.doc_id "

@@ -428,14 +428,21 @@ class Searcher:
     @staticmethod
     def _is_pure_term_disjunction(spec) -> bool:
         """Term disjunctions at ANY minimumNumberShouldMatch — the
-        WANDScorer handles msm natively (WANDScorer.java:38,146)."""
+        WANDScorer handles msm natively (WANDScorer.java:38,146).
+        Resolved doc-set FILTER / MUST_NOT clauses (metadata filters:
+        lang:python, numeric ranges) ride along as an allowed-set mask
+        — the req(filter)+opt(TOP_SCORES) Boolean2ScorerSupplier branch
+        — since filtering only removes hits, block-max upper bounds
+        stay valid."""
+        from lucene_spark.search.kernels import DocSetSpec
+
         if isinstance(spec, TermSpec):
             return True
         return (
             isinstance(spec, BoolSpec)
             and not spec.musts
-            and not spec.filters
-            and not spec.nots
+            and all(isinstance(f, DocSetSpec) for f in spec.filters)
+            and all(isinstance(n, DocSetSpec) for n in spec.nots)
             and all(isinstance(s, TermSpec) for s in spec.shoulds)
             and len(spec.shoulds) > 0
         )
@@ -496,7 +503,26 @@ class Searcher:
         sources = self._posting_sources(term_specs, cache, rows_by_term)
         if len(sources) < max(1, msm):  # too few present terms to ever satisfy msm
             return TopDocs([], 0, "EQUAL_TO", {})
+        allowed = None
+        if isinstance(spec, BoolSpec) and (spec.filters or spec.nots):
+            allowed = None
+            for f in spec.filters:
+                d = np.asarray(f.docs, dtype=np.int64)
+                allowed = d if allowed is None else np.intersect1d(allowed, d, assume_unique=True)
+            for nspec in spec.nots:
+                if allowed is not None:
+                    d = np.asarray(nspec.docs, dtype=np.int64)
+                    allowed = allowed[~np.isin(allowed, d, assume_unique=False)]
+                # with no positive filter, negations fold into the
+                # tombstone mask below instead
+            if allowed is not None and not len(allowed):
+                return TopDocs([], 0, "EQUAL_TO", {"filtered_empty": True})
         deleted = self.index.deleted_ids
+        if isinstance(spec, BoolSpec) and spec.nots and allowed is None:
+            # negation-only mask: fold MUST_NOT doc sets into the
+            # tombstone mask (both are "exclude these ids")
+            neg = np.concatenate([np.asarray(n.docs, dtype=np.int64) for n in spec.nots])
+            deleted = np.union1d(deleted, neg) if len(deleted) else np.unique(neg)
         hits, info = wand_top_k(
             sources,
             k,
@@ -504,6 +530,7 @@ class Searcher:
             deleted=deleted if len(deleted) else None,
             msm=msm,
             deadline=self._deadline(),
+            allowed=allowed,
         )
         relation = (
             "GREATER_THAN_OR_EQUAL_TO"

@@ -129,6 +129,7 @@ def wand_top_k(
     deleted: np.ndarray | None = None,
     msm: int = 1,
     deadline: float | None = None,
+    allowed: "np.ndarray | None" = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k over the disjunction of term sources, with block-max
     pruning. ``msm`` > 1 applies the WANDScorer
@@ -217,6 +218,15 @@ def wand_top_k(
         if msm > 1 and len(new_docs):
             enough = new_counts >= msm
             new_docs, new_scores = new_docs[enough], new_scores[enough]
+        if allowed is not None and len(new_docs):
+            # FILTER-clause doc-set mask (sorted): the filtered WAND of
+            # Boolean2ScorerSupplier's req(filter)+opt(TOP_SCORES)
+            # branch — pruning bounds stay true upper bounds because a
+            # filter only removes hits
+            idx = np.searchsorted(allowed, new_docs)
+            idx_c = np.minimum(idx, max(len(allowed) - 1, 0))
+            inset = (idx < len(allowed)) & (allowed[idx_c] == new_docs) if len(allowed) else np.zeros(len(new_docs), bool)
+            new_docs, new_scores = new_docs[inset], new_scores[inset]
         if deleted is not None and len(new_docs):
             # liveDocs mask (scorer.score(collector, liveDocs) role)
             live = ~np.isin(new_docs, deleted, assume_unique=False)

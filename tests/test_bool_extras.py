@@ -97,3 +97,88 @@ class TestCountShortcuts:
         s2 = Searcher(SearchIndex(spark, d))  # reopen sees tombstone
         assert s2.count(A.TermQuery("return")) == full - 1
         assert s2.count(A.MatchAllDocsQuery()) == s.count(A.MatchAllDocsQuery()) - 1
+
+
+class TestFilteredWand:
+    """FILTER/MUST_NOT doc-set clauses on term disjunctions take the
+    block-max WAND path (req(filter)+opt(TOP_SCORES) branch) and must
+    equal exhaustive evaluation exactly."""
+
+    def _mk(self, *clauses, msm=0):
+        from lucene_spark.search import ast as A
+
+        return A.BooleanQuery(tuple(clauses), minimum_should_match=msm)
+
+    def test_filtered_disjunction_equals_exhaustive(self, search_index):
+        from lucene_spark.search import ast as A
+        from lucene_spark.search.engine import Searcher
+
+        s = Searcher(search_index)
+        q = self._mk(
+            (A.Occur.SHOULD, A.TermQuery("return")),
+            (A.Occur.SHOULD, A.TermQuery("class")),
+            (A.Occur.FILTER, A.FieldValueQuery("lang", "python")),
+        )
+        got = s.search(q, k=10)
+        assert got.info.get("decoded_blocks") is not None, "must take the WAND path"
+        # exhaustive truth: force via a searcher shape WAND rejects
+        sf = Searcher(search_index)
+        base = {d: sc for d, sc in sf.search(self._mk(
+            (A.Occur.SHOULD, A.TermQuery("return")),
+            (A.Occur.SHOULD, A.TermQuery("class")),
+        ), k=10**6).hits}
+        lang_docs = set(search_index.field_doc_set(("eq", "lang", "python"), None)
+                        if False else
+                        [r["doc_id"] for r in search_index.docs.filter("lang = 'python'").select("doc_id").collect()])
+        want = sorted(((d, sc) for d, sc in base.items() if d in lang_docs),
+                      key=lambda t: (-t[1], t[0]))[:10]
+        assert [(d, round(sc, 6)) for d, sc in got.hits] == [(d, round(sc, 6)) for d, sc in want]
+
+    def test_not_clause_on_disjunction(self, search_index):
+        from lucene_spark.search import ast as A
+        from lucene_spark.search.engine import Searcher
+
+        s = Searcher(search_index)
+        q = self._mk(
+            (A.Occur.SHOULD, A.TermQuery("return")),
+            (A.Occur.SHOULD, A.TermQuery("class")),
+            (A.Occur.MUST_NOT, A.FieldValueQuery("lang", "python")),
+        )
+        got = s.search(q, k=10)
+        lang_docs = {r["doc_id"] for r in search_index.docs.filter("lang = 'python'").select("doc_id").collect()}
+        assert all(d not in lang_docs for d, _ in got.hits)
+        base = {d: sc for d, sc in Searcher(search_index).search(self._mk(
+            (A.Occur.SHOULD, A.TermQuery("return")),
+            (A.Occur.SHOULD, A.TermQuery("class")),
+        ), k=10**6).hits}
+        want = sorted(((d, sc) for d, sc in base.items() if d not in lang_docs),
+                      key=lambda t: (-t[1], t[0]))[:10]
+        assert [(d, round(sc, 6)) for d, sc in got.hits] == [(d, round(sc, 6)) for d, sc in want]
+
+    def test_filter_and_msm(self, search_index):
+        from lucene_spark.search import ast as A
+        from lucene_spark.search.engine import Searcher
+
+        s = Searcher(search_index)
+        q = self._mk(
+            (A.Occur.SHOULD, A.TermQuery("return")),
+            (A.Occur.SHOULD, A.TermQuery("class")),
+            (A.Occur.SHOULD, A.TermQuery("data")),
+            (A.Occur.FILTER, A.FieldRangeQuery("lang", "go", "js")),
+            msm=2,
+        )
+        got = s.search(q, k=10)
+        # brute: msm>=2 over the three terms + lang range filter
+        base3 = Searcher(search_index)
+        per_term = {}
+        for t in ("return", "class", "data"):
+            per_term[t] = dict(base3.search(t, k=10**6).hits)
+        import numpy as np
+        docs_in = {r["doc_id"] for r in search_index.docs.filter("lang >= 'go' AND lang <= 'js'").select("doc_id").collect()}
+        cand = {}
+        for d in set().union(*[set(v) for v in per_term.values()]):
+            n = sum(1 for t in per_term if d in per_term[t])
+            if n >= 2 and d in docs_in:
+                cand[d] = float(np.float32(sum(np.float64(per_term[t][d]) for t in per_term if d in per_term[t])))
+        want = sorted(cand.items(), key=lambda t: (-t[1], t[0]))[:10]
+        assert [(d, round(sc, 5)) for d, sc in got.hits] == [(d, round(sc, 5)) for d, sc in want]
