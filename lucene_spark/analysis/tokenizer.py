@@ -130,6 +130,23 @@ def _expander(stem):
     return code_parts if stem == "code" else None
 
 
+# WhitespaceTokenizer (lucene/analysis/common .../core/
+# WhitespaceTokenizer.java:28-35 via WhitespaceAnalyzer.java:30-38):
+# maximal runs of non-whitespace, NO LowerCaseFilter — terms keep case.
+# The same 255-char maxTokenLen default applies (:42-52).
+_WS_RE = re.compile(r"\S+")
+
+
+def _tokenizer_of(stem) -> tuple[re.Pattern, bool]:
+    """(token regex, lowercase?) — the Tokenizer stage selection.
+    "whitespace" splits on whitespace and preserves case; everything
+    else uses the StandardTokenizer grammar with LowerCaseFilter
+    applied by the chain (or by the default path)."""
+    if stem == "whitespace":
+        return _WS_RE, False
+    return _TOKEN_RE, True
+
+
 def _emitter(stem):
     """Analyzer filter chain AFTER the tokenizer, as one
     token → (token | None) function; None = token removed but still
@@ -149,6 +166,8 @@ def _emitter(stem):
     branch-free vectorized form."""
     if stem in (False, None, "standard"):
         return None
+    if stem == "whitespace":
+        return None  # no filters at all (WhitespaceAnalyzer has none)
     from lucene_spark.analysis.porter import porter_stem
 
     if stem in (True, "porter"):
@@ -170,13 +189,14 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH, stem: bool = F
     analyzer chain (standard lowercase / porter / english — see
     :func:`_emitter`). Stop-removed tokens are dropped from the output
     (positions are only tracked by the *_positions variants)."""
-    out = [t for t in _raw_tokens(text) if len(t) <= max_token_length]
+    tok_re, lower = _tokenizer_of(stem)
+    out = [t for t in tok_re.findall(text) if len(t) <= max_token_length]
     ex = _expander(stem)
     if ex is not None:
         return [p for t in out for p in ex(t)]
     em = _emitter(stem)
     if em is None:
-        return [t.lower() for t in out]
+        return [t.lower() for t in out] if lower else list(out)
     return [r for r in (em(t) for t in out) if r is not None]
 
 
@@ -202,6 +222,7 @@ def tokenize_pos_off_series(
     (tokens, positions, starts, ends) Series of equal-length lists.
     Offsets index the ORIGINAL text (lowercasing and stemming never
     move offsets — both filters are offset-preserving)."""
+    tok_re, lower = _tokenizer_of(stem)
     ex = _expander(stem)
     em = None if ex is not None else _emitter(stem)
     toks_out, pos_out, st_out, en_out = [], [], [], []
@@ -209,7 +230,7 @@ def tokenize_pos_off_series(
         toks, poss, sts, ens = [], [], [], []
         if ex is not None:
             pos = 0
-            for m in _TOKEN_RE.finditer(text):
+            for m in tok_re.finditer(text):
                 t = m.group()
                 if len(t) > max_token_length:
                     pos += 1
@@ -225,10 +246,10 @@ def tokenize_pos_off_series(
                     ens.append(m.start() + re_)
                     pos += 1
         else:
-            for p, m in enumerate(_TOKEN_RE.finditer(text)):
+            for p, m in enumerate(tok_re.finditer(text)):
                 t = m.group()
                 if len(t) <= max_token_length:
-                    r = em(t) if em else t.lower()
+                    r = em(t) if em else (t.lower() if lower else t)
                     if r is None:  # stop-removed: consumes position only
                         continue
                     toks.append(r)
@@ -254,7 +275,8 @@ def tokenize_series(
     """Vectorized batch tokenization for pandas UDFs (Arrow path)."""
     # str.findall is the pandas-vectorized regex scan; the lowercase +
     # length filter runs on the token lists (tiny vs the regex cost).
-    raw = texts.fillna("").str.findall(_TOKEN_RE)
+    tok_re, lower = _tokenizer_of(stem)
+    raw = texts.fillna("").str.findall(tok_re)
     ex = _expander(stem)
     if ex is not None:
         return raw.map(lambda ts: [p for t in ts if len(t) <= max_token_length for p in ex(t)])
@@ -265,6 +287,8 @@ def tokenize_series(
                 r for t in ts if len(t) <= max_token_length if (r := em(t)) is not None
             ]
         )
+    if not lower:
+        return raw.map(lambda ts: [t for t in ts if len(t) <= max_token_length])
     if max_token_length is None:
         return raw.map(lambda ts: [t.lower() for t in ts])
     return raw.map(lambda ts: [t.lower() for t in ts if len(t) <= max_token_length])
@@ -276,7 +300,8 @@ def tokenize_pos_series(
     """Batch tokenization with Lucene positions (dropped over-length
     tokens still consume a position increment). Returns (tokens,
     positions) Series of equal-length lists."""
-    raw = texts.fillna("").str.findall(_TOKEN_RE)
+    tok_re, lower = _tokenizer_of(stem)
+    raw = texts.fillna("").str.findall(tok_re)
     ex = _expander(stem)
     em = None if ex is not None else _emitter(stem)
     toks_out, pos_out = [], []
@@ -303,7 +328,7 @@ def tokenize_pos_series(
         else:
             for p, t in enumerate(ts):
                 if len(t) <= max_token_length:
-                    r = em(t) if em else t.lower()
+                    r = em(t) if em else (t.lower() if lower else t)
                     if r is None:  # stop-removed: consumes position only
                         continue
                     toks.append(r)

@@ -146,6 +146,28 @@ def multi_gate_index(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+def ws_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """WhitespaceAnalyzer index over the initcap-ed documents text:
+    every token is Capitalized, so case sensitivity is observable.
+    initcap is a BIJECTION on the (pure-lowercase-word) corpus tokens —
+    tf/df/dl are untouched — so the cased query "Table" must reproduce
+    the standard tscore oracle for 'table' exactly."""
+    key = ("ws", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gatews_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True, analyzer="whitespace")
+        corpus = corpus_df(spark, sf_dir).drop("title").withColumn(
+            "content", F.initcap(F.col("content"))
+        )
+        IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 def dv_gate_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     """Index with a staged numeric doc-values update generation
     (IndexWriter.updateNumericDocValue role): every doc_id % 10 == 0
@@ -343,6 +365,11 @@ def queries() -> dict:
     # must equal the single-index tscore oracle exactly
     Q["ft_multi_top10"] = lambda spark, sf: _hits_df(
         spark, multi_gate_index(spark, sf).search("table OR merge", k=10)
+    )
+    # WhitespaceAnalyzer: cased term over the initcap-ed corpus — the
+    # token bijection means the standard tscore oracle applies verbatim
+    Q["ft_ws_top10"] = lambda spark, sf: _hits_df(
+        spark, ws_gate_index(spark, sf)[1].search("Table", k=10)
     )
     # LatLonPoint geo queries over the docs table's lat/lon columns
     Q["ft_geobox_ids"] = lambda spark, sf: _ids_df(
@@ -1315,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
     # ClassicSimilarity: tf = sqrt(freq), idf = ln((N+1)/(df+1)) + 1,
     # lengthNorm = 1/sqrt(len) (ClassicSimilarity.java:38-64)
     O["ft_code_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    O["ft_ws_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     O["ft_geobox_ids"] = (
         "WITH coords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "
         "SELECT doc_id FROM coords WHERE lat BETWEEN -30.0 AND 45.0 "

@@ -219,10 +219,17 @@ class Searcher:
         ex = _expander(self.index.analyzer)
         if ex is None:
             em = _emitter(self.index.analyzer)
+            if em is None:
+                # filter-less chains (whitespace): tokens pass through;
+                # the parser already applied the right tokenizer
+                def mex(t: str) -> list[str]:
+                    return [t]
 
-            def mex(t: str) -> list[str]:
-                r = em(t)
-                return [r] if r is not None else []
+            else:
+
+                def mex(t: str) -> list[str]:
+                    r = em(t)
+                    return [r] if r is not None else []
 
         else:
             mex = ex
@@ -376,13 +383,20 @@ class Searcher:
         term_stats lookup; the whole driver query path is one job."""
         from lucene_spark.analysis.tokenizer import _expander
 
-        one_to_n = _expander(self.index.analyzer) is not None
+        analyzer = self.index.analyzer
+        one_to_n = _expander(analyzer) is not None
         if isinstance(query, str):
             # cased 1:N chains ("code") analyze AFTER parsing and need
             # the surface form AND the un-rewritten shape (a quoted
             # single identifier must stay a phrase until its parts are
-            # spliced); 1:1 chains lowercase themselves
-            q = parse_query(query, preserve_case=one_to_n, rewrite_tree=not one_to_n)
+            # spliced); "whitespace" needs its own case-preserving
+            # splitter; 1:1 chains lowercase themselves
+            q = parse_query(
+                query,
+                preserve_case=one_to_n,
+                rewrite_tree=not one_to_n,
+                analyzer=analyzer if analyzer == "whitespace" else None,
+            )
         else:
             q = query if one_to_n else A.rewrite(query)
         if self.index.analyzer not in ("standard", None):

@@ -109,6 +109,7 @@ def _lex(s: str) -> list[tuple[str, str]]:
 
 class _Parser:
     preserve_case = False
+    analyzer = None
 
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
@@ -267,6 +268,10 @@ class _Parser:
         to the index analyzer); default lowercases like
         StandardAnalyzer (the engine re-analyzes for porter/english,
         whose chains lowercase themselves)."""
+        if self.analyzer == "whitespace":
+            # WhitespaceAnalyzer: split the surface text on whitespace,
+            # keep case (no LowerCaseFilter in the chain)
+            return [t for t in body.split() if len(t) <= MAX_TOKEN_LENGTH]
         if self.preserve_case:
             return [t for t in _raw_tokens(body) if len(t) <= MAX_TOKEN_LENGTH]
         return tokenize(body)
@@ -303,7 +308,9 @@ def _range_bound(text: str):
     return text
 
 
-def parse_query(s: str, preserve_case: bool = False, rewrite_tree: bool = True) -> Query:
+def parse_query(
+    s: str, preserve_case: bool = False, rewrite_tree: bool = True, analyzer: str | None = None
+) -> Query:
     """Parse + rewrite a classic-syntax query string. ``preserve_case``
     keeps term/phrase surface forms for cased 1:N analyzer chains;
     those callers pass ``rewrite_tree=False`` so shape-normalizing
@@ -315,6 +322,7 @@ def parse_query(s: str, preserve_case: bool = False, rewrite_tree: bool = True) 
         return MatchNoDocsQuery("empty query")
     p = _Parser(toks)
     p.preserve_case = preserve_case
+    p.analyzer = analyzer
     q = p.parse_or()
     if isinstance(q, tuple):
         q = BooleanQuery((q,))
