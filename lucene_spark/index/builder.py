@@ -535,7 +535,6 @@ class IndexBuilder:
                 self.inverted(self.tokenized(base, field=f), prefix=f + FIELD_SEP)
             )
         inverted = inverted.persist(StorageLevel.DISK_ONLY)
-        t_plan = time.time()
         postings, term_stats = self.posting_lists(inverted)
 
         # all non-content columns ride along as stored fields/DocValues

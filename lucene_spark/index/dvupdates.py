@@ -59,7 +59,18 @@ def update_numeric_doc_values(
 
     ``updates``: {doc_id: value} dict or a DataFrame(doc_id, value).
     Returns the generation number written. Cost is O(|updates|) — the
-    docs table is not rewritten (updateNumericDocValue's whole point)."""
+    docs table is not rewritten (updateNumericDocValue's whole point).
+
+    Unknown fields are rejected up front (IndexWriter.updateNumericDocValue
+    throws IllegalArgumentException for a field with no doc values,
+    IndexWriter.java:1900-1930) — otherwise one bad update would break
+    every subsequent reader open until the sidecar is removed."""
+    docs_cols = {f.name for f in spark.read.parquet(f"{index_dir}/docs").schema.fields}
+    if field not in docs_cols:
+        raise ValueError(
+            f"can only update existing doc-values fields: {field!r} "
+            f"not in docs columns {sorted(docs_cols)}"
+        )
     if isinstance(updates, dict):
         rows = [(int(d), float(v)) for d, v in updates.items()]
         df = spark.createDataFrame(rows, "doc_id bigint, value double")
@@ -85,6 +96,8 @@ def overlay_docs(spark: SparkSession, index_dir: str, docs: DataFrame) -> DataFr
         return docs
     base_types = dict(docs.dtypes)
     for field in fields:
+        if field not in base_types:  # sidecar staged against a schema
+            continue  # this docs table never had — skip, don't break opens
         upd = spark.read.parquet(os.path.join(_updates_root(index_dir), field))
         latest = upd.groupBy("doc_id").agg(F.max_by("value", "gen").alias("__dv_upd"))
         docs = (

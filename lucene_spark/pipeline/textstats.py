@@ -162,9 +162,15 @@ def repetition_signals(
             F.round(
                 F.when(
                     F.col("_tok_chars") > 0,
-                    F.col("_cnt")
-                    * (F.length("_gram") - F.lit(top_n - 1)).cast("double")
-                    / F.col("_tok_chars"),
+                    # docs with >0 token chars but fewer than top_n
+                    # tokens have no n-gram at all (_cnt NULL from the
+                    # left join): Gopher semantics give 0.0, not NULL
+                    F.coalesce(
+                        F.col("_cnt")
+                        * (F.length("_gram") - F.lit(top_n - 1)).cast("double")
+                        / F.col("_tok_chars"),
+                        F.lit(0.0),
+                    ),
                 ).otherwise(0.0),
                 4,
             ).alias("top_ngram_char_frac"),

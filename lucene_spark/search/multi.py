@@ -121,10 +121,24 @@ class MultiSearchIndex:
             norms = np.concatenate([p.norms for _, p in ps])
             positions = None
             if with_positions:
-                positions = [pl for _, p in ps for pl in (p.positions or [])]
+                for _, p in ps:
+                    if p.positions is None:
+                        raise ValueError(
+                            f"sub-index lacks positions for term {t!r}; "
+                            "positional queries need every sub-index built "
+                            "with positions=True"
+                        )
+                positions = [pl for _, p in ps for pl in p.positions]
             offsets = None
             if with_offsets:
-                offsets = [ol for _, p in ps for ol in (p.offsets or [])]
+                for _, p in ps:
+                    if p.offsets is None:
+                        raise ValueError(
+                            f"sub-index lacks offsets for term {t!r}; "
+                            "highlighting needs every sub-index built "
+                            "with offsets=True"
+                        )
+                offsets = [ol for _, p in ps for ol in p.offsets]
             out[t] = PostingList(t, -1, len(docs), docs, tfs, norms, positions, offsets)
         return out
 

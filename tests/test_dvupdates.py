@@ -52,6 +52,15 @@ def test_update_changes_filters_not_scores(spark, dv_index):
     assert after.search("return", k=10).hits == base_hits
 
 
+def test_unknown_field_rejected(spark, dv_index):
+    # IndexWriter.updateNumericDocValue rejects unknown DV fields up
+    # front — a bad update must never poison subsequent reader opens
+    with pytest.raises(ValueError, match="no_such_field"):
+        update_numeric_doc_values(spark, dv_index, "no_such_field", {0: 1.0})
+    # readers still open fine (no sidecar was written)
+    assert Searcher(SearchIndex(spark, dv_index)).search("return", k=1).hits
+
+
 def test_snapshot_semantics(spark, dv_index):
     reader = SearchIndex(spark, dv_index)
     _ = reader.docs.count()  # snapshot taken

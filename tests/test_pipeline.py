@@ -370,6 +370,7 @@ class TestRepetitionSignals:
             (2, "go go go go"),                        # heavy 2-gram repeat
             (3, ""),                                   # empty doc
             (4, "one\none\none\ntwo"),                 # 3x same line
+            (5, "solo"),                               # >0 token chars, no 2-gram → 0.0 not NULL
         ]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
