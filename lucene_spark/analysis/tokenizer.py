@@ -136,15 +136,26 @@ def _expander(stem):
 # The same 255-char maxTokenLen default applies (:42-52).
 _WS_RE = re.compile(r"\S+")
 
+# KeywordTokenizer (lucene/analysis/common .../core/
+# KeywordTokenizer.java:28-40 via KeywordAnalyzer.java:26-36): the
+# ENTIRE input is one token — no splitting, no case folding, no length
+# cap (the token buffer grows to the input; nothing is dropped).
+_KW_RE = re.compile(r"(?s)\A.+\Z")
 
-def _tokenizer_of(stem) -> tuple[re.Pattern, bool]:
-    """(token regex, lowercase?) — the Tokenizer stage selection.
-    "whitespace" splits on whitespace and preserves case; everything
-    else uses the StandardTokenizer grammar with LowerCaseFilter
-    applied by the chain (or by the default path)."""
+_NO_MAX = 1 << 62  # "unlimited" sentinel for filter-by-length paths
+
+
+def _tokenizer_of(stem, max_token_length: int = MAX_TOKEN_LENGTH):
+    """(token regex, lowercase?, effective max token length) — the
+    Tokenizer stage selection. "whitespace" splits on whitespace and
+    preserves case; "keyword" emits the whole input as one uncapped
+    token; everything else uses the StandardTokenizer grammar with
+    LowerCaseFilter applied by the chain (or by the default path)."""
     if stem == "whitespace":
-        return _WS_RE, False
-    return _TOKEN_RE, True
+        return _WS_RE, False, max_token_length
+    if stem == "keyword":
+        return _KW_RE, False, _NO_MAX
+    return _TOKEN_RE, True, max_token_length
 
 
 def _emitter(stem):
@@ -166,8 +177,8 @@ def _emitter(stem):
     branch-free vectorized form."""
     if stem in (False, None, "standard"):
         return None
-    if stem == "whitespace":
-        return None  # no filters at all (WhitespaceAnalyzer has none)
+    if stem in ("whitespace", "keyword"):
+        return None  # no filters at all (Whitespace/KeywordAnalyzer have none)
     from lucene_spark.analysis.porter import porter_stem
 
     if stem in (True, "porter"):
@@ -189,7 +200,7 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH, stem: bool = F
     analyzer chain (standard lowercase / porter / english — see
     :func:`_emitter`). Stop-removed tokens are dropped from the output
     (positions are only tracked by the *_positions variants)."""
-    tok_re, lower = _tokenizer_of(stem)
+    tok_re, lower, max_token_length = _tokenizer_of(stem, max_token_length)
     out = [t for t in tok_re.findall(text) if len(t) <= max_token_length]
     ex = _expander(stem)
     if ex is not None:
@@ -222,7 +233,7 @@ def tokenize_pos_off_series(
     (tokens, positions, starts, ends) Series of equal-length lists.
     Offsets index the ORIGINAL text (lowercasing and stemming never
     move offsets — both filters are offset-preserving)."""
-    tok_re, lower = _tokenizer_of(stem)
+    tok_re, lower, max_token_length = _tokenizer_of(stem, max_token_length)
     ex = _expander(stem)
     em = None if ex is not None else _emitter(stem)
     toks_out, pos_out, st_out, en_out = [], [], [], []
@@ -275,7 +286,7 @@ def tokenize_series(
     """Vectorized batch tokenization for pandas UDFs (Arrow path)."""
     # str.findall is the pandas-vectorized regex scan; the lowercase +
     # length filter runs on the token lists (tiny vs the regex cost).
-    tok_re, lower = _tokenizer_of(stem)
+    tok_re, lower, max_token_length = _tokenizer_of(stem, max_token_length)
     raw = texts.fillna("").str.findall(tok_re)
     ex = _expander(stem)
     if ex is not None:
@@ -300,7 +311,7 @@ def tokenize_pos_series(
     """Batch tokenization with Lucene positions (dropped over-length
     tokens still consume a position increment). Returns (tokens,
     positions) Series of equal-length lists."""
-    tok_re, lower = _tokenizer_of(stem)
+    tok_re, lower, max_token_length = _tokenizer_of(stem, max_token_length)
     raw = texts.fillna("").str.findall(tok_re)
     ex = _expander(stem)
     em = None if ex is not None else _emitter(stem)

@@ -168,6 +168,30 @@ def ws_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Search
     return _CACHE[key]
 
 
+def kw_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """KeywordAnalyzer index (KeywordTokenizer.java:28-40): the whole
+    field value is ONE case-preserved token, so the postings space holds
+    analyzed keyword terms — equality AND prefix/wildcard run through
+    the same term dictionary as any tokenized field. Content =
+    source || '-' || upper(lang) ("src13-EN"): StandardAnalyzer would
+    split it into two lowercased tokens; keyword semantics keep it
+    whole, which the oracle reproduces relationally (tf=1, dl=1)."""
+    key = ("kw", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gatekw_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, analyzer="keyword")
+        corpus = corpus_df(spark, sf_dir).drop("title").withColumn(
+            "content", F.concat(F.col("repo"), F.lit("-"), F.upper(F.col("lang")))
+        )
+        IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 def dv_gate_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     """Index with a staged numeric doc-values update generation
     (IndexWriter.updateNumericDocValue role): every doc_id % 10 == 0
@@ -371,6 +395,14 @@ def queries() -> dict:
     Q["ft_ws_top10"] = lambda spark, sf: _hits_df(
         spark, ws_gate_index(spark, sf)[1].search("Table", k=10)
     )
+    # KeywordAnalyzer: whole value = one case-preserved term; equality
+    # and prefix both resolve through the postings term dictionary
+    Q["ft_kw_term_top10"] = lambda spark, sf: _hits_df(
+        spark, kw_gate_index(spark, sf)[1].search(A.TermQuery("src13-EN"), k=10)
+    )
+    Q["ft_kw_prefix_ids"] = lambda spark, sf: _ids_df(
+        spark, kw_gate_index(spark, sf)[1].search(A.PrefixQuery("src1"), k=ALL_K)
+    )
     # LatLonPoint geo queries over the docs table's lat/lon columns
     Q["ft_geobox_ids"] = lambda spark, sf: _ids_df(
         spark,
@@ -505,6 +537,13 @@ def queries() -> dict:
     )
     Q["ft_multiphrase_top10"] = lambda spark, sf: _hits_df(
         spark, _search(spark, sf, A.MultiPhraseQuery((("table", "merge"), ("hash",))))
+    )
+    # sloppy multiphrase whose slots SHARE a term ('hash' in both):
+    # the hasMultiTermRpts repeat-group path (SloppyPhraseMatcher.java:
+    # 435-453,562-585) — slot collisions resolve by advancing the
+    # lesser; oracle = the same 2-slot machine as a recursive CTE
+    Q["ft_multiphrase_shared_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, A.MultiPhraseQuery((("table", "hash"), ("hash",)), slop=2))
     )
     # sloppy phrase: for the 2-term case the reference pq traversal
     # (SloppyPhraseMatcher.java:162-205) reduces to an alternating
@@ -1343,6 +1382,25 @@ def oracle_sql() -> dict[str, str]:
     # lengthNorm = 1/sqrt(len) (ClassicSimilarity.java:38-64)
     O["ft_code_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     O["ft_ws_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    # KeywordAnalyzer: every doc is one token (tf=1, dl=1 → norm
+    # decode 1, avgdl=1); BM25 from first principles over the whole
+    # case-preserved value source||'-'||upper(lang)
+    O["ft_kw_term_top10"] = (
+        "WITH kw AS (SELECT doc_id, source || '-' || upper(lang) AS term FROM documents), "
+        "kst AS (SELECT count(*)::BIGINT AS n FROM kw), "
+        "kdf AS (SELECT count(*)::BIGINT AS df FROM kw WHERE term = 'src13-EN'), "
+        "q AS (SELECT doc_id, "
+        "  ln(1 + ((SELECT n FROM kst) - (SELECT df FROM kdf) + 0.5) / ((SELECT df FROM kdf) + 0.5)) "
+        "  - ln(1 + ((SELECT n FROM kst) - (SELECT df FROM kdf) + 0.5) / ((SELECT df FROM kdf) + 0.5)) "
+        f"    / (1 + 1.0 * (1.0 / ({K1} * ((1 - {B}) + {B} * 1.0 / 1.0)))) AS s "
+        "  FROM kw WHERE term = 'src13-EN') "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"
+    )
+    O["ft_kw_prefix_ids"] = (
+        "SELECT doc_id FROM documents "
+        "WHERE (source || '-' || upper(lang)) LIKE 'src1%' ORDER BY doc_id"
+    )
     O["ft_geobox_ids"] = (
         "WITH coords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "
         "SELECT doc_id FROM coords WHERE lat BETWEEN -30.0 AND 45.0 "
@@ -1623,6 +1681,80 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('table','hash') "
         "GROUP BY doc_id HAVING count(*) = 2"
     )
+    # shared-term sloppy multiphrase (slots {table,hash} / {hash}, ~2):
+    # a recursive CTE runs the exact 2-slot PQ machine — slot0 iterates
+    # the union list, slot1 the 'hash' list; after any advance landing
+    # both slots on one token, the LESSER (always slot1: adjusted
+    # position x-1 < x) advances (SloppyPhraseMatcher.java:286-344);
+    # a crossing of the captured queue-top emits the running
+    # matchLength; exhaustion emits it once more. Fuzz-verified
+    # step-identical to the kernel (tests/test_sloppy.py
+    # TestSharedTermMachine).
+    O["ft_multiphrase_shared_top10"] = base_ctes().replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    ) + f""",
+la AS (SELECT doc_id, pos::BIGINT AS p FROM post WHERE term IN ('table','hash')),
+lb AS (SELECT doc_id, pos::BIGINT AS p FROM post WHERE term = 'hash'),
+ini0 AS (SELECT a.doc_id, a.x0, b.xb
+         FROM (SELECT doc_id, min(p) AS x0 FROM la GROUP BY 1) a
+         JOIN (SELECT doc_id, min(p) AS xb FROM lb GROUP BY 1) b USING (doc_id)),
+ini AS (SELECT doc_id, x0,
+          CASE WHEN xb = x0 THEN (SELECT min(p) FROM lb WHERE lb.doc_id = i.doc_id AND lb.p > i.xb)
+               ELSE xb END AS x1
+        FROM ini0 i),
+steps AS (
+  SELECT doc_id, x0, x1,
+         greatest(x0, x1 - 1) AS end_,
+         CASE WHEN x0 <= x1 - 1 THEN 0 ELSE 1 END AS ld,
+         CASE WHEN x0 <= x1 - 1 THEN x1 - 1 ELSE x0 END AS nxt,
+         greatest(x0, x1 - 1) - least(x0, x1 - 1) AS ml,
+         CAST(NULL AS BIGINT) AS emit_ml,
+         FALSE AS done
+  FROM ini WHERE x1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, x0, x1, end_,
+         CASE WHEN fin OR NOT crossed THEN ld WHEN x0 <= x1 - 1 THEN 0 ELSE 1 END AS ld,
+         CASE WHEN fin OR NOT crossed THEN nxt WHEN x0 <= x1 - 1 THEN x1 - 1 ELSE x0 END AS nxt,
+         CASE WHEN fin THEN ml
+              WHEN crossed THEN end_ - least(x0, x1 - 1)
+              ELSE least(ml, end_ - plead) END AS ml,
+         CASE WHEN fin OR crossed THEN ml ELSE CAST(NULL AS BIGINT) END AS emit_ml,
+         fin AS done
+  FROM (
+    SELECT doc_id, x0a AS x0, coalesce(x1c, x1a) AS x1, end2 AS end_, ld, nxt, ml, plead,
+           fin, NOT fin AND plead > nxt AS crossed
+    FROM (
+      SELECT *, fin1 OR (collided AND x1c IS NULL) AS fin,
+             CASE WHEN x1c IS NOT NULL THEN greatest(end1, x1c - 1) ELSE end1 END AS end2,
+             CASE WHEN ld = 0 THEN x0a ELSE coalesce(x1c, x1a) - 1 END AS plead
+      FROM (
+        SELECT *, NOT fin1 AND x0a = x1a AS collided,
+               CASE WHEN NOT fin1 AND x0a = x1a
+                    THEN (SELECT min(p) FROM lb WHERE lb.doc_id = t2.doc_id AND lb.p > t2.x1a)
+                    ELSE x1a END AS x1c
+        FROM (
+          SELECT doc_id, ld, nxt, ml, adv IS NULL AS fin1,
+                 CASE WHEN ld = 0 AND adv IS NOT NULL THEN adv ELSE x0 END AS x0a,
+                 CASE WHEN ld = 1 AND adv IS NOT NULL THEN adv ELSE x1 END AS x1a,
+                 CASE WHEN adv IS NULL THEN end_ ELSE greatest(end_, adv - ld) END AS end1
+          FROM (
+            SELECT s.*,
+                   CASE WHEN s.ld = 0 THEN (SELECT min(p) FROM la WHERE la.doc_id = s.doc_id AND la.p > s.x0)
+                        ELSE (SELECT min(p) FROM lb WHERE lb.doc_id = s.doc_id AND lb.p > s.x1) END AS adv
+            FROM steps s WHERE NOT s.done
+          ) t1
+        ) t2
+      ) t3
+    ) t4
+  ) t5
+),
+pf AS (SELECT doc_id, sum(1.0 / (1 + emit_ml)) AS pf FROM steps
+       WHERE emit_ml IS NOT NULL AND emit_ml <= 2 GROUP BY doc_id),
+q AS (SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * {_INV}) AS s
+      FROM pf p JOIN norms n ON n.doc_id = p.doc_id,
+      (SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"""
 
     O["ft_msm_top10"] = topk_sql(
         "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('dup','vector','scan') "

@@ -798,17 +798,13 @@ class Searcher:
                 ids_df = index.docs.filter(cond).select("doc_id")
                 vdf = vdf.join(ids_df, "doc_id", "left_semi")
             else:
-                q, spec, stats, rows = self.prepare(q0, collect_rows=True)
-                if isinstance(spec, NoneSpec):
-                    return None
-                ctx = self._driver_context(spec, self._norm_caches(stats), rows)
-                docs, _ = evaluate(spec, ctx)
-                if not len(docs):
-                    return None
-                ids_df = index.spark.createDataFrame(
-                    [(int(d),) for d in docs], "doc_id bigint"
-                )
-                vdf = vdf.join(F.broadcast(ids_df), "doc_id", "left_semi")
+                # text-query filter: semi-join the vectors table against
+                # the DISTRIBUTED match relation (match_frame) — the
+                # filter's doc ids never land on the driver, so a
+                # non-selective text filter stays a shuffle join at
+                # 100 TB instead of an O(matches) driver materialization
+                ids_df = self.match_frame(filter).select("doc_id")
+                vdf = vdf.join(ids_df, "doc_id", "left_semi")
         deletes = index.deletes_df()
         if deletes is not None:
             vdf = vdf.join(deletes, "doc_id", "left_anti")

@@ -637,6 +637,13 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
         freqs = _two_term_flat_freqs(A, B, spec.in_order, spec.slop, len(cand)).astype(
             np.float64
         )
+    elif len(set(spec.terms)) == n:
+        # n >= 3 distinct terms: lockstep-vectorized minimal intervals
+        keys = [
+            _term_flat_keys(d, pl, cand) for (d, _, _), pl in zip(parts, plists)
+        ]
+        kern = _ordered_flat_freqs if spec.in_order else _unordered_flat_freqs
+        freqs = kern(keys, spec.slop, len(cand)).astype(np.float64)
     else:
         for ci in range(len(cand)):
             pls = [np.asarray(plists[j][idxs[j][ci]], dtype=np.int64) for j in range(n)]
@@ -655,11 +662,12 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
     return cand[matched], scores
 
 
-def _fast_two_term_shape(src):
-    """(term_a, term_b, in_order, gaps_cap|None) when ``src`` is the
-    common 2-term proximity shape — [maxgaps(g,)] ordered/unordered of
-    two bare terms — else None. These route to the two-pointer kernel
-    instead of the generic tree evaluator."""
+def _fast_nterm_shape(src):
+    """(terms, in_order, gaps_cap|None) when ``src`` is the common
+    n-term proximity shape — [maxgaps(g,)] ordered/unordered of n >= 2
+    bare DISTINCT terms — else None. These route to the flat vectorized
+    kernels instead of the generic per-doc tree evaluator (fuzz-verified
+    freq-identical to eval_source over the same shapes)."""
     from lucene_spark.search.intervals import IMaxGaps, IOrdered, ITerm, IUnordered
 
     cap = None
@@ -667,10 +675,12 @@ def _fast_two_term_shape(src):
         cap, src = src.gaps, src.source
     if (
         isinstance(src, (IOrdered, IUnordered))
-        and len(src.sources) == 2
+        and len(src.sources) >= 2
         and all(isinstance(x, ITerm) for x in src.sources)
     ):
-        return src.sources[0].term, src.sources[1].term, isinstance(src, IOrdered), cap
+        terms = tuple(x.term for x in src.sources)
+        if len(set(terms)) == len(terms):
+            return terms, isinstance(src, IOrdered), cap
     return None
 
 
@@ -707,15 +717,21 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
     freqs = np.zeros(len(cand), dtype=np.float64)
     norms = np.zeros(len(cand), dtype=np.int64)
     has_norm = np.zeros(len(cand), dtype=bool)
-    fast = _fast_two_term_shape(spec.source)
+    fast = _fast_nterm_shape(spec.source)
     if fast is not None:
-        ta, tb, in_order, cap = fast
-        A = _term_flat_keys(doc_arrays[ta], plists[ta], cand)
-        B = _term_flat_keys(doc_arrays[tb], plists[tb], cand)
-        freqs = _two_term_flat_freqs(A, B, in_order, cap, len(cand)).astype(np.float64)
+        fterms, in_order, cap = fast
+        keys = [_term_flat_keys(doc_arrays[t], plists[t], cand) for t in fterms]
+        if len(fterms) == 2:
+            freqs = _two_term_flat_freqs(keys[0], keys[1], in_order, cap, len(cand)).astype(
+                np.float64
+            )
+        else:
+            kern = _ordered_flat_freqs if in_order else _unordered_flat_freqs
+            freqs = kern(keys, cap, len(cand)).astype(np.float64)
         matched = freqs > 0
         if not matched.any():
             return EMPTY_I, EMPTY_F
+        ta = fterms[0]
         norms_m = parts[ta][2][idxs[ta][matched]]
         scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
         return cand[matched], scores
@@ -826,15 +842,17 @@ def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.
         idx = np.searchsorted(d, cand)
         pos_lists.append([pl[i] for i in idx])
     # disjoint slots → exact simple matcher over slot unions; slots that
-    # SHARE a term (hasMultiTermRpts, SloppyPhraseMatcher.java:435-460)
-    # keep the greedy fallback (documented divergence)
+    # SHARE a term run the exact multi-term repeat-group algorithm
+    # (hasMultiTermRpts, SloppyPhraseMatcher.java:435-453,562-585)
     all_terms = [t for slot in spec.slots for t in slot]
     disjoint = len(set(all_terms)) == len(all_terms)
     freqs = np.zeros(len(cand), dtype=np.float64)
     for ci in range(len(cand)):
         plc = [np.asarray(pl[ci]) for pl in pos_lists]
         freqs[ci] = (
-            _sloppy_freq_exact(plc, spec.slop) if disjoint else _sloppy_freq(plc, spec.slop)
+            _sloppy_freq_exact(plc, spec.slop)
+            if disjoint
+            else _lucene_sloppy_freq(plc, spec.slop, slot_terms=spec.slots)
         )
     matched = freqs > 0
     if not matched.any():
@@ -881,7 +899,13 @@ def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, n
         A = _term_flat_keys(parts[0][0], plists[0], cand)
         B = _term_flat_keys(parts[1][0], plists[1], cand)
         freqs = _sloppy2_flat_freqs(A, B, spec.slop, len(cand)).astype(np.float64)
+    elif len(set(spec.terms)) == len(spec.terms):
+        # n >= 3 distinct terms: lockstep-vectorized PQ (no repeats —
+        # initSimple branch), every candidate doc advanced per numpy pass
+        keys = [_term_flat_keys(d, pl, cand) for (d, _, _), pl in zip(parts, plists)]
+        freqs = _sloppy_flat_freqs_n(keys, spec.slop, len(cand)).astype(np.float64)
     else:
+        # repeating terms: per-candidate exact PQ with repeat groups
         pos_lists = []
         for (d, _, _), plist in zip(parts, plists):
             idx = np.searchsorted(d, cand)
@@ -935,7 +959,9 @@ def _exact_phrase_freqs_keys(key_arrays: list[np.ndarray], n_cand: int) -> np.nd
     return np.bincount(alive >> np.int64(32), minlength=n_cand).astype(np.float64)
 
 
-def _lucene_sloppy_freq(pos_lists: list, slop: int, terms: tuple | None = None) -> np.float32:
+def _lucene_sloppy_freq(
+    pos_lists: list, slop: int, terms: tuple | None = None, slot_terms: tuple | None = None
+) -> np.float32:
     """Exact replication of the reference sloppy matcher semantics
     (SloppyPhraseMatcher.java:162-205 nextMatch loop, PhrasePositions.java
     position = pos - offset, PhraseQueue.java (position, offset, ord)
@@ -960,6 +986,13 @@ def _lucene_sloppy_freq(pos_lists: list, slop: int, terms: tuple | None = None) 
     pos_lists) drives repeat-group detection; None = all distinct.
     The queue is a re-sorted list (equivalent to the reference's
     pop/re-add heap repair after collision advances).
+
+    ``slot_terms`` (tuple of per-slot term tuples, MultiPhraseQuery
+    shape) enables the multi-term repeat handling (hasMultiTermRpts,
+    SloppyPhraseMatcher.java:435-453 init collide-loop + :562-585
+    connected-component groups over the bipartite slot/term graph):
+    slots that share ANY repeating term join one group; init resolves
+    collisions by advancing the lesser instead of the j-steps rule.
     """
     n = len(pos_lists)
     plists = [np.asarray(p, dtype=np.int64) for p in pos_lists]
@@ -969,8 +1002,49 @@ def _lucene_sloppy_freq(pos_lists: list, slop: int, terms: tuple | None = None) 
 
     grp_of = [-1] * n
     groups: list[list[int]] = []
-    if terms is not None:
-        by_term: dict = {}
+    has_multi = False
+    if slot_terms is not None:
+        # repeatingTerms (SloppyPhraseMatcher.java:595-607): terms
+        # carried by >= 2 slots
+        cnt: dict = {}
+        for slot in slot_terms:
+            for t in set(slot):
+                cnt[t] = cnt.get(t, 0) + 1
+        rpt_terms = {t for t, c in cnt.items() if c >= 2}
+        if rpt_terms:
+            rpt_slots = [i for i, slot in enumerate(slot_terms) if rpt_terms & set(slot)]
+            has_multi = any(len(set(slot_terms[i])) > 1 for i in rpt_slots)
+            if not has_multi:
+                by_term: dict = {}
+                for i in rpt_slots:
+                    by_term.setdefault(next(iter(slot_terms[i])), []).append(i)
+                for idxs in by_term.values():
+                    if len(idxs) > 1:
+                        for i in idxs:
+                            grp_of[i] = len(groups)
+                        groups.append(idxs)
+            else:
+                # unionTermGroups (:648-663): union repeating-term sets
+                # sharing a slot until disjoint, then each repeating
+                # slot joins its terms' component
+                comps: list[set] = []
+                for i in rpt_slots:
+                    cur = set(slot_terms[i]) & rpt_terms
+                    rest = []
+                    for m in comps:
+                        if m & cur:
+                            cur |= m
+                        else:
+                            rest.append(m)
+                    comps = rest + [cur]
+                for m in comps:
+                    members = [i for i in rpt_slots if set(slot_terms[i]) & m]
+                    if len(members) > 1:
+                        for i in members:
+                            grp_of[i] = len(groups)
+                        groups.append(members)  # ascending offset order
+    elif terms is not None:
+        by_term = {}
         for i, t in enumerate(terms):
             by_term.setdefault(t, []).append(i)
         for idxs in by_term.values():
@@ -989,17 +1063,38 @@ def _lucene_sloppy_freq(pos_lists: list, slop: int, terms: tuple | None = None) 
             return True
         return False
 
-    # init repeats: group member j starts j positions in, so the group
-    # begins collision-free (advanceRepeatGroups "simpler" branch)
-    for idxs in groups:
-        for j in range(1, len(idxs)):
-            for _ in range(j):
-                if not advance(idxs[j]):
-                    return np.float32(0.0)
-    end = max(pos)
-
     def tp(i: int) -> int:  # actual token position (tpPos)
         return pos[i] + i
+
+    # init repeats (advanceRepeatGroups, SloppyPhraseMatcher.java:435-467)
+    if has_multi:
+        # multi-term branch: some may not collide — resolve by
+        # advancing the lesser until the group is collision-free
+        for idxs in groups:
+            i = 0
+            while i < len(idxs):
+                incr = 1
+                pp = idxs[i]
+                while True:
+                    k = next((m for m in idxs if m != pp and tp(m) == tp(pp)), None)
+                    if k is None:
+                        break
+                    pp2 = pp if (pos[pp], pp) < (pos[k], k) else k
+                    if not advance(pp2):
+                        return np.float32(0.0)
+                    if idxs.index(pp2) < i:  # rptInd < i: recheck earlier pp
+                        incr = 0
+                        break
+                i += incr
+    else:
+        # single-term repeats: group member j starts j positions in, so
+        # the group begins collision-free ("simpler" branch)
+        for idxs in groups:
+            for j in range(1, len(idxs)):
+                for _ in range(j):
+                    if not advance(idxs[j]):
+                        return np.float32(0.0)
+    end = max(pos)
 
     def advance_rpts(i: int) -> bool:
         """Collision resolution after advancing pp i: while another
@@ -1161,34 +1256,233 @@ def _sloppy_freq_exact(pos_lists: list, slop: int, terms: tuple | None = None) -
     return _lucene_sloppy_freq(pos_lists, slop, terms=terms)
 
 
-def _sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> float:
-    """Greedy sloppy frequency (fallback for phrases with REPEATING
-    terms, whose reference repeat-group collision handling —
-    SloppyPhraseMatcher.java:286-460 — is not replicated): Σ over
-    first-term occurrences of 1/(1+d) where d = Σ_i |q_i - (p+i)| for
-    the nearest q_i per term, if d <= slop."""
-    freq = 0.0
-    n = len(pos_lists)
-    for p in pos_lists[0]:
-        d = 0
-        for i in range(1, n):
-            pi = pos_lists[i]
-            target = int(p) + i
-            j = int(np.searchsorted(pi, target))
-            best = None
-            for jj in (j - 1, j):
-                if 0 <= jj < len(pi):
-                    dist = abs(int(pi[jj]) - target)
-                    best = dist if best is None else min(best, dist)
-            if best is None:
-                d = slop + 1
-                break
-            d += best
-            if d > slop:
-                break
-        if d <= slop:
-            freq += 1.0 / (1 + d)
-    return freq
+# ---- lockstep vectorized n-slot positional kernels ---------------------------
+#
+# The per-candidate-doc Python loops (_lucene_sloppy_freq /
+# minimal_intervals) are exact but Python-bound: a 3-term sloppy phrase
+# whose rarest term is still hot runs one interpreter loop per candidate
+# doc. The kernels below run the SAME state machines for every candidate
+# doc simultaneously — one numpy pass advances one step of every active
+# doc — so the cost per step is O(active_docs) vectorized instead of
+# O(1) interpreted. Emissions accumulate per-doc in the same order as
+# the sequential algorithms (each doc's state advances through the
+# identical sequence), so float32 freq accumulation is bit-identical
+# (fuzz-verified in tests/test_sloppy.py / test_spannear.py).
+
+_HI64 = np.int64((1 << 62))
+_LOW32 = np.int64((1 << 32) - 1)
+
+
+def _flat_slots(key_arrays: list[np.ndarray], n_cand: int):
+    """Split composite (ci<<32|pos) key arrays into per-slot flat
+    position arrays plus per-candidate segment bounds. Returns
+    (pos_flat[j], seg_start[j], seg_len[j]) triples; positions are RAW
+    (not offset-adjusted)."""
+    out = []
+    for K in key_arrays:
+        ci = (K >> np.int64(32)).astype(np.int64)
+        pos = (K & _LOW32).astype(np.int64)
+        seg_len = np.bincount(ci, minlength=n_cand).astype(np.int64)
+        seg_start = np.concatenate([[0], np.cumsum(seg_len)[:-1]]).astype(np.int64)
+        out.append((pos, seg_start, seg_len))
+    return out
+
+
+def _sloppy_flat_freqs_n(key_arrays: list[np.ndarray], slop: int, n_cand: int) -> np.ndarray:
+    """Lockstep-vectorized :func:`_lucene_sloppy_freq` for n DISTINCT
+    phrase slots over every candidate doc at once (the no-repeats PQ,
+    SloppyPhraseMatcher.java:174-206 nextMatch + initSimple). State per
+    doc: per-slot cursors into the flat position arrays, offset-adjusted
+    positions, running end / matchLength / captured queue-top. Each
+    numpy iteration performs exactly one advancePP per active doc.
+    Candidate docs are term-conjunction members, so every segment is
+    non-empty. Emission order per doc equals the sequential algorithm's,
+    preserving the reference float32 accumulation
+    (PhraseScorer.java:75-79)."""
+    n = len(key_arrays)
+    freqs = np.zeros(n_cand, dtype=np.float32)
+    if n_cand == 0 or any(not len(K) for K in key_arrays):
+        return freqs
+    slots = _flat_slots(key_arrays, n_cand)
+    offs = np.arange(n, dtype=np.int64)
+    pos = np.empty((n_cand, n), dtype=np.int64)
+    ptr = np.empty((n_cand, n), dtype=np.int64)
+    lim = np.empty((n_cand, n), dtype=np.int64)
+    for j, (P, s, ln) in enumerate(slots):
+        pos[:, j] = P[s] - j  # firstPosition(): adjusted = raw - offset
+        ptr[:, j] = s + 1
+        lim[:, j] = s + ln
+    end = pos.max(axis=1)
+    rows = np.arange(n_cand)
+    order = pos * n + offs  # PhraseQueue order: (position, offset)
+    lead = np.argmin(order, axis=1).astype(np.int64)
+    tmp = order[rows, lead].copy()
+    order[rows, lead] = _HI64
+    next_top = order.min(axis=1) // n  # pq.top().position after pop
+    order[rows, lead] = tmp
+    match_len = end - pos[rows, lead]
+    one = np.float32(1.0)
+    active = np.ones(n_cand, dtype=bool)
+    while True:
+        act = np.nonzero(active)[0]
+        if not len(act):
+            break
+        l = lead[act]
+        exhausted = ptr[act, l] >= lim[act, l]
+        exh = act[exhausted]
+        if len(exh):  # positioned=false path: final emission check
+            ml = match_len[exh]
+            ok = ml <= slop
+            e = exh[ok]
+            freqs[e] += one / (one + ml[ok].astype(np.float32))
+            active[exh] = False
+        live = act[~exhausted]
+        if not len(live):
+            continue
+        l = lead[live]
+        # advancePP: gather the next flat position of each doc's lead slot
+        newpos = np.empty(len(live), dtype=np.int64)
+        for j, (P, _s, _ln) in enumerate(slots):
+            m = l == j
+            if m.any():
+                newpos[m] = P[ptr[live[m], j]] - j
+        pos[live, l] = newpos
+        ptr[live, l] += 1
+        end[live] = np.maximum(end[live], newpos)
+        crossed = newpos > next_top[live]
+        nc = live[~crossed]
+        if len(nc):  # keep minimizing the current match length
+            ml2 = end[nc] - pos[nc, lead[nc]]
+            match_len[nc] = np.minimum(match_len[nc], ml2)
+        cr = live[crossed]
+        if len(cr):  # done minimizing: emit if within slop, then re-pop
+            ml = match_len[cr]
+            ok = ml <= slop
+            e = cr[ok]
+            freqs[e] += one / (one + ml[ok].astype(np.float32))
+            order_cr = pos[cr] * n + offs
+            lcr = np.argmin(order_cr, axis=1).astype(np.int64)
+            lead[cr] = lcr
+            rr = np.arange(len(cr))
+            order_cr[rr, lcr] = _HI64
+            next_top[cr] = order_cr.min(axis=1) // n
+            match_len[cr] = end[cr] - pos[cr, lcr]
+    return freqs
+
+
+def _ordered_flat_freqs(
+    key_arrays: list[np.ndarray], cap, n_cand: int
+) -> np.ndarray:
+    """Lockstep-vectorized ordered minimal-interval freqs for n terms
+    (:func:`minimal_intervals` in_order=True, the NearSpansOrdered.java:40
+    greedy-chain + backward-stretch algorithm) over every candidate doc
+    at once. One round = one emitted interval per active doc; every
+    forward/backward chain step is a single composite-key searchsorted
+    across all docs. freq += 1/(1+gaps) per interval with gaps =
+    width - n <= cap (None = unbounded), float32 in start order."""
+    n = len(key_arrays)
+    freqs = np.zeros(n_cand, dtype=np.float32)
+    if n_cand == 0 or any(not len(K) for K in key_arrays):
+        return freqs
+    K0 = key_arrays[0]
+    ci0 = (K0 >> np.int64(32)).astype(np.int64)
+    seg_len0 = np.bincount(ci0, minlength=n_cand).astype(np.int64)
+    seg_start0 = np.concatenate([[0], np.cumsum(seg_len0)[:-1]]).astype(np.int64)
+    one = np.float32(1.0)
+    # cur = composite key of the current first-list chain start
+    docs_alive = np.nonzero(seg_len0 > 0)[0]
+    cur = K0[seg_start0[docs_alive]]
+    alive_ci = docs_alive.astype(np.int64)
+    while len(cur):
+        # forward greedy chain: first element of each later list > prev
+        prev = cur
+        okm = np.ones(len(cur), dtype=bool)
+        for j in range(1, n):
+            Kj = key_arrays[j]
+            kk = np.searchsorted(Kj, prev, side="right")
+            v = kk < len(Kj)
+            kc = np.minimum(kk, len(Kj) - 1)
+            v &= (Kj[kc] >> 32) == (prev >> 32)
+            okm &= v
+            prev = np.where(okm, Kj[kc], prev)
+        alive_ci, cur, prev = alive_ci[okm], cur[okm], prev[okm]
+        if not len(cur):
+            break
+        # backward stretch-to-minimal: latest chain reaching this end
+        c = prev
+        for j in range(n - 2, -1, -1):
+            Kj = key_arrays[j]
+            kk = np.searchsorted(Kj, c, side="left") - 1
+            c = Kj[kk]
+        # distinct terms occupy distinct positions, so width >= n and
+        # gaps >= 0 (callers dispatch here only for distinct-term slots)
+        gaps = (prev & _LOW32) - (c & _LOW32) + 1 - n
+        ok = gaps <= cap if cap is not None else np.ones(len(gaps), dtype=bool)
+        e = alive_ci[ok]
+        freqs[e] += one / (one + gaps[ok].astype(np.float32))
+        # advance i0 strictly past this chain's start
+        kk = np.searchsorted(K0, c, side="right")
+        v = kk < len(K0)
+        kc = np.minimum(kk, len(K0) - 1)
+        v &= (K0[kc] >> 32) == (c >> 32)
+        alive_ci, cur = alive_ci[v], K0[kc[v]]
+    return freqs
+
+
+def _unordered_flat_freqs(
+    key_arrays: list[np.ndarray], cap, n_cand: int
+) -> np.ndarray:
+    """Lockstep-vectorized unordered minimal-interval freqs
+    (:func:`minimal_intervals` in_order=False: sliding window over the
+    merged streams, emitting when advancing the minimum grows the right
+    edge or exhausts its list). One numpy iteration = one window advance
+    per active doc."""
+    n = len(key_arrays)
+    freqs = np.zeros(n_cand, dtype=np.float32)
+    if n_cand == 0 or any(not len(K) for K in key_arrays):
+        return freqs
+    slots = _flat_slots(key_arrays, n_cand)
+    pos = np.empty((n_cand, n), dtype=np.int64)
+    ptr = np.empty((n_cand, n), dtype=np.int64)
+    lim = np.empty((n_cand, n), dtype=np.int64)
+    for j, (P, s, ln) in enumerate(slots):
+        pos[:, j] = P[s]
+        ptr[:, j] = s + 1
+        lim[:, j] = s + ln
+    hi = pos.max(axis=1)
+    one = np.float32(1.0)
+    active = np.ones(n_cand, dtype=bool)
+    while True:
+        act = np.nonzero(active)[0]
+        if not len(act):
+            break
+        lo_slot = np.argmin(pos[act], axis=1).astype(np.int64)  # ties → lowest slot
+        lo = pos[act, lo_slot]
+        window_hi = hi[act]
+        exhausted = ptr[act, lo_slot] >= lim[act, lo_slot]
+        # emission set: exhausted docs always emit; live docs emit when
+        # the advanced value grows the right edge
+        newpos = np.empty(len(act), dtype=np.int64)
+        for j, (P, _s, _ln) in enumerate(slots):
+            m = (lo_slot == j) & ~exhausted
+            if m.any():
+                newpos[m] = P[ptr[act[m], j]]
+        grow = ~exhausted & (newpos > window_hi)
+        emit = exhausted | grow
+        em = np.nonzero(emit)[0]
+        if len(em):
+            gaps = window_hi[em] - lo[em] + 1 - n
+            ok = gaps <= cap if cap is not None else np.ones(len(gaps), dtype=bool)
+            e = act[em[ok]]
+            freqs[e] += one / (one + gaps[ok].astype(np.float32))
+        live = ~exhausted
+        lv = np.nonzero(live)[0]
+        pos[act[lv], lo_slot[lv]] = newpos[lv]
+        ptr[act[lv], lo_slot[lv]] += 1
+        g = np.nonzero(grow)[0]
+        hi[act[g]] = newpos[g]
+        active[act[exhausted]] = False
+    return freqs
 
 
 def _evaluate_bool(spec: BoolSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:

@@ -142,6 +142,22 @@ def main() -> None:
     )
     sections.append(("KNN vector search (filtered)", plan))
 
+    # 9b. knn with a TEXT-QUERY pre-filter: the filter evaluates through
+    # the distributed match relation and semi-joins DataFrame-to-
+    # DataFrame — the doc ids are never collected to the driver, so the
+    # plan must contain no LocalTableScan/ExistingRDD of a doc_id-only
+    # relation (the r2 scale-weak item)
+    kf = searcher.knn_frame(list(emb), k=5, filter="table")
+    plan = _capture(kf)
+    CHECKS.append(
+        ("knn text filter: no driver-materialized ids",
+         "no LocalTableScan [doc_id relation in the plan",
+         re.search(r"LocalTableScan \[doc_id", plan) is None
+         and re.search(r"Scan ExistingRDD\[doc_id#?\w*\]", plan) is None)
+    )
+    check("knn text filter semi-join", plan, r"LeftSemi")
+    sections.append(("KNN vector search (text-query filtered)", plan))
+
     # 10. distributed facet over match_frame: the hit relation is never
     # collected — one chunk-groupBy exchange feeds the kernel, the facet
     # aggregate is a partial-agg HashAggregate over its output, and the

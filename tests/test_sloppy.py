@@ -319,3 +319,234 @@ class TestTwoTermChainClosedForm:
                 k = float(_lucene_sloppy_freq([np.array(A), np.array(B)], slop, terms=("x", "y")))
                 h = float(chain_freq(A, [b - 1 for b in B], slop))
                 assert abs(k - h) < 1e-6, (A, B, slop, k, h)
+
+
+class TestLockstepNSlotEquivalence:
+    """The lockstep-vectorized n-slot kernels must be bit-equal (same
+    emissions, same float32 accumulation order) to the per-candidate
+    reference simulations they replace: _sloppy_flat_freqs_n vs
+    _lucene_sloppy_freq (distinct terms), _ordered_flat_freqs /
+    _unordered_flat_freqs vs minimal_intervals-based accumulation AND
+    vs the interval tree evaluator (eval_source) over the same shapes."""
+
+    @staticmethod
+    def _make_docs(rng, n_slots, n_docs, max_pos=40, max_len=8):
+        docs = []
+        for _ in range(n_docs):
+            universe = list(range(max_pos))
+            rng.shuffle(universe)
+            lists, i = [], 0
+            for _j in range(n_slots):
+                ln = rng.randint(1, max_len)
+                lists.append(np.array(sorted(universe[i : i + ln]), dtype=np.int64))
+                i += ln
+            docs.append(lists)
+        return docs
+
+    @staticmethod
+    def _keys(docs, n_slots):
+        return [
+            np.concatenate([(np.int64(ci) << 32) | d[j] for ci, d in enumerate(docs)])
+            for j in range(n_slots)
+        ]
+
+    def test_sloppy_n_slots(self):
+        import random
+
+        from lucene_spark.search.kernels import _lucene_sloppy_freq, _sloppy_flat_freqs_n
+
+        rng = random.Random(42)
+        for _ in range(300):
+            n_slots, n_docs = rng.randint(2, 5), rng.randint(1, 20)
+            slop = rng.randint(0, 6)
+            docs = self._make_docs(rng, n_slots, n_docs)
+            got = _sloppy_flat_freqs_n(self._keys(docs, n_slots), slop, n_docs)
+            want = np.array([_lucene_sloppy_freq(d, slop) for d in docs], dtype=np.float32)
+            assert np.array_equal(got, want), (docs, slop, got, want)
+
+    def test_minimal_interval_kernels(self):
+        import random
+
+        from lucene_spark.search.kernels import (
+            _ordered_flat_freqs,
+            _unordered_flat_freqs,
+            minimal_intervals,
+        )
+
+        rng = random.Random(43)
+        one = np.float32(1.0)
+        for _ in range(300):
+            n_slots, n_docs = rng.randint(2, 5), rng.randint(1, 20)
+            cap = rng.choice([None, 0, 1, 2, 4, 8])
+            docs = self._make_docs(rng, n_slots, n_docs)
+            Ks = self._keys(docs, n_slots)
+            for in_order in (True, False):
+                kern = _ordered_flat_freqs if in_order else _unordered_flat_freqs
+                got = kern(Ks, cap, n_docs)
+                want = np.zeros(n_docs, dtype=np.float32)
+                for ci, d in enumerate(docs):
+                    f = np.float32(0.0)
+                    for lo, hi in minimal_intervals(d, in_order):
+                        gaps = (hi - lo + 1) - n_slots
+                        if cap is None or gaps <= cap:
+                            f = np.float32(f + one / (one + np.float32(gaps)))
+                    want[ci] = f
+                assert np.array_equal(got, want), (docs, cap, in_order, got, want)
+
+    def test_interval_tree_equivalence(self):
+        import random
+
+        from lucene_spark.search.intervals import (
+            IMaxGaps,
+            IOrdered,
+            ITerm,
+            IUnordered,
+            eval_source,
+        )
+        from lucene_spark.search.kernels import _ordered_flat_freqs, _unordered_flat_freqs
+
+        rng = random.Random(44)
+        one = np.float32(1.0)
+        for _ in range(200):
+            n_slots, n_docs = rng.randint(2, 5), rng.randint(1, 15)
+            cap = rng.choice([None, 0, 1, 2, 4, 8])
+            docs = self._make_docs(rng, n_slots, n_docs)
+            Ks = self._keys(docs, n_slots)
+            terms = [f"t{j}" for j in range(n_slots)]
+            for in_order in (True, False):
+                src = (IOrdered if in_order else IUnordered)(tuple(ITerm(t) for t in terms))
+                if cap is not None:
+                    src = IMaxGaps(cap, src)
+                kern = _ordered_flat_freqs if in_order else _unordered_flat_freqs
+                got = kern(Ks, cap, n_docs)
+                want = np.zeros(n_docs, dtype=np.float32)
+                for ci, d in enumerate(docs):
+                    f = np.float32(0.0)
+                    for s, e, c in eval_source(src, lambda t: d[terms.index(t)]):
+                        gaps = max(0, (e - s + 1) - c)
+                        f = np.float32(f + one / (one + np.float32(gaps)))
+                    want[ci] = f
+                assert np.array_equal(got, want), (docs, cap, in_order, got, want)
+
+
+class TestSharedTermMachine:
+    """Multi-term repeat groups (hasMultiTermRpts,
+    SloppyPhraseMatcher.java:435-453,562-585): shared-term multiphrase
+    slots run the exact collision-resolving PQ. The DuckDB oracle for
+    ft_multiphrase_shared_top10 models the 2-slot case as a flat
+    transition system (slot0 = union list, slot1 = shared-term list,
+    collisions always advance slot1 — the lesser); this fuzz pins
+    kernel ≡ machine."""
+
+    @staticmethod
+    def _machine_freq(A, B, slop):
+        import bisect
+
+        one = np.float32(1.0)
+        f = np.float32(0.0)
+
+        def nxt(L, v):
+            i = bisect.bisect_right(L, v)
+            return L[i] if i < len(L) else None
+
+        if not A or not B:
+            return 0.0
+        x0, x1 = A[0], B[0]
+        if x1 == x0:
+            x1 = nxt(B, x1)
+            if x1 is None:
+                return float(f)
+        end = max(x0, x1 - 1)
+        if x0 <= x1 - 1:
+            lead, nxtp, ml = 0, x1 - 1, end - x0
+        else:
+            lead, nxtp, ml = 1, x0, end - (x1 - 1)
+        while True:
+            adv = nxt(A, x0) if lead == 0 else nxt(B, x1)
+            if adv is None:
+                if ml <= slop:
+                    f = np.float32(f + one / (one + np.float32(ml)))
+                return float(f)
+            if lead == 0:
+                x0 = adv
+            else:
+                x1 = adv
+            end = max(end, adv - lead)
+            if x0 == x1:
+                nb = nxt(B, x1)
+                if nb is None:
+                    if ml <= slop:
+                        f = np.float32(f + one / (one + np.float32(ml)))
+                    return float(f)
+                x1 = nb
+                end = max(end, x1 - 1)
+            p_lead = x0 if lead == 0 else x1 - 1
+            if p_lead > nxtp:
+                if ml <= slop:
+                    f = np.float32(f + one / (one + np.float32(ml)))
+                p0, p1 = x0, x1 - 1
+                lead = 0 if p0 <= p1 else 1
+                nxtp = p1 if lead == 0 else p0
+                ml = end - (p0 if lead == 0 else p1)
+            else:
+                ml = min(ml, end - p_lead)
+
+    def test_golden_cases(self):
+        from lucene_spark.search.kernels import _lucene_sloppy_freq
+
+        st = (("a", "b"), ("b",))
+        # doc "b x a b": a@2 b@{0,3} -> init displaces slot1 off the
+        # shared first token; the a..b pair at 2-3 matches exactly
+        f = _lucene_sloppy_freq([np.array([0, 2, 3]), np.array([0, 3])], 2, slot_terms=st)
+        assert float(f) == 1.0
+        # doc "b a b": exact a-b adjacency at 1-2
+        f = _lucene_sloppy_freq([np.array([0, 1, 2]), np.array([0, 2])], 2, slot_terms=st)
+        assert float(f) == 1.0
+        # doc "b": slot1 cannot move off the only shared token -> no match
+        f = _lucene_sloppy_freq([np.array([0]), np.array([0])], 4, slot_terms=st)
+        assert float(f) == 0.0
+
+    def test_singleton_slots_equal_terms_path(self):
+        import random
+
+        from lucene_spark.search.kernels import _lucene_sloppy_freq
+
+        rng = random.Random(5)
+        for _ in range(800):
+            n = rng.randint(2, 4)
+            tnames = [rng.choice("ab") for _ in range(n)]
+            lists = []
+            for _ in range(n):
+                lists.append(np.array(sorted(rng.sample(range(20), rng.randint(1, 6))), dtype=np.int64))
+            by: dict = {}
+            for i, t in enumerate(tnames):
+                if t in by:
+                    lists[i] = lists[by[t]]
+                else:
+                    by[t] = i
+            slop = rng.randint(0, 5)
+            a = _lucene_sloppy_freq(lists, slop, terms=tuple(tnames))
+            b = _lucene_sloppy_freq(lists, slop, slot_terms=tuple((t,) for t in tnames))
+            assert float(a) == float(b), (tnames, [l.tolist() for l in lists], slop)
+
+    def test_fuzz_machine_equivalence(self):
+        import random
+
+        from lucene_spark.search.kernels import _lucene_sloppy_freq
+
+        rng = random.Random(11)
+        for _ in range(3000):
+            uni = sorted(rng.sample(range(25), rng.randint(1, 14)))
+            pa = sorted(rng.sample(uni, rng.randint(0, len(uni))))
+            pb = sorted(set(uni) - set(pa))
+            if not pb:
+                continue
+            A, B = sorted(pa + pb), pb
+            slop = rng.randint(0, 6)
+            want = float(
+                _lucene_sloppy_freq(
+                    [np.array(A), np.array(B)], slop, slot_terms=(("a", "b"), ("b",))
+                )
+            )
+            got = self._machine_freq(A, B, slop)
+            assert got == want, (pa, pb, slop, got, want)
