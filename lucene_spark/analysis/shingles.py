@@ -1,0 +1,147 @@
+"""ShingleFilter / CommonGramsFilter — word n-grams as stacked tokens.
+
+Reference semantics (all under /root/reference/lucene/analysis/common/):
+- src/java/org/apache/lucene/analysis/shingle/ShingleFilter.java:30-120,
+  261-300 — at each stream position emit the unigram (when
+  ``output_unigrams``) followed by every shingle size min..max that
+  fits, all at the SAME position (posInc 0 stacking); position holes
+  (increment > 1) are filled with "_" filler tokens which participate
+  in shingles (never emitted alone, and all-filler shingles are
+  skipped, :271-291); shingle offsets span first-token start to
+  last-token end, filler offsets collapse to the next real token's
+  start.
+- src/test/.../shingle/TestShingleFilter.java:36-180 — the golden
+  token/posInc/offset expectations mirrored in tests/test_shingles.py.
+- src/java/.../commongrams/CommonGramsFilter.java:37-60 — bigrams of
+  adjacent pairs where EITHER word is a common word, joined with "_",
+  stacked at the first word's position (posInc 0); unigrams always
+  pass through.
+
+Shape: pure functions over (tokens, positions, starts, ends) lists —
+the stacked-token extension of the analyzer chain. The index builder
+applies them inside the same Arrow-batched tokenize UDF (no extra
+Spark stage); norms discount posInc-0 tokens (discountOverlaps=true,
+Similarity.java computeNorm contract) while collection statistics
+count every posting — exactly the reference's behavior for shingled
+fields.
+"""
+
+from __future__ import annotations
+
+FILLER = "_"
+SEPARATOR = " "
+
+
+def shingle_stream(
+    tokens: list[str],
+    positions: list[int],
+    min_size: int = 2,
+    max_size: int = 2,
+    output_unigrams: bool = True,
+    starts: list[int] | None = None,
+    ends: list[int] | None = None,
+    output_unigrams_if_no_shingles: bool = False,
+):
+    """(tokens, positions[, starts, ends]) → the shingled stacked
+    stream as (tokens, positions, overlaps[, starts, ends]):
+    ``overlaps`` marks posInc-0 tokens (True for every non-first output
+    at a position) so norm computation can discount them. Positions are
+    absolute (holes = missing values); fillers occupy hole positions
+    inside shingles but are never emitted themselves."""
+    if min_size < 2 or max_size < min_size:
+        raise ValueError("shingle sizes need 2 <= min_size <= max_size")
+    with_offsets = starts is not None
+    # 1. densified window stream: real tokens + fillers at holes
+    stream: list[tuple[str, int, bool, int, int]] = []
+    prev = -1
+    for i, (t, p) in enumerate(zip(tokens, positions)):
+        s = starts[i] if with_offsets else 0
+        e = ends[i] if with_offsets else 0
+        for hp in range(prev + 1, p):
+            stream.append((FILLER, hp, True, s, s))  # filler offsets = next real start
+        stream.append((t, p, False, s, e))
+        prev = p
+    out_t: list[str] = []
+    out_p: list[int] = []
+    out_ov: list[bool] = []
+    out_s: list[int] = []
+    out_e: list[int] = []
+    any_shingle = False
+    for i, (t, p, is_filler, s, e) in enumerate(stream):
+        first_here = True
+        if output_unigrams and not is_filler:
+            out_t.append(t)
+            out_p.append(p)
+            out_ov.append(False)
+            out_s.append(s)
+            out_e.append(e)
+            first_here = False
+        for size in range(min_size, max_size + 1):
+            if i + size > len(stream):
+                break
+            window = stream[i : i + size]
+            if all(w[2] for w in window):  # all-filler shingle: skip
+                continue
+            out_t.append(SEPARATOR.join(w[0] for w in window))
+            out_p.append(p)
+            # first output at a position consumes the position
+            # increment; later outputs stack (posInc 0)
+            out_ov.append(not first_here)
+            first_here = False
+            out_s.append(s)
+            out_e.append(window[-1][4])
+            any_shingle = True
+    if not any_shingle and not output_unigrams and output_unigrams_if_no_shingles:
+        real = [(t, p, f, s, e) for t, p, f, s, e in stream if not f]
+        out_t = [w[0] for w in real]
+        out_p = [w[1] for w in real]
+        out_ov = [False] * len(real)
+        out_s = [w[3] for w in real]
+        out_e = [w[4] for w in real]
+    if with_offsets:
+        return out_t, out_p, out_ov, out_s, out_e
+    return out_t, out_p, out_ov
+
+
+def common_grams_stream(
+    tokens: list[str],
+    positions: list[int],
+    common_words,
+    starts: list[int] | None = None,
+    ends: list[int] | None = None,
+):
+    """CommonGramsFilter (CommonGramsFilter.java:37-60): every unigram
+    passes through; each adjacent pair where either word is in
+    ``common_words`` additionally emits "first_second" (GRAM_TYPE,
+    '_' separator) stacked at the FIRST word's position. Pairs only
+    form across consecutive positions (a hole breaks adjacency, like
+    the reference's posInc handling)."""
+    common = set(common_words)
+    with_offsets = starts is not None
+    out_t: list[str] = []
+    out_p: list[int] = []
+    out_ov: list[bool] = []
+    out_s: list[int] = []
+    out_e: list[int] = []
+    n = len(tokens)
+    for i, (t, p) in enumerate(zip(tokens, positions)):
+        out_t.append(t)
+        out_p.append(p)
+        out_ov.append(False)
+        if with_offsets:
+            out_s.append(starts[i])
+            out_e.append(ends[i])
+        if (
+            i + 1 < n
+            and positions[i + 1] == p + 1
+            and (t in common or tokens[i + 1] in common)
+        ):
+            out_t.append(f"{t}_{tokens[i + 1]}")
+            out_p.append(p)
+            out_ov.append(True)
+            if with_offsets:
+                out_s.append(starts[i])
+                out_e.append(ends[i + 1])
+    if with_offsets:
+        return out_t, out_p, out_ov, out_s, out_e
+    return out_t, out_p, out_ov

@@ -192,6 +192,28 @@ def kw_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Search
     return _CACHE[key]
 
 
+def shingle_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """Bigram-shingled index (ShingleFilter.java:30-120, min=max=2,
+    outputUnigrams=true): shingles are first-class postings stacked at
+    posInc 0. Statistics split like the reference: norms discount the
+    stack (unigram dl), sum_ttf counts every posting — the oracle
+    rebuilds both relationally (the corpus has no >255-char tokens, so
+    positions are dense and shingle count per doc = dl - 1)."""
+    key = ("sh", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gatesh_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, shingles=(2, 2))
+        IndexBuilder(spark, cfg).build(
+            corpus_df(spark, sf_dir).drop("title"), idx_dir, assign_ids=False
+        )
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 def dv_gate_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     """Index with a staged numeric doc-values update generation
     (IndexWriter.updateNumericDocValue role): every doc_id % 10 == 0
@@ -394,6 +416,11 @@ def queries() -> dict:
     # token bijection means the standard tscore oracle applies verbatim
     Q["ft_ws_top10"] = lambda spark, sf: _hits_df(
         spark, ws_gate_index(spark, sf)[1].search("Table", k=10)
+    )
+    # bigram shingles as first-class postings: the shingle term scores
+    # BM25 with tf = adjacency count, discounted norms, stacked sum_ttf
+    Q["ft_shingle_top10"] = lambda spark, sf: _hits_df(
+        spark, shingle_gate_index(spark, sf)[1].search(A.TermQuery("table hash"), k=10)
     )
     # KeywordAnalyzer: whole value = one case-preserved term; equality
     # and prefix both resolve through the postings term dictionary
@@ -1400,6 +1427,25 @@ def oracle_sql() -> dict[str, str]:
     O["ft_kw_prefix_ids"] = (
         "SELECT doc_id FROM documents "
         "WHERE (source || '-' || upper(lang)) LIKE 'src1%' ORDER BY doc_id"
+    )
+    # bigram-shingled index: tf('table hash') = adjacency count; df =
+    # docs with the adjacency; norms = unigram dlen (discountOverlaps);
+    # avgdl = (Σ dl + shingles)/n with shingles = dl-1 (dense positions)
+    O["ft_shingle_top10"] = (
+        base_ctes()
+        + ", sstat AS (SELECT sum(dl + CASE WHEN dl >= 2 THEN dl - 1 ELSE 0 END)::DOUBLE"
+        "            / count(*) AS avgdl, count(*)::BIGINT AS n FROM dl), "
+        "stf AS (SELECT a.doc_id, count(*)::BIGINT AS tf FROM post a "
+        "        JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "        WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id), "
+        "sdf AS (SELECT count(*)::BIGINT AS df FROM stf), "
+        "sw AS (SELECT ln(1 + ((SELECT n FROM sstat) - (SELECT df FROM sdf) + 0.5) "
+        "        / ((SELECT df FROM sdf) + 0.5)) AS w), "
+        "q AS (SELECT f.doc_id, sw.w - sw.w / (1 + f.tf * (1.0 / "
+        f"      ({K1} * ((1 - {B}) + {B} * n.dlen / (SELECT avgdl FROM sstat))))) AS s "
+        "      FROM stf f JOIN norms n ON n.doc_id = f.doc_id, sw) "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"
     )
     O["ft_geobox_ids"] = (
         "WITH coords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "

@@ -120,6 +120,20 @@ class IndexConfig:
     # be a TOTAL order (append a unique key column) for deterministic
     # ids. Empty = sort by DOC_KEYS (the default identity order).
     index_sort: tuple[str, ...] = ()
+    # ShingleFilter stage (analysis/common/.../shingle/ShingleFilter.java:
+    # 30-120) applied AFTER the analyzer chain: (min, max) word-gram
+    # sizes emitted as STACKED tokens (posInc 0) at each position;
+    # None = off. shingle_unigrams mirrors outputUnigrams. Norms
+    # discount stacked tokens (discountOverlaps), collection sum_ttf
+    # counts them — the reference's exact statistics for shingled
+    # fields. Unigram queries work unchanged; shingle terms are
+    # first-class postings ("table hash" is a TermQuery).
+    shingles: tuple[int, int] | None = None
+    shingle_unigrams: bool = True
+    # CommonGramsFilter (analysis/common/.../commongrams/
+    # CommonGramsFilter.java:37-60): adjacent pairs involving these
+    # words additionally index as stacked "w1_w2" grams.
+    common_grams: tuple[str, ...] = ()
     # term vectors (Lucene90TermVectorsFormat role,
     # lucene/core/src/java/org/apache/lucene/codecs/lucene90/compressing/
     # Lucene90CompressingTermVectorsFormat.java): the per-DOCUMENT view
@@ -260,6 +274,79 @@ def _tokenize_pos_off_udf(stem=False):
     return _tok
 
 
+def _stacker_of(cfg):
+    """Per-row stacked-token transform of the analyzed stream
+    (ShingleFilter / CommonGramsFilter chained in that order), or None
+    when neither is configured. Takes (tokens, positions[, starts,
+    ends]) lists, returns (tokens, positions, overlaps[, starts,
+    ends]) — ``overlaps`` flags posInc-0 tokens for norm discounting."""
+    if cfg.shingles is None and not cfg.common_grams:
+        return None
+    if cfg.shingles is not None and cfg.common_grams:
+        raise ValueError("shingles and common_grams are mutually exclusive stages")
+    from lucene_spark.analysis.shingles import common_grams_stream, shingle_stream
+
+    sh, uni, cg = cfg.shingles, cfg.shingle_unigrams, tuple(cfg.common_grams)
+
+    def stack(toks, poss, sts=None, ens=None):
+        if sh is not None:
+            return shingle_stream(
+                toks, poss, sh[0], sh[1], output_unigrams=uni, starts=sts, ends=ens
+            )
+        return common_grams_stream(toks, poss, cg, starts=sts, ends=ens)
+
+    return stack
+
+
+def _tokenize_stacked_udf(stem, cfg, offsets: bool):
+    """Tokenize + stacked-token stages in ONE Arrow batch UDF; emits an
+    extra ``dl`` field = count of non-stacked tokens (the
+    discountOverlaps field length, FieldInvertState.getLength() -
+    getNumOverlap())."""
+    from pyspark.sql.functions import pandas_udf
+
+    stack = _stacker_of(cfg)
+    fields = [
+        StructField("tokens", ArrayType(StringType())),
+        StructField("positions", ArrayType(IntegerType())),
+    ]
+    if offsets:
+        fields += [
+            StructField("starts", ArrayType(IntegerType())),
+            StructField("ends", ArrayType(IntegerType())),
+        ]
+    fields.append(StructField("dl", IntegerType()))
+    schema = StructType(fields)
+
+    @pandas_udf(schema)
+    def _tok(content: pd.Series) -> pd.DataFrame:
+        from lucene_spark.analysis.tokenizer import (
+            tokenize_pos_off_series,
+            tokenize_pos_series,
+        )
+
+        out: dict = {k.name: [] for k in fields}
+        if offsets:
+            toks_s, poss_s, sts_s, ens_s = tokenize_pos_off_series(content, stem=stem)
+            for toks, poss, sts, ens in zip(toks_s, poss_s, sts_s, ens_s):
+                t, p, ov, s, e = stack(toks, poss, sts, ens)
+                out["tokens"].append(t)
+                out["positions"].append(p)
+                out["starts"].append(s)
+                out["ends"].append(e)
+                out["dl"].append(sum(1 for o in ov if not o))
+        else:
+            toks_s, poss_s = tokenize_pos_series(content, stem=stem)
+            for toks, poss in zip(toks_s, poss_s):
+                t, p, ov = stack(toks, poss)
+                out["tokens"].append(t)
+                out["positions"].append(p)
+                out["dl"].append(sum(1 for o in ov if not o))
+        return pd.DataFrame(out)
+
+    return _tok
+
+
 def _norm_udf():
     from pyspark.sql.functions import pandas_udf
 
@@ -351,6 +438,21 @@ class IndexBuilder:
         # the analyzer name selects the whole post-tokenizer filter
         # chain (standard / porter / english) — tokenizer._emitter
         stem = self.config.analyzer
+        if _stacker_of(self.config) is not None:
+            # stacked-token stages (shingles / common grams): the UDF
+            # emits dl = non-overlap token count (discountOverlaps) —
+            # size(tokens) would over-count the posInc-0 stack
+            tok = _tokenize_stacked_udf(stem, self.config, self.config.offsets)
+            out = corpus.withColumn("_tp", tok(F.col(field)))
+            for c in ("tokens", "positions") + (
+                ("starts", "ends") if self.config.offsets else ()
+            ):
+                out = out.withColumn(c, F.col(f"_tp.{c}"))
+            return (
+                out.withColumn("dl", F.col("_tp.dl"))
+                .drop("_tp")
+                .withColumn("norm", norm(F.col("dl")))
+            )
         if self.config.offsets:
             tok = _tokenize_pos_off_udf(stem)
             out = (
@@ -636,6 +738,13 @@ class IndexBuilder:
         # — measured to move N→4N efficiency by ~0.05 at this scale)
         def _collect_stats():
             nd, st = norms.agg(F.count("*"), F.sum("dl")).first()
+            if _stacker_of(cfg) is not None:
+                # stacked tokens: sumTotalTermFreq counts EVERY posting
+                # (shingles included) while norms stay discounted —
+                # Lucene's exact statistics split for shingled fields
+                # (CollectionStatistics.sumTotalTermFreq vs
+                # FieldInvertState length-numOverlap)
+                st = inverted.agg(F.sum("tf")).first()[0]
             if cfg.extra_fields:
                 fexpr = F.when(
                     F.col("term").contains(FIELD_SEP), F.split("term", FIELD_SEP).getItem(0)
@@ -745,6 +854,9 @@ class IndexBuilder:
             "index_sort": list(cfg.index_sort),
             "vector_field": cfg.vector_field,
             "analyzer": cfg.analyzer,
+            "shingles": list(cfg.shingles) if cfg.shingles else None,
+            "shingle_unigrams": cfg.shingle_unigrams,
+            "common_grams": list(cfg.common_grams),
         }
         with open(f"{index_dir}/manifest.json", "w") as fh:
             json.dump(metrics, fh, indent=2)
