@@ -179,6 +179,12 @@ def _emitter(stem):
         return None
     if stem in ("whitespace", "keyword"):
         return None  # no filters at all (Whitespace/KeywordAnalyzer have none)
+    if stem == "ascii":
+        # standard + ASCIIFoldingFilter (ASCIIFoldingFilter.java:60-80):
+        # lowercase, then fold to ASCII equivalents
+        from lucene_spark.analysis.folding import fold_ascii
+
+        return lambda t: fold_ascii(t.lower())
     from lucene_spark.analysis.porter import porter_stem
 
     if stem in (True, "porter"):
@@ -195,11 +201,21 @@ def _emitter(stem):
     raise ValueError(f"unknown analyzer: {stem!r}")
 
 
-def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH, stem: bool = False) -> list[str]:
-    """Analyze ``text``: UAX#29 words → drop >255 → the ``stem``
+def tokenize(
+    text: str,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+    stem: bool = False,
+    char_filters=(),
+) -> list[str]:
+    """Analyze ``text``: char filters (pre-tokenizer, length-preserving
+    — see analysis.folding) → UAX#29 words → drop >255 → the ``stem``
     analyzer chain (standard lowercase / porter / english — see
     :func:`_emitter`). Stop-removed tokens are dropped from the output
     (positions are only tracked by the *_positions variants)."""
+    if char_filters:
+        from lucene_spark.analysis.folding import char_filter_chain
+
+        text = char_filter_chain(char_filters)(text)
     tok_re, lower, max_token_length = _tokenizer_of(stem, max_token_length)
     out = [t for t in tok_re.findall(text) if len(t) <= max_token_length]
     ex = _expander(stem)
@@ -224,8 +240,19 @@ def tokenize_with_positions(
     return toks, positions
 
 
+def _apply_char_filters(texts: pd.Series, char_filters) -> pd.Series:
+    if not char_filters:
+        return texts.fillna("")
+    from lucene_spark.analysis.folding import char_filter_chain
+
+    return texts.fillna("").map(char_filter_chain(char_filters))
+
+
 def tokenize_pos_off_series(
-    texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH, stem: bool = False
+    texts: pd.Series,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+    stem: bool = False,
+    char_filters=(),
 ) -> tuple[pd.Series, pd.Series, pd.Series, pd.Series]:
     """Batch tokenization with positions AND char offsets (the
     IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS analyzer
@@ -237,7 +264,7 @@ def tokenize_pos_off_series(
     ex = _expander(stem)
     em = None if ex is not None else _emitter(stem)
     toks_out, pos_out, st_out, en_out = [], [], [], []
-    for text in texts.fillna(""):
+    for text in _apply_char_filters(texts, char_filters):
         toks, poss, sts, ens = [], [], [], []
         if ex is not None:
             pos = 0
@@ -281,13 +308,16 @@ def tokenize_pos_off_series(
 
 
 def tokenize_series(
-    texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH, stem: bool = False
+    texts: pd.Series,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+    stem: bool = False,
+    char_filters=(),
 ) -> pd.Series:
     """Vectorized batch tokenization for pandas UDFs (Arrow path)."""
     # str.findall is the pandas-vectorized regex scan; the lowercase +
     # length filter runs on the token lists (tiny vs the regex cost).
     tok_re, lower, max_token_length = _tokenizer_of(stem, max_token_length)
-    raw = texts.fillna("").str.findall(tok_re)
+    raw = _apply_char_filters(texts, char_filters).str.findall(tok_re)
     ex = _expander(stem)
     if ex is not None:
         return raw.map(lambda ts: [p for t in ts if len(t) <= max_token_length for p in ex(t)])
@@ -306,13 +336,16 @@ def tokenize_series(
 
 
 def tokenize_pos_series(
-    texts: pd.Series, max_token_length: int = MAX_TOKEN_LENGTH, stem: bool = False
+    texts: pd.Series,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+    stem: bool = False,
+    char_filters=(),
 ) -> tuple[pd.Series, pd.Series]:
     """Batch tokenization with Lucene positions (dropped over-length
     tokens still consume a position increment). Returns (tokens,
     positions) Series of equal-length lists."""
     tok_re, lower, max_token_length = _tokenizer_of(stem, max_token_length)
-    raw = texts.fillna("").str.findall(tok_re)
+    raw = _apply_char_filters(texts, char_filters).str.findall(tok_re)
     ex = _expander(stem)
     em = None if ex is not None else _emitter(stem)
     toks_out, pos_out = [], []

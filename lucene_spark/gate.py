@@ -192,6 +192,51 @@ def kw_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Search
     return _CACHE[key]
 
 
+def ascii_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """ASCIIFolding analyzer over accent-TRANSLATED text (a→á, e→é,
+    o→ö): folding restores the original token stream exactly (the
+    accented letters are still Unicode letters, so token boundaries
+    never move), which makes the standard tscore oracle apply verbatim
+    — the bijection proof pattern of the code/whitespace gates.
+    Reference: ASCIIFoldingFilter.java:60-80."""
+    key = ("ascii", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gateascii_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, analyzer="ascii")
+        corpus = corpus_df(spark, sf_dir).drop("title").withColumn(
+            "content", F.translate(F.col("content"), "aeo", "áéö")
+        )
+        IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
+def html_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """html_strip char filter over tag-wrapped text: tags blank to
+    spaces and the trailing &nbsp; decodes to a non-token char, so the
+    token stream equals the raw corpus exactly → tscore oracle
+    verbatim. Reference: HTMLStripCharFilter.java."""
+    key = ("html", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gatehtml_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, char_filters=("html_strip",))
+        corpus = corpus_df(spark, sf_dir).drop("title").withColumn(
+            "content",
+            F.concat(F.lit('<p class="doc">'), F.col("content"), F.lit("</p>&nbsp;")),
+        )
+        IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 def shingle_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
     """Bigram-shingled index (ShingleFilter.java:30-120, min=max=2,
     outputUnigrams=true): shingles are first-class postings stacked at
@@ -416,6 +461,15 @@ def queries() -> dict:
     # token bijection means the standard tscore oracle applies verbatim
     Q["ft_ws_top10"] = lambda spark, sf: _hits_df(
         spark, ws_gate_index(spark, sf)[1].search("Table", k=10)
+    )
+    # ASCIIFolding: accented index + accented QUERY term both fold to
+    # the standard stream (query-side analysis through the same chain)
+    Q["ft_ascii_top10"] = lambda spark, sf: _hits_df(
+        spark, ascii_gate_index(spark, sf)[1].search("táblé", k=10)
+    )
+    # html_strip char filter: tag-wrapped corpus tokenizes identically
+    Q["ft_html_top10"] = lambda spark, sf: _hits_df(
+        spark, html_gate_index(spark, sf)[1].search("table", k=10)
     )
     # bigram shingles as first-class postings: the shingle term scores
     # BM25 with tf = adjacency count, discounted norms, stacked sum_ttf
@@ -1409,6 +1463,10 @@ def oracle_sql() -> dict[str, str]:
     # lengthNorm = 1/sqrt(len) (ClassicSimilarity.java:38-64)
     O["ft_code_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     O["ft_ws_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    # folding/char-filter bijections: token stream identical to the raw
+    # corpus, so the standard tscore oracle applies verbatim
+    O["ft_ascii_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    O["ft_html_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     # KeywordAnalyzer: every doc is one token (tf=1, dl=1 → norm
     # decode 1, avgdl=1); BM25 from first principles over the whole
     # case-preserved value source||'-'||upper(lang)

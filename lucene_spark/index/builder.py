@@ -105,6 +105,11 @@ class IndexConfig:
     # removed tokens consume positions). Recorded in the manifest so
     # the Searcher analyzes query terms identically.
     analyzer: str = "standard"
+    # pre-tokenizer char filters (HTMLStripCharFilter / MappingCharFilter
+    # role, analysis/common/.../charfilter/): names resolved by
+    # analysis.folding.char_filter_chain ("html_strip"); all filters are
+    # length-preserving so offsets index the original markup exactly.
+    char_filters: tuple[str, ...] = ()
     # KNN vector field (KnnFloatVectorField / Lucene94HnswVectorsFormat
     # role): name of an array<float> corpus column stored as the
     # ``vectors`` sidecar table (doc_id, vec, vnorm), doc-range
@@ -219,17 +224,17 @@ def assign_doc_ids(
     return out
 
 
-def _tokenize_udf(stem=False):
+def _tokenize_udf(stem=False, char_filters=()):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(ArrayType(StringType()))
     def _tok(content: pd.Series) -> pd.Series:
-        return tokenize_series(content, stem=stem)
+        return tokenize_series(content, stem=stem, char_filters=char_filters)
 
     return _tok
 
 
-def _tokenize_pos_udf(stem=False):
+def _tokenize_pos_udf(stem=False, char_filters=()):
     """Tokens + Lucene positions (dropped >255-char tokens consume a
     position — StandardTokenizer.java:158-166) as a struct of arrays."""
     from pyspark.sql.functions import pandas_udf
@@ -245,13 +250,13 @@ def _tokenize_pos_udf(stem=False):
     def _tok(content: pd.Series) -> pd.DataFrame:
         from lucene_spark.analysis.tokenizer import tokenize_pos_series
 
-        toks, poss = tokenize_pos_series(content, stem=stem)
+        toks, poss = tokenize_pos_series(content, stem=stem, char_filters=char_filters)
         return pd.DataFrame({"tokens": toks, "positions": poss})
 
     return _tok
 
 
-def _tokenize_pos_off_udf(stem=False):
+def _tokenize_pos_off_udf(stem=False, char_filters=()):
     """Tokens + positions + char offsets (OffsetAttribute contract)."""
     from pyspark.sql.functions import pandas_udf
 
@@ -268,7 +273,7 @@ def _tokenize_pos_off_udf(stem=False):
     def _tok(content: pd.Series) -> pd.DataFrame:
         from lucene_spark.analysis.tokenizer import tokenize_pos_off_series
 
-        toks, poss, sts, ens = tokenize_pos_off_series(content, stem=stem)
+        toks, poss, sts, ens = tokenize_pos_off_series(content, stem=stem, char_filters=char_filters)
         return pd.DataFrame({"tokens": toks, "positions": poss, "starts": sts, "ends": ens})
 
     return _tok
@@ -306,6 +311,7 @@ def _tokenize_stacked_udf(stem, cfg, offsets: bool):
     from pyspark.sql.functions import pandas_udf
 
     stack = _stacker_of(cfg)
+    cfs = tuple(cfg.char_filters)
     fields = [
         StructField("tokens", ArrayType(StringType())),
         StructField("positions", ArrayType(IntegerType())),
@@ -327,7 +333,9 @@ def _tokenize_stacked_udf(stem, cfg, offsets: bool):
 
         out: dict = {k.name: [] for k in fields}
         if offsets:
-            toks_s, poss_s, sts_s, ens_s = tokenize_pos_off_series(content, stem=stem)
+            toks_s, poss_s, sts_s, ens_s = tokenize_pos_off_series(
+                content, stem=stem, char_filters=cfs
+            )
             for toks, poss, sts, ens in zip(toks_s, poss_s, sts_s, ens_s):
                 t, p, ov, s, e = stack(toks, poss, sts, ens)
                 out["tokens"].append(t)
@@ -336,7 +344,7 @@ def _tokenize_stacked_udf(stem, cfg, offsets: bool):
                 out["ends"].append(e)
                 out["dl"].append(sum(1 for o in ov if not o))
         else:
-            toks_s, poss_s = tokenize_pos_series(content, stem=stem)
+            toks_s, poss_s = tokenize_pos_series(content, stem=stem, char_filters=cfs)
             for toks, poss in zip(toks_s, poss_s):
                 t, p, ov = stack(toks, poss)
                 out["tokens"].append(t)
@@ -454,7 +462,7 @@ class IndexBuilder:
                 .withColumn("norm", norm(F.col("dl")))
             )
         if self.config.offsets:
-            tok = _tokenize_pos_off_udf(stem)
+            tok = _tokenize_pos_off_udf(stem, self.config.char_filters)
             out = (
                 corpus.withColumn("_tp", tok(F.col(field)))
                 .withColumn("tokens", F.col("_tp.tokens"))
@@ -464,7 +472,7 @@ class IndexBuilder:
                 .drop("_tp")
             )
         elif self.config.positions:
-            tok = _tokenize_pos_udf(stem)
+            tok = _tokenize_pos_udf(stem, self.config.char_filters)
             out = (
                 corpus.withColumn("_tp", tok(F.col(field)))
                 .withColumn("tokens", F.col("_tp.tokens"))
@@ -472,7 +480,7 @@ class IndexBuilder:
                 .drop("_tp")
             )
         else:
-            tok = _tokenize_udf(stem)
+            tok = _tokenize_udf(stem, self.config.char_filters)
             out = corpus.withColumn("tokens", tok(F.col(field)))
         return out.withColumn("dl", F.size("tokens")).withColumn("norm", norm(F.col("dl")))
 
@@ -857,6 +865,7 @@ class IndexBuilder:
             "shingles": list(cfg.shingles) if cfg.shingles else None,
             "shingle_unigrams": cfg.shingle_unigrams,
             "common_grams": list(cfg.common_grams),
+            "char_filters": list(cfg.char_filters),
         }
         with open(f"{index_dir}/manifest.json", "w") as fh:
             json.dump(metrics, fh, indent=2)
