@@ -1129,6 +1129,34 @@ def queries() -> dict:
 
     Q["ft_before_top10"] = _before
 
+    # -- span surface (SpanOr/SpanNot/SpanFirst over intervals) --
+    def _spanor(spark, sf):
+        from lucene_spark.search.spans import span_or, span_query
+
+        _, searcher = gate_index(spark, sf)
+        return _hits_df(spark, searcher.search(span_query(span_or("merge", "vector")), k=10))
+
+    Q["ft_spanor_top10"] = _spanor
+
+    def _spannot(spark, sf):
+        # ordered (table, hash) within 4 gaps, excluding matches that
+        # overlap a 'merge' occurrence widened 1 left / 1 right
+        from lucene_spark.search.spans import span_near, span_not, span_query
+
+        _, searcher = gate_index(spark, sf)
+        q = span_query(span_not(span_near(["table", "hash"], 4, True), "merge", pre=1, post=1))
+        return _hits_df(spark, searcher.search(q, k=10))
+
+    Q["ft_spannot_top10"] = _spannot
+
+    def _spanfirst(spark, sf):
+        from lucene_spark.search.spans import span_first, span_query
+
+        _, searcher = gate_index(spark, sf)
+        return _hits_df(spark, searcher.search(span_query(span_first("table", 6)), k=10))
+
+    Q["ft_spanfirst_top10"] = _spanfirst
+
     def _interval_or(spark, sf):
         # Intervals.or of two ordered pairs, minimalized across sources
         from lucene_spark.search.intervals import IOr, IOrdered, ITerm
@@ -1662,6 +1690,39 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "(SELECT sum(w) AS w FROM idfw WHERE term IN ('merge','table')) ws"
     )
 
+    # SpanOr over two terms: every occurrence is a one-position minimal
+    # interval → freq = tf sum; weight sums idf over both clause terms
+    # (SpanWeight.buildSimWeight over all terms)
+    O["ft_spanor_top10"] = topk_sql(
+        "SELECT f.doc_id, ws.w - ws.w / (1 + f.tfs * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, sum(tf)::BIGINT AS tfs FROM tf WHERE term IN ('merge','vector') "
+        "      GROUP BY doc_id) f "
+        "JOIN norms n ON n.doc_id = f.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('merge','vector')) ws"
+    )
+    # SpanNot(near(table,hash)~4, merge, pre=1, post=1): mutual ordered
+    # pairs within 4 gaps whose [pa,pb] does not overlap any merge
+    # position widened to [m-1, m+1]
+    O["ft_spannot_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, sum(1.0 / (pb - pa)) AS pf "
+        f"      FROM ({_mutual_pairs('table', 'hash')}) mp "
+        "      WHERE pb - pa - 1 <= 4 "
+        "      AND NOT EXISTS (SELECT 1 FROM post po WHERE po.doc_id = mp.doc_id "
+        "            AND po.term = 'merge' AND po.pos - 1 <= mp.pb AND po.pos + 1 >= mp.pa) "
+        "      GROUP BY doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','merge')) ws"
+    )
+    # SpanFirst(table, 6): occurrences with exclusive end <= 6; the
+    # post CTE is 1-based so 0-based p + 1 = pos <= 6
+    O["ft_spanfirst_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, count(*)::BIGINT AS pf FROM post "
+        "      WHERE term = 'table' AND pos <= 6 GROUP BY doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT w FROM idfw WHERE term = 'table') ws"
+    )
     O["ft_synonym_top10"] = topk_sql(
         "SELECT f.doc_id, ws.w - ws.w / (1 + f.tfs * " + _INV + ") AS s "
         "FROM (SELECT doc_id, sum(tf)::BIGINT AS tfs FROM tf WHERE term IN ('table','dup') "

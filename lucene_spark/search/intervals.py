@@ -50,6 +50,7 @@ __all__ = [
     "IBefore",
     "IAfter",
     "IExtend",
+    "IEndingWithin",
     "not_within",
     "terms_of",
     "eval_source",
@@ -184,6 +185,19 @@ class IAfter:
 
 
 @dataclass(frozen=True)
+class IEndingWithin:
+    """SpanFirstQuery / SpanPositionRangeQuery role
+    (lucene/queries/src/java/org/apache/lucene/queries/spans/
+    SpanFirstQuery.java:30-50, SpanPositionRangeQuery.java): intervals
+    of ``source`` whose EXCLUSIVE span end (our inclusive end + 1) is
+    <= ``limit`` — i.e. the match sits entirely within the first
+    ``limit`` positions."""
+
+    source: object
+    limit: int
+
+
+@dataclass(frozen=True)
 class IExtend:
     """Intervals.extend(source, before, after) (Intervals.java:320 →
     ExtendedIntervalsSource): each interval stretched ``before``
@@ -226,9 +240,7 @@ def terms_of(src) -> set[str]:
         for s in src.sources:
             out |= terms_of(s)
         return out
-    if isinstance(src, IMaxGaps):
-        return terms_of(src.source)
-    if isinstance(src, IMaxWidth):
+    if isinstance(src, (IMaxGaps, IMaxWidth, IEndingWithin)):
         return terms_of(src.source)
     if isinstance(src, IExtend):
         return terms_of(src.source)
@@ -264,6 +276,8 @@ def map_terms(src, fn):
         return IContainedBy(map_terms(src.small, fn), map_terms(src.big, fn))
     if isinstance(src, IMaxWidth):
         return IMaxWidth(src.width, map_terms(src.source, fn))
+    if isinstance(src, IEndingWithin):
+        return IEndingWithin(map_terms(src.source, fn), src.limit)
     if isinstance(src, IExtend):
         return IExtend(map_terms(src.source, fn), src.before, src.after)
     shape = _FILTER_SHAPES.get(type(src))
@@ -287,7 +301,7 @@ def candidate_docs(src, doc_arrays: dict[str, np.ndarray]) -> np.ndarray:
             d = candidate_docs(s, doc_arrays)
             out = d if out is None else np.union1d(out, d)
         return out if out is not None else np.empty(0, dtype=np.int64)
-    if isinstance(src, (IMaxGaps, IMaxWidth)):
+    if isinstance(src, (IMaxGaps, IMaxWidth, IEndingWithin)):
         return candidate_docs(src.source, doc_arrays)
     if isinstance(src, IExtend):
         return candidate_docs(src.source, doc_arrays)
@@ -382,6 +396,10 @@ def eval_source(src, pos_of) -> list[tuple[int, int, int]]:
     if isinstance(src, IMaxWidth):
         return [
             (s, e, c) for s, e, c in eval_source(src.source, pos_of) if e - s + 1 <= src.width
+        ]
+    if isinstance(src, IEndingWithin):
+        return [
+            (s, e, c) for s, e, c in eval_source(src.source, pos_of) if e + 1 <= src.limit
         ]
     if isinstance(src, IExtend):
         return _minimalize(

@@ -1,0 +1,107 @@
+"""Span-query surface mapped onto the interval algebra.
+
+Reference surface (all under /root/reference/lucene/queries/src/java/
+org/apache/lucene/queries/spans/):
+- SpanTermQuery.java — single-term spans (position, position+1).
+- SpanNearQuery.java:42 — ordered/unordered conjunction within slop.
+- SpanOrQuery.java:36-60 — union of clause spans.
+- SpanNotQuery.java:34-62 — include spans not overlapping exclude
+  spans, with ``pre``/``post`` expansion of the exclusion window.
+- SpanFirstQuery.java:30-50 — spans ending within the first ``end``
+  positions (SpanPositionRangeQuery with start 0).
+- FieldMaskingSpanQuery.java:60-90 — treat a span on one field as if
+  it were on another for compound matching.
+
+The modern reference deprecates spans in favor of intervals (the
+queries/intervals module) precisely because every span shape has an
+interval equivalent; this module IS that mapping: each constructor
+returns an intervals source tree, and :func:`span_query` wraps a tree
+in the engine's IntervalQuery (SpanScorer-convention scoring: freq =
+Σ 1/(1 + gaps) over minimal intervals, weight = summed idf over all
+terms — the SpanWeight.buildSimWeight contract).
+
+Semantics note (documented): interval trees yield MINIMAL intervals,
+so nested same-start spans collapse to the tightest match — the
+deprecation-path behavior, not bug-for-bug SpanOrQuery duplicate
+emission.
+"""
+
+from __future__ import annotations
+
+from lucene_spark.index.builder import FIELD_SEP
+from lucene_spark.search import ast as A
+from lucene_spark.search.intervals import (
+    IEndingWithin,
+    IExtend,
+    IMaxGaps,
+    INonOverlapping,
+    IOr,
+    IOrdered,
+    ITerm,
+    IUnordered,
+    map_terms,
+)
+
+__all__ = [
+    "span_term",
+    "span_near",
+    "span_or",
+    "span_not",
+    "span_first",
+    "span_field_mask",
+    "span_query",
+]
+
+
+def span_term(term: str) -> ITerm:
+    """SpanTermQuery: one-position spans at every occurrence."""
+    return ITerm(term)
+
+
+def span_near(clauses, slop: int = 0, in_order: bool = True):
+    """SpanNearQuery(clauses, slop, inOrder): minimal intervals
+    containing one span per clause (ordered: in clause order, no
+    overlap) with at most ``slop`` interior gaps."""
+    srcs = tuple(span_term(c) if isinstance(c, str) else c for c in clauses)
+    inner = IOrdered(srcs) if in_order else IUnordered(srcs)
+    return IMaxGaps(slop, inner)
+
+
+def span_or(*clauses):
+    """SpanOrQuery: union of the clause spans (minimalized)."""
+    return IOr(tuple(span_term(c) if isinstance(c, str) else c for c in clauses))
+
+
+def span_not(include, exclude, pre: int = 0, post: int = 0):
+    """SpanNotQuery(include, exclude, pre, post): include spans that do
+    not overlap an exclude span widened ``pre`` positions left and
+    ``post`` right (SpanNotQuery.java:34-62). pre=post=0 is plain
+    non-overlap; the reference builds the widened form the same way
+    (Intervals.notWithin composes nonOverlapping + extend)."""
+    include = span_term(include) if isinstance(include, str) else include
+    exclude = span_term(exclude) if isinstance(exclude, str) else exclude
+    if pre or post:
+        exclude = IExtend(exclude, pre, post)
+    return INonOverlapping(include, exclude)
+
+
+def span_first(match, end: int):
+    """SpanFirstQuery(match, end): spans ending within the first
+    ``end`` positions (exclusive span end <= end)."""
+    match = span_term(match) if isinstance(match, str) else match
+    return IEndingWithin(match, end)
+
+
+def span_field_mask(source, field: str):
+    """FieldMaskingSpanQuery role: rewrite the tree's terms into
+    ``field``'s composite key space so a span over another field can
+    participate in a compound span on this one. Scoring uses the masked
+    field's statistics (the reference likewise scores with the masked
+    field's name)."""
+    return map_terms(source, lambda t: f"{field}{FIELD_SEP}{t}" if FIELD_SEP not in t else t)
+
+
+def span_query(source) -> A.IntervalQuery:
+    """Wrap a span/interval source as an engine query (IntervalQuery;
+    SpanScorer-convention freq accumulation)."""
+    return A.IntervalQuery(source)
