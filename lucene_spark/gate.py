@@ -1479,7 +1479,9 @@ def _pipeline_queries() -> dict:
 
     Q["mm_meta"] = lambda spark, sf: multimodal.extract_metadata(
         multimodal.with_payload(_docs(spark, sf))
-    ).select("doc_id", "kind", "n_bytes", "width", "height", "n_frames", "sha256")
+    ).select(
+        "doc_id", "kind", "format", "n_bytes", "width", "height", "sample_rate", "n_frames"
+    )
 
     return Q
 
@@ -2426,13 +2428,21 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
         f"SELECT doc_id::BIGINT AS doc_id, "
         f"md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_SQL}'), ' ')) AS fp FROM documents"
     )
+    # the decode stage reads REAL container headers; the oracle
+    # re-derives every decoded field from the closed-form synthesis
+    # (PNG header 33 B, JPEG 21 B, WAV 44 B + utf8 text tail)
     O["mm_meta"] = """SELECT doc_id::BIGINT AS doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       octet_length(encode(text))::BIGINT AS n_bytes,
-       CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 640 + 1 ELSE 0 END::BIGINT AS width,
-       CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 480 + 1 ELSE 0 END::BIGINT AS height,
-       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE octet_length(encode(text)) % 24 + 1 END::BIGINT AS n_frames,
-       sha256(text) AS sha256
+       CASE WHEN doc_id % 6 = 0 THEN 'png' WHEN doc_id % 3 = 0 THEN 'jpeg'
+            WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'raw' END AS format,
+       (octet_length(encode(text)) + CASE WHEN doc_id % 6 = 0 THEN 33
+            WHEN doc_id % 3 = 0 THEN 21 WHEN doc_id % 3 = 1 THEN 44 ELSE 0 END)::BIGINT AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1 ELSE 0 END::BIGINT AS width,
+       CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1 ELSE 0 END::BIGINT AS height,
+       CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 ELSE 0 END::BIGINT AS sample_rate,
+       CASE WHEN doc_id % 3 = 0 THEN 1
+            WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) // 2
+            ELSE octet_length(encode(text)) % 24 + 1 END::BIGINT AS n_frames
 FROM documents"""
     # distributed-hit-relation twins share the driver-mode oracles
     O["ft_dist_facet_lang"] = O["ft_facet_lang"]

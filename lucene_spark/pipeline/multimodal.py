@@ -2,12 +2,12 @@
 
 Treats image/audio/video as `binary` columns with a `kind` tag and
 per-kind metadata extracted by Arrow-batched `mapInPandas` kernels.
-The Spark-side contract — schema, batching, partition sizing — is real
-and tested; the actual media decode is STUBBED (this container has no
-image/audio libraries): `decode_stub=True` (default) derives
-deterministic pseudo-metadata from the bytes, and `decode_stub=False`
-raises NotImplementedError at the exact point a real decoder (PIL /
-torchaudio / pyav inside the same mapInPandas kernel) would plug in.
+The decode stage is REAL for containers a pure-Python parser covers:
+image dimensions come from actual PNG/JPEG/GIF/BMP headers and audio
+rate/samples from RIFF/WAVE headers (pipeline.media); only video
+container parsing remains a deterministic stub (no pyav in this
+container) — `_VIDEO_STUB` marks the seam where a real demuxer plugs
+into the same kernel.
 
 Scale notes: binary payloads ride in their own parquet column (no
 row-group bloat for metadata-only scans thanks to column pruning);
@@ -30,13 +30,23 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from lucene_spark.pipeline.media import (
+    decode_image,
+    decode_wav,
+    jpeg_bytes,
+    png_bytes,
+    wav_bytes,
+)
+
 META_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("kind", StringType()),
+        StructField("format", StringType()),
         StructField("n_bytes", LongType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
+        StructField("sample_rate", LongType()),
         StructField("n_frames", LongType()),
         StructField("sha256", StringType()),
     ]
@@ -44,49 +54,87 @@ META_SCHEMA = StructType(
 
 
 def with_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Synthesize an opaque binary payload column from text (UTF-8
-    encode) + a deterministic kind tag — the test stand-in for real
-    media bytes arriving from an object store."""
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col(id_col) % 3 + 1).cast("int")
+    """Synthesize binary payloads with REAL container headers from the
+    text rows (the test/gate stand-in for media bytes arriving from an
+    object store): images get PNG (doc_id % 6 == 0) or JPEG headers
+    with dimensions derived from doc_id, audio gets a canonical WAV
+    header, video stays a raw byte blob (container parse is the one
+    remaining stub). Sizes are closed-form — header + utf8(text) — so
+    a SQL oracle can re-derive every decoded field."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+        ]
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        kind.alias("kind"),
-        F.encode(F.col(text_col), "UTF-8").cast("binary").alias("payload"),
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "payload": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                tail = str(text).encode("utf-8")
+                k = did % 3
+                if k == 0:
+                    kind = "image"
+                    w, h = did % 640 + 1, did % 480 + 1
+                    payload = (
+                        png_bytes(w, h, tail) if did % 6 == 0 else jpeg_bytes(w, h, tail)
+                    )
+                elif k == 1:
+                    kind = "audio"
+                    payload = wav_bytes(8000 + (did % 8) * 1000, tail)
+                else:
+                    kind = "video"
+                    payload = tail
+                out["doc_id"].append(did)
+                out["kind"].append(kind)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).mapInPandas(
+        _mk, schema=schema
     )
 
 
-def extract_metadata(payloads: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """(doc_id, kind, payload) → typed metadata via mapInPandas.
-
-    Stub decode derives (width, height, n_frames) deterministically
-    from the byte length; a real decoder replaces `_stub_decode` only —
-    the Spark plumbing (Arrow batches of binary, schema, partitioning)
-    is identical.
-    """
+def extract_metadata(payloads: DataFrame) -> DataFrame:
+    """(doc_id, kind, payload) → typed metadata via mapInPandas with
+    REAL header decode: PNG/JPEG/GIF/BMP dimensions, WAV sample rate +
+    sample count (pipeline.media). Unrecognized payloads get format
+    NULL and zeroed fields; the video kind keeps a deterministic
+    byte-derived frame count (container demux = the remaining stub)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/pyav/torchaudio — plug in here"
-                )
-            n = pdf["payload"].map(len)
-            kinds = pdf["kind"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "kind": kinds,
-                    "n_bytes": n.astype("int64"),
-                    "width": (n % 640 + 1).where(kinds == "image", 0).astype("int64"),
-                    "height": (n % 480 + 1).where(kinds == "image", 0).astype("int64"),
-                    "n_frames": (n % 24 + 1).where(kinds != "image", 1).astype("int64"),
-                    "sha256": pdf["payload"].map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
-                }
-            )
+            out = {k.name: [] for k in META_SCHEMA.fields}
+            for did, kind, payload in zip(pdf["doc_id"], pdf["kind"], pdf["payload"]):
+                b = bytes(payload)
+                fmt, w, h, rate, frames = None, 0, 0, 0, 0
+                if kind == "image":
+                    got = decode_image(b)
+                    if got is not None:
+                        fmt, w, h = got
+                        frames = 1
+                elif kind == "audio":
+                    got = decode_wav(b)
+                    if got is not None:
+                        rate, _ch, _bits, n_samples = got
+                        fmt, frames = "wav", n_samples
+                else:  # _VIDEO_STUB: real demuxer plugs in here
+                    fmt, frames = "raw", len(b) % 24 + 1
+                out["doc_id"].append(int(did))
+                out["kind"].append(kind)
+                out["format"].append(fmt)
+                out["n_bytes"].append(len(b))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(frames)
+                out["sha256"].append(hashlib.sha256(b).hexdigest())
+            yield pd.DataFrame(out)
 
     return payloads.mapInPandas(_extract, schema=META_SCHEMA)
 

@@ -264,26 +264,52 @@ class TestTextStats:
 
 
 class TestMultimodal:
-    def test_metadata_stub_deterministic(self, spark, docs_df):
+    def test_metadata_real_header_decode(self, spark, docs_df):
         from lucene_spark.pipeline.multimodal import extract_metadata, with_payload
 
         payloads = with_payload(docs_df)
         a = sorted(tuple(r) for r in extract_metadata(payloads).collect())
         b = sorted(tuple(r) for r in extract_metadata(payloads).collect())
         assert a == b
-        for r in extract_metadata(payloads).limit(50).collect():
+        for r in extract_metadata(payloads).collect():
+            did = r["doc_id"]
             assert r["kind"] in ("image", "audio", "video")
             assert r["n_bytes"] > 0
             if r["kind"] == "image":
-                assert r["width"] > 0 and r["height"] > 0 and r["n_frames"] == 1
+                # dimensions parsed from the ACTUAL PNG/JPEG header
+                assert r["format"] == ("png" if did % 6 == 0 else "jpeg")
+                assert r["width"] == did % 640 + 1
+                assert r["height"] == did % 480 + 1
+                assert r["n_frames"] == 1 and r["sample_rate"] == 0
+            elif r["kind"] == "audio":
+                assert r["format"] == "wav"
+                assert r["sample_rate"] == 8000 + (did % 8) * 1000
+                assert r["n_frames"] == (r["n_bytes"] - 44) // 2
             else:
-                assert r["width"] == 0 and r["n_frames"] >= 1
+                assert r["format"] == "raw" and r["n_frames"] >= 1
 
-    def test_real_decode_is_explicit_stub(self, spark, docs_df):
-        from lucene_spark.pipeline.multimodal import extract_metadata, with_payload
+    def test_decoders_roundtrip_and_reject_garbage(self):
+        from lucene_spark.pipeline.media import (
+            decode_image,
+            decode_wav,
+            jpeg_bytes,
+            png_bytes,
+            wav_bytes,
+        )
 
-        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-            extract_metadata(with_payload(docs_df), decode_stub=False).collect()
+        assert decode_image(png_bytes(640, 123, b"xx")) == ("png", 640, 123)
+        assert decode_image(jpeg_bytes(31, 4095)) == ("jpeg", 31, 4095)
+        assert decode_image(b"not an image") is None
+        assert decode_image(b"\xff\xd8\x00\x00garbage") is None
+        assert decode_wav(wav_bytes(44100, b"\x00" * 10)) == (44100, 1, 16, 5)
+        assert decode_wav(b"RIFFxxxx") is None
+        # GIF + BMP headers parse too
+        import struct
+
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+        assert decode_image(gif) == ("gif", 320, 200)
+        bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 77, -55) + b"\x00" * 4
+        assert decode_image(bmp) == ("bmp", 77, 55)
 
     def test_frame_sample_video_only(self, spark, docs_df):
         from lucene_spark.pipeline.multimodal import frame_sample, with_payload
