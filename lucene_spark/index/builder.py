@@ -812,9 +812,16 @@ class IndexBuilder:
             )
 
         def _write_term_vectors():
-            # the doc-keyed copy of the inverted relation; positions
-            # ride along when indexed (TermVectorsFormat positions bit)
-            cols = ["doc_id", "term", "tf"] + (["poss"] if "poss" in inverted.columns else [])
+            # the doc-keyed copy of the inverted relation; positions and
+            # char offsets ride along when indexed (the TermVectorsFormat
+            # positions/offsets bits — offsets make the vectors a
+            # FastVectorHighlighter source, vectorhighlight/
+            # FastVectorHighlighter.java)
+            cols = (
+                ["doc_id", "term", "tf"]
+                + (["poss"] if "poss" in inverted.columns else [])
+                + (["sts", "ens"] if "sts" in inverted.columns else [])
+            )
             inverted.select(*cols).repartitionByRange(
                 cfg.term_buckets, "doc_id"
             ).sortWithinPartitions("doc_id", "term").write.mode("overwrite").parquet(

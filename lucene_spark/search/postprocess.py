@@ -223,6 +223,31 @@ def term_occurrences(searcher, term: str) -> dict[int, tuple]:
     return {int(d): pl.offsets[i] for i, d in enumerate(pl.docs)}
 
 
+def term_occurrences_tv(searcher, terms, doc_ids) -> dict[str, dict[int, tuple]]:
+    """term → doc_id → (starts, ends) from the TERM VECTORS table (the
+    FastVectorHighlighter source, lucene/highlighter/.../vectorhighlight/
+    FastVectorHighlighter.java: highlighting driven by per-document
+    vectors with positions+offsets instead of the postings offsets
+    index). One pushed-down scan over the doc-range-partitioned
+    term_vectors table, pruned by doc_id AND term."""
+    tv = searcher.index.term_vectors_df
+    if "sts" not in tv.columns:
+        raise ValueError(
+            "term vectors lack offsets (build with IndexConfig.offsets=True "
+            "and term_vectors=True for the FVH source)"
+        )
+    rows = (
+        tv.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+        .filter(F.col("term").isin(list(terms)))
+        .select("doc_id", "term", "sts", "ens")
+        .collect()
+    )
+    out: dict[str, dict[int, tuple]] = {}
+    for r in rows:
+        out.setdefault(r["term"], {})[int(r["doc_id"])] = (r["sts"], r["ens"])
+    return out
+
+
 def first_match_window(
     searcher, term: str, docs_df: DataFrame, text_col: str = "text", pre: int = 20, post: int = 40
 ) -> DataFrame:
@@ -263,6 +288,7 @@ def highlight_indexed(
     k: int = 10,
     max_passages: int = 2,
     max_passage_chars: int = 120,
+    source: str = "offsets",
 ) -> list[dict]:
     """UnifiedHighlighter-style highlighting from INDEXED offsets
     (lucene/highlighter/.../uhighlight/UnifiedHighlighter.java role):
@@ -271,7 +297,14 @@ def highlight_indexed(
     passages of <= max_passage_chars, score each passage à la
     PassageScorer (Σ idf(term) per occurrence + distinct-term bonus),
     return the best passages per hit with <b></b> marks placed at the
-    indexed offsets."""
+    indexed offsets.
+
+    ``source`` picks the offsets provider — "offsets" (the postings
+    offsets index, UnifiedHighlighter.OffsetSource.POSTINGS) or
+    "term_vectors" (per-doc vectors with offsets, the
+    FastVectorHighlighter source / OffsetSource.TERM_VECTORS); both
+    produce byte-identical passages (tests/test_postprocess.py
+    parity)."""
     import numpy as np
 
     from lucene_spark.search import ast as A
@@ -287,8 +320,13 @@ def highlight_indexed(
         t: float(np.log(1 + (stats.doc_count - df + 0.5) / (df + 0.5)))
         for t, (df, _) in tstats.items()
     }
-    occ_by_term = {t: term_occurrences(searcher, t) for t in terms}
     hit_ids = [int(d) for d, _ in td.hits]
+    if source == "term_vectors":
+        occ_by_term = term_occurrences_tv(searcher, terms, hit_ids)
+    elif source == "offsets":
+        occ_by_term = {t: term_occurrences(searcher, t) for t in terms}
+    else:
+        raise ValueError(f"unknown offset source {source!r}")
     texts = {
         r["doc_id"]: r[text_col]
         for r in docs_df.filter(F.col("doc_id").isin(hit_ids)).select("doc_id", text_col).collect()

@@ -63,3 +63,71 @@ class TestTermVectors:
     def test_missing_table_raises(self, search_index):
         with pytest.raises(ValueError, match="term vectors"):
             search_index.term_vectors_df  # the session index is built without them
+
+
+class TestFVHParity:
+    """highlight_indexed parity between the postings-offsets source and
+    the term-vectors source (FastVectorHighlighter role) on an index
+    built with both — byte-identical passages."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(scope="class")
+    def hl_index(self, tmp_path_factory, spark, corpus_pdf):
+        import shutil
+
+        from lucene_spark.index.builder import IndexBuilder, IndexConfig
+        from lucene_spark.index.reader import SearchIndex
+        from lucene_spark.search.engine import Searcher
+
+        pdf = corpus_pdf.copy().reset_index(drop=True)
+        pdf["doc_id"] = range(len(pdf))
+        d = str(tmp_path_factory.mktemp("hlix"))
+        IndexBuilder(
+            spark,
+            IndexConfig(
+                docs_per_chunk=128, term_buckets=4, positions=True,
+                offsets=True, term_vectors=True,
+            ),
+        ).build(spark.createDataFrame(pdf).drop("content_sha256"), d, assign_ids=False)
+        yield Searcher(SearchIndex(spark, d)), pdf
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_sources_identical(self, spark, hl_index):
+        from lucene_spark.search.postprocess import highlight_indexed
+
+        searcher, pdf = hl_index
+        docs = spark.createDataFrame(pdf[["doc_id", "content"]]).withColumnRenamed(
+            "content", "text"
+        )
+        for q in ("return", "return AND if", '"return if"'):
+            a = highlight_indexed(searcher, q, docs, k=5, source="offsets")
+            b = highlight_indexed(searcher, q, docs, k=5, source="term_vectors")
+            assert a == b, q
+            assert a and all(h["passages"] for h in a)
+            assert all("<b>" in p for h in a for p in h["passages"])
+
+    def test_tv_without_offsets_raises(self, spark, corpus_pdf, tmp_path_factory):
+        import shutil
+
+        import pytest
+
+        from lucene_spark.index.builder import IndexBuilder, IndexConfig
+        from lucene_spark.index.reader import SearchIndex
+        from lucene_spark.search.engine import Searcher
+        from lucene_spark.search.postprocess import highlight_indexed
+
+        pdf = corpus_pdf.head(40).copy().reset_index(drop=True)
+        pdf["doc_id"] = range(len(pdf))
+        d = str(tmp_path_factory.mktemp("hlnov"))
+        IndexBuilder(
+            spark,
+            IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True, term_vectors=True),
+        ).build(spark.createDataFrame(pdf).drop("content_sha256"), d, assign_ids=False)
+        s = Searcher(SearchIndex(spark, d))
+        docs = spark.createDataFrame(pdf[["doc_id", "content"]]).withColumnRenamed(
+            "content", "text"
+        )
+        with pytest.raises(ValueError, match="lack offsets"):
+            highlight_indexed(s, "return", docs, k=3, source="term_vectors")
+        shutil.rmtree(d, ignore_errors=True)
