@@ -25,7 +25,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from lucene_spark.search import ast as A  # noqa: E402
-from lucene_spark.search.intervals import IMaxGaps, ITerm, IUnordered  # noqa: E402
+from lucene_spark.search.intervals import IMaxGaps, IOrdered, ITerm, IUnordered  # noqa: E402
 
 QUERIES: dict[str, A.Query] = {
     "q_term": A.TermQuery("table"),
@@ -49,6 +49,13 @@ QUERIES: dict[str, A.Query] = {
     "q_wildcard": A.WildcardQuery("*ow"),
     "q_spannear": A.SpanNearQuery(("table", "hash"), slop=4, in_order=True),
     "q_interval": A.IntervalQuery(IMaxGaps(6, IUnordered((ITerm("table"), ITerm("merge"))))),
+    # 3-term positional shapes: the lockstep-vectorized n-slot kernels
+    # (round-3 item — must stay within ~2x of the 2-term entries)
+    "q_sloppy3": A.PhraseQuery(("table", "hash", "merge"), slop=6),
+    "q_spannear3": A.SpanNearQuery(("table", "hash", "merge"), slop=8, in_order=False),
+    "q_interval3": A.IntervalQuery(
+        IMaxGaps(8, IOrdered((ITerm("table"), ITerm("hash"), ITerm("merge"))))
+    ),
     "q_field_filter": A.BooleanQuery(
         ((A.Occur.MUST, A.TermQuery("table")), (A.Occur.FILTER, A.FieldValueQuery("lang", "en")))
     ),

@@ -651,6 +651,65 @@ def queries() -> dict:
         ),
     )
 
+    # -- distributed twins of every scored shape: the chunked leaf-
+    # parallel path (applyInPandas kernels + TakeOrderedAndProject
+    # merge) must produce BIT-IDENTICAL hashes to driver mode — the
+    # 100-TB execution path proven against the same oracles --
+    def _dist_twin(q):
+        return lambda spark, sf: _hits_df(spark, _search(spark, sf, q, mode="distributed"))
+
+    Q["ft_dist_term_top10"] = _dist_twin(A.TermQuery("table"))
+    Q["ft_dist_or_top10"] = _dist_twin(
+        A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.TermQuery("dup")),
+                (A.Occur.SHOULD, A.TermQuery("vector")),
+                (A.Occur.SHOULD, A.TermQuery("scan")),
+            )
+        )
+    )
+    Q["ft_dist_phrase_top10"] = _dist_twin(A.PhraseQuery(("table", "hash")))
+    Q["ft_dist_sloppy_top10"] = _dist_twin(A.PhraseQuery(("table", "hash"), slop=3))
+    Q["ft_dist_spannear_top10"] = _dist_twin(
+        A.SpanNearQuery(("table", "hash"), slop=4, in_order=True)
+    )
+    Q["ft_dist_multiphrase_top10"] = _dist_twin(
+        A.MultiPhraseQuery((("table", "merge"), ("hash",)))
+    )
+    Q["ft_dist_mpshared_top10"] = _dist_twin(
+        A.MultiPhraseQuery((("table", "hash"), ("hash",)), slop=2)
+    )
+    Q["ft_dist_synonym_top10"] = _dist_twin(A.SynonymQuery(("table", "dup")))
+    Q["ft_dist_dismax_top10"] = _dist_twin(
+        A.DisjunctionMaxQuery((A.TermQuery("table"), A.TermQuery("merge")), tie_breaker=0.3)
+    )
+    Q["ft_dist_msm_top10"] = _dist_twin(
+        A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.TermQuery("dup")),
+                (A.Occur.SHOULD, A.TermQuery("vector")),
+                (A.Occur.SHOULD, A.TermQuery("scan")),
+            ),
+            minimum_should_match=2,
+        )
+    )
+    Q["ft_dist_boost_top10"] = _dist_twin(
+        A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.BoostQuery(A.TermQuery("table"), 2.0)),
+                (A.Occur.SHOULD, A.TermQuery("merge")),
+            )
+        )
+    )
+
+    def _dist_interval(spark, sf):
+        from lucene_spark.search.intervals import IMaxGaps, INotContaining, IOrdered, ITerm
+
+        src = INotContaining(IMaxGaps(4, IOrdered((ITerm("table"), ITerm("hash")))), ITerm("merge"))
+        return _hits_df(spark, _search(spark, sf, A.IntervalQuery(src), mode="distributed"))
+
+    Q["ft_dist_interval_top10"] = _dist_interval
+
     # MUST + SHOULD through the block-max conjunction kernel
     # (Boolean2ScorerSupplier req/opt branch): required term drives
     # candidates, optional terms add score via skip-data decode
@@ -2448,6 +2507,32 @@ FROM documents"""
     O["ft_dist_facet_lang"] = O["ft_facet_lang"]
     O["ft_dist_group_top"] = O["ft_group_top"]
     O["ft_dist_funcscore_top10"] = O["ft_funcscore_top10"]
+    # distributed scored-shape twins: same query, chunked execution —
+    # identical oracles prove bit-identical scores on the 100-TB path
+    O["ft_dist_term_top10"] = O["ft_term_top10"]
+    O["ft_dist_or_top10"] = O["ft_or_top10"]
+    O["ft_dist_phrase_top10"] = O["ft_phrase_top10"]
+    O["ft_dist_sloppy_top10"] = O["ft_sloppy_top10"]
+    O["ft_dist_spannear_top10"] = O["ft_spannear_top10"]
+    O["ft_dist_multiphrase_top10"] = O["ft_multiphrase_top10"]
+    O["ft_dist_mpshared_top10"] = O["ft_multiphrase_shared_top10"]
+    O["ft_dist_synonym_top10"] = O["ft_synonym_top10"]
+    O["ft_dist_dismax_top10"] = O["ft_dismax_top10"]
+    O["ft_dist_msm_top10"] = O["ft_msm_top10"]
+    O["ft_dist_boost_top10"] = O["ft_boost_top10"]
+    # notContaining(maxgaps(4, ordered(table,hash)), merge): the
+    # notcontaining oracle with the gap cap applied
+    O["ft_dist_interval_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, sum(1.0 / (pb - pa)) AS pf "
+        f"      FROM ({_mutual_pairs('table', 'hash')}) mp "
+        "      WHERE pb - pa - 1 <= 4 "
+        "      AND NOT EXISTS (SELECT 1 FROM post po WHERE po.doc_id = mp.doc_id "
+        "            AND po.term = 'merge' AND po.pos >= mp.pa AND po.pos <= mp.pb) "
+        "      GROUP BY doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','merge')) ws"
+    )
     return O
 
 
