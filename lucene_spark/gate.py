@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lucene_spark.codec.smallfloat import NORM_LENGTH_TABLE
-from lucene_spark.index.builder import IndexBuilder, IndexConfig
+from lucene_spark.index.builder import FIELD_SEP, IndexBuilder, IndexConfig
 from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
@@ -589,6 +589,19 @@ def queries() -> dict:
             spark,
             sf,
             A.DisjunctionMaxQuery((A.TermQuery("table"), A.TermQuery("merge")), tie_breaker=0.3),
+        ),
+    )
+    # BlendedTermQuery: both terms score with the blended df = max of
+    # their docFreqs, combined by DisjunctionMax(0.01)
+    Q["ft_blended_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, A.BlendedTermQuery(("table", "merge")))
+    )
+    # cross-field blending: 'table' on content AND title — idf of each
+    # side uses the SHARED max df but its own field's docCount/avgdl
+    Q["ft_blended_fields_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark, sf, A.BlendedTermQuery(("table", "title" + FIELD_SEP + "table"))
         ),
     )
     # -- multi-field (title = first-6-words): per-field df/avgdl BM25 --
@@ -1881,6 +1894,37 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
     O["ft_dismax_top10"] = topk_sql(
         "SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s FROM tscore "
         "WHERE term IN ('table','merge') GROUP BY doc_id"
+    )
+    # BlendedTermQuery: per-term BM25 with the SHARED max df, dismax 0.01
+    O["ft_blended_top10"] = topk_sql(
+        "SELECT doc_id, max(s) + 0.01 * (sum(s) - max(s)) AS s FROM ("
+        " SELECT f.doc_id, wb.w - wb.w / (1 + f.tf * " + _INV + ") AS s"
+        " FROM tf f JOIN norms n ON n.doc_id = f.doc_id,"
+        " (SELECT ln(1 + ((SELECT n FROM stats) - max(df) + 0.5) / (max(df) + 0.5)) AS w"
+        "  FROM dfr WHERE term IN ('table','merge')) wb"
+        " WHERE f.term IN ('table','merge')) GROUP BY doc_id"
+    )
+    # cross-field blending: shared max df across content/title, each
+    # side scored with its OWN field's docCount/avgdl/norms
+    O["ft_blended_fields_top10"] = (
+        base_ctes()
+        + ", gdf AS (SELECT greatest("
+        "   (SELECT df FROM dfr WHERE term = 'table'),"
+        "   coalesce((SELECT df FROM tlidfw WHERE term = 'table'), 0)) AS v), "
+        "bcs AS (SELECT f.doc_id, "
+        "   ln(1 + ((SELECT n FROM stats) - (SELECT v FROM gdf) + 0.5) / ((SELECT v FROM gdf) + 0.5)) "
+        "   - ln(1 + ((SELECT n FROM stats) - (SELECT v FROM gdf) + 0.5) / ((SELECT v FROM gdf) + 0.5)) "
+        "     / (1 + f.tf * (1.0 / (1.2 * ((1 - 0.75) + 0.75 * n.dlen / (SELECT avgdl FROM stats))))) AS s "
+        "   FROM tf f JOIN norms n ON n.doc_id = f.doc_id WHERE f.term = 'table'), "
+        "bts AS (SELECT f.doc_id, "
+        "   ln(1 + ((SELECT n FROM tlstats) - (SELECT v FROM gdf) + 0.5) / ((SELECT v FROM gdf) + 0.5)) "
+        "   - ln(1 + ((SELECT n FROM tlstats) - (SELECT v FROM gdf) + 0.5) / ((SELECT v FROM gdf) + 0.5)) "
+        "     / (1 + f.tf * (1.0 / (1.2 * ((1 - 0.75) + 0.75 * n.dlen / (SELECT avgdl FROM tlstats))))) AS s "
+        "   FROM tltf f JOIN tnorms n ON n.doc_id = f.doc_id WHERE f.term = 'table'), "
+        "q AS (SELECT doc_id, max(s) + 0.01 * (sum(s) - max(s)) AS s FROM "
+        "   (SELECT * FROM bcs UNION ALL SELECT * FROM bts) GROUP BY doc_id) "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"
     )
     O["ft_field_top10"] = topk_sql("SELECT doc_id, s FROM tlscore WHERE term = 'vector'")
     O["ft_fields_bool_top10"] = topk_sql(

@@ -249,6 +249,23 @@ class DisjunctionMaxQuery(Query):
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """Blended term scoring (CORE/search/BlendedTermQuery.java:270-300
+    rewrite): every term scores as a TermQuery whose statistics are
+    ARTIFICIALLY blended — df = max over the terms' docFreqs, ttf = sum
+    of totalTermFreqs — so the rarer surface form (or the field where
+    the term is rarer) no longer gets an outsized idf. Combined via
+    DisjunctionMax(tie_breaker) (DISJUNCTION_MAX_REWRITE default 0.01)
+    or a SHOULD BooleanQuery when boolean_rewrite (BOOLEAN_REWRITE).
+    Terms may be composite field keys (cross-field blending)."""
+
+    terms: tuple[str, ...]
+    boosts: tuple[float, ...] | None = None
+    tie_breaker: float = 0.01
+    boolean_rewrite: bool = False
+
+
+@dataclass(frozen=True)
 class BoostQuery(Query):
     query: Query
     boost: float
@@ -391,7 +408,7 @@ def extract_terms(q: Query) -> set[str]:
         return set(q.terms)
     if isinstance(q, MultiPhraseQuery):
         return {t for slot in q.positions for t in slot}
-    if isinstance(q, (SynonymQuery, TermInSetQuery, SpanNearQuery)):
+    if isinstance(q, (SynonymQuery, TermInSetQuery, SpanNearQuery, BlendedTermQuery)):
         return set(q.terms)
     if isinstance(q, IntervalQuery):
         from lucene_spark.search.intervals import terms_of

@@ -202,6 +202,27 @@ def compile_query(
             return NoneSpec()
         fld, st = _stats_of(q.term)
         return TermSpec(q.term, sim.term_weight(st, df, ttf_of(q.term, 0), float(b32)), fld)
+    if isinstance(q, A.BlendedTermQuery):
+        # BlendedTermQuery.rewrite (BlendedTermQuery.java:270-300):
+        # artificial df = max docFreq, ttf = sum totalTermFreq, each
+        # term then scores as a plain TermQuery against its OWN field's
+        # norms/avgdl but the blended frequencies
+        present = [t for t in q.terms if term_df.get(t)]
+        if not present:
+            return NoneSpec()
+        df_b = max(term_df[t] for t in present)
+        ttf_b = sum(ttf_of(t, 0) for t in present)
+        boosts = q.boosts if q.boosts is not None else (1.0,) * len(q.terms)
+        subs = []
+        for t, bo in zip(q.terms, boosts):
+            if not term_df.get(t):
+                continue
+            fld, st = _stats_of(t)
+            w = sim.term_weight(st, df_b, ttf_b, float(np.float32(b32 * np.float32(bo))))
+            subs.append(TermSpec(t, w, fld))
+        if q.boolean_rewrite:
+            return BoolSpec(shoulds=tuple(subs))
+        return DisMaxSpec(tuple(subs), q.tie_breaker)
     if isinstance(q, A.SynonymQuery):
         present = [t for t in q.terms if term_df.get(t)]
         if not present:
