@@ -103,6 +103,68 @@ def shingle_stream(
     return out_t, out_p, out_ov
 
 
+def ngram_stream(
+    tokens: list[str],
+    positions: list[int],
+    min_gram: int,
+    max_gram: int,
+    edge: bool = False,
+    preserve_original: bool = False,
+    starts: list[int] | None = None,
+    ends: list[int] | None = None,
+):
+    """NGramTokenFilter / EdgeNGramTokenFilter (analysis/common/.../
+    ngram/NGramTokenFilter.java:25-40, EdgeNGramTokenFilter.java:25-60):
+    per input token emit every [min_gram, max_gram]-length gram —
+    all substrings sorted by (offset-in-token, length) for the full
+    filter, prefixes ascending for the edge filter — STACKED at the
+    token's position (first output keeps the position increment, the
+    rest are posInc 0). Offsets are NOT modified (whole-token spans,
+    the post-4.4 contract). ``preserve_original`` keeps tokens whose
+    length falls outside the gram range; otherwise such tokens emit
+    nothing (their position increment carries forward, which absolute
+    positions model for free)."""
+    if min_gram < 1 or max_gram < min_gram:
+        raise ValueError("need 1 <= min_gram <= max_gram")
+    with_offsets = starts is not None
+    out_t: list[str] = []
+    out_p: list[int] = []
+    out_ov: list[bool] = []
+    out_s: list[int] = []
+    out_e: list[int] = []
+    for i, (t, p) in enumerate(zip(tokens, positions)):
+        n = len(t)
+        grams: list[str] = []
+        if edge:
+            if preserve_original and n < min_gram:
+                grams.append(t)
+            grams.extend(t[:g] for g in range(min_gram, min(max_gram, n) + 1))
+            if preserve_original and n > max_gram:
+                grams.append(t)
+        else:
+            if n < min_gram:
+                if preserve_original:
+                    grams.append(t)
+            else:
+                for off in range(n - min_gram + 1):
+                    for g in range(min_gram, max_gram + 1):
+                        if off + g > n:
+                            break
+                        grams.append(t[off : off + g])
+                if preserve_original and n > max_gram:
+                    grams.append(t)
+        for j, g in enumerate(grams):
+            out_t.append(g)
+            out_p.append(p)
+            out_ov.append(j > 0)
+            if with_offsets:
+                out_s.append(starts[i])
+                out_e.append(ends[i])
+    if with_offsets:
+        return out_t, out_p, out_ov, out_s, out_e
+    return out_t, out_p, out_ov
+
+
 def common_grams_stream(
     tokens: list[str],
     positions: list[int],

@@ -237,6 +237,26 @@ def html_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Sear
     return _CACHE[key]
 
 
+def edgegram_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """Edge-ngram index (EdgeNGramTokenFilter.java:25-60, 1..4 grams,
+    stacked posInc 0): search-as-you-type prefixes are first-class
+    postings. Statistics: norms stay the unigram dl (every token emits
+    >=1 gram at min_gram=1), sum_ttf = Σ min(len(token), 4)."""
+    key = ("eg", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gateeg_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, edge_ngrams=(1, 4))
+        IndexBuilder(spark, cfg).build(
+            corpus_df(spark, sf_dir).drop("title"), idx_dir, assign_ids=False
+        )
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 def shingle_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
     """Bigram-shingled index (ShingleFilter.java:30-120, min=max=2,
     outputUnigrams=true): shingles are first-class postings stacked at
@@ -475,6 +495,11 @@ def queries() -> dict:
     # BM25 with tf = adjacency count, discounted norms, stacked sum_ttf
     Q["ft_shingle_top10"] = lambda spark, sf: _hits_df(
         spark, shingle_gate_index(spark, sf)[1].search(A.TermQuery("table hash"), k=10)
+    )
+    # edge-ngram postings: the prefix gram 'tab' scores BM25 with
+    # tf = count of tokens with that prefix (len >= 3)
+    Q["ft_edgegram_top10"] = lambda spark, sf: _hits_df(
+        spark, edgegram_gate_index(spark, sf)[1].search(A.TermQuery("tab"), k=10)
     )
     # KeywordAnalyzer: whole value = one case-preserved term; equality
     # and prefix both resolve through the postings term dictionary
@@ -1569,6 +1594,23 @@ def oracle_sql() -> dict[str, str]:
     # corpus, so the standard tscore oracle applies verbatim
     O["ft_ascii_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     O["ft_html_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    # edge-ngram (1..4): tf('tab') = tokens with len>=3 and prefix
+    # 'tab'; norms = unigram dl; avgdl = Σ min(len(token),4) / n
+    O["ft_edgegram_top10"] = (
+        base_ctes()
+        + ", egstat AS (SELECT sum(least(length(term), 4))::DOUBLE / "
+        "   (SELECT n FROM stats) AS avgdl FROM toks), "
+        "egtf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM toks "
+        "   WHERE length(term) >= 3 AND substr(term, 1, 3) = 'tab' GROUP BY doc_id), "
+        "egdf AS (SELECT count(*)::BIGINT AS df FROM egtf), "
+        "egw AS (SELECT ln(1 + ((SELECT n FROM stats) - (SELECT df FROM egdf) + 0.5) "
+        "   / ((SELECT df FROM egdf) + 0.5)) AS w), "
+        "q AS (SELECT f.doc_id, egw.w - egw.w / (1 + f.tf * (1.0 / "
+        f"  ({K1} * ((1 - {B}) + {B} * n.dlen / (SELECT avgdl FROM egstat))))) AS s "
+        "  FROM egtf f JOIN norms n ON n.doc_id = f.doc_id, egw) "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"
+    )
     # KeywordAnalyzer: every doc is one token (tf=1, dl=1 → norm
     # decode 1, avgdl=1); BM25 from first principles over the whole
     # case-preserved value source||'-'||upper(lang)

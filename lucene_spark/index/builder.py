@@ -139,6 +139,14 @@ class IndexConfig:
     # CommonGramsFilter.java:37-60): adjacent pairs involving these
     # words additionally index as stacked "w1_w2" grams.
     common_grams: tuple[str, ...] = ()
+    # NGramTokenFilter / EdgeNGramTokenFilter (analysis/common/.../ngram/
+    # NGramTokenFilter.java:25-40, EdgeNGramTokenFilter.java:25-60):
+    # (min, max) char-gram lengths per token, stacked posInc-0 like
+    # shingles (substring search / suggest-as-you-type). Mutually
+    # exclusive with shingles/common_grams.
+    ngrams: tuple[int, int] | None = None
+    edge_ngrams: tuple[int, int] | None = None
+    ngram_preserve_original: bool = False
     # term vectors (Lucene90TermVectorsFormat role,
     # lucene/core/src/java/org/apache/lucene/codecs/lucene90/compressing/
     # Lucene90CompressingTermVectorsFormat.java): the per-DOCUMENT view
@@ -285,18 +293,36 @@ def _stacker_of(cfg):
     when neither is configured. Takes (tokens, positions[, starts,
     ends]) lists, returns (tokens, positions, overlaps[, starts,
     ends]) — ``overlaps`` flags posInc-0 tokens for norm discounting."""
-    if cfg.shingles is None and not cfg.common_grams:
+    n_stages = sum(
+        1
+        for x in (cfg.shingles, tuple(cfg.common_grams) or None, cfg.ngrams, cfg.edge_ngrams)
+        if x is not None
+    )
+    if n_stages == 0:
         return None
-    if cfg.shingles is not None and cfg.common_grams:
-        raise ValueError("shingles and common_grams are mutually exclusive stages")
-    from lucene_spark.analysis.shingles import common_grams_stream, shingle_stream
+    if n_stages > 1:
+        raise ValueError(
+            "shingles / common_grams / ngrams / edge_ngrams are mutually exclusive stages"
+        )
+    from lucene_spark.analysis.shingles import (
+        common_grams_stream,
+        ngram_stream,
+        shingle_stream,
+    )
 
     sh, uni, cg = cfg.shingles, cfg.shingle_unigrams, tuple(cfg.common_grams)
+    ng, eng, pres = cfg.ngrams, cfg.edge_ngrams, cfg.ngram_preserve_original
 
     def stack(toks, poss, sts=None, ens=None):
         if sh is not None:
             return shingle_stream(
                 toks, poss, sh[0], sh[1], output_unigrams=uni, starts=sts, ends=ens
+            )
+        if ng is not None or eng is not None:
+            lo, hi = ng if ng is not None else eng
+            return ngram_stream(
+                toks, poss, lo, hi,
+                edge=eng is not None, preserve_original=pres, starts=sts, ends=ens,
             )
         return common_grams_stream(toks, poss, cg, starts=sts, ends=ens)
 

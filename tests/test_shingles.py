@@ -289,3 +289,72 @@ class TestCommonGramsIndex:
                 want.append(i)
         assert got == want and len(want) > 0
         shutil.rmtree(d, ignore_errors=True)
+
+
+class TestNGramStream:
+    """NGramTokenFilter / EdgeNGramTokenFilter goldens (the javadoc
+    contract: 'abc' with 1..3 grams gives a, ab, abc, b, bc, c; all
+    grams stack at the token position; offsets unmodified)."""
+
+    def test_full_ngram_order(self):
+        from lucene_spark.analysis.shingles import ngram_stream
+
+        toks, poss, ov = ngram_stream(["abc"], [0], 1, 3)
+        assert toks == ["a", "ab", "abc", "b", "bc", "c"]
+        assert _posincs(poss, ov) == [1, 0, 0, 0, 0, 0]
+
+    def test_edge_ngram(self):
+        from lucene_spark.analysis.shingles import ngram_stream
+
+        toks, poss, ov = ngram_stream(["hello", "hi"], [0, 1], 2, 4, edge=True)
+        assert toks == ["he", "hel", "hell", "hi"]
+        assert _posincs(poss, ov) == [1, 0, 0, 1]
+
+    def test_preserve_original(self):
+        from lucene_spark.analysis.shingles import ngram_stream
+
+        # too short without preserve: nothing (increment carries)
+        toks, poss, ov = ngram_stream(["a", "xyz"], [0, 1], 2, 2)
+        assert toks == ["xy", "yz"]
+        assert poss == [1, 1]
+        toks, poss, ov = ngram_stream(["a", "xyz"], [0, 1], 2, 2, preserve_original=True)
+        assert toks == ["a", "xy", "yz", "xyz"]
+
+    def test_offsets_whole_token(self):
+        from lucene_spark.analysis.shingles import ngram_stream
+
+        toks, poss, ov, s, e = ngram_stream(
+            ["ab"], [0], 1, 2, starts=[5], ends=[7]
+        )
+        assert toks == ["a", "ab", "b"]
+        assert s == [5, 5, 5] and e == [7, 7, 7]
+
+
+class TestEdgeNGramIndex:
+    def test_prefix_search_as_you_type(self, spark, corpus_pdf, tmp_path_factory):
+        """edge-ngram index: the gram term 'ret' matches exactly the
+        docs containing a token with that prefix (>= gram length)."""
+        import shutil
+
+        from lucene_spark.analysis.tokenizer import tokenize
+        from lucene_spark.index.builder import IndexBuilder, IndexConfig
+        from lucene_spark.index.reader import SearchIndex
+        from lucene_spark.search import ast as A
+        from lucene_spark.search.engine import Searcher
+
+        pdf = corpus_pdf.head(80).copy().reset_index(drop=True)
+        pdf["doc_id"] = range(len(pdf))
+        d = str(tmp_path_factory.mktemp("engix"))
+        IndexBuilder(
+            spark,
+            IndexConfig(docs_per_chunk=128, term_buckets=4, edge_ngrams=(1, 4)),
+        ).build(spark.createDataFrame(pdf).drop("content_sha256"), d, assign_ids=False)
+        s = Searcher(SearchIndex(spark, d))
+        got = sorted(dd for dd, _ in s.search(A.TermQuery("ret"), k=10**6).hits)
+        want = [
+            i
+            for i, t in enumerate(pdf["content"])
+            if any(tok.startswith("ret") for tok in tokenize(t))
+        ]
+        assert got == want and got
+        shutil.rmtree(d, ignore_errors=True)
