@@ -858,23 +858,38 @@ def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.
         cand = np.intersect1d(cand, d, assume_unique=True)
     if not len(cand):
         return EMPTY_I, EMPTY_F
-    pos_lists = []
-    for d, _, pl in slots:
-        idx = np.searchsorted(d, cand)
-        pos_lists.append([pl[i] for i in idx])
     # disjoint slots → exact simple matcher over slot unions; slots that
     # SHARE a term run the exact multi-term repeat-group algorithm
     # (hasMultiTermRpts, SloppyPhraseMatcher.java:435-453,562-585)
     all_terms = [t for slot in spec.slots for t in slot]
     disjoint = len(set(all_terms)) == len(all_terms)
-    freqs = np.zeros(len(cand), dtype=np.float64)
-    for ci in range(len(cand)):
-        plc = [np.asarray(pl[ci]) for pl in pos_lists]
-        freqs[ci] = (
-            _sloppy_freq_exact(plc, spec.slop)
-            if disjoint
-            else _lucene_sloppy_freq(plc, spec.slop, slot_terms=spec.slots)
-        )
+    if disjoint:
+        # lockstep-vectorized PQ over the slot-union key streams (the
+        # UnionPostingsEnum merge as one flat sorted array per slot) —
+        # no per-candidate Python; bit-equal to _sloppy_freq_exact
+        keys = []
+        for slot in spec.slots:
+            parts = []
+            for t in slot:
+                d = ctx.term(t)[0]
+                if len(d):
+                    pl = ctx.positions.get(t)
+                    if pl is None:
+                        raise ValueError(f"no positions for term {t!r}")
+                    k = _term_flat_keys(d, pl, cand)
+                    if len(k):
+                        parts.append(k)
+            keys.append(parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts)))
+        freqs = _sloppy_flat_freqs_n(keys, spec.slop, len(cand)).astype(np.float64)
+    else:
+        pos_lists = []
+        for d, _, pl in slots:
+            idx = np.searchsorted(d, cand)
+            pos_lists.append([pl[i] for i in idx])
+        freqs = np.zeros(len(cand), dtype=np.float64)
+        for ci in range(len(cand)):
+            plc = [np.asarray(pl[ci]) for pl in pos_lists]
+            freqs[ci] = _lucene_sloppy_freq(plc, spec.slop, slot_terms=spec.slots)
     matched = freqs > 0
     if not matched.any():
         return EMPTY_I, EMPTY_F
