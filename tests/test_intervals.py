@@ -313,3 +313,121 @@ class TestIntervalQueryEndToEnd:
         got = {d for d, _ in s.search(A.IntervalQuery(src), k=10**6).hits}
         want = {d for d, _ in oracle.top_k(A.TermQuery("return"), k=10**9)}
         assert got == want
+
+
+class TestFilteredFastPath:
+    """The flat range-count fast path for filtered combinators
+    (notContaining/containing/overlapping/nonOverlapping/before/after/
+    containedBy/notContainedBy with a [extend-wrapped] term reference,
+    plus IEndingWithin) must be freq-identical to the per-doc tree
+    evaluator — including minimalization of clipped extended intervals
+    and the zero-start containment case."""
+
+    def test_fuzz_vs_tree(self):
+        import random
+
+        import numpy as np
+
+        from lucene_spark.search.intervals import (
+            IAfter,
+            IBefore,
+            IContainedBy,
+            IContaining,
+            IEndingWithin,
+            IExtend,
+            IMaxGaps,
+            INonOverlapping,
+            INotContainedBy,
+            INotContaining,
+            IOrdered,
+            IOverlapping,
+            ITerm,
+            IUnordered,
+            eval_source,
+        )
+        from lucene_spark.search.kernels import (
+            _LOW32,
+            _fast_filtered_shape,
+            _filtered_interval_keep,
+            _ordered_flat_intervals,
+            _unordered_flat_intervals,
+        )
+
+        one = np.float32(1.0)
+
+        def eval_freq(src, pos_of):
+            f = np.float32(0.0)
+            for s, e, c in eval_source(src, pos_of):
+                gaps = max(0, (e - s + 1) - c)
+                f = np.float32(f + one / (one + np.float32(gaps)))
+            return float(f)
+
+        def fast_freqs(src, docs):
+            ff = _fast_filtered_shape(src)
+            assert ff is not None, src
+            (fterms, in_order, cap), kind, rterm, pre, post = ff
+            n_docs = len(docs)
+
+            def keys_of(t):
+                parts = [
+                    (np.int64(ci) << 32) | d[t] for ci, d in enumerate(docs) if len(d[t])
+                ]
+                return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+            keys = [keys_of(t) for t in fterms]
+            if len(fterms) == 1:
+                S = E = keys[0]
+                covered = 1
+            else:
+                coll = _ordered_flat_intervals if in_order else _unordered_flat_intervals
+                S, E = coll(keys, cap, n_docs)
+                covered = len(fterms)
+            if len(S):
+                if kind == "endingwithin":
+                    keep = ((E & _LOW32) + 1) <= pre
+                else:
+                    keep = _filtered_interval_keep(S, E, keys_of(rterm), kind, pre, post)
+                S, E = S[keep], E[keep]
+            freqs = np.zeros(n_docs, dtype=np.float32)
+            if len(S):
+                gaps = np.maximum((E & _LOW32) - (S & _LOW32) + 1 - covered, 0)
+                contrib = np.float32(1.0) / (np.float32(1.0) + gaps.astype(np.float32))
+                np.add.at(freqs, (S >> np.int64(32)).astype(np.int64), contrib)
+            return freqs
+
+        rng = random.Random(77)
+        for trial in range(250):
+            n_docs = rng.randint(1, 8)
+            docs = []
+            for _ in range(n_docs):
+                uni = list(range(22))
+                rng.shuffle(uni)
+                d, i = {}, 0
+                for t in "abc":
+                    ln = rng.randint(0 if t == "c" else 1, 6)
+                    d[t] = np.array(sorted(uni[i : i + ln]), dtype=np.int64)
+                    i += ln
+                docs.append(d)
+            slop = rng.randint(0, 5)
+            pre, post = rng.randint(0, 5), rng.randint(0, 4)
+            posops = [
+                ITerm("a"),
+                IMaxGaps(slop, IOrdered((ITerm("a"), ITerm("b")))),
+                IMaxGaps(slop, IUnordered((ITerm("a"), ITerm("b")))),
+            ]
+            ref = ITerm("c") if rng.random() < 0.3 else IExtend(ITerm("c"), pre, post)
+            for p in posops:
+                shapes = [
+                    INotContaining(p, ref), IContaining(p, ref),
+                    INonOverlapping(p, ref), IOverlapping(p, ref),
+                    IBefore(p, ref), IAfter(p, ref),
+                    IContainedBy(p, ref), INotContainedBy(p, ref),
+                    IEndingWithin(p, rng.randint(1, 20)),
+                ]
+                for src in shapes:
+                    got = fast_freqs(src, docs)
+                    want = np.array(
+                        [eval_freq(src, lambda t, _d=d: _d[t]) for d in docs],
+                        dtype=np.float32,
+                    )
+                    assert np.array_equal(got, want), (trial, src, docs, got, want)
