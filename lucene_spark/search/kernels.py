@@ -759,15 +759,23 @@ def _fast_filtered_shape(src):
     pre = post = 0
     if isinstance(ref_op, IExtend):
         pre, post, ref_op = ref_op.before, ref_op.after, ref_op.source
-    if not isinstance(ref_op, ITerm):
-        return None
     if isinstance(pos_op, ITerm):
         pos_descr = ((pos_op.term,), True, None)
     else:
         pos_descr = _fast_nterm_shape(pos_op)
         if pos_descr is None:
             return None
-    return pos_descr, kind, ref_op.term, pre, post
+    if isinstance(ref_op, ITerm):
+        return pos_descr, kind, ("term", ref_op.term), pre, post
+    if kind in ("containedby", "notcontainedby") and pre == 0 and post == 0:
+        # containment in a PAIR-SOURCE big (Intervals.within shape):
+        # exists big with S <= s and e <= E ⇔ prefix-max of big ends
+        # over bigs with start <= s reaches e (composite keys keep the
+        # test doc-local for free)
+        ref_descr = _fast_nterm_shape(ref_op)
+        if ref_descr is not None:
+            return pos_descr, kind, ("pairs", ref_descr), 0, 0
+    return None
 
 
 def _clip_minimalized(Kc: np.ndarray, pre: int) -> np.ndarray:
@@ -897,9 +905,25 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
                 # SpanFirst/position-range: exclusive span end <= limit
                 # (pre carries the limit for this unary filter)
                 keep = ((E & _LOW32) + 1) <= pre
+            elif rterm[0] == "pairs":
+                rterms, r_order, r_cap = rterm[1]
+                rkeys = [_term_flat_keys(doc_arrays[t], plists[t], cand) for t in rterms]
+                rcoll = _ordered_flat_intervals if r_order else _unordered_flat_intervals
+                Sr, Er = rcoll(rkeys, r_cap, len(cand))
+                if len(Sr):
+                    pref = np.maximum.accumulate(Er)
+                    idx = np.searchsorted(Sr, S, side="right") - 1
+                    valid = idx >= 0
+                    exists = np.zeros(len(S), dtype=bool)
+                    exists[valid] = pref[idx[valid]] >= E[valid]
+                else:
+                    exists = np.zeros(len(S), dtype=bool)
+                keep = exists if kind == "containedby" else ~exists
             else:
-                plc = plists.get(rterm)
-                Kc = _term_flat_keys(doc_arrays[rterm], plc if plc is not None else [], cand)
+                plc = plists.get(rterm[1])
+                Kc = _term_flat_keys(
+                    doc_arrays[rterm[1]], plc if plc is not None else [], cand
+                )
                 keep = _filtered_interval_keep(S, E, Kc, kind, pre, post)
             S, E = S[keep], E[keep]
         if not len(S):
@@ -1486,6 +1510,26 @@ def _flat_slots(key_arrays: list[np.ndarray], n_cand: int):
     return out
 
 
+def _init_slot_state(slots, n_cand: int, offsets: bool = False):
+    """(pos, ptr, lim, ok_docs) initial lockstep state. Docs missing a
+    slot entirely (possible when the caller's candidate set is not a
+    full conjunction — NOT-variant filter operands) start inactive with
+    sentinel positions instead of reading a neighbor's segment."""
+    n = len(slots)
+    pos = np.zeros((n_cand, n), dtype=np.int64)
+    ptr = np.empty((n_cand, n), dtype=np.int64)
+    lim = np.empty((n_cand, n), dtype=np.int64)
+    ok = np.ones(n_cand, dtype=bool)
+    for j, (P, s, ln) in enumerate(slots):
+        ok &= ln > 0
+        s_c = np.minimum(s, max(len(P) - 1, 0))
+        if len(P):
+            pos[:, j] = P[s_c] - (j if offsets else 0)
+        ptr[:, j] = s + 1
+        lim[:, j] = s + ln
+    return pos, ptr, lim, ok
+
+
 def _sloppy_flat_freqs_n(key_arrays: list[np.ndarray], slop: int, n_cand: int) -> np.ndarray:
     """Lockstep-vectorized :func:`_lucene_sloppy_freq` for n DISTINCT
     phrase slots over every candidate doc at once (the no-repeats PQ,
@@ -1503,13 +1547,7 @@ def _sloppy_flat_freqs_n(key_arrays: list[np.ndarray], slop: int, n_cand: int) -
         return freqs
     slots = _flat_slots(key_arrays, n_cand)
     offs = np.arange(n, dtype=np.int64)
-    pos = np.empty((n_cand, n), dtype=np.int64)
-    ptr = np.empty((n_cand, n), dtype=np.int64)
-    lim = np.empty((n_cand, n), dtype=np.int64)
-    for j, (P, s, ln) in enumerate(slots):
-        pos[:, j] = P[s] - j  # firstPosition(): adjusted = raw - offset
-        ptr[:, j] = s + 1
-        lim[:, j] = s + ln
+    pos, ptr, lim, ok_docs = _init_slot_state(slots, n_cand, offsets=True)
     end = pos.max(axis=1)
     rows = np.arange(n_cand)
     order = pos * n + offs  # PhraseQueue order: (position, offset)
@@ -1520,7 +1558,7 @@ def _sloppy_flat_freqs_n(key_arrays: list[np.ndarray], slop: int, n_cand: int) -
     order[rows, lead] = tmp
     match_len = end - pos[rows, lead]
     one = np.float32(1.0)
-    active = np.ones(n_cand, dtype=bool)
+    active = ok_docs
     while True:
         act = np.nonzero(active)[0]
         if not len(act):
@@ -1690,15 +1728,9 @@ def _unordered_flat_intervals(
     if n_cand == 0 or any(not len(K) for K in key_arrays):
         return EMPTY_I, EMPTY_I
     slots = _flat_slots(key_arrays, n_cand)
-    pos = np.empty((n_cand, n), dtype=np.int64)
-    ptr = np.empty((n_cand, n), dtype=np.int64)
-    lim = np.empty((n_cand, n), dtype=np.int64)
-    for j, (P, s, ln) in enumerate(slots):
-        pos[:, j] = P[s]
-        ptr[:, j] = s + 1
-        lim[:, j] = s + ln
+    pos, ptr, lim, ok_docs = _init_slot_state(slots, n_cand)
     hi = pos.max(axis=1)
-    active = np.ones(n_cand, dtype=bool)
+    active = ok_docs
     S_out: list[np.ndarray] = []
     E_out: list[np.ndarray] = []
     while True:
@@ -1750,16 +1782,10 @@ def _unordered_flat_freqs(
     if n_cand == 0 or any(not len(K) for K in key_arrays):
         return freqs
     slots = _flat_slots(key_arrays, n_cand)
-    pos = np.empty((n_cand, n), dtype=np.int64)
-    ptr = np.empty((n_cand, n), dtype=np.int64)
-    lim = np.empty((n_cand, n), dtype=np.int64)
-    for j, (P, s, ln) in enumerate(slots):
-        pos[:, j] = P[s]
-        ptr[:, j] = s + 1
-        lim[:, j] = s + ln
+    pos, ptr, lim, ok_docs = _init_slot_state(slots, n_cand)
     hi = pos.max(axis=1)
     one = np.float32(1.0)
-    active = np.ones(n_cand, dtype=bool)
+    active = ok_docs
     while True:
         act = np.nonzero(active)[0]
         if not len(act):

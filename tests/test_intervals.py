@@ -385,8 +385,20 @@ class TestFilteredFastPath:
             if len(S):
                 if kind == "endingwithin":
                     keep = ((E & _LOW32) + 1) <= pre
+                elif rterm[0] == "pairs":
+                    rterms, r_order, r_cap = rterm[1]
+                    rkeys = [keys_of(t) for t in rterms]
+                    rcoll = _ordered_flat_intervals if r_order else _unordered_flat_intervals
+                    Sr, Er = rcoll(rkeys, r_cap, n_docs)
+                    exists = np.zeros(len(S), dtype=bool)
+                    if len(Sr):
+                        pref = np.maximum.accumulate(Er)
+                        idx = np.searchsorted(Sr, S, side="right") - 1
+                        valid = idx >= 0
+                        exists[valid] = pref[idx[valid]] >= E[valid]
+                    keep = exists if kind == "containedby" else ~exists
                 else:
-                    keep = _filtered_interval_keep(S, E, keys_of(rterm), kind, pre, post)
+                    keep = _filtered_interval_keep(S, E, keys_of(rterm[1]), kind, pre, post)
                 S, E = S[keep], E[keep]
             freqs = np.zeros(n_docs, dtype=np.float32)
             if len(S):
@@ -423,6 +435,8 @@ class TestFilteredFastPath:
                     IBefore(p, ref), IAfter(p, ref),
                     IContainedBy(p, ref), INotContainedBy(p, ref),
                     IEndingWithin(p, rng.randint(1, 20)),
+                    IContainedBy(p, IMaxGaps(slop + 2, IOrdered((ITerm("b"), ITerm("c"))))),
+                    INotContainedBy(p, IMaxGaps(slop + 2, IUnordered((ITerm("b"), ITerm("c"))))),
                 ]
                 for src in shapes:
                     got = fast_freqs(src, docs)
