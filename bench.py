@@ -117,6 +117,19 @@ def main() -> None:
             times.append(time.time() - t0)
         lat[name] = round(statistics.median(times), 4)
 
+    # the 100-TB execution path: one representative query through the
+    # chunked leaf-parallel mode (applyInPandas kernels + Catalyst
+    # merge). Latency here is Spark job scheduling (~constant), not
+    # kernel time — reported so the cluster path's cost is on record.
+    q_dist = QUERIES["q_and"]
+    searcher.search(q_dist, k=10, mode="distributed")  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        searcher.search(q_dist, k=10, mode="distributed")
+        times.append(time.time() - t0)
+    lat["q_and_distributed"] = round(statistics.median(times), 4)
+
     # steady-state build throughput at a scale-representative size: the
     # sf corpus replicated with shifted doc ids (same bytes tokenized
     # per replica), materialized once as a multi-file parquet so the
