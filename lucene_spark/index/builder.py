@@ -523,29 +523,37 @@ class IndexBuilder:
         return out
 
     def _inverted_unprefixed(self, tokenized: DataFrame) -> DataFrame:
+        # stacked-token stages: the discounted field length can't be
+        # recovered from Σ tf (posInc-0 tokens inflate it), so the
+        # tokenize-stage dl rides through the inversion — one small int
+        # per (term, doc) row, only on stacked builds
+        carry_dl = _stacker_of(self.config) is not None
         # explode_outer, NOT explode: Catalyst guards a plain explode
         # with an injected `size(col) > 0` filter, and with a Python-UDF
         # input that filter re-evaluates the UDF — the tokenizer would
         # run TWICE per row (two ArrowEvalPython nodes; caught by
         # scripts/explain_audit.py). outer + null-filter keeps one UDF
         # evaluation; the null filter is JVM-side on exploded rows.
+        dlc = ["dl"] if carry_dl else []
         if self.config.offsets:
             return (
                 tokenized.select(
                     "doc_id",
                     "norm",
+                    *dlc,
                     F.explode_outer(F.arrays_zip("tokens", "positions", "starts", "ends")).alias("tp"),
                 )
                 .select(
                     "doc_id",
                     "norm",
+                    *dlc,
                     F.col("tp.tokens").alias("term"),
                     F.col("tp.positions").alias("pos"),
                     F.col("tp.starts").alias("st"),
                     F.col("tp.ends").alias("en"),
                 )
                 .filter(F.col("term").isNotNull())
-                .groupBy("term", "doc_id", "norm")
+                .groupBy("term", "doc_id", "norm", *dlc)
                 .agg(
                     F.count("*").alias("tf"),
                     F.sort_array(F.collect_list(F.struct("pos", "st", "en"))).alias("occ"),
@@ -563,17 +571,17 @@ class IndexBuilder:
         if self.config.positions:
             return (
                 tokenized.select(
-                    "doc_id", "norm", F.explode_outer(F.arrays_zip("tokens", "positions")).alias("tp")
+                    "doc_id", "norm", *dlc, F.explode_outer(F.arrays_zip("tokens", "positions")).alias("tp")
                 )
-                .select("doc_id", "norm", F.col("tp.tokens").alias("term"), F.col("tp.positions").alias("pos"))
+                .select("doc_id", "norm", *dlc, F.col("tp.tokens").alias("term"), F.col("tp.positions").alias("pos"))
                 .filter(F.col("term").isNotNull())
-                .groupBy("term", "doc_id", "norm")
+                .groupBy("term", "doc_id", "norm", *dlc)
                 .agg(F.count("*").alias("tf"), F.sort_array(F.collect_list("pos")).alias("poss"))
             )
         return (
-            tokenized.select("doc_id", "norm", F.explode_outer("tokens").alias("term"))
+            tokenized.select("doc_id", "norm", *dlc, F.explode_outer("tokens").alias("term"))
             .filter(F.col("term").isNotNull())
-            .groupBy("term", "doc_id", "norm")
+            .groupBy("term", "doc_id", "norm", *dlc)
             .agg(F.count("*").alias("tf"))
         )
 
@@ -699,9 +707,16 @@ class IndexBuilder:
         primary_inv = (
             inverted.filter(~F.col("term").contains(FIELD_SEP)) if cfg.extra_fields else inverted
         )
-        dl_agg = primary_inv.groupBy("doc_id", "norm").agg(
-            F.sum("tf").cast("int").alias("dl")
-        )
+        if _stacker_of(cfg) is not None:
+            # stacked builds carry the tokenize-stage DISCOUNTED dl
+            # (norm byte's exact domain); Σ tf would count the stack
+            dl_agg = primary_inv.groupBy("doc_id", "norm").agg(
+                F.min("dl").cast("int").alias("dl")
+            )
+        else:
+            dl_agg = primary_inv.groupBy("doc_id", "norm").agg(
+                F.sum("tf").cast("int").alias("dl")
+            )
         norms = (
             docs.select("doc_id")
             .join(dl_agg, "doc_id", "left")
@@ -898,6 +913,8 @@ class IndexBuilder:
             "shingles": list(cfg.shingles) if cfg.shingles else None,
             "shingle_unigrams": cfg.shingle_unigrams,
             "common_grams": list(cfg.common_grams),
+            "ngrams": list(cfg.ngrams) if cfg.ngrams else None,
+            "edge_ngrams": list(cfg.edge_ngrams) if cfg.edge_ngrams else None,
             "char_filters": list(cfg.char_filters),
         }
         with open(f"{index_dir}/manifest.json", "w") as fh:

@@ -121,11 +121,23 @@ def check_index(index, raise_on_failure: bool = True) -> dict:
         index.norms.groupBy("doc_id").count().filter(F.col("count") > 1).count()
     )
 
-    # 4. collection stats
+    # 4. collection stats. Stacked-token stages (shingles / common
+    # grams / ngrams) split the statistics by design: norms hold the
+    # DISCOUNTED dl (posInc-0 tokens excluded) while sum_ttf counts
+    # every posting — so the sum_ttf cross-check must come from the
+    # term dictionary, not Σ dl, on such indexes.
     agg = index.norms.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
     s = index.stats
     report["doc_count_ok"] = int(agg["n"]) == s.doc_count
-    report["sum_ttf_ok"] = int(agg["s"] or 0) == s.sum_total_term_freq
+    m = index.manifest
+    stacked = bool(
+        m.get("shingles") or m.get("common_grams") or m.get("ngrams") or m.get("edge_ngrams")
+    )
+    if stacked:
+        tsum = index.term_stats_df.agg(F.sum("ttf")).first()[0]
+        report["sum_ttf_ok"] = int(tsum or 0) == s.sum_total_term_freq
+    else:
+        report["sum_ttf_ok"] = int(agg["s"] or 0) == s.sum_total_term_freq
 
     # 5. docs table
     report["duplicate_doc_ids"] = (

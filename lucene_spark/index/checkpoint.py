@@ -163,7 +163,13 @@ class ResumableIndexBuilder:
 
         norms_f = self.spark.read.parquet(f"{index_dir}/norms")
         n_docs, sum_ttf = norms_f.agg(F.count("*"), F.sum("dl")).first()
-        sum_df = self.spark.read.parquet(f"{index_dir}/term_stats").agg(F.sum("df")).first()[0]
+        ts_f = self.spark.read.parquet(f"{index_dir}/term_stats")
+        from lucene_spark.index.builder import _stacker_of
+
+        if _stacker_of(cfg) is not None:
+            # stacked tokens: statistics split (see IndexBuilder)
+            sum_ttf = ts_f.agg(F.sum("ttf")).first()[0]
+        sum_df = ts_f.agg(F.sum("df")).first()[0]
         self.spark.createDataFrame(
             [(int(n_docs), int(sum_ttf or 0), int(sum_df or 0), cfg.field)],
             schema="doc_count long, sum_ttf long, sum_df long, field string",

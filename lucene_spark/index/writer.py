@@ -339,7 +339,14 @@ class IndexWriter:
         cfg = self.config
         norms = self.spark.read.parquet(f"{self.index_dir}/norms")
         n_docs, sum_ttf = norms.agg(F.count("*"), F.sum("dl")).first()
-        sum_df = self.spark.read.parquet(f"{self.index_dir}/term_stats").agg(F.sum("df")).first()[0]
+        ts = self.spark.read.parquet(f"{self.index_dir}/term_stats")
+        from lucene_spark.index.builder import _stacker_of
+
+        if _stacker_of(cfg) is not None:
+            # stacked tokens: sum_ttf counts every posting; Σ dl is the
+            # DISCOUNTED total (the builder's statistics split)
+            sum_ttf = ts.agg(F.sum("ttf")).first()[0]
+        sum_df = ts.agg(F.sum("df")).first()[0]
         self.spark.createDataFrame(
             [(int(n_docs), int(sum_ttf or 0), int(sum_df or 0), cfg.field)],
             schema="doc_count long, sum_ttf long, sum_df long, field string",

@@ -358,3 +358,29 @@ class TestEdgeNGramIndex:
         ]
         assert got == want and got
         shutil.rmtree(d, ignore_errors=True)
+
+
+class TestCheckIndexStacked:
+    def test_check_index_on_stacked_indexes(self, spark, corpus_pdf, tmp_path_factory):
+        """CheckIndex must hold on stacked-token indexes: the sum_ttf
+        cross-check comes from the term dictionary there (norms are
+        discounted by design)."""
+        import shutil
+
+        from lucene_spark.index.builder import IndexBuilder, IndexConfig
+        from lucene_spark.index.check import check_index
+        from lucene_spark.index.reader import SearchIndex
+
+        pdf = corpus_pdf.head(60).copy().reset_index(drop=True)
+        pdf["doc_id"] = range(len(pdf))
+        for cfg in (
+            IndexConfig(docs_per_chunk=128, term_buckets=4, shingles=(2, 2)),
+            IndexConfig(docs_per_chunk=128, term_buckets=4, edge_ngrams=(1, 3)),
+        ):
+            d = str(tmp_path_factory.mktemp("ckix"))
+            IndexBuilder(spark, cfg).build(
+                spark.createDataFrame(pdf).drop("content_sha256"), d, assign_ids=False
+            )
+            rep = check_index(SearchIndex(spark, d))
+            assert rep["status"] == "ok", rep
+            shutil.rmtree(d, ignore_errors=True)
