@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v9"  # v9: + lat/lon doc columns (LatLonPoint gates)
+ENGINE_VERSION = "v10"  # v10: stacked-index norms carry discounted dl
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
@@ -535,6 +535,10 @@ def queries() -> dict:
     )
     Q["ft_lmd_top10"] = lambda spark, sf: _hits_df(
         spark, _sim_search(spark, sf, "lmdirichlet", A.TermQuery("table"))
+    )
+    # DFR I(n)L2 (DFRSimilarity + BasicModelIn + AfterEffectL + H2)
+    Q["ft_dfr_top10"] = lambda spark, sf: _hits_df(
+        spark, _sim_search(spark, sf, "dfr", A.TermQuery("table"))
     )
     Q["ft_boolsim_top10"] = lambda spark, sf: _hits_df(
         spark,
@@ -1679,6 +1683,15 @@ def oracle_sql() -> dict[str, str]:
     O["ft_lmd_top10"] = topk_sql(
         "SELECT f.doc_id, greatest(ln(1 + f.tf / (2000.0 * (d.ttf + 1.0) / "
         "((SELECT sum_ttf FROM stats) + 1.0))) + ln(2000.0 / (n.dlen + 2000.0)), 0.0) AS s "
+        "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
+    )
+    # DFR I(n)L2: score = log2((N+1)/(df+0.5)) * (1 - 1/(1 + tfn)),
+    # tfn = tf * log2(1 + avgdl/dlen) (DFRSimilarity.java:30-35,
+    # BasicModelIn.java:34-45, NormalizationH2.java:57-58)
+    O["ft_dfr_top10"] = topk_sql(
+        "SELECT f.doc_id, "
+        "(ln(((SELECT n FROM stats) + 1) / (d.df + 0.5)) / ln(2)) "
+        "* (1 - 1 / (1 + f.tf * ln(1 + (SELECT avgdl FROM stats) / n.dlen) / ln(2))) AS s "
         "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
     )
     # BooleanSimilarity: per-clause score == boost (1.0); SHOULD sum =

@@ -244,6 +244,52 @@ class LMDirichletSim(Similarity):
         return out.astype(np.float32)
 
 
+class DFRSim(Similarity):
+    """DFRSimilarity with BasicModelIn + AfterEffectL + NormalizationH2
+    — the I(n)L2 divergence-from-randomness configuration
+    (DFRSimilarity.java:30-35 score = boost * basicModel.score(stats,
+    tfn, aeTimes1pTfn); BasicModelIn.java:34-45 A = log2((N+1)/(n+0.5)),
+    score = A * ae1pTfn * (1 - 1/(1+tfn)); AfterEffectL.java:33
+    scoreTimes1pTfn = 1; NormalizationH2.java:57-58 tfn = tf * log2(1 +
+    c * avgdl / dl), c = 1 default). docLen is the decoded norm length
+    (SimilarityBase.BasicSimScorer:211-225); multi-term weights compose
+    as MultiSimScorer float32 sums. ``weight`` = tuple of (boost, A)."""
+
+    name = "dfr"
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def table(self, stats):
+        # per-norm-byte tfn factor log2(1 + c * avgdl / len); len 0
+        # (empty docs) can never match a term — keep a finite sentinel
+        lens = NORM_LENGTH_TABLE.astype(np.float64)
+        lens = np.maximum(lens, 1.0)
+        return np.log2(1.0 + self.c * float(stats.avgdl) / lens)
+
+    @staticmethod
+    def _a(df: int, doc_count: int) -> float:
+        return float(np.log2((doc_count + 1) / (df + 0.5)))
+
+    def term_weight(self, stats, df, ttf, boost):
+        return ((float(boost), self._a(df, stats.doc_count)),)
+
+    def synonym_weight(self, stats, dfs, ttfs, boost):
+        return self.term_weight(stats, max(dfs), int(sum(ttfs)), boost)
+
+    def multi_weight(self, stats, dfs, ttfs, boost):
+        return tuple(self.term_weight(stats, df, 0, boost)[0] for df in dfs)
+
+    def score(self, weight, freqs, norm_bytes, table):
+        f = np.asarray(freqs, dtype=np.float64)
+        tfn = f * table[np.asarray(norm_bytes, dtype=np.int64)]
+        out = np.zeros(len(f), dtype=np.float32)
+        for boost, a in weight:
+            s = boost * a * (1.0 - 1.0 / (1.0 + tfn))
+            out = out + s.astype(np.float32)  # f32 accumulate (MultiSimScorer)
+        return out.astype(np.float32)
+
+
 BM25_SIM = BM25Sim()
 
 _SIMILARITIES = {
@@ -251,6 +297,7 @@ _SIMILARITIES = {
     "classic": ClassicSim,
     "boolean": BooleanSim,
     "lmdirichlet": LMDirichletSim,
+    "dfr": DFRSim,
 }
 
 

@@ -9,6 +9,9 @@ References:
   (score = boost*(ln(1+freq/(mu*p)) + ln(mu/(len+mu))) clamped at 0;
   p = (ttf+1)/(numFieldTokens+1)); SimilarityBase.java:76-96 multi-term
   composition = MultiSimScorer f32 sum of per-term clamped scores.
+- DFRSimilarity.java:30-35 I(n)L2 (BasicModelIn.java:34-45 +
+  AfterEffectL.java:33 + NormalizationH2.java:57-58): score =
+  boost * log2((N+1)/(df+0.5)) * (1 - 1/(1 + tf*log2(1 + c*avgdl/len))).
 
 Every model must agree with the brute scorer on score VALUES and on
 rank order, in driver mode (WAND + conjunction + exhaustive kernels)
@@ -81,6 +84,12 @@ class BruteSim:
             p = (ttf + 1.0) / (self.sum_ttf + 1.0)
             s = float(boost) * (np.log1p(f / (MU * p)) + np.log(MU / (L + MU)))
             return float(np.float32(max(s, 0.0)))
+        if model == "dfr":
+            # DFR I(n)L2: tfn = f*log2(1 + avgdl/L); A = log2((N+1)/(df+.5))
+            avgdl = np.float32(self.sum_ttf / float(self.N))
+            tfn = f * np.log2(1.0 + float(avgdl) / max(L, 1))
+            a = float(np.log2((self.N + 1) / (df + 0.5)))
+            return float(np.float32(float(boost) * a * (1.0 - 1.0 / (1.0 + tfn))))
         raise ValueError(model)
 
     def top_k(self, scores: dict, k=10):
@@ -97,7 +106,7 @@ def _hits(td, k=10):
     return [(d, round(float(s), 4)) for d, s in td.hits[:k]]
 
 
-MODELS = ["classic", "boolean", "lmdirichlet"]
+MODELS = ["classic", "boolean", "lmdirichlet", "dfr"]
 
 
 @pytest.mark.parametrize("model", MODELS)
