@@ -684,24 +684,34 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
 
 
 def _fast_nterm_shape(src):
-    """(terms, in_order, gaps_cap|None) when ``src`` is the common
-    n-term proximity shape — [maxgaps(g,)] ordered/unordered of n >= 2
-    bare DISTINCT terms — else None. These route to the flat vectorized
-    kernels instead of the generic per-doc tree evaluator (fuzz-verified
-    freq-identical to eval_source over the same shapes)."""
-    from lucene_spark.search.intervals import IMaxGaps, IOrdered, ITerm, IUnordered
+    """(slots, in_order, gaps_cap|None) when ``src`` is the common
+    n-slot proximity shape — [maxgaps(g,)] ordered/unordered of n >= 2
+    operands, each a bare term OR an or-of-terms (the surround QL's
+    ``nW(a, OR(b, c))`` shape) — with all terms DISTINCT across slots;
+    else None. Each slot is a tuple of terms; an or-slot's interval
+    set is the plain union of its terms' positions (single positions
+    never nest), so the flat kernels consume one merged key array per
+    slot — the same union trick as multiphrase slots. Fuzz-verified
+    freq-identical to eval_source over these shapes."""
+    from lucene_spark.search.intervals import IMaxGaps, IOr, IOrdered, ITerm, IUnordered
 
     cap = None
     if isinstance(src, IMaxGaps):
         cap, src = src.gaps, src.source
-    if (
-        isinstance(src, (IOrdered, IUnordered))
-        and len(src.sources) >= 2
-        and all(isinstance(x, ITerm) for x in src.sources)
-    ):
-        terms = tuple(x.term for x in src.sources)
-        if len(set(terms)) == len(terms):
-            return terms, isinstance(src, IOrdered), cap
+    if isinstance(src, (IOrdered, IUnordered)) and len(src.sources) >= 2:
+        slots = []
+        for x in src.sources:
+            if isinstance(x, ITerm):
+                slots.append((x.term,))
+            elif isinstance(x, IOr) and x.sources and all(
+                isinstance(y, ITerm) for y in x.sources
+            ):
+                slots.append(tuple(y.term for y in x.sources))
+            else:
+                return None
+        flat = [t for s in slots for t in s]
+        if len(set(flat)) == len(flat):
+            return tuple(slots), isinstance(src, IOrdered), cap
     return None
 
 
@@ -746,7 +756,7 @@ def _fast_filtered_shape(src):
     if isinstance(src, IEndingWithin):
         pos_op = src.source
         if isinstance(pos_op, ITerm):
-            return ((pos_op.term,), True, None), "endingwithin", None, src.limit, 0
+            return (((pos_op.term,),), True, None), "endingwithin", None, src.limit, 0
         pd = _fast_nterm_shape(pos_op)
         if pd is None:
             return None
@@ -760,7 +770,7 @@ def _fast_filtered_shape(src):
     if isinstance(ref_op, IExtend):
         pre, post, ref_op = ref_op.before, ref_op.after, ref_op.source
     if isinstance(pos_op, ITerm):
-        pos_descr = ((pos_op.term,), True, None)
+        pos_descr = (((pos_op.term,),), True, None)
     else:
         pos_descr = _fast_nterm_shape(pos_op)
         if pos_descr is None:
@@ -871,11 +881,37 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
     freqs = np.zeros(len(cand), dtype=np.float64)
     norms = np.zeros(len(cand), dtype=np.int64)
     has_norm = np.zeros(len(cand), dtype=bool)
+    def _slot_keys(slot):
+        ks = [
+            _term_flat_keys(doc_arrays[t], plists[t], cand)
+            for t in slot
+            if len(doc_arrays[t])
+        ]
+        ks = [k for k in ks if len(k)]
+        if not ks:
+            return EMPTY_I
+        return ks[0] if len(ks) == 1 else np.unique(np.concatenate(ks))
+
+    def _slot_norms(slot, matched):
+        """per-matched-doc norm from any slot term present (norms are
+        per doc; every matched doc holds >= 1 term of the slot)."""
+        mc = cand[matched]
+        norms_m = np.zeros(len(mc), dtype=np.int64)
+        got = np.zeros(len(mc), dtype=bool)
+        for t in slot:
+            d, _, nm = parts[t]
+            if len(d):
+                mask, idx = _membership(d, mc)
+                fill = mask & ~got
+                norms_m[fill] = nm[idx[fill]]
+                got |= mask
+        return norms_m
+
     fast = _fast_nterm_shape(spec.source)
     if fast is not None:
-        fterms, in_order, cap = fast
-        keys = [_term_flat_keys(doc_arrays[t], plists[t], cand) for t in fterms]
-        if len(fterms) == 2:
+        slots, in_order, cap = fast
+        keys = [_slot_keys(s) for s in slots]
+        if len(slots) == 2 and all(len(s) == 1 for s in slots):
             freqs = _two_term_flat_freqs(keys[0], keys[1], in_order, cap, len(cand)).astype(
                 np.float64
             )
@@ -885,29 +921,28 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
         matched = freqs > 0
         if not matched.any():
             return EMPTY_I, EMPTY_F
-        ta = fterms[0]
-        norms_m = parts[ta][2][idxs[ta][matched]]
+        norms_m = _slot_norms(slots[0], matched)
         scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
         return cand[matched], scores
     ff = _fast_filtered_shape(spec.source)
     if ff is not None:
-        (fterms, in_order, cap), kind, rterm, pre, post = ff
-        keys = [_term_flat_keys(doc_arrays[t], plists[t], cand) for t in fterms]
-        if len(fterms) == 1:
+        (slots, in_order, cap), kind, rterm, pre, post = ff
+        keys = [_slot_keys(s) for s in slots]
+        if len(slots) == 1:
             S = E = keys[0]
             covered = 1
         else:
             coll = _ordered_flat_intervals if in_order else _unordered_flat_intervals
             S, E = coll(keys, cap, len(cand))
-            covered = len(fterms)
+            covered = len(slots)
         if len(S):
             if kind == "endingwithin":
                 # SpanFirst/position-range: exclusive span end <= limit
                 # (pre carries the limit for this unary filter)
                 keep = ((E & _LOW32) + 1) <= pre
             elif rterm[0] == "pairs":
-                rterms, r_order, r_cap = rterm[1]
-                rkeys = [_term_flat_keys(doc_arrays[t], plists[t], cand) for t in rterms]
+                rslots, r_order, r_cap = rterm[1]
+                rkeys = [_slot_keys(s) for s in rslots]
                 rcoll = _ordered_flat_intervals if r_order else _unordered_flat_intervals
                 Sr, Er = rcoll(rkeys, r_cap, len(cand))
                 if len(Sr):
@@ -938,8 +973,7 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
         matched = freqs > 0
         if not matched.any():
             return EMPTY_I, EMPTY_F
-        ta = fterms[0]
-        norms_m = parts[ta][2][idxs[ta][matched]]
+        norms_m = _slot_norms(slots[0], matched)
         scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
         return cand[matched], scores
     for ci in range(len(cand)):

@@ -365,7 +365,7 @@ class TestFilteredFastPath:
         def fast_freqs(src, docs):
             ff = _fast_filtered_shape(src)
             assert ff is not None, src
-            (fterms, in_order, cap), kind, rterm, pre, post = ff
+            (slots, in_order, cap), kind, rterm, pre, post = ff
             n_docs = len(docs)
 
             def keys_of(t):
@@ -374,20 +374,27 @@ class TestFilteredFastPath:
                 ]
                 return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
 
-            keys = [keys_of(t) for t in fterms]
-            if len(fterms) == 1:
+            def slot_keys(slot):
+                ks = [keys_of(t) for t in slot]
+                ks = [k for k in ks if len(k)]
+                if not ks:
+                    return np.empty(0, dtype=np.int64)
+                return ks[0] if len(ks) == 1 else np.unique(np.concatenate(ks))
+
+            keys = [slot_keys(s) for s in slots]
+            if len(slots) == 1:
                 S = E = keys[0]
                 covered = 1
             else:
                 coll = _ordered_flat_intervals if in_order else _unordered_flat_intervals
                 S, E = coll(keys, cap, n_docs)
-                covered = len(fterms)
+                covered = len(slots)
             if len(S):
                 if kind == "endingwithin":
                     keep = ((E & _LOW32) + 1) <= pre
                 elif rterm[0] == "pairs":
-                    rterms, r_order, r_cap = rterm[1]
-                    rkeys = [keys_of(t) for t in rterms]
+                    rslots, r_order, r_cap = rterm[1]
+                    rkeys = [slot_keys(s) for s in rslots]
                     rcoll = _ordered_flat_intervals if r_order else _unordered_flat_intervals
                     Sr, Er = rcoll(rkeys, r_cap, n_docs)
                     exists = np.zeros(len(S), dtype=bool)
@@ -422,10 +429,13 @@ class TestFilteredFastPath:
                 docs.append(d)
             slop = rng.randint(0, 5)
             pre, post = rng.randint(0, 5), rng.randint(0, 4)
+            from lucene_spark.search.intervals import IOr
+
             posops = [
                 ITerm("a"),
                 IMaxGaps(slop, IOrdered((ITerm("a"), ITerm("b")))),
                 IMaxGaps(slop, IUnordered((ITerm("a"), ITerm("b")))),
+                IMaxGaps(slop, IOrdered((IOr((ITerm("a"), ITerm("b"))), ITerm("c")))),
             ]
             ref = ITerm("c") if rng.random() < 0.3 else IExtend(ITerm("c"), pre, post)
             for p in posops:
@@ -445,3 +455,78 @@ class TestFilteredFastPath:
                         dtype=np.float32,
                     )
                     assert np.array_equal(got, want), (trial, src, docs, got, want)
+
+
+class TestOrSlotFastPath:
+    """Plain [maxgaps] ordered/unordered shapes whose operands are
+    or-of-terms route through the flat kernels with per-slot UNION key
+    arrays — freq-identical to the tree evaluator."""
+
+    def test_fuzz(self):
+        import random
+
+        import numpy as np
+
+        from lucene_spark.search.intervals import (
+            IMaxGaps,
+            IOr,
+            IOrdered,
+            ITerm,
+            IUnordered,
+            eval_source,
+        )
+        from lucene_spark.search.kernels import (
+            _fast_nterm_shape,
+            _ordered_flat_freqs,
+            _unordered_flat_freqs,
+        )
+
+        one = np.float32(1.0)
+        rng = random.Random(31)
+        for trial in range(250):
+            n_docs = rng.randint(1, 8)
+            docs = []
+            for _ in range(n_docs):
+                uni = list(range(24))
+                rng.shuffle(uni)
+                d, i = {}, 0
+                for t in "abcd":
+                    ln = rng.randint(1, 5)
+                    d[t] = np.array(sorted(uni[i : i + ln]), dtype=np.int64)
+                    i += ln
+                docs.append(d)
+            slop = rng.randint(0, 6)
+            for Shape in (IOrdered, IUnordered):
+                src = IMaxGaps(
+                    slop,
+                    Shape(
+                        (
+                            IOr((ITerm("a"), ITerm("b"))),
+                            ITerm("c"),
+                            IOr((ITerm("d"),)),
+                        )
+                    ),
+                )
+                fast = _fast_nterm_shape(src)
+                assert fast is not None
+                slots, in_order, cap = fast
+
+                def keys_of(t):
+                    return np.concatenate(
+                        [(np.int64(ci) << 32) | d[t] for ci, d in enumerate(docs)]
+                    )
+
+                keys = []
+                for s in slots:
+                    ks = [keys_of(t) for t in s]
+                    keys.append(ks[0] if len(ks) == 1 else np.unique(np.concatenate(ks)))
+                kern = _ordered_flat_freqs if in_order else _unordered_flat_freqs
+                got = kern(keys, cap, n_docs)
+                want = np.zeros(n_docs, dtype=np.float32)
+                for ci, d in enumerate(docs):
+                    f = np.float32(0.0)
+                    for s, e, c in eval_source(src, lambda t, _d=d: _d[t]):
+                        gaps = max(0, (e - s + 1) - c)
+                        f = np.float32(f + one / (one + np.float32(gaps)))
+                    want[ci] = f
+                assert np.array_equal(got, want), (trial, Shape.__name__, slop, docs, got, want)
