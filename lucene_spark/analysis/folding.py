@@ -106,10 +106,14 @@ def mapping_char_filter(mapping: dict[str, str]):
     rewrites, length-preserving (short replacements pad with spaces;
     longer ones are rejected up front)."""
     for k, v in mapping.items():
+        if not k:
+            raise ValueError("empty-string mapping key")
         if len(v) > len(k):
             raise ValueError(
                 f"mapping {k!r} -> {v!r} grows the text; offsets would shift"
             )
+    if not mapping:
+        return lambda text: text  # no-op, not an empty-alternation regex
     pat = re.compile("|".join(re.escape(k) for k in sorted(mapping, key=len, reverse=True)))
 
     def _apply(text: str) -> str:

@@ -792,8 +792,15 @@ class IndexBuilder:
                 # (shingles included) while norms stay discounted —
                 # Lucene's exact statistics split for shingled fields
                 # (CollectionStatistics.sumTotalTermFreq vs
-                # FieldInvertState length-numOverlap)
-                st = inverted.agg(F.sum("tf")).first()[0]
+                # FieldInvertState length-numOverlap). PRIMARY field
+                # only: extra-field postings carry the FIELD_SEP prefix
+                # and have their own stats rows
+                prim = (
+                    inverted.filter(~F.col("term").contains(FIELD_SEP))
+                    if cfg.extra_fields
+                    else inverted
+                )
+                st = prim.agg(F.sum("tf")).first()[0]
             if cfg.extra_fields:
                 fexpr = F.when(
                     F.col("term").contains(FIELD_SEP), F.split("term", FIELD_SEP).getItem(0)

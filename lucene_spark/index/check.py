@@ -134,7 +134,13 @@ def check_index(index, raise_on_failure: bool = True) -> dict:
         m.get("shingles") or m.get("common_grams") or m.get("ngrams") or m.get("edge_ngrams")
     )
     if stacked:
-        tsum = index.term_stats_df.agg(F.sum("ttf")).first()[0]
+        from lucene_spark.index.builder import FIELD_SEP
+
+        tsum = (
+            index.term_stats_df.filter(~F.col("term").contains(FIELD_SEP))
+            .agg(F.sum("ttf"))
+            .first()[0]
+        )
         report["sum_ttf_ok"] = int(tsum or 0) == s.sum_total_term_freq
     else:
         report["sum_ttf_ok"] = int(agg["s"] or 0) == s.sum_total_term_freq

@@ -167,8 +167,13 @@ class ResumableIndexBuilder:
         from lucene_spark.index.builder import _stacker_of
 
         if _stacker_of(cfg) is not None:
-            # stacked tokens: statistics split (see IndexBuilder)
-            sum_ttf = ts_f.agg(F.sum("ttf")).first()[0]
+            # stacked tokens: statistics split (see IndexBuilder);
+            # primary field only (prefixed terms = extra fields)
+            from lucene_spark.index.builder import FIELD_SEP
+
+            sum_ttf = (
+                ts_f.filter(~F.col("term").contains(FIELD_SEP)).agg(F.sum("ttf")).first()[0]
+            )
         sum_df = ts_f.agg(F.sum("df")).first()[0]
         self.spark.createDataFrame(
             [(int(n_docs), int(sum_ttf or 0), int(sum_df or 0), cfg.field)],

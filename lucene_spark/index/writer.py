@@ -344,8 +344,13 @@ class IndexWriter:
 
         if _stacker_of(cfg) is not None:
             # stacked tokens: sum_ttf counts every posting; Σ dl is the
-            # DISCOUNTED total (the builder's statistics split)
-            sum_ttf = ts.agg(F.sum("ttf")).first()[0]
+            # DISCOUNTED total (the builder's statistics split).
+            # Primary field only — prefixed terms belong to extra fields
+            from lucene_spark.index.builder import FIELD_SEP
+
+            sum_ttf = (
+                ts.filter(~F.col("term").contains(FIELD_SEP)).agg(F.sum("ttf")).first()[0]
+            )
         sum_df = ts.agg(F.sum("df")).first()[0]
         self.spark.createDataFrame(
             [(int(n_docs), int(sum_ttf or 0), int(sum_df or 0), cfg.field)],

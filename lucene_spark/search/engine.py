@@ -395,7 +395,7 @@ class Searcher:
                 query,
                 preserve_case=one_to_n,
                 rewrite_tree=not one_to_n,
-                analyzer=analyzer if analyzer == "whitespace" else None,
+                analyzer=analyzer if analyzer in ("whitespace", "keyword") else None,
             )
         else:
             q = query if one_to_n else A.rewrite(query)
@@ -896,7 +896,12 @@ class Searcher:
         instead of decoding any postings. mode="distributed" counts
         over the chunked match relation (one long per chunk reaches the
         driver — the cluster shape for non-selective queries)."""
-        q0 = parse_query(query) if isinstance(query, str) else A.rewrite(query)
+        an = self.index.analyzer
+        q0 = (
+            parse_query(query, analyzer=an if an in ("whitespace", "keyword") else None)
+            if isinstance(query, str)
+            else A.rewrite(query)
+        )
         if self.index.analyzer not in ("standard", None):
             q0 = self._stem_query(q0)
         if len(self.index.text_fields) > 1:

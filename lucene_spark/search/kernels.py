@@ -649,30 +649,30 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
     one = np.float32(1.0)
     freqs = np.zeros(len(cand), dtype=np.float64)
     idxs = [np.searchsorted(p[0], cand) for p in parts]
-    if n == 2:
+    keys = [_term_flat_keys(d, pl, cand) for (d, _, _), pl in zip(parts, plists)]
+    fast_ok = len(set(spec.terms)) == n and not _keys_collide(keys)
+    if fast_ok and n == 2:
         # flat vectorized fast path: every candidate in a handful of
         # numpy passes (same pair sets + float32 accumulation order as
         # the per-candidate two-pointer)
-        A = _term_flat_keys(parts[0][0], plists[0], cand)
-        B = _term_flat_keys(parts[1][0], plists[1], cand)
-        freqs = _two_term_flat_freqs(A, B, spec.in_order, spec.slop, len(cand)).astype(
-            np.float64
-        )
-    elif len(set(spec.terms)) == n:
+        freqs = _two_term_flat_freqs(
+            keys[0], keys[1], spec.in_order, spec.slop, len(cand)
+        ).astype(np.float64)
+    elif fast_ok:
         # n >= 3 distinct terms: lockstep-vectorized minimal intervals
-        keys = [
-            _term_flat_keys(d, pl, cand) for (d, _, _), pl in zip(parts, plists)
-        ]
         kern = _ordered_flat_freqs if spec.in_order else _unordered_flat_freqs
         freqs = kern(keys, spec.slop, len(cand)).astype(np.float64)
     else:
+        # repeated terms or co-positioned stacked tokens: per-candidate
+        # tree path; gaps clamp at 0 (zero-width windows from posInc-0
+        # stacks contribute 1/(1+0), the interval-evaluator convention)
         for ci in range(len(cand)):
             pls = [np.asarray(plists[j][idxs[j][ci]], dtype=np.int64) for j in range(n)]
             f = np.float32(0.0)
             for lo, hi in minimal_intervals(pls, spec.in_order):
                 gaps = (hi - lo + 1) - n
                 if gaps <= spec.slop:
-                    f = np.float32(f + one / (one + np.float32(gaps)))
+                    f = np.float32(f + one / (one + np.float32(max(gaps, 0))))
             freqs[ci] = f
     matched = freqs > 0
     if not matched.any():
@@ -911,6 +911,10 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
     if fast is not None:
         slots, in_order, cap = fast
         keys = [_slot_keys(s) for s in slots]
+        if _keys_collide(keys):
+            fast = None  # co-positioned stacked tokens → tree evaluator
+    if fast is not None:
+        slots, in_order, cap = fast
         if len(slots) == 2 and all(len(s) == 1 for s in slots):
             freqs = _two_term_flat_freqs(keys[0], keys[1], in_order, cap, len(cand)).astype(
                 np.float64
@@ -928,6 +932,14 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
     if ff is not None:
         (slots, in_order, cap), kind, rterm, pre, post = ff
         keys = [_slot_keys(s) for s in slots]
+        if _keys_collide(keys) or (
+            rterm is not None
+            and rterm[0] == "pairs"
+            and _keys_collide([_slot_keys(s) for s in rterm[1][0]])
+        ):
+            ff = None  # co-positioned stacked tokens → tree evaluator
+    if ff is not None:
+        (slots, in_order, cap), kind, rterm, pre, post = ff
         if len(slots) == 1:
             S = E = keys[0]
             covered = 1
@@ -1562,6 +1574,19 @@ def _init_slot_state(slots, n_cand: int, offsets: bool = False):
         ptr[:, j] = s + 1
         lim[:, j] = s + ln
     return pos, ptr, lim, ok
+
+
+def _keys_collide(key_arrays: list[np.ndarray]) -> bool:
+    """True when two slots share a (doc, position) composite key —
+    possible only on stacked-token indexes (posInc-0 shingles/ngrams).
+    The flat minimal-interval kernels assume distinct positions across
+    slots (zero-width windows would need the tree evaluator's clamped
+    semantics), so colliding inputs fall back to the per-candidate
+    tree path."""
+    total = sum(len(k) for k in key_arrays)
+    if total == 0:
+        return False
+    return len(np.unique(np.concatenate(key_arrays))) < total
 
 
 def _sloppy_flat_freqs_n(key_arrays: list[np.ndarray], slop: int, n_cand: int) -> np.ndarray:

@@ -272,6 +272,11 @@ class _Parser:
             # WhitespaceAnalyzer: split the surface text on whitespace,
             # keep case (no LowerCaseFilter in the chain)
             return [t for t in body.split() if len(t) <= MAX_TOKEN_LENGTH]
+        if self.analyzer == "keyword":
+            # KeywordAnalyzer: the whole clause text is ONE case-
+            # preserved token (the QueryParser hands each clause's text
+            # to the analyzer, which emits it verbatim)
+            return [body] if body else []
         if self.preserve_case:
             return [t for t in _raw_tokens(body) if len(t) <= MAX_TOKEN_LENGTH]
         return tokenize(body)

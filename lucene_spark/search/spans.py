@@ -39,7 +39,6 @@ from lucene_spark.search.intervals import (
     IOrdered,
     ITerm,
     IUnordered,
-    map_terms,
 )
 
 __all__ = [
@@ -53,8 +52,14 @@ __all__ = [
 ]
 
 
-def span_term(term: str) -> ITerm:
-    """SpanTermQuery: one-position spans at every occurrence."""
+def span_term(term: str, field: str | None = None) -> ITerm:
+    """SpanTermQuery: one-position spans at every occurrence.
+    ``field`` scopes the term to a non-primary tokenized field
+    (composite key), letting spans from different fields compose in
+    one tree — the engine-native form of what FieldMaskingSpanQuery
+    enables in the reference."""
+    if field:
+        return ITerm(f"{field}{FIELD_SEP}{term}")
     return ITerm(term)
 
 
@@ -93,12 +98,21 @@ def span_first(match, end: int):
 
 
 def span_field_mask(source, field: str):
-    """FieldMaskingSpanQuery role: rewrite the tree's terms into
-    ``field``'s composite key space so a span over another field can
-    participate in a compound span on this one. Scoring uses the masked
-    field's statistics (the reference likewise scores with the masked
-    field's name)."""
-    return map_terms(source, lambda t: f"{field}{FIELD_SEP}{t}" if FIELD_SEP not in t else t)
+    """FieldMaskingSpanQuery compatibility (FieldMaskingSpanQuery.java:
+    60-90): in the reference, masking lets a span that MATCHES on its
+    own field participate in a compound span on ``field`` (legal only
+    for fields tokenized in parallel). In this engine interval trees
+    already compose across fields — every term carries its field in
+    its composite key (see :func:`span_term` ``field=``) and positions
+    are per-field token indexes, exactly the parallel-tokenization
+    contract — so masking's matching role is a NO-OP here: the source
+    is returned unchanged, still matching its own field's postings.
+    Documented divergence: the reference scores a masked span with the
+    mask field's norms; here each term keeps its own field's
+    statistics. ``field`` is accepted for API parity."""
+    if not isinstance(field, str) or not field:
+        raise ValueError("mask field must be a non-empty string")
+    return source
 
 
 def span_query(source) -> A.IntervalQuery:

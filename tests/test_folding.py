@@ -95,6 +95,12 @@ class TestMappingCharFilter:
 
         with pytest.raises(ValueError):
             mapping_char_filter({"&": "and"})
+        with pytest.raises(ValueError):
+            mapping_char_filter({"": "x"})
+
+    def test_empty_mapping_is_noop(self):
+        f = mapping_char_filter({})
+        assert f("anything at all") == "anything at all"
 
 
 class TestAsciiIndex:

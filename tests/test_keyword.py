@@ -96,3 +96,19 @@ def test_bm25_with_unit_norms(spark, kw_index):
     want = w - w / (1 + 1.0 * (1.0 / (1.2 * ((1 - 0.75) + 0.75 * 1.0))))
     for _, sc in td.hits:
         assert abs(sc - want) < 1e-5
+
+
+def test_string_query_parsing(spark, kw_index):
+    """string queries against a keyword index go through the parser
+    with the keyword analyzer: each clause's text is ONE case-preserved
+    term (QueryParser + KeywordAnalyzer behavior)."""
+    from lucene_spark.search.engine import Searcher
+
+    ix, pdf = kw_index
+    s = Searcher(ix)
+    td = s.search('"Cat 3"', k=10**6)
+    want = sorted(i for i, v in enumerate(pdf["content"]) if v == "Cat 3")
+    assert sorted(d for d, _ in td.hits) == want
+    assert s.count('"Cat 3"') == len(want)
+    # lowercased or split forms do NOT match (no folding, no splitting)
+    assert s.search('"cat 3"', k=5).hits == []

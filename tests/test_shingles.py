@@ -8,6 +8,8 @@ analysis/shingle/TestShingleFilter.java:36-180,715-760 and
 
 from __future__ import annotations
 
+import numpy as np
+
 from lucene_spark.analysis.shingles import common_grams_stream, shingle_stream
 
 TEST_TOKENS = ["please", "divide", "this", "sentence", "into", "shingles"]
@@ -384,3 +386,80 @@ class TestCheckIndexStacked:
             rep = check_index(SearchIndex(spark, d))
             assert rep["status"] == "ok", rep
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestCoPositionedQueries:
+    """Stacked indexes put DISTINCT terms on the same position; the
+    flat interval kernels detect the collision and fall back to the
+    tree evaluator (clamped gaps), so queries mixing unigrams and
+    shingle terms neither crash nor diverge between paths."""
+
+    def test_unordered_interval_over_unigram_and_shingle(self, spark, corpus_pdf, tmp_path_factory):
+        import shutil
+
+        from lucene_spark.index.builder import IndexBuilder, IndexConfig
+        from lucene_spark.index.reader import SearchIndex
+        from lucene_spark.search import ast as A
+        from lucene_spark.search.engine import Searcher
+        from lucene_spark.search.intervals import (
+            IMaxGaps,
+            IOrdered,
+            ITerm,
+            IUnordered,
+        )
+
+        pdf = corpus_pdf.head(50).copy().reset_index(drop=True)
+        pdf["doc_id"] = range(len(pdf))
+        d = str(tmp_path_factory.mktemp("copix"))
+        IndexBuilder(
+            spark, IndexConfig(docs_per_chunk=128, term_buckets=4, shingles=(2, 2))
+        ).build(spark.createDataFrame(pdf).drop("content_sha256"), d, assign_ids=False)
+        s = Searcher(SearchIndex(spark, d))
+        # 'return' and 'return if' START at the same positions (stacked)
+        q = A.IntervalQuery(IMaxGaps(2, IUnordered((ITerm("return"), ITerm("return if")))))
+        td = s.search(q, k=10)
+        assert td.hits, "co-positioned unordered interval must match"
+        assert all(np.isfinite(sc) and sc > 0 for _, sc in td.hits)
+        # ordered variant and spannear across the same pair also run clean
+        q2 = A.IntervalQuery(IMaxGaps(4, IOrdered((ITerm("return if"), ITerm("else")))))
+        td2 = s.search(q2, k=5)
+        for _, sc in td2.hits:
+            assert np.isfinite(sc)
+        td3 = s.search(
+            A.SpanNearQuery(("return", "return if"), slop=3, in_order=False), k=5
+        )
+        for _, sc in td3.hits:
+            assert np.isfinite(sc) and sc > 0
+        shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStackedWithExtraFields:
+    def test_primary_stats_exclude_extra_fields(self, spark, corpus_pdf, tmp_path_factory):
+        """shingles + extra_fields: the primary field's sum_ttf counts
+        primary postings only (prefixed extra-field postings excluded)."""
+        import shutil
+
+        from lucene_spark.analysis.shingles import shingle_stream
+        from lucene_spark.analysis.tokenizer import tokenize_with_positions
+        from lucene_spark.index.builder import IndexBuilder, IndexConfig
+        from lucene_spark.index.check import check_index
+        from lucene_spark.index.reader import SearchIndex
+
+        pdf = corpus_pdf.head(40).copy().reset_index(drop=True)
+        pdf["doc_id"] = range(len(pdf))
+        pdf["title"] = pdf["content"].str.split().str[:5].str.join(" ")
+        d = str(tmp_path_factory.mktemp("sxfix"))
+        IndexBuilder(
+            spark,
+            IndexConfig(
+                docs_per_chunk=128, term_buckets=4, shingles=(2, 2), extra_fields=("title",)
+            ),
+        ).build(spark.createDataFrame(pdf).drop("content_sha256"), d, assign_ids=False)
+        ix = SearchIndex(spark, d)
+        want = 0
+        for t in pdf["content"]:
+            toks, poss = tokenize_with_positions(t)
+            want += len(shingle_stream(toks, poss)[0])
+        assert ix.stats.sum_total_term_freq == want
+        assert check_index(ix)["status"] == "ok"
+        shutil.rmtree(d, ignore_errors=True)

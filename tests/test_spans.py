@@ -143,15 +143,35 @@ class TestSpanEngine:
         allm = {d for d, _ in s.search(span_query(span_term("return")), k=10**6).hits}
         assert small <= big <= allm and len(small) < len(allm)
 
-    def test_field_mask(self, spark, multifield_index):
-        """masked span over the title field scores with title stats"""
+    def test_field_scoped_span_and_mask_identity(self, spark, multifield_index):
+        """field-scoped span terms match their own field's postings;
+        span_field_mask is the documented matching no-op (composition
+        across fields is engine-native via composite keys)."""
         from lucene_spark.search import ast as A
 
         s = multifield_index
-        masked = span_query(span_field_mask(span_term("vector"), "title"))
-        td = s.search(masked, k=10)
+        title_span = span_term("vector", field="title")
+        td = s.search(span_query(title_span), k=10)
         want = s.search(A.TermQuery("vector", field="title"), k=10)
         assert [d for d, _ in td.hits] == [d for d, _ in want.hits]
+        # masking never rewrites what the span matches
+        masked = span_query(span_field_mask(title_span, "content"))
+        assert s.search(masked, k=10).hits == td.hits
+        # cross-field composition: title term near a content term —
+        # runs through one interval tree (the masking use case)
+        cross = span_query(span_near([title_span, span_term("vector")], 30, False))
+        got = s.search(cross, k=10**6)
+        # every hit must contain the term in BOTH fields
+        both = s.search(
+            A.BooleanQuery(
+                (
+                    (A.Occur.MUST, A.TermQuery("vector", field="title")),
+                    (A.Occur.MUST, A.TermQuery("vector")),
+                )
+            ),
+            k=10**6,
+        )
+        assert {d for d, _ in got.hits} <= {d for d, _ in both.hits}
 
 
 @pytest.fixture(scope="module")
