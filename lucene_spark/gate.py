@@ -540,6 +540,13 @@ def queries() -> dict:
     Q["ft_dfr_top10"] = lambda spark, sf: _hits_df(
         spark, _sim_search(spark, sf, "dfr", A.TermQuery("table"))
     )
+    # LM Jelinek-Mercer (lambda=0.1) and DFI (Standardized independence)
+    Q["ft_lmjm_top10"] = lambda spark, sf: _hits_df(
+        spark, _sim_search(spark, sf, "lmjelinekmercer", A.TermQuery("table"))
+    )
+    Q["ft_dfi_top10"] = lambda spark, sf: _hits_df(
+        spark, _sim_search(spark, sf, "dfi", A.TermQuery("table"))
+    )
     Q["ft_boolsim_top10"] = lambda spark, sf: _hits_df(
         spark,
         _sim_search(
@@ -1693,6 +1700,23 @@ def oracle_sql() -> dict[str, str]:
         "(ln(((SELECT n FROM stats) + 1) / (d.df + 0.5)) / ln(2)) "
         "* (1 - 1 / (1 + f.tf * ln(1 + (SELECT avgdl FROM stats) / n.dlen) / ln(2))) AS s "
         "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
+    )
+    # LMJelinekMercer lambda=0.1: ln(1 + ((1-l)*tf/dlen)/(l*p)),
+    # p = (ttf+1)/(sumTtf+1) (LMJelinekMercerSimilarity.java:63-69)
+    O["ft_lmjm_top10"] = topk_sql(
+        "SELECT f.doc_id, ln(1 + (0.9 * f.tf / n.dlen) / (0.1 * (d.ttf + 1.0) / "
+        "((SELECT sum_ttf FROM stats) + 1.0))) AS s "
+        "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
+    )
+    # DFI Standardized: e = (ttf+1)*dlen/(sumTtf+1); tf <= e scores 0,
+    # else log2((tf-e)/sqrt(e) + 1) (DFISimilarity.java:57-70,
+    # IndependenceStandardized.java:32-34)
+    O["ft_dfi_top10"] = topk_sql(
+        "SELECT f.doc_id, CASE WHEN f.tf > e.e THEN log2((f.tf - e.e) / sqrt(e.e) + 1) "
+        "ELSE 0.0 END AS s "
+        "FROM tf f JOIN norms n USING (doc_id) JOIN dfr d USING (term), "
+        "LATERAL (SELECT (d.ttf + 1.0) * n.dlen / ((SELECT sum_ttf FROM stats) + 1.0) AS e) e "
+        "WHERE f.term = 'table'"
     )
     # BooleanSimilarity: per-clause score == boost (1.0); SHOULD sum =
     # number of matched clauses (BooleanSimilarity.java:58-60)

@@ -290,6 +290,92 @@ class DFRSim(Similarity):
         return out.astype(np.float32)
 
 
+class LMJelinekMercerSim(Similarity):
+    """LMJelinekMercerSimilarity.java:63-69 — score = boost * ln(1 +
+    ((1-lambda) * freq / docLen) / (lambda * p)); p = (totalTermFreq+1)
+    / (numberOfFieldTokens+1) (LMSimilarity.java:145-147
+    DefaultCollectionModel). docLen is the DECODED norm length
+    (SimilarityBase.java:215-225 BasicSimScorer); the score is always
+    >= 0 (log1p of a non-negative ratio), so no clamp arises.
+    Multi-term weights compose as MultiSimilarity.MultiSimScorer float32
+    sums. lambda defaults to 0.1 (the reference javadoc's title-query
+    optimum). ``weight`` is a tuple of (boost, collectionProbability)."""
+
+    name = "lmjelinekmercer"
+    needs_ttf = True
+
+    def __init__(self, lam: float = 0.1):
+        if not (0.0 < lam <= 1.0):
+            raise ValueError("lambda must be in the range (0 .. 1]")
+        self.lam = float(lam)
+
+    def table(self, stats):
+        # per-norm-byte decoded lengths (docLen); len 0 can't match
+        return np.maximum(NORM_LENGTH_TABLE.astype(np.float64), 1.0)
+
+    def term_weight(self, stats, df, ttf, boost):
+        p = (ttf + 1.0) / (stats.sum_total_term_freq + 1.0)
+        return ((float(boost), p),)
+
+    def synonym_weight(self, stats, dfs, ttfs, boost):
+        return self.term_weight(stats, max(dfs), int(sum(ttfs)), boost)
+
+    def multi_weight(self, stats, dfs, ttfs, boost):
+        return tuple(self.term_weight(stats, df, ttf, boost)[0] for df, ttf in zip(dfs, ttfs))
+
+    def score(self, weight, freqs, norm_bytes, table):
+        f = np.asarray(freqs, dtype=np.float64)
+        dl = table[np.asarray(norm_bytes, dtype=np.int64)]
+        out = np.zeros(len(f), dtype=np.float32)
+        for boost, p in weight:
+            s = boost * np.log1p(((1.0 - self.lam) * f / dl) / (self.lam * p))
+            out = out + s.astype(np.float32)  # f32 accumulate (MultiSimScorer)
+        return out.astype(np.float32)
+
+
+class DFISim(Similarity):
+    """DFISimilarity.java:57-70 — divergence from independence:
+    expected = (totalTermFreq+1) * docLen / (numberOfFieldTokens+1);
+    freq <= expected scores 0; else score = boost * log2(measure + 1)
+    with the Standardized independence measure (freq - expected) /
+    sqrt(expected) (IndependenceStandardized.java:32-34 — the chi^2
+    standardized distance). docLen is the decoded norm length
+    (SimilarityBase.java:215-225); multi-term weights compose as
+    MultiSimScorer float32 sums. ``weight`` = tuple of (boost, ttf);
+    the table folds docLen / (numberOfFieldTokens+1), so
+    expected = (ttf+1) * table[norm]."""
+
+    name = "dfi"
+    needs_ttf = True
+
+    def table(self, stats):
+        dl = np.maximum(NORM_LENGTH_TABLE.astype(np.float64), 1.0)
+        return dl / (stats.sum_total_term_freq + 1.0)
+
+    def term_weight(self, stats, df, ttf, boost):
+        return ((float(boost), float(ttf)),)
+
+    def synonym_weight(self, stats, dfs, ttfs, boost):
+        return self.term_weight(stats, max(dfs), int(sum(ttfs)), boost)
+
+    def multi_weight(self, stats, dfs, ttfs, boost):
+        return tuple(self.term_weight(stats, df, ttf, boost)[0] for df, ttf in zip(dfs, ttfs))
+
+    def score(self, weight, freqs, norm_bytes, table):
+        f = np.asarray(freqs, dtype=np.float64)
+        t = table[np.asarray(norm_bytes, dtype=np.int64)]
+        out = np.zeros(len(f), dtype=np.float32)
+        for boost, ttf in weight:
+            expected = (ttf + 1.0) * t
+            s = np.zeros_like(f)
+            hit = f > expected
+            if hit.any():
+                measure = (f[hit] - expected[hit]) / np.sqrt(expected[hit])
+                s[hit] = boost * np.log2(measure + 1.0)
+            out = out + s.astype(np.float32)  # f32 accumulate
+        return out.astype(np.float32)
+
+
 BM25_SIM = BM25Sim()
 
 _SIMILARITIES = {
@@ -297,7 +383,9 @@ _SIMILARITIES = {
     "classic": ClassicSim,
     "boolean": BooleanSim,
     "lmdirichlet": LMDirichletSim,
+    "lmjelinekmercer": LMJelinekMercerSim,
     "dfr": DFRSim,
+    "dfi": DFISim,
 }
 
 

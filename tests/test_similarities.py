@@ -90,6 +90,19 @@ class BruteSim:
             tfn = f * np.log2(1.0 + float(avgdl) / max(L, 1))
             a = float(np.log2((self.N + 1) / (df + 0.5)))
             return float(np.float32(float(boost) * a * (1.0 - 1.0 / (1.0 + tfn))))
+        if model == "lmjelinekmercer":
+            # LMJelinekMercerSimilarity.java:63-69, lambda = 0.1
+            lam = 0.1
+            p = (ttf + 1.0) / (self.sum_ttf + 1.0)
+            s = float(boost) * np.log1p(((1.0 - lam) * f / max(L, 1)) / (lam * p))
+            return float(np.float32(s))
+        if model == "dfi":
+            # DFISimilarity.java:57-70 + IndependenceStandardized.java:32-34
+            e = (ttf + 1.0) * max(L, 1) / (self.sum_ttf + 1.0)
+            if f <= e:
+                return 0.0
+            m = (f - e) / np.sqrt(e)
+            return float(np.float32(float(boost) * np.log2(m + 1.0)))
         raise ValueError(model)
 
     def top_k(self, scores: dict, k=10):
@@ -106,7 +119,7 @@ def _hits(td, k=10):
     return [(d, round(float(s), 4)) for d, s in td.hits[:k]]
 
 
-MODELS = ["classic", "boolean", "lmdirichlet", "dfr"]
+MODELS = ["classic", "boolean", "lmdirichlet", "dfr", "lmjelinekmercer", "dfi"]
 
 
 @pytest.mark.parametrize("model", MODELS)
@@ -181,14 +194,14 @@ def test_phrase_weight_composition(search_index, brute, model):
         }
     elif model == "boolean":
         want = {i: 1.0 for i in freqs}
-    else:  # lmdirichlet: MultiSimScorer f32 sum of per-term clamped scores
+    else:  # SimilarityBase models: MultiSimScorer f32 sum of per-term scores
         want = {}
         for i, f in freqs.items():
             tot = np.float32(0.0)
             for t in ("the", "data"):
-                p = (brute.ttf(t) + 1.0) / (brute.sum_ttf + 1.0)
-                s = 1.0 * (np.log1p(f / (MU * p)) + np.log(MU / (brute.enc_len[i] + MU)))
-                tot = tot + np.float32(max(s, 0.0))
+                tot = tot + np.float32(
+                    brute._score(model, f, brute.enc_len[i], brute.df(t), brute.ttf(t))
+                )
             want[i] = float(tot)
     assert _hits(got) == brute.top_k(want), model
 
