@@ -528,6 +528,35 @@ def queries() -> dict:
         )
 
     Q["ft_geosort_top5"] = _geosort
+    # FeatureField.newSaturationQuery as a SHOULD clause next to BM25
+    # (the reference javadoc's pagerank-boost pattern); weight=1.5
+    # arrives as BoostQuery per FeatureField.java:525-527. The feature
+    # column is n_chars; scores quantize through the freq-encode
+    # round trip (float32 mantissa truncated to its top 8 bits).
+    _featq = A.BooleanQuery(
+        (
+            (A.Occur.SHOULD, A.TermQuery("table")),
+            (A.Occur.SHOULD, A.BoostQuery(A.FeatureQuery("n_chars", "saturation", pivot=256.0), 1.5)),
+        )
+    )
+    Q["ft_feature_top10"] = lambda spark, sf: _hits_df(spark, _search(spark, sf, _featq))
+    Q["ft_dist_feature_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, _featq, mode="distributed")
+    )
+    # LongField.newDistanceFeatureQuery: recency-style proximity boost
+    # (score = pivot / (pivot + |value - origin|), no quantization)
+    _distfq = A.BooleanQuery(
+        (
+            (A.Occur.SHOULD, A.TermQuery("table")),
+            (A.Occur.SHOULD, A.LongDistanceFeatureQuery("n_chars", origin=300, pivot=50)),
+        )
+    )
+    Q["ft_distfeat_top10"] = lambda spark, sf: _hits_df(spark, _search(spark, sf, _distfq))
+    # LatLonPoint.newDistanceFeatureQuery: geo proximity as score
+    Q["ft_geofeat_top5"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(spark, sf, A.GeoDistanceFeatureQuery("lat", "lon", 48.8, 2.3, 1_000_000.0), k=5),
+    )
     # quoted camelCase identifier splices into a positional phrase
     # (QueryBuilder.createFieldQuery(quoted=true) over the parts)
     Q["ft_codephrase_top10"] = lambda spark, sf: _hits_df(
@@ -1676,6 +1705,41 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT m.doc_id, round(2.0 * 6371008.7714 * asin(sqrt(pow(sin((radians(lat) - radians(48.8)) / 2.0), 2.0) + cos(radians(48.8)) * cos(radians(lat)) * pow(sin((radians(lon) - radians(2.3)) / 2.0), 2.0))), 1) AS dist_r "
         + "FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'table') m "
         + "JOIN gcoords USING (doc_id) ORDER BY 2.0 * 6371008.7714 * asin(sqrt(pow(sin((radians(lat) - radians(48.8)) / 2.0), 2.0) + cos(radians(48.8)) * cos(radians(lat)) * pow(sin((radians(lon) - radians(2.3)) / 2.0), 2.0))), doc_id LIMIT 5"
+    )
+    # FeatureField saturation over n_chars quantized through the
+    # freq-encode round trip: floatToIntBits(v) >>> 15 truncates the
+    # float32 mantissa to its top 8 bits — for integer v that is
+    # floor(v * 2^(8-e)) * 2^(e-8) with e = floor(log2(v)), computed
+    # with an exactness correction on e (FeatureField.java:196-218)
+    _FEAT_Q = (
+        "(SELECT doc_id, floor(n_chars * pow(2.0, 8 - e)) * pow(2.0, e - 8) AS q "
+        " FROM (SELECT doc_id, n_chars, "
+        "         CASE WHEN pow(2.0, el + 1) <= n_chars THEN el + 1 "
+        "              WHEN pow(2.0, el) > n_chars THEN el - 1 ELSE el END AS e "
+        "       FROM (SELECT doc_id, n_chars, CAST(floor(log2(n_chars)) AS BIGINT) AS el "
+        "             FROM documents)))"
+    )
+    O["ft_feature_top10"] = topk_sql(
+        "SELECT d.doc_id, coalesce(ts.s, 0.0) + 1.5 * (1.0 - 256.0 / (fq.q + 256.0)) AS s "
+        "FROM documents d "
+        "LEFT JOIN (SELECT doc_id, s FROM tscore WHERE term = 'table') ts USING (doc_id) "
+        "JOIN " + _FEAT_Q + " fq USING (doc_id)"
+    )
+    O["ft_dist_feature_top10"] = O["ft_feature_top10"]
+    # LongDistanceFeatureQuery: pivot / (pivot + |value - origin|)
+    O["ft_distfeat_top10"] = topk_sql(
+        "SELECT d.doc_id, coalesce(ts.s, 0.0) + 50.0 / (50.0 + abs(d.n_chars - 300.0)) AS s "
+        "FROM documents d "
+        "LEFT JOIN (SELECT doc_id, s FROM tscore WHERE term = 'table') ts USING (doc_id)"
+    )
+    # LatLonPoint.newDistanceFeatureQuery: pivot_m / (pivot_m + haversine)
+    O["ft_geofeat_top5"] = topk_sql(
+        "SELECT doc_id, 1000000.0 / (1000000.0 + 2.0 * 6371008.7714 * asin(sqrt("
+        "pow(sin((radians(lat) - radians(48.8)) / 2.0), 2.0) + cos(radians(48.8)) * cos(radians(lat)) "
+        "* pow(sin((radians(lon) - radians(2.3)) / 2.0), 2.0)))) AS s "
+        "FROM (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, "
+        "((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents)",
+        k=5,
     )
     O["ft_multi_top10"] = topk_sql(
         "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('table','merge') GROUP BY doc_id"

@@ -76,6 +76,33 @@ class SearchIndex:
             self._docset_cache.popitem(last=False)
         return out
 
+    def field_doc_values(self, key: tuple, cond, cols) -> tuple:
+        """(doc_ids, per-doc value tuples) for docs matching a
+        docs-table predicate, cached per reader — the docvalues read
+        behind FeatureQuery / DistanceFeatureQuery (driver-mode
+        interactive convenience like :meth:`field_doc_set`; the
+        distributed path keeps values lazy and bucketed per chunk)."""
+        from pyspark.sql import functions as F
+
+        ck = ("__vals__",) + key
+        hit = self._docset_cache.get(ck)
+        if hit is not None:
+            self._docset_cache.move_to_end(ck)
+            return hit
+        rows = (
+            self.docs.filter(cond)
+            .select(F.col("doc_id"), *[c.cast("double") for c in cols])
+            .orderBy("doc_id")
+            .collect()
+        )
+        docs = tuple(int(r[0]) for r in rows)
+        vals = tuple(tuple(float(x) for x in r[1:]) for r in rows)
+        out = (docs, vals)
+        self._docset_cache[ck] = out
+        while len(self._docset_cache) > 256:
+            self._docset_cache.popitem(last=False)
+        return out
+
     @cached_property
     def manifest(self) -> dict:
         import json

@@ -189,6 +189,89 @@ class DocSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class FeatureQuery(Query):
+    """Static per-doc ranking feature — FeatureField.newLinearQuery /
+    newLogQuery / newSaturationQuery / newSigmoidQuery
+    (CORE/document/FeatureField.java:505-615). Matches every doc with a
+    non-null value in the numeric ``field`` column; the score is
+    function(decodeFeatureValue(v)) where the encode/decode round-trip
+    truncates the float32 mantissa to its top 8 bits — the reference
+    stores the feature IN the term frequency as floatToIntBits(v) >>> 15
+    (FeatureField.java:196-218), and this engine reproduces that
+    quantization so scores are bit-compatible. The reference's ``weight``
+    parameter arrives as an enclosing BoostQuery (FeatureField.java:
+    525-527 wraps in BoostQuery), folded into the spec boost.
+
+    functions: "linear" (w * v, float32 arithmetic), "log"
+    (w * ln(a + v), double then f32 cast), "saturation"
+    (w * (1 - pivot/(v + pivot)), float32 arithmetic — the
+    monotonicity-preserving rewrite at FeatureField.java:380-387),
+    "sigmoid" (w * (1 - pivot^a/(v^a + pivot^a)), double then f32)."""
+
+    field: str
+    function: str = "saturation"  # linear | log | saturation | sigmoid
+    a: float = 1.0  # log scalingFactor (>= 1) / sigmoid exponent (> 0)
+    pivot: float = 0.0  # saturation / sigmoid pivot (> 0, required there)
+
+
+@dataclass(frozen=True)
+class LongDistanceFeatureQuery(Query):
+    """Boost-by-proximity over a numeric docvalue — LongField.
+    newDistanceFeatureQuery (CORE/document/LongDistanceFeatureQuery.
+    java:95-122): matches docs with a non-null ``field`` value, score =
+    boost * pivot / (pivot + |value - origin|) (double math, float32
+    cast). pivot must be > 0 (:49-51). Typical use: recency boosting
+    as a SHOULD clause next to a relevance query."""
+
+    field: str
+    origin: float
+    pivot: float
+
+
+@dataclass(frozen=True)
+class GeoDistanceFeatureQuery(Query):
+    """Boost-by-geo-proximity — LatLonPoint.newDistanceFeatureQuery
+    (CORE/document/LatLonPointDistanceFeatureQuery.java): matches docs
+    with non-null lat/lon, score = boost * pivot_m / (pivot_m +
+    distance_m) with haversine over EARTH_MEAN_RADIUS (the engine's
+    geo.haversine convention; the reference's SloppyMath approximation
+    differs by < 0.5% — documented divergence shared with
+    GeoDistanceQuery)."""
+
+    lat_field: str
+    lon_field: str
+    lat: float
+    lon: float
+    pivot_m: float
+
+
+@dataclass(frozen=True)
+class DocValueScoreQuery(Query):
+    """RESOLVED value-scored doc set (internal, driver mode): raw
+    docs-table column values collected per matching doc; ``kind`` +
+    ``params`` select the scoring function applied at evaluate time
+    (kernels.value_scores), so driver and distributed modes share one
+    float path."""
+
+    kind: str
+    params: tuple
+    doc_ids: tuple
+    values: tuple  # one tuple of float column values per doc
+
+
+@dataclass(frozen=True)
+class PredValueScoreQuery(Query):
+    """UNRESOLVED value-scored doc set (internal, distributed mode):
+    like PredDocSetQuery but each chunk kernel receives its own
+    (doc_id, value...) slice via a pushed-down scan + per-chunk group —
+    feature values never pass through the driver."""
+
+    kind: str
+    params: tuple
+    key: tuple
+
+
+@dataclass(frozen=True)
 class SpanNearQuery(Query):
     """Proximity query over term spans — the SpanNearQuery /
     Intervals.ordered|unordered role

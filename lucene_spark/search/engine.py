@@ -84,6 +84,9 @@ class Searcher:
         # PredDocSetQuery key → Catalyst Column (distributed mode keeps
         # field predicates lazy; the ids never land on the driver)
         self._pred_conds: dict[tuple, object] = {}
+        # PredValueScoreQuery key → (Catalyst cond, [value Columns])
+        # (feature / distance-feature queries, same lazy contract)
+        self._val_conds: dict[tuple, tuple] = {}
 
     def _stats_by_field(self):
         """field → BM25Stats for non-primary tokenized fields (None for
@@ -135,6 +138,48 @@ class Searcher:
             key = ("range", q.field, q.lower, q.upper, q.include_lower, q.include_upper)
             return key, cond
         return ("eq", q.field, q.value), F.col(q.field) == q.value
+
+    def _value_cond(self, q):
+        """(kind, params, key, Catalyst cond, value Columns) for a
+        value-scored query node (FeatureQuery / distance features).
+        Validates parameters with the reference's constructor checks."""
+        import pyspark.sql.functions as F
+
+        if isinstance(q, A.FeatureQuery):
+            fn = q.function
+            if fn == "linear":
+                params: tuple = ()
+            elif fn == "log":
+                if not (q.a >= 1.0):
+                    raise ValueError(f"scalingFactor must be >= 1, got: {q.a}")
+                params = (float(q.a),)
+            elif fn == "saturation":
+                if not (q.pivot > 0.0):
+                    raise ValueError(f"pivot must be > 0, got: {q.pivot}")
+                params = (float(q.pivot),)
+            elif fn == "sigmoid":
+                if not (q.pivot > 0.0 and q.a > 0.0):
+                    raise ValueError(f"pivot and exp must be > 0, got: {q.pivot}, {q.a}")
+                params = (float(q.pivot), float(q.a))
+            else:
+                raise ValueError(f"unknown feature function {fn!r}")
+            kind = f"feature_{fn}"
+            key = (kind, q.field) + params
+            return kind, params, key, F.col(q.field).isNotNull(), [F.col(q.field)]
+        if isinstance(q, A.LongDistanceFeatureQuery):
+            if not (q.pivot > 0):
+                raise ValueError(f"pivotDistance must be > 0, got: {q.pivot}")
+            params = (float(q.origin), float(q.pivot))
+            key = ("dist_long", q.field) + params
+            return "dist_long", params, key, F.col(q.field).isNotNull(), [F.col(q.field)]
+        if isinstance(q, A.GeoDistanceFeatureQuery):
+            if not (q.pivot_m > 0):
+                raise ValueError(f"pivotDistance must be > 0, got: {q.pivot_m}")
+            params = (float(q.lat), float(q.lon), float(q.pivot_m))
+            key = ("dist_geo", q.lat_field, q.lon_field) + params
+            cond = F.col(q.lat_field).isNotNull() & F.col(q.lon_field).isNotNull()
+            return "dist_geo", params, key, cond, [F.col(q.lat_field), F.col(q.lon_field)]
+        raise TypeError(type(q))
 
     def _fieldize(self, q: A.Query) -> A.Query:
         """Map queries scoped to a non-primary TOKENIZED field into that
@@ -361,6 +406,19 @@ class Searcher:
                 self._pred_conds[key] = cond
                 return A.PredDocSetQuery(key)
             return A.DocSetQuery(self.index.field_doc_set(key, cond))
+        if isinstance(q, (A.FeatureQuery, A.LongDistanceFeatureQuery, A.GeoDistanceFeatureQuery)):
+            # value-SCORED docs-table queries (FeatureField /
+            # DistanceFeatureQuery roles): same lazy/driver split as the
+            # constant-score predicates above, but each doc carries its
+            # raw column value(s); the scoring function runs in the
+            # kernel (kernels.value_scores) so both modes share one
+            # float path.
+            kind, params, key, cond, cols = self._value_cond(q)
+            if lazy_docsets:
+                self._val_conds[key] = (cond, cols)
+                return A.PredValueScoreQuery(kind, params, key)
+            docs, vals = self.index.field_doc_values(key, cond, cols)
+            return A.DocValueScoreQuery(kind, params, docs, vals)
         if isinstance(q, A.BooleanQuery):
             return A.BooleanQuery(
                 tuple((o, self._expand_multiterm(s, lazy_docsets)) for o, s in q.clauses),
@@ -984,8 +1042,9 @@ class Searcher:
         index = self.index
         terms = sorted(spec_terms(spec))
         preds = _collect_predspecs(spec)
+        vspecs = _collect_valspecs(spec)
         needs_all = _needs_all_docs(spec)
-        if not terms and not preds:
+        if not terms and not preds and not vspecs:
             td = self._search_exhaustive(spec, k if k is not None else 1 << 62, cache)
             return "topdocs", td
         rows_df = index.postings_rows(terms)
@@ -1003,7 +1062,7 @@ class Searcher:
         small = index.collect_postings(small_terms, with_positions=with_pos)
         small_arrays = {t: (p.docs, p.tfs, p.norms) for t, p in small.items()}
         small_positions = {t: p.positions for t, p in small.items()} if with_pos else {}
-        if not hot_terms and not preds and not needs_all:
+        if not hot_terms and not preds and not vspecs and not needs_all:
             # all-small-term query: bounded driver evaluation (each
             # small term covers ≤ docs_per_chunk docs by construction)
             ctx = ChunkContext(small_arrays, cache, None, small_positions if with_pos else None, sim=self.sim)
@@ -1054,6 +1113,26 @@ class Searcher:
                 .agg(F.sort_array(F.collect_list("doc_id")).alias("ds_docs"))
                 .withColumn("term", F.lit(marker))
             )
+        # value-scored specs: per-chunk (doc_id, value...) rows packed
+        # as array<double> (doc_id first — sort_array orders by it);
+        # like the pred markers, values never pass through the driver.
+        val_keys: dict[str, tuple] = {}
+        for i, vs in enumerate(vspecs):
+            marker = f"\x00val{i}"
+            val_keys[marker] = vs.key
+            vcond, vcols = self._val_conds[vs.key]
+            aux_parts.append(
+                index.docs.filter(vcond)
+                .select(
+                    chunk_col,
+                    F.array(
+                        F.col("doc_id").cast("double"), *[c.cast("double") for c in vcols]
+                    ).alias("dv"),
+                )
+                .groupBy("chunk_id")
+                .agg(F.sort_array(F.collect_list("dv")).alias("ds_vals"))
+                .withColumn("term", F.lit(marker))
+            )
         deletes_df = index.deletes_df()
         if deletes_df is not None:
             aux_parts.append(
@@ -1078,6 +1157,7 @@ class Searcher:
             arrays = {}
             positions: dict = {}
             docsets: dict = {}
+            docvals: dict = {}
             deleted = None
             all_docs = None
             for r in pdf.itertuples(index=False):
@@ -1085,6 +1165,10 @@ class Searcher:
                 if t is None:
                     continue
                 if t.startswith("\x00"):
+                    if t.startswith("\x00val"):
+                        m = np.asarray([np.asarray(x, dtype=np.float64) for x in r.ds_vals])
+                        docvals[val_keys[t]] = (m[:, 0].astype(np.int64), m[:, 1:])
+                        continue
                     ds = np.asarray(r.ds_docs, dtype=np.int64)
                     if t == "\x00del":
                         deleted = ds
@@ -1133,6 +1217,7 @@ class Searcher:
                 doc_range=(lo, hi),
                 docsets=docsets,
                 sim=sim_b,
+                docvals=docvals,
             )
             docs, scores = evaluate(spec_b, ctx)
             if deleted is not None and len(docs):
@@ -1164,11 +1249,15 @@ class Searcher:
         spark = index.spark
         cols = [
             "chunk_id", "term", "df", "ttf", "blob", "pos_blob",
-            "block_last", "imp_block", "imp_freq", "imp_norm", "ds_docs",
+            "block_last", "imp_block", "imp_freq", "imp_norm", "ds_docs", "ds_vals",
         ]
         parts = []
         if hot_rows is not None:
-            parts.append(hot_rows.withColumn("ds_docs", F.lit(None).cast("array<long>")).select(*cols))
+            parts.append(
+                hot_rows.withColumn("ds_docs", F.lit(None).cast("array<long>"))
+                .withColumn("ds_vals", F.lit(None).cast("array<array<double>>"))
+                .select(*cols)
+            )
         extra = sorted(small_chunks)
         if extra:
             pad = spark.createDataFrame([(int(c),) for c in extra], "chunk_id long")
@@ -1183,6 +1272,7 @@ class Searcher:
                 .withColumn("imp_freq", F.lit(None).cast("array<int>"))
                 .withColumn("imp_norm", F.lit(None).cast("array<int>"))
                 .withColumn("ds_docs", F.lit(None).cast("array<long>"))
+                .withColumn("ds_vals", F.lit(None).cast("array<array<double>>"))
             )
             parts.append(pad.select(*cols))
         for aux in aux_parts:
@@ -1196,6 +1286,10 @@ class Searcher:
                 .withColumn("imp_freq", F.lit(None).cast("array<int>"))
                 .withColumn("imp_norm", F.lit(None).cast("array<int>"))
             )
+            if "ds_docs" not in aux.columns:
+                aux = aux.withColumn("ds_docs", F.lit(None).cast("array<long>"))
+            if "ds_vals" not in aux.columns:
+                aux = aux.withColumn("ds_vals", F.lit(None).cast("array<array<double>>"))
             parts.append(aux.select(*cols))
         grouped_src = parts[0]
         for p in parts[1:]:
@@ -1243,6 +1337,26 @@ def _collect_predspecs(spec) -> list:
         return [d for s in spec.subs for d in _collect_predspecs(s)]
     if isinstance(spec, tuple) and spec and spec[0] == "const":
         return _collect_predspecs(spec[1])
+    return []
+
+
+def _collect_valspecs(spec) -> list:
+    """All lazy ValueSpec nodes (feature / distance-feature scores)."""
+    from lucene_spark.search.kernels import DisMaxSpec, ValueSpec
+
+    if isinstance(spec, ValueSpec):
+        return [spec] if spec.key is not None else []
+    if isinstance(spec, BoolSpec):
+        return [
+            d
+            for g in (spec.musts, spec.shoulds, spec.filters, spec.nots)
+            for s in g
+            for d in _collect_valspecs(s)
+        ]
+    if isinstance(spec, DisMaxSpec):
+        return [d for s in spec.subs for d in _collect_valspecs(s)]
+    if isinstance(spec, tuple) and spec and spec[0] == "const":
+        return _collect_valspecs(spec[1])
     return []
 
 

@@ -44,6 +44,24 @@ def haversine_meters(lat_col, lon_col, lat: float, lon: float) -> Column:
     return F.lit(2.0 * EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(h))
 
 
+def haversine_np(lat_arr, lon_arr, lat: float, lon: float):
+    """The same haversine formula vectorized in numpy float64 (used by
+    the distance-feature kernels so driver and distributed modes score
+    through one float path; ulp-identical to the SQL oracle's double
+    trig for gate-rounding purposes)."""
+    import numpy as np
+
+    lat1 = np.radians(float(lat))
+    lon1 = np.radians(float(lon))
+    lat2 = np.radians(np.asarray(lat_arr, dtype=np.float64))
+    lon2 = np.radians(np.asarray(lon_arr, dtype=np.float64))
+    h = (
+        np.power(np.sin((lat2 - lat1) / 2.0), 2.0)
+        + np.cos(lat1) * np.cos(lat2) * np.power(np.sin((lon2 - lon1) / 2.0), 2.0)
+    )
+    return 2.0 * EARTH_MEAN_RADIUS_M * np.arcsin(np.sqrt(h))
+
+
 def haversine_meters_sql(lat_col: str, lon_col: str, lat: float, lon: float) -> str:
     """The same formula as ANSI SQL text (for DuckDB oracles)."""
     return (

@@ -99,6 +99,23 @@ class PredSpec:
 
 
 @dataclass(frozen=True)
+class ValueSpec:
+    """Per-doc scores derived from docs-table numeric column(s) — the
+    FeatureQuery / DistanceFeatureQuery roles (FeatureField.java:221+,
+    LongDistanceFeatureQuery.java:95-122). Driver mode resolves
+    ``docs``/``vals`` up front; distributed mode sets ``key`` and each
+    chunk context carries its own (docs, vals) slice (ctx.docvals).
+    Both modes score through :func:`value_scores`, one float path."""
+
+    kind: str  # feature_linear|feature_log|feature_saturation|feature_sigmoid|dist_long|dist_geo
+    params: tuple
+    boost: float = 1.0
+    key: tuple | None = None  # distributed: ctx.docvals[key]
+    docs: tuple = ()  # driver-resolved doc ids (sorted)
+    vals: tuple = ()  # driver-resolved per-doc value tuples
+
+
+@dataclass(frozen=True)
 class DisMaxSpec:
     subs: tuple
     tie: float
@@ -238,6 +255,12 @@ def compile_query(
         return DocSetSpec(q.doc_ids, float(b32)) if q.doc_ids else NoneSpec()
     if isinstance(q, A.PredDocSetQuery):
         return PredSpec(q.key, float(b32))
+    if isinstance(q, A.DocValueScoreQuery):
+        if not q.doc_ids:
+            return NoneSpec()
+        return ValueSpec(q.kind, q.params, float(b32), docs=q.doc_ids, vals=q.values)
+    if isinstance(q, A.PredValueScoreQuery):
+        return ValueSpec(q.kind, q.params, float(b32), key=q.key)
     if isinstance(q, A.PhraseQuery):
         if any(not term_df.get(t) for t in q.terms):
             return NoneSpec()
@@ -349,6 +372,7 @@ class ChunkContext:
         doc_range: tuple[int, int] | None = None,
         docsets: dict | None = None,
         sim=None,
+        docvals: dict | None = None,
     ):
         self.arrays = arrays
         self.cache = cache
@@ -363,6 +387,8 @@ class ChunkContext:
         # PredSpec key → this context's doc-id slice (chunk-local in
         # distributed mode; whole set in driver mode)
         self.docsets = docsets or {}
+        # ValueSpec key → (docs int64, vals float64 [n, m]) slice
+        self.docvals = docvals or {}
 
     def score(self, weight, freqs, norms, field: str) -> np.ndarray:
         """Vectorized SimScorer.score over this context's field table."""
@@ -378,6 +404,68 @@ class ChunkContext:
 
     def term(self, t: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return self.arrays.get(t, (EMPTY_I, EMPTY_I, EMPTY_I))
+
+
+MIN_NORMAL_F32 = float(np.finfo(np.float32).tiny)  # Float.MIN_NORMAL
+
+
+def decode_feature_values(v: np.ndarray) -> np.ndarray:
+    """FeatureField's store/decode round trip: the feature is stored IN
+    the term frequency as floatToIntBits(value) >>> 15
+    (FeatureField.java:196-202 FeatureTokenStream.incrementToken sets
+    termFrequency) and decoded as intBitsToFloat(tf << 15)
+    (:208-218 decodeFeatureValue) — i.e. the float32 mantissa truncated
+    to its top 8 bits. Input float64/float32, output float32."""
+    f = np.asarray(v, dtype=np.float32)
+    bits = f.view(np.int32)
+    return np.left_shift(np.right_shift(bits, 15), 15).view(np.float32)
+
+
+def value_scores(kind: str, params: tuple, boost: float, vals: np.ndarray) -> np.ndarray:
+    """Score per-doc value rows (float64 [n, m]) → float32, matching the
+    reference's float semantics per function:
+    - feature_linear: w * v, all-float32 arithmetic (FeatureField.java:
+      231-239 LinearFunction)
+    - feature_log: (float)(w * Math.log(a + v)) — double, f32 cast
+      (:305-312 LogFunction)
+    - feature_saturation: w * (1 - pivot/(v + pivot)), all-float32 —
+      the monotonic rewrite (:373-387 SaturationFunction)
+    - feature_sigmoid: (float)(w * (1 - pivot^a/(v^a + pivot^a))) —
+      double, f32 cast (:441-450 SigmoidFunction)
+    - dist_long: (float)(boost * (pivot / (pivot + |v - origin|)))
+      (LongDistanceFeatureQuery.java:112-117)
+    - dist_geo: boost * pivot_m / (pivot_m + haversine_m) over
+      EARTH_MEAN_RADIUS (LatLonPointDistanceFeatureQuery role)."""
+    if kind.startswith("feature_"):
+        dec = decode_feature_values(vals[:, 0])
+        fn = kind[len("feature_") :]
+        w = np.float32(boost)
+        if fn == "linear":
+            return (w * dec).astype(np.float32)
+        if fn == "log":
+            (a,) = params
+            return (float(boost) * np.log(float(a) + dec.astype(np.float64))).astype(np.float32)
+        if fn == "saturation":
+            (pivot,) = params
+            p = np.float32(pivot)
+            return (w * (np.float32(1.0) - p / (dec + p))).astype(np.float32)
+        if fn == "sigmoid":
+            pivot, a = params
+            pa = float(pivot) ** float(a)
+            f = dec.astype(np.float64)
+            return (float(boost) * (1.0 - pa / (np.power(f, float(a)) + pa))).astype(np.float32)
+        raise ValueError(f"unknown feature function {fn!r}")
+    if kind == "dist_long":
+        origin, pivot = params
+        dist = np.abs(vals[:, 0] - float(origin))
+        return (float(boost) * (float(pivot) / (float(pivot) + dist))).astype(np.float32)
+    if kind == "dist_geo":
+        from lucene_spark.search.geo import haversine_np
+
+        lat, lon, pivot = params
+        d = haversine_np(vals[:, 0], vals[:, 1], float(lat), float(lon))
+        return (float(boost) * (float(pivot) / (float(pivot) + d))).astype(np.float32)
+    raise ValueError(f"unknown value-score kind {kind!r}")
 
 
 def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
@@ -415,6 +503,18 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
         d = ctx.docsets.get(spec.key)
         d = EMPTY_I if d is None else np.asarray(d, dtype=np.int64)
         return d, np.full(len(d), np.float32(spec.boost), dtype=np.float32)
+    if isinstance(spec, ValueSpec):
+        if spec.key is not None:
+            dv = ctx.docvals.get(spec.key)
+            if dv is None:
+                return EMPTY_I, EMPTY_F
+            docs, vals = dv
+        else:
+            docs = np.asarray(spec.docs, dtype=np.int64)
+            if not len(docs):
+                return EMPTY_I, EMPTY_F
+            vals = np.asarray(spec.vals, dtype=np.float64).reshape(len(docs), -1)
+        return docs, value_scores(spec.kind, spec.params, spec.boost, vals)
     if isinstance(spec, ConstSpec):
         parts = [ctx.term(t)[0] for t in spec.terms]
         parts = [p for p in parts if len(p)]
