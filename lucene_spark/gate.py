@@ -1394,6 +1394,22 @@ def queries() -> dict:
 
     Q["sg_spell_top5"] = _suggest_spell
 
+    def _wordbreak(spark, sf):
+        from lucene_spark.search.suggest import word_breaks
+
+        index, _ = gate_index(spark, sf)
+        return word_breaks(index, "tablehash", k=5)
+
+    Q["sg_wordbreak_top5"] = _wordbreak
+
+    def _wordcombine(spark, sf):
+        from lucene_spark.search.suggest import word_combinations
+
+        index, _ = gate_index(spark, sf)
+        return word_combinations(index, ["tab", "le", "hash"], k=5)
+
+    Q["sg_wordcombine_top5"] = _wordcombine
+
     def _common_terms(spark, sf):
         from lucene_spark.search.commonterms import search_common_terms
 
@@ -2388,6 +2404,32 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         base_ctes() + " SELECT term, levenshtein(term, 'dat')::BIGINT AS dist, df::BIGINT AS df "
         "FROM dfr WHERE levenshtein(term, 'dat') BETWEEN 1 AND 2 "
         "ORDER BY dist, df DESC, term LIMIT 5"
+    )
+    # WordBreakSpellChecker.suggestWordBreaks: splits of 'tablehash'
+    # with both parts in the dictionary, ranked changes asc then max
+    # part df desc (NUM_CHANGES_THEN_MAX_FREQUENCY)
+    O["sg_wordbreak_top5"] = (
+        base_ctes()
+        + ", cand AS (SELECT substr('tablehash', 1, i::INT) AS l, "
+        "substr('tablehash', i::INT + 1) AS r FROM (SELECT unnest(range(1, 9)) AS i)) "
+        "SELECT l || ' ' || r AS suggestion, 1::BIGINT AS changes, "
+        "greatest(dl.df, dr.df)::BIGINT AS freq "
+        "FROM cand JOIN dfr dl ON dl.term = l JOIN dfr dr ON dr.term = r "
+        "ORDER BY changes, freq DESC, suggestion LIMIT 5"
+    )
+    # suggestWordCombinations over (tab, le, hash): adjacent pairs
+    # whose concatenation is a dictionary word and at least one
+    # constituent is absent (SUGGEST_WHEN_NOT_IN_INDEX minFreq == 0)
+    O["sg_wordcombine_top5"] = (
+        base_ctes()
+        + " SELECT w.comb AS suggestion, w.start_idx::BIGINT AS start_idx, "
+        "w.end_idx::BIGINT AS end_idx, 1::BIGINT AS changes, d.df::BIGINT AS freq "
+        "FROM (VALUES ('table', 0, 1, 'tab', 'le'), ('lehash', 1, 2, 'le', 'hash')) "
+        "AS w(comb, start_idx, end_idx, t1, t2) "
+        "JOIN dfr d ON d.term = w.comb "
+        "WHERE least(coalesce((SELECT df FROM dfr WHERE term = w.t1), 0), "
+        "coalesce((SELECT df FROM dfr WHERE term = w.t2), 0)) = 0 "
+        "ORDER BY changes, freq DESC, start_idx LIMIT 5"
     )
     O["ft_filterwand_top10"] = topk_sql(
         "SELECT t.doc_id, sum(t.s) AS s FROM tscore t JOIN documents d ON d.doc_id = t.doc_id "

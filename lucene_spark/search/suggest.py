@@ -143,3 +143,150 @@ def fuzzy_suggest(
         .orderBy(F.desc("weight"), F.asc("term"))
         .limit(k)
     )
+
+
+def _break_candidates(term: str, max_changes: int, min_len: int) -> list[tuple[tuple[str, ...], int]]:
+    """All ways to break ``term`` into 2..max_changes+1 parts, every
+    part >= min_len chars (the split lattice WordBreakSpellChecker
+    walks recursively, WordBreakSpellChecker.java:239-299). Pure query
+    metadata — at most len(term)^max_changes combos for ONE query
+    term, generated driver-side like query parsing."""
+    out: list[tuple[tuple[str, ...], int]] = []
+
+    def rec(rest: str, parts: tuple[str, ...], breaks: int):
+        for i in range(min_len, len(rest) - min_len + 1):
+            left, right = rest[:i], rest[i:]
+            out.append((parts + (left, right), breaks + 1))
+            if breaks + 1 < max_changes:
+                rec(right, parts + (left,), breaks + 1)
+
+    rec(term, (), 0)
+    return out
+
+
+def word_breaks(
+    index,
+    term: str,
+    k: int = 5,
+    max_changes: int = 1,
+    min_break_length: int = 1,
+    min_suggestion_freq: int = 1,
+    sort: str = "max",
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/src/java/
+    org/apache/lucene/search/spell/WordBreakSpellChecker.java:71-123,
+    244-299): break a run-together term into dictionary words. A
+    suggestion is a split of ``term`` into parts (each >= 
+    ``min_break_length`` chars, at most ``max_changes`` breaks) where
+    EVERY part has docFreq >= ``min_suggestion_freq``; ranked by number
+    of breaks asc then max (default, NUM_CHANGES_THEN_MAX_FREQUENCY) or
+    summed part frequency desc, suggestion asc for determinism. The
+    default SUGGEST_WHEN_NOT_IN_INDEX mode returns nothing when the
+    whole term is already a dictionary word (:97-99).
+
+    Plan shape: the split lattice of ONE query term is driver-side
+    metadata (like parsing); frequencies come from ONE broadcast
+    hash join of the exploded parts against the term-stats relation
+    (pruned scan), re-grouped per candidate — no collect of index data.
+
+    Returns (suggestion: space-joined parts, changes, freq)."""
+    spark = index.spark
+    whole_df = index.term_stats([term]).get(term, (0, 0))[0]
+    if whole_df > 0:
+        return spark.createDataFrame([], "suggestion string, changes bigint, freq bigint")
+    cands = _break_candidates(term, max_changes, max(1, min_break_length))
+    if not cands:
+        return spark.createDataFrame([], "suggestion string, changes bigint, freq bigint")
+    rows = [
+        (ci, pi, p, len(parts), changes)
+        for ci, (parts, changes) in enumerate(cands)
+        for pi, p in enumerate(parts)
+    ]
+    parts_df = spark.createDataFrame(
+        rows, "cand_id long, part_idx long, part string, n_parts long, changes long"
+    )
+    stats = index.term_stats_df.select("term", F.col("df").cast("long").alias("df"))
+    agg_freq = F.max("df") if sort == "max" else F.sum("df")
+    # prune the term dictionary to the candidate parts (semi join
+    # against the tiny broadcast parts set), then broadcast the pruned
+    # frequencies back onto the candidate lattice
+    cand_terms = parts_df.select(F.col("part").alias("term")).distinct()
+    part_freqs = stats.join(F.broadcast(cand_terms), "term", "left_semi")
+    joined = parts_df.join(
+        F.broadcast(part_freqs), parts_df.part == part_freqs.term, "left"
+    )
+    return (
+        joined.groupBy("cand_id", "n_parts", "changes")
+        .agg(
+            F.min(F.coalesce(F.col("df"), F.lit(0))).alias("minf"),
+            agg_freq.alias("freq"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("part_idx", "part"))),
+                    lambda s: s["part"],
+                ),
+                " ",
+            ).alias("suggestion"),
+        )
+        .filter(F.col("minf") >= min_suggestion_freq)
+        .select("suggestion", F.col("changes").cast("long"), F.col("freq").cast("long"))
+        .orderBy(F.asc("changes"), F.desc("freq"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
+def word_combinations(
+    index,
+    terms: list[str],
+    k: int = 5,
+    max_changes: int = 1,
+    max_combine_length: int = 20,
+    min_suggestion_freq: int = 1,
+    mode: str = "when_not_in_index",
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations
+    (WordBreakSpellChecker.java:145-236): combine runs of 2 ..
+    ``max_changes``+1 ADJACENT input terms into one dictionary word.
+    mode "when_not_in_index" keeps a combination only when at least one
+    constituent is absent from the index (minFreq == 0, :205);
+    "more_popular" requires the combined frequency to beat every
+    constituent's (:204); "always" keeps all. Combined words longer
+    than ``max_combine_length`` are skipped (:192-194). Ranked by
+    number of combinations asc then combined docFreq desc (the
+    CombinationsThenFreqComparator), then start index asc.
+
+    Plan shape: the adjacent-run windows of the query's own term list
+    are driver-side metadata; ONE broadcast join against term-stats
+    resolves all frequencies (input terms + combined candidates).
+
+    Returns (suggestion, start_idx, end_idx, changes, freq)."""
+    spark = index.spark
+    lookup = list(dict.fromkeys(list(terms)))
+    windows = []
+    for i in range(len(terms) - 1):
+        combined = terms[i]
+        for j in range(i + 1, min(len(terms), i + 1 + max_changes)):
+            combined = combined + terms[j]
+            if len(combined) > max_combine_length:
+                break
+            windows.append((i, j, combined, j - i))
+    if not windows:
+        return spark.createDataFrame(
+            [], "suggestion string, start_idx bigint, end_idx bigint, changes bigint, freq bigint"
+        )
+    freqs = index.term_stats(lookup + [w[2] for w in windows])
+    out = []
+    for i, j, combined, changes in windows:
+        cf = freqs.get(combined, (0, 0))[0]
+        part_freqs = [freqs.get(t, (0, 0))[0] for t in terms[i : j + 1]]
+        if cf < min_suggestion_freq:
+            continue
+        if mode == "when_not_in_index" and min(part_freqs) != 0:
+            continue
+        if mode == "more_popular" and cf < max(part_freqs):
+            continue
+        out.append((combined, i, j, changes, cf))
+    out.sort(key=lambda r: (r[3], -r[4], r[1]))
+    return spark.createDataFrame(
+        out[:k], "suggestion string, start_idx bigint, end_idx bigint, changes bigint, freq bigint"
+    )
