@@ -1593,6 +1593,63 @@ def _pipeline_queries() -> dict:
             F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ").alias("text")
         )
 
+    # exact-substring dedup (Lee et al. 2022 at word-5-gram
+    # granularity): per-doc merged duplicated spans + span removal
+    def _dupspans(spark, sf):
+        from lucene_spark.pipeline import substrings
+
+        return (
+            substrings.duplicated_ngram_spans(_docs(spark, sf), n=5)
+            .select(
+                F.col("doc_id").cast("long"),
+                F.col("n_tokens").cast("long"),
+                F.col("dup_tokens").cast("long"),
+                F.round("dup_frac", 4).alias("dup_frac_r"),
+            )
+            .orderBy("doc_id")
+        )
+
+    Q["dd_dupspans"] = _dupspans
+
+    def _dupclean(spark, sf):
+        from lucene_spark.pipeline import substrings
+
+        return (
+            substrings.remove_duplicated_ngrams(_docs(spark, sf), n=5)
+            .select(F.col("doc_id").cast("long"), "text", F.col("dup_tokens").cast("long"))
+            .orderBy("doc_id")
+        )
+
+    Q["dd_dupclean"] = _dupclean
+
+    # C4 line filters over a deterministically line-structured
+    # derivation of the corpus (7-token lines; every third line of a
+    # doc lacks terminal punctuation; every 17th doc gains a brace,
+    # every 19th a "lorem ipsum" line) — the oracle derives the
+    # identical multiline text in SQL
+    def _c4(spark, sf):
+        docs = _docs(spark, sf)
+        toks = F.split(F.col("text"), " ")
+        nlines = F.ceil(F.size(toks) / F.lit(7)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), nlines - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 7 + 1, 7), " "),
+                F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+            ),
+        )
+        text2 = F.concat(
+            F.array_join(lines, "\n"),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(" {")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 19 == 0, F.lit("\nsome lorem ipsum filler line.")).otherwise(
+                F.lit("")
+            ),
+        )
+        mdocs = docs.select("doc_id", text2.alias("text"))
+        return curation.c4_line_filters(mdocs).orderBy("doc_id")
+
+    Q["tx_c4"] = _c4
+
     Q["dd_decontam"] = lambda spark, sf: curation.contaminated_ids(
         _docs(spark, sf), _bench(spark, sf), n=8
     ).select(F.col("doc_id").cast("long")).orderBy("doc_id")
@@ -2536,6 +2593,56 @@ SELECT doc_id::BIGINT AS doc_id, n_occ, first_start, last_end,
 FROM occ ORDER BY doc_id"""
 
     # -- pipeline operators --
+    # exact-substring dedup: dup_tokens = |union of covered positions|
+    # (identical to summed merged-island lengths)
+    _DUPCTES = (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents), "
+        "occ AS (SELECT doc_id, i - 1 AS pos, array_to_string(l[i:i+4], ' ') AS g "
+        "        FROM toks, unnest(range(1, len(l) - 5 + 2)) AS t(i) WHERE len(l) >= 5), "
+        "dup AS (SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2), "
+        "cov AS (SELECT DISTINCT doc_id, cp FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS cp "
+        "        FROM occ WHERE g IN (SELECT g FROM dup)))"
+    )
+    O["dd_dupspans"] = (
+        _DUPCTES
+        + ", agg AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id) "
+        "SELECT a.doc_id, len(t.l)::BIGINT AS n_tokens, a.dup_tokens::BIGINT AS dup_tokens, "
+        "round(a.dup_tokens / len(t.l), 4) AS dup_frac_r "
+        "FROM agg a JOIN toks t USING (doc_id) ORDER BY a.doc_id"
+    )
+    O["dd_dupclean"] = (
+        _DUPCTES
+        + ", covl AS (SELECT doc_id, list(cp) AS cov FROM cov GROUP BY doc_id) "
+        "SELECT t.doc_id, coalesce(CASE WHEN c.cov IS NULL THEN array_to_string(t.l, ' ') "
+        "ELSE array_to_string(list_transform(list_filter(range(0, len(t.l)), "
+        "i -> NOT list_contains(c.cov, i)), i -> t.l[i + 1]), ' ') END, '') AS text, "
+        "coalesce(len(c.cov), 0)::BIGINT AS dup_tokens "
+        "FROM toks t LEFT JOIN covl c USING (doc_id) ORDER BY t.doc_id"
+    )
+    # C4 line filters (Raffel et al. 2020 §2.2): derived multiline
+    # corpus identical to the Spark-side gate derivation
+    O["tx_c4"] = (
+        "WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "ml AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(w) / 7.0) AS INT)), "
+        "  i -> array_to_string(w[i * 7 + 1 : i * 7 + 7], ' ') || "
+        "       CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END) AS ls FROM t0), "
+        "mt AS (SELECT doc_id, array_to_string(ls, chr(10)) "
+        "  || CASE WHEN doc_id % 17 = 0 THEN ' {' ELSE '' END "
+        "  || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'some lorem ipsum filler line.' ELSE '' END "
+        "  AS text FROM ml), "
+        "f AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM mt), "
+        "k AS (SELECT doc_id, lines, "
+        "  list_filter(lines, l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%\"' "
+        "    OR l LIKE '%''') "
+        "    AND len(list_filter(regexp_split_to_array(trim(l), ' +'), x -> x != '')) >= 3 "
+        "    AND NOT contains(lower(l), 'javascript')) AS kept, "
+        "  contains(text, '{') AS hb, contains(lower(text), 'lorem ipsum') AS hl FROM f) "
+        "SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text, "
+        "len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept_lines, "
+        "hb::BIGINT AS has_brace, hl::BIGINT AS has_lorem, "
+        "(NOT hl AND NOT hb AND len(kept) >= 5)::BIGINT AS keep_doc "
+        "FROM k ORDER BY doc_id"
+    )
     O["dd_exact"] = (
         "SELECT sha256(text) AS content_sha256, min(doc_id)::BIGINT AS rep_id, "
         "count(*)::BIGINT AS n_dups FROM documents GROUP BY sha256(text)"

@@ -116,3 +116,56 @@ def sample_stratified(
     for val, rate in rates.items():
         expr = F.when(F.col(group_col) == val, F.lit(int(rate * _BUCKETS))).otherwise(expr)
     return df.filter(bucket < expr)
+
+
+C4_TERMINAL_PUNCT = (".", "!", "?", '"', "'")
+
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_lines: int = 5,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning...", §2.2 — the public rule list):
+
+    - keep only lines ending in a terminal punctuation mark;
+    - drop lines with fewer than ``min_words_per_line`` words;
+    - drop lines containing the word "javascript";
+    - drop PAGES containing "lorem ipsum" or a curly brace, or with
+      fewer than ``min_lines`` retained lines.
+
+    (The original also drops pages matching an external profanity
+    wordlist and near-duplicate 3-sentence spans; the wordlist is an
+    external artifact — hook your own via a filter — and span dedup is
+    :func:`lucene_spark.pipeline.substrings.remove_duplicated_ngrams`.)
+
+    Everything is array-lambda / string expressions — one scan, zero
+    shuffle, whole-stage codegen; at 100 TB this is ingest-bound.
+
+    Returns (id, text = retained lines joined, n_lines, n_kept_lines,
+    has_brace, has_lorem, keep_doc)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(l):
+        words = F.size(F.filter(F.split(F.trim(l), " +"), lambda w: w != ""))
+        punct = F.lit(False)
+        for p in C4_TERMINAL_PUNCT:
+            punct = punct | l.endswith(p)
+        return punct & (words >= min_words_per_line) & ~F.lower(l).contains("javascript")
+
+    kept = F.filter(lines, _keep)
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    keep_doc = ~has_lorem & ~has_brace & (F.size(kept) >= min_lines)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        has_brace.cast("long").alias("has_brace"),
+        has_lorem.cast("long").alias("has_lorem"),
+        keep_doc.cast("long").alias("keep_doc"),
+    )
