@@ -59,6 +59,14 @@ QUERIES: dict[str, A.Query] = {
     "q_field_filter": A.BooleanQuery(
         ((A.Occur.MUST, A.TermQuery("table")), (A.Occur.FILTER, A.FieldValueQuery("lang", "en")))
     ),
+    # FeatureField saturation as a scored SHOULD (ValueSpec path: the
+    # docvalues read is cached after first touch, like term postings)
+    "q_feature": A.BooleanQuery(
+        (
+            (A.Occur.SHOULD, A.TermQuery("table")),
+            (A.Occur.SHOULD, A.BoostQuery(A.FeatureQuery("n_chars", "saturation", pivot=256.0), 1.5)),
+        )
+    ),
 }
 
 

@@ -1650,6 +1650,26 @@ def _pipeline_queries() -> dict:
 
     Q["tx_c4"] = _c4
 
+    # PII scrubbing over deterministically planted PII (every doc gains
+    # an email; every 3rd an IP, every 5th a phone) — oracle plants the
+    # identical strings and applies the same RE2-safe patterns
+    def _pii(spark, sf):
+        docs = _docs(spark, sf)
+        d = F.col("doc_id")
+        text2 = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit("."), (d % 100).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" call +1 555 123 4567")).otherwise(F.lit("")),
+        )
+        pdocs = docs.select("doc_id", text2.alias("text"))
+        return curation.scrub_pii(pdocs).orderBy("doc_id")
+
+    Q["tx_pii"] = _pii
+
     Q["dd_decontam"] = lambda spark, sf: curation.contaminated_ids(
         _docs(spark, sf), _bench(spark, sf), n=8
     ).select(F.col("doc_id").cast("long")).orderBy("doc_id")
@@ -2642,6 +2662,22 @@ FROM occ ORDER BY doc_id"""
         "hb::BIGINT AS has_brace, hl::BIGINT AS has_lorem, "
         "(NOT hl AND NOT hb AND len(kept) >= 5)::BIGINT AS keep_doc "
         "FROM k ORDER BY doc_id"
+    )
+    # PII scrubbing: planted PII re-derived in SQL; same RE2-safe
+    # patterns, counts on the pre-scrub text, sequential replacement
+    _P_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _P_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    _P_PHONE = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}"
+    O["tx_pii"] = (
+        "WITH planted AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com' "
+        "|| CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ELSE '' END "
+        "|| CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 123 4567' ELSE '' END AS text FROM documents) "
+        f"SELECT doc_id, len(regexp_extract_all(text, '{_P_EMAIL}'))::BIGINT AS n_email, "
+        f"len(regexp_extract_all(text, '{_P_IP}'))::BIGINT AS n_ipv4, "
+        f"len(regexp_extract_all(text, '{_P_PHONE}'))::BIGINT AS n_phone, "
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{_P_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_P_IP}', '<IP>', 'g'), '{_P_PHONE}', '<PHONE>', 'g') AS text "
+        "FROM planted ORDER BY doc_id"
     )
     O["dd_exact"] = (
         "SELECT sha256(text) AS content_sha256, min(doc_id)::BIGINT AS rep_id, "

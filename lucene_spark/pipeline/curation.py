@@ -169,3 +169,43 @@ def c4_line_filters(
         has_lorem.cast("long").alias("has_lorem"),
         keep_doc.cast("long").alias("keep_doc"),
     )
+
+
+# PII scrubbing patterns — deliberately RE2-safe (no backreferences or
+# lookaround) so the identical pattern strings run in Spark's Java
+# regex AND DuckDB's RE2 oracle with the same matches.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>"),
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kinds: tuple = ("email", "ipv4", "phone"),
+) -> DataFrame:
+    """Redact common PII shapes from a text column (the standard
+    pre-training scrub pass — e.g. the BigScience ROOTS / RefinedWeb
+    pipelines redact emails, IPs and phone numbers with typed
+    placeholders). Applies each pattern in ``kinds`` order with
+    ``regexp_replace`` — pure JVM string expressions, one scan, zero
+    shuffle; at 100 TB this is ingest-bound like the C4 filters.
+
+    Returns the input relation with ``text_col`` rewritten plus one
+    ``n_<kind>`` count column per kind (redaction telemetry)."""
+    out = df
+    text = F.col(text_col)
+    counts = []
+    for kind in kinds:
+        pat, repl = PII_PATTERNS[kind]
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{kind}")
+        )
+        text = F.regexp_replace(text, pat, repl)
+    keep = [F.col(c) for c in df.columns if c != text_col]
+    return out.select(*keep, *counts, text.alias(text_col))

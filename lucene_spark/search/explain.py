@@ -25,6 +25,7 @@ from lucene_spark.search.kernels import (
     PhraseSpec,
     SynonymSpec,
     TermSpec,
+    ValueSpec,
     evaluate,
 )
 
@@ -71,6 +72,13 @@ def explain_spec(spec, ctx: ChunkContext, doc: int) -> dict:
         return _node(matched, v, f"synonym({', '.join(spec.terms)}) summed tf, max-df idf")
     if isinstance(spec, (ConstSpec, DocSetSpec)):
         return _node(matched, v, "ConstantScore")
+    if isinstance(spec, ValueSpec):
+        return _node(
+            matched,
+            v,
+            f"{spec.kind}{spec.params}, weight {spec.boost:g} "
+            "(FeatureField / DistanceFeatureQuery per-doc value score)",
+        )
     if isinstance(spec, PhraseSpec):
         return _node(matched, v, f'phrase "{" ".join(spec.terms)}"~{spec.slop}, summed-idf weight {spec.weight:.6g}')
     if isinstance(spec, MultiPhraseSpec):

@@ -249,6 +249,25 @@ def main() -> None:
     sections.append(("DocValues-update merge-on-read overlay", plan))
     _sh.rmtree(dvdir, ignore_errors=True)
 
+    # 16. distributed feature query (ValueSpec): the aux value scan
+    # pushes the non-null predicate to parquet, and no doc/value list
+    # ever materializes on the driver (no LocalTableScan of values)
+    from lucene_spark.search import ast as A
+
+    featq = A.BooleanQuery(
+        (
+            (A.Occur.SHOULD, A.TermQuery("table")),
+            (A.Occur.SHOULD, A.FeatureQuery("n_chars", "saturation", pivot=256.0)),
+        )
+    )
+    plan = _capture(searcher.match_frame(featq))
+    check("feature aux scan pushes IsNotNull", plan, r"PushedFilters: \[.*IsNotNull\(n_chars")
+    ok_local = "LocalTableScan" not in plan
+    CHECKS.append(
+        ("feature values never driver-materialized", "no LocalTableScan in distributed feature plan", ok_local)
+    )
+    sections.append(("Distributed feature query (ValueSpec aux scan)", plan))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     with open(out, "w") as fh:
         fh.write("# PLANS — physical-plan audit (scripts/explain_audit.py)\n\n")

@@ -126,3 +126,29 @@ def test_c4_line_filters(spark):
     assert "two words." not in r2["text"]
     assert got[3]["keep_doc"] == 0 and got[3]["has_brace"] == 1
     assert got[4]["keep_doc"] == 0 and got[4]["has_lorem"] == 1
+
+
+def test_scrub_pii(spark):
+    import re
+
+    from lucene_spark.pipeline.curation import PII_PATTERNS, scrub_pii
+
+    rows = [
+        (0, "mail me at jo.doe+x@exa-mple.co and 10.1.2.3 or +1 555 123 4567 ok"),
+        (1, "clean text no pii here"),
+        (2, "two mails a@b.io c@d.org and ip 192.168.0.1 end"),
+        (3, "not an ip 1234.5.6.7890 and not a mail foo@bar"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    for d, text in rows:
+        want = text
+        for kind in ("email", "ipv4", "phone"):
+            pat, repl = PII_PATTERNS[kind]
+            assert got[d][f"n_{kind}"] == len(re.findall(pat, text)), (d, kind)
+            want = re.sub(pat, repl, want)
+        assert got[d]["text"] == want, d
+    assert got[0]["text"] == "mail me at <EMAIL> and <IP> or <PHONE> ok"
+    assert got[2]["n_email"] == 2 and got[2]["n_ipv4"] == 1
+    # word-boundary guard: 1234.5.6.7890 is not an IPv4
+    assert got[3]["n_ipv4"] == 0 and "<IP>" not in got[3]["text"]
