@@ -528,6 +528,12 @@ def queries() -> dict:
         )
 
     Q["ft_geosort_top5"] = _geosort
+    # FuzzyQuery under the REFERENCE's default scored rewrite
+    # (TopTermsBlendedFreqScoringRewrite): per-term boost by edit
+    # distance, df blended to the max over the expansion set
+    Q["ft_fuzzyscored_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, A.FuzzyQuery("tale", max_edits=2, rewrite="blended_freq"))
+    )
     # FeatureField.newSaturationQuery as a SHOULD clause next to BM25
     # (the reference javadoc's pagerank-boost pattern); weight=1.5
     # arrives as BoostQuery per FeatureField.java:525-527. The feature
@@ -1798,6 +1804,19 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT m.doc_id, round(2.0 * 6371008.7714 * asin(sqrt(pow(sin((radians(lat) - radians(48.8)) / 2.0), 2.0) + cos(radians(48.8)) * cos(radians(lat)) * pow(sin((radians(lon) - radians(2.3)) / 2.0), 2.0))), 1) AS dist_r "
         + "FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'table') m "
         + "JOIN gcoords USING (doc_id) ORDER BY 2.0 * 6371008.7714 * asin(sqrt(pow(sin((radians(lat) - radians(48.8)) / 2.0), 2.0) + cos(radians(48.8)) * cos(radians(lat)) * pow(sin((radians(lon) - radians(2.3)) / 2.0), 2.0))), doc_id LIMIT 5"
+    )
+    # Blended-freq fuzzy: expansions of 'tale' within 2 edits; boost =
+    # 1 - ed/min(len(term), 4) (exact -> 1.0); idf uses df = max over
+    # the expansion set; SHOULD-summed per-term BM25
+    O["ft_fuzzyscored_top10"] = topk_sql(
+        "SELECT f.doc_id, sum(bw.bo * (i.w - i.w / (1 + f.tf * " + _INV + "))) AS s "
+        "FROM (SELECT term, CASE WHEN levenshtein(term, 'tale') = 0 THEN 1.0 "
+        "      ELSE 1.0 - levenshtein(term, 'tale')::DOUBLE / least(length(term), 4) END AS bo "
+        "      FROM dfr WHERE levenshtein(term, 'tale') <= 2) bw "
+        "JOIN tf f USING (term) JOIN norms n USING (doc_id), "
+        "(SELECT ln(1 + ((SELECT n FROM stats) - max(df) + 0.5) / (max(df) + 0.5)) AS w "
+        " FROM dfr WHERE levenshtein(term, 'tale') <= 2) i "
+        "GROUP BY f.doc_id"
     )
     # FeatureField saturation over n_chars quantized through the
     # freq-encode round trip: floatToIntBits(v) >>> 15 truncates the

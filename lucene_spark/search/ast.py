@@ -82,10 +82,22 @@ class RegexpQuery(Query):
 
 @dataclass(frozen=True)
 class FuzzyQuery(Query):
+    """``rewrite="constant"`` (this engine's default, the
+    CONSTANT_SCORE rewrite shared with the other MultiTermQuery
+    shapes); ``rewrite="blended_freq"`` reproduces the REFERENCE's
+    default TopTermsBlendedFreqScoringRewrite
+    (FuzzyQuery.java:59-62, MultiTermQuery.java:163-200): the top
+    ``max_expansions`` expansions by boost become a boolean-rewrite
+    BlendedTermQuery (df blended to the max) with per-term boost
+    1.0 for an exact match else 1 - ed/min(|candidate|, |term|)
+    (FuzzyTermsEnum.java:247-255)."""
+
     term: str
     max_edits: int = 2  # FuzzyQuery.java:52-54 defaultMaxEdits
     prefix_length: int = 0
     field: str = "content"
+    rewrite: str = "constant"
+    max_expansions: int = 50  # FuzzyQuery.java:56 defaultMaxExpansions
 
 
 @dataclass(frozen=True)

@@ -382,6 +382,32 @@ class Searcher:
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
         if isinstance(q, A.FuzzyQuery):
             terms = self.index.expand_terms("fuzzy", (q.term, q.max_edits, q.prefix_length), field=q.field)
+            if q.rewrite == "blended_freq":
+                # TopTermsBlendedFreqScoringRewrite (the REFERENCE's
+                # default, FuzzyQuery.java:59-62): top max_expansions
+                # by boost -> boolean-rewrite BlendedTermQuery; boost =
+                # 1.0 exact else 1 - ed/min(|cand|, |term|)
+                # (FuzzyTermsEnum.java:247-255, f32)
+                import numpy as np
+
+                from lucene_spark.index.builder import FIELD_SEP
+                from lucene_spark.testing.oracle import levenshtein
+
+                scored = []
+                for t in terms:
+                    bare = t.split(FIELD_SEP)[-1]
+                    ed = levenshtein(bare, q.term, q.max_edits)
+                    b = 1.0 if ed == 0 else 1.0 - ed / min(len(bare), len(q.term))
+                    scored.append((t, float(np.float32(b))))
+                scored.sort(key=lambda x: (-x[1], x[0]))
+                scored = scored[: q.max_expansions]
+                if not scored:
+                    return A.MatchNoDocsQuery(f"no fuzzy expansions for {q.term!r}")
+                return A.BlendedTermQuery(
+                    tuple(t for t, _ in scored),
+                    tuple(b for _, b in scored),
+                    boolean_rewrite=True,
+                )
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
         if isinstance(q, A.TermRangeQuery):
             terms = self.index.expand_terms(

@@ -93,3 +93,52 @@ class TestBlended:
         boosted = s.search(A.BlendedTermQuery(("return",), boosts=(2.0,)), k=5)
         for (d1, s1), (d2, s2) in zip(boosted.hits, plain.hits):
             assert d1 == d2 and abs(s1 - 2 * s2) < 1e-5
+
+
+class TestFuzzyBlendedRewrite:
+    """FuzzyQuery(rewrite="blended_freq") = the reference's default
+    TopTermsBlendedFreqScoringRewrite (FuzzyQuery.java:59-62,
+    MultiTermQuery.java:163-200): expansions become a boolean-rewrite
+    BlendedTermQuery with boost 1.0 (exact) else 1 - ed/min(|cand|,
+    |term|) (FuzzyTermsEnum.java:247-255)."""
+
+    def test_vs_composed_blended(self, spark, search_index):
+        from lucene_spark.testing.oracle import levenshtein
+
+        s = Searcher(search_index)
+        term, max_edits = "retur", 2
+        got = s.search(A.FuzzyQuery(term, max_edits=max_edits, rewrite="blended_freq"), k=10)
+        # compose the expected BlendedTermQuery by hand
+        vocab = [r["term"] for r in s.index.term_stats_df.select("term").collect()]
+        scored = []
+        for t in vocab:
+            if abs(len(t) - len(term)) > max_edits:
+                continue
+            ed = levenshtein(t, term, max_edits)
+            if ed > max_edits:
+                continue
+            b = 1.0 if ed == 0 else 1.0 - ed / min(len(t), len(term))
+            scored.append((t, float(np.float32(b))))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        assert scored, "fixture corpus must contain fuzzy expansions of 'retur'"
+        want = s.search(
+            A.BlendedTermQuery(
+                tuple(t for t, _ in scored), tuple(b for _, b in scored), boolean_rewrite=True
+            ),
+            k=10,
+        )
+        assert got.hits == want.hits
+
+    def test_constant_default_unchanged(self, spark, search_index):
+        s = Searcher(search_index)
+        td = s.search(A.FuzzyQuery("retur", max_edits=2), k=10)
+        assert all(sc == 1.0 for _, sc in td.hits)
+
+    def test_max_expansions_cut(self, spark, search_index):
+        s = Searcher(search_index)
+        full = s.search(A.FuzzyQuery("retur", max_edits=2, rewrite="blended_freq"), k=300)
+        one = s.search(
+            A.FuzzyQuery("retur", max_edits=2, rewrite="blended_freq", max_expansions=1), k=300
+        )
+        # the single kept expansion is the top-boost one -> fewer docs
+        assert one.total_hits <= full.total_hits
