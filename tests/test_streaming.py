@@ -166,3 +166,92 @@ class TestStreamDedup:
         # exactly one survivor per distinct content; all 40 contents present
         shas = [r["content_sha256"] for r in rows]
         assert len(shas) == len(set(shas)) == 40
+
+
+class TestStreamNearDup:
+    """applyInPandasWithState MinHash/LSH near-dup: flags a document
+    when anything earlier in the stream (previous batch OR earlier in
+    the same batch) shares an LSH bucket with signature similarity >=
+    threshold."""
+
+    @staticmethod
+    def _sig(text, n=5, num_perm=64, seed=7):
+        import re
+
+        import numpy as np
+
+        from lucene_spark.pipeline.dedup import (
+            _MERSENNE_P,
+            _fnv1a64_batch,
+            _minhash_params,
+            _mulmod_p61,
+        )
+
+        a, b = _minhash_params(num_perm, seed)
+        toks = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        sh = sorted({" ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))})
+        hs = _fnv1a64_batch(np.array(sh))
+        x = (hs % np.uint64(_MERSENNE_P))[:, None]
+        v = (_mulmod_p61(x, a.astype(np.uint64)[None, :]) + b.astype(np.uint64)[None, :]) % np.uint64(
+            _MERSENNE_P
+        )
+        return np.min(v, axis=0).astype(np.int64)
+
+    def test_cross_and_within_batch_flags(self, spark, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        from lucene_spark.streaming.neardup import stream_minhash_neardup
+
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        near = base.replace("upsilon", "phi")  # one-token edit
+        other = "one two three four five six seven eight nine ten eleven twelve"
+        b1 = pd.DataFrame({"doc_id": [1, 2], "content": [base, other]})
+        # 10 = exact dup of 1 (cross-batch); 11 near-dup; 12/13 a
+        # within-batch identical pair; 14 unrelated
+        pair = "red orange yellow green blue indigo violet cyan magenta white black grey"
+        b2 = pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13, 14],
+                "content": [base, near, pair, pair, "totally different words with zero overlap whatsoever here now"],
+            }
+        )
+        src = str(tmp_path / "nsrc")
+        os.makedirs(src)
+        spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(spark.createDataFrame(b1).schema).parquet(src)
+        out = stream_minhash_neardup(stream, threshold=0.5)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("nd_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "nckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql("SELECT * FROM nd_stream").collect()
+        flagged = {}
+        for r in rows:
+            if r["is_dup"]:
+                flagged.setdefault(r["doc_id"], set()).add(r["match_doc"])
+        # exact cross-batch dup: every band flags 10 against 1
+        assert 1 in flagged.get(10, set())
+        assert sum(1 for r in rows if r["doc_id"] == 10 and r["is_dup"]) == 16
+        # near-dup flags in at least one band, against 1 or its copy 10
+        assert flagged.get(11, set()) & {1, 10}
+        # within-batch identical pair: the LARGER id flags the smaller
+        assert 12 in flagged.get(13, set())
+        assert 12 not in flagged
+        # unrelated docs never flag
+        assert 2 not in flagged and 14 not in flagged
+        # similarity on the exact dup is 1.0 and matches the reference
+        # signature equality fraction
+        s1, s10 = self._sig(base), self._sig(base)
+        assert float(np.mean(s1 == s10)) == 1.0
+        exact = [r for r in rows if r["doc_id"] == 10]
+        assert all(r["similarity"] == 1.0 for r in exact)
