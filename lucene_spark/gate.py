@@ -528,6 +528,15 @@ def queries() -> dict:
         )
 
     Q["ft_geosort_top5"] = _geosort
+    # LatLonPoint.newPolygonQuery: pentagon shell with a triangular hole
+    _POLY_SHELL = ((-10.001, -50.001), (40.001, -60.001), (55.001, 10.001), (20.001, 60.001), (-30.001, 20.001))
+    _POLY_HOLE = ((0.001, -20.001), (15.001, -25.001), (10.001, 5.001))
+    Q["ft_geopoly_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(
+            spark, sf, A.GeoPolygonQuery("lat", "lon", _POLY_SHELL, (_POLY_HOLE,)), k=ALL_K
+        ),
+    )
     # FuzzyQuery under the REFERENCE's default scored rewrite
     # (TopTermsBlendedFreqScoringRewrite): per-term boost by edit
     # distance, df blended to the max over the expansion set
@@ -1797,6 +1806,16 @@ def oracle_sql() -> dict[str, str]:
         "WITH coords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "
         "SELECT doc_id FROM coords WHERE 2.0 * 6371008.7714 * asin(sqrt(pow(sin((radians(lat) - radians(10.0)) / 2.0), 2.0) + cos(radians(10.0)) * cos(radians(lat)) * pow(sin((radians(lon) - radians(20.0)) / 2.0), 2.0))) <= 4000000.0 "
         "ORDER BY doc_id"
+    )
+    from lucene_spark.search.geo import ray_cast_sql as _rc
+
+    _POLY_SHELL = ((-10.001, -50.001), (40.001, -60.001), (55.001, 10.001), (20.001, 60.001), (-30.001, 20.001))
+    _POLY_HOLE = ((0.001, -20.001), (15.001, -25.001), (10.001, 5.001))
+    O["ft_geopoly_ids"] = (
+        "WITH coords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, "
+        "((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "
+        "SELECT doc_id FROM coords WHERE (" + _rc("lat", "lon", _POLY_SHELL) + ") "
+        "AND NOT (" + _rc("lat", "lon", _POLY_HOLE) + ") ORDER BY doc_id"
     )
     O["ft_geosort_top5"] = (
         base_ctes()

@@ -193,6 +193,23 @@ class GeoDistanceQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoPolygonQuery(Query):
+    """LatLonPoint.newPolygonQuery (LatLonPoint.java; Polygon.java
+    shell + holes): docs whose point lies inside the polygon shell and
+    outside every hole. Spark disposition: even-odd ray casting as a
+    fixed whole-stage-codegen expression (the polygon is a query-time
+    constant) AND'd with the shell bounding box for parquet row-group
+    pruning (the BKD bounding-box phase); constant score. Documented
+    subset: edge-exact boundary points follow the ray-cast convention;
+    no dateline-crossing polygons."""
+
+    lat_field: str
+    lon_field: str
+    points: tuple  # ((lat, lon), ...) shell, open or closed ring
+    holes: tuple = ()  # optional rings
+
+
+@dataclass(frozen=True)
 class DocSetQuery(Query):
     """Resolved doc-id set (internal: produced by the Searcher from
     FieldValueQuery after the metadata scan; constant score)."""

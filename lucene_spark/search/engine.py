@@ -125,6 +125,11 @@ class Searcher:
 
             key = ("geodist", q.lat_field, q.lon_field, q.lat, q.lon, q.radius_m)
             return key, distance_condition(q)
+        if isinstance(q, A.GeoPolygonQuery):
+            from lucene_spark.search.geo import polygon_condition
+
+            key = ("geopoly", q.lat_field, q.lon_field, q.points, q.holes)
+            return key, polygon_condition(q)
         if isinstance(q, A.FieldExistsQuery):
             return ("exists", q.field), F.col(q.field).isNotNull()
         if isinstance(q, A.FieldRangeQuery):
@@ -417,7 +422,7 @@ class Searcher:
         if isinstance(
             q,
             (A.FieldRangeQuery, A.FieldValueQuery, A.FieldExistsQuery,
-             A.GeoBoxQuery, A.GeoDistanceQuery),
+             A.GeoBoxQuery, A.GeoDistanceQuery, A.GeoPolygonQuery),
         ):
             # PointRangeQuery / StringField equality = pushed-down
             # predicate on the docs table (parquet min-max pruning =

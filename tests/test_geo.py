@@ -113,3 +113,51 @@ def test_nearest_sort(geo_index):
     assert [g[0] for g in got] == [w[0] for w in want]
     for (gd, gm), (wd, wm) in zip(got, want):
         assert abs(gm - wm) < 1e-3
+
+
+def _point_in_ring(lat, lon, ring):
+    pts = list(ring)
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    inside = False
+    for (y1, x1), (y2, x2) in zip(pts, pts[1:] + pts[:1]):
+        if ((y1 > lat) != (y2 > lat)) and lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+SHELL = ((-10.001, -50.001), (40.001, -60.001), (55.001, 10.001), (20.001, 60.001), (-30.001, 20.001))
+HOLE = ((0.001, -20.001), (15.001, -25.001), (10.001, 5.001))
+
+
+def test_polygon_query(geo_index):
+    """LatLonPoint.newPolygonQuery: even-odd ray cast, shell + hole."""
+    ix, pdf = geo_index
+    s = Searcher(ix)
+    q = A.GeoPolygonQuery("lat", "lon", SHELL, (HOLE,))
+    got = sorted(d for d, _ in s.search(q, k=10**6).hits)
+    want = sorted(
+        i
+        for i in range(len(pdf))
+        if _point_in_ring(LAT(i), LON(i), SHELL) and not _point_in_ring(LAT(i), LON(i), HOLE)
+    )
+    assert got == want and want  # non-degenerate
+    # hole actually removes something
+    no_hole = sorted(d for d, _ in s.search(A.GeoPolygonQuery("lat", "lon", SHELL), k=10**6).hits)
+    assert set(no_hole) > set(got)
+    # closed-ring input (first point repeated) is accepted
+    closed = SHELL + (SHELL[0],)
+    same = sorted(d for d, _ in s.search(A.GeoPolygonQuery("lat", "lon", closed), k=10**6).hits)
+    assert same == no_hole
+
+
+def test_polygon_as_filter_and_distributed(geo_index):
+    ix, pdf = geo_index
+    s = Searcher(ix)
+    poly = A.GeoPolygonQuery("lat", "lon", SHELL)
+    q = A.BooleanQuery(((A.Occur.MUST, A.TermQuery("return")), (A.Occur.FILTER, poly)))
+    got = s.search(q, k=50)
+    got_d = s.search(q, k=50, mode="distributed")
+    assert got.hits == got_d.hits
+    inside = {i for i in range(len(pdf)) if _point_in_ring(LAT(i), LON(i), SHELL)}
+    assert all(d in inside for d, _ in got.hits)
