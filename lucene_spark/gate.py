@@ -1685,6 +1685,43 @@ def _pipeline_queries() -> dict:
 
     Q["tx_pii"] = _pii
 
+    # event-time windowed aggregation over the events table (the
+    # Structured Streaming windowed-agg surface, batch-verified —
+    # identical code runs on a readStream source)
+    def _ev_windows(spark, sf):
+        from lucene_spark.streaming.windows import windowed_event_counts
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return (
+            windowed_event_counts(ev, window="10 minutes")
+            .select(
+                F.col("window_start").cast("long"),
+                "event_type",
+                F.col("n_events").cast("long"),
+                F.round("sum_value", 2).alias("sum_value_r"),
+            )
+            .orderBy("window_start", "event_type")
+        )
+
+    Q["ev_windows"] = _ev_windows
+
+    def _ev_sessions(spark, sf):
+        from lucene_spark.streaming.windows import sessionize
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return (
+            sessionize(ev, gap="30 minutes")
+            .select(
+                F.col("user_id").cast("long"),
+                F.col("session_start").cast("long"),
+                F.col("n_events").cast("long"),
+                F.round("sum_value", 2).alias("sum_value_r"),
+            )
+            .orderBy("user_id", "session_start")
+        )
+
+    Q["ev_sessions"] = _ev_sessions
+
     Q["dd_decontam"] = lambda spark, sf: curation.contaminated_ids(
         _docs(spark, sf), _bench(spark, sf), n=8
     ).select(F.col("doc_id").cast("long")).orderBy("doc_id")
@@ -2716,6 +2753,25 @@ FROM occ ORDER BY doc_id"""
         f"regexp_replace(regexp_replace(regexp_replace(text, '{_P_EMAIL}', '<EMAIL>', 'g'), "
         f"'{_P_IP}', '<IP>', 'g'), '{_P_PHONE}', '<PHONE>', 'g') AS text "
         "FROM planted ORDER BY doc_id"
+    )
+    # event-time windows: epoch-aligned 10-minute buckets
+    O["ev_windows"] = (
+        "SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start, event_type, "
+        "count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value_r "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    # session windows, gap 30 min: a new session starts when the gap to
+    # the previous event is >= the gap (session end = last + gap, open)
+    O["ev_sessions"] = (
+        "WITH e AS (SELECT user_id, ts, value, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS pts FROM events), "
+        "m AS (SELECT user_id, ts, value, CASE WHEN pts IS NULL "
+        "OR ts - pts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), "
+        "s AS (SELECT user_id, ts, value, sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+        "SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, "
+        "count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value_r "
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
     )
     O["dd_exact"] = (
         "SELECT sha256(text) AS content_sha256, min(doc_id)::BIGINT AS rep_id, "
