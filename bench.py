@@ -175,6 +175,25 @@ def main() -> None:
     bulk_sec = time.time() - t0
     shutil.rmtree(idx_dir + "_bulk", ignore_errors=True)
 
+    # training-data pipeline operators at the same sf (wall sec per op,
+    # one timed run after a count() warm-up of the source scan)
+    from lucene_spark.pipeline import dedup as _dd
+    from lucene_spark.pipeline import substrings as _ss
+    from lucene_spark.pipeline.curation import c4_line_filters as _c4
+
+    raw_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw_docs.count()
+    pipe: dict[str, float] = {}
+    t0 = time.time()
+    _dd.minhash_lsh_pairs(raw_docs, threshold=0.5).count()
+    pipe["dd_minhash"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    _ss.duplicated_ngram_spans(raw_docs, n=5).count()
+    pipe["dd_dupspans"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    _c4(raw_docs.withColumn("text", F.col("text"))).count()
+    pipe["tx_c4"] = round(time.time() - t0, 2)
+
     total = time.time() - t_all
     print(
         json.dumps(
@@ -183,6 +202,7 @@ def main() -> None:
                 "value": round(total, 2),
                 "unit": "sec",
                 "queries": lat,
+                "pipeline_sec": pipe,
                 "sf": sf,
                 "build_sec": round(build_sec, 2),
                 "docs_per_sec": round(n_docs / build_sec, 1),

@@ -537,6 +537,28 @@ def queries() -> dict:
             spark, sf, A.GeoPolygonQuery("lat", "lon", _POLY_SHELL, (_POLY_HOLE,)), k=ALL_K
         ),
     )
+    # distributed twins: the lazy PredSpec path for the polygon filter
+    # and the chunked scoring path for the blended-fuzzy rewrite must
+    # hash-match the same oracles as their driver-mode originals
+    Q["ft_dist_geopoly_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.GeoPolygonQuery("lat", "lon", _POLY_SHELL, (_POLY_HOLE,)),
+            k=ALL_K,
+            mode="distributed",
+        ),
+    )
+    Q["ft_dist_fuzzyscored_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.FuzzyQuery("tale", max_edits=2, rewrite="blended_freq"),
+            mode="distributed",
+        ),
+    )
     # FuzzyQuery under the REFERENCE's default scored rewrite
     # (TopTermsBlendedFreqScoringRewrite): per-term boost by edit
     # distance, df blended to the max over the expansion set
@@ -1894,6 +1916,8 @@ def oracle_sql() -> dict[str, str]:
         "JOIN " + _FEAT_Q + " fq USING (doc_id)"
     )
     O["ft_dist_feature_top10"] = O["ft_feature_top10"]
+    O["ft_dist_geopoly_ids"] = O["ft_geopoly_ids"]
+    O["ft_dist_fuzzyscored_top10"] = O["ft_fuzzyscored_top10"]
     # LongDistanceFeatureQuery: pivot / (pivot + |value - origin|)
     O["ft_distfeat_top10"] = topk_sql(
         "SELECT d.doc_id, coalesce(ts.s, 0.0) + 50.0 / (50.0 + abs(d.n_chars - 300.0)) AS s "
