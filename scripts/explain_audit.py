@@ -268,6 +268,25 @@ def main() -> None:
     )
     sections.append(("Distributed feature query (ValueSpec aux scan)", plan))
 
+    # 17. pipeline: C4 filters and PII scrub are single-scan map-only
+    # (zero Exchange); substring dedup's gram count partial-aggregates
+    # map-side before its one shuffle
+    from lucene_spark.pipeline.curation import c4_line_filters, scrub_pii
+    from lucene_spark.pipeline.substrings import duplicated_ngram_spans
+
+    raw = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _capture(c4_line_filters(raw))
+    CHECKS.append(("c4 filters are map-only (zero shuffles)", "no Exchange node", "Exchange" not in plan))
+    check("c4 filters have zero Python stages", plan, r"^(?:(?!ArrowEvalPython|BatchEvalPython)[\s\S])*$")
+    sections.append(("Pipeline: C4 line filters", plan))
+    plan = _capture(scrub_pii(raw))
+    CHECKS.append(("pii scrub is map-only (zero shuffles)", "no Exchange node", "Exchange" not in plan))
+    sections.append(("Pipeline: PII scrub", plan))
+    plan = _capture(duplicated_ngram_spans(raw, n=5))
+    check("substring dedup: map-side partial agg on gram", plan, r"HashAggregate")
+    check("substring dedup: gram shuffle", plan, r"hashpartitioning\(gram")
+    sections.append(("Pipeline: duplicated n-gram spans", plan))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     with open(out, "w") as fh:
         fh.write("# PLANS — physical-plan audit (scripts/explain_audit.py)\n\n")
