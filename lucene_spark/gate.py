@@ -1744,6 +1744,31 @@ def _pipeline_queries() -> dict:
 
     Q["ev_sessions"] = _ev_sessions
 
+    # corpus profiling: exact columns oracled; the HLL++ estimate is
+    # pytest-verified against its rsd bound (approximate by design)
+    def _vocab(spark, sf):
+        from lucene_spark.pipeline.sketches import vocabulary_stats
+
+        return vocabulary_stats(_docs(spark, sf)).select("n_docs", "n_tokens", "vocab_exact")
+
+    Q["tx_vocab"] = _vocab
+
+    def _quantiles(spark, sf):
+        from lucene_spark.pipeline.sketches import length_quantiles
+
+        return length_quantiles(_docs(spark, sf)).select(
+            "prob", F.round("q", 2).alias("q_r")
+        )
+
+    Q["tx_len_quantiles"] = _quantiles
+
+    def _hh(spark, sf):
+        from lucene_spark.pipeline.sketches import term_heavy_hitters
+
+        return term_heavy_hitters(_docs(spark, sf), k=10)
+
+    Q["tx_heavy_hitters"] = _hh
+
     Q["dd_decontam"] = lambda spark, sf: curation.contaminated_ids(
         _docs(spark, sf), _bench(spark, sf), n=8
     ).select(F.col("doc_id").cast("long")).orderBy("doc_id")
@@ -2777,6 +2802,26 @@ FROM occ ORDER BY doc_id"""
         f"regexp_replace(regexp_replace(regexp_replace(text, '{_P_EMAIL}', '<EMAIL>', 'g'), "
         f"'{_P_IP}', '<IP>', 'g'), '{_P_PHONE}', '<PHONE>', 'g') AS text "
         "FROM planted ORDER BY doc_id"
+    )
+    # corpus profiling (exact paths)
+    O["tx_vocab"] = (
+        "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+        "FROM documents) "
+        "SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs, "
+        "count(*)::BIGINT AS n_tokens, count(DISTINCT term)::BIGINT AS vocab_exact FROM toks"
+    )
+    O["tx_len_quantiles"] = (
+        "WITH lens AS (SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS l "
+        "FROM documents), "
+        "qa AS (SELECT quantile_cont(l, [0.25, 0.5, 0.75, 0.95]) AS qs FROM lens) "
+        "SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS prob, "
+        "round(unnest(qs), 2) AS q_r FROM qa ORDER BY prob"
+    )
+    O["tx_heavy_hitters"] = (
+        "WITH occ AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+        "FROM documents) "
+        "SELECT term, count(*)::BIGINT AS ttf, count(DISTINCT doc_id)::BIGINT AS df "
+        "FROM occ GROUP BY term ORDER BY ttf DESC, term LIMIT 10"
     )
     # event-time windows: epoch-aligned 10-minute buckets
     O["ev_windows"] = (
