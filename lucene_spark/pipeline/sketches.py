@@ -27,15 +27,22 @@ def _tok_col(text_col: str):
 
 
 def vocabulary_stats(
-    df: DataFrame, text_col: str = "text", rsd: float = 0.05
+    df: DataFrame,
+    text_col: str = "text",
+    rsd: float = 0.05,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """One row: (n_docs, n_tokens, vocab_exact, vocab_hll). The HLL++
     estimate is deterministic for a given input (hash-based,
-    order-independent) with relative standard deviation ``rsd``."""
-    toks = df.select(F.explode(_tok_col(text_col)).alias("term"))
+    order-independent) with relative standard deviation ``rsd``.
+
+    Single scan of the corpus: ``explode_outer`` keeps a null-term row
+    for token-less docs so ``n_docs`` (distinct ``id_col``) counts them,
+    while count(term)/countDistinct(term) ignore the null rows."""
+    toks = df.select(id_col, F.explode_outer(_tok_col(text_col)).alias("term"))
     return toks.agg(
-        F.lit(df.count()).cast("long").alias("n_docs"),
-        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count("term").cast("long").alias("n_tokens"),
         F.countDistinct("term").cast("long").alias("vocab_exact"),
         F.approx_count_distinct("term", rsd).cast("long").alias("vocab_hll"),
     )
