@@ -613,6 +613,22 @@ def queries() -> dict:
     Q["ft_dfi_top10"] = lambda spark, sf: _hits_df(
         spark, _sim_search(spark, sf, "dfi", A.TermQuery("table"))
     )
+    # IB SPL-D(f)-H2 (IBSimilarity + DistributionSPL + LambdaDF + H2)
+    Q["ft_ib_top10"] = lambda spark, sf: _hits_df(
+        spark, _sim_search(spark, sf, "ib", A.TermQuery("table"))
+    )
+    # Indri Dirichlet (mu=2000, p = ttf/sumTtf, no boost, no clamp —
+    # every score is a negative log-probability)
+    Q["ft_indri_top10"] = lambda spark, sf: _hits_df(
+        spark, _sim_search(spark, sf, "indri", A.TermQuery("table"))
+    )
+    # Axiomatic F2EXP and F3LOG (s=0.25, queryLen=1, k=0.35 defaults)
+    Q["ft_axf2exp_top10"] = lambda spark, sf: _hits_df(
+        spark, _sim_search(spark, sf, "axiomaticf2exp", A.TermQuery("table"))
+    )
+    Q["ft_axf3log_top10"] = lambda spark, sf: _hits_df(
+        spark, _sim_search(spark, sf, "axiomaticf3log", A.TermQuery("table"))
+    )
     Q["ft_boolsim_top10"] = lambda spark, sf: _hits_df(
         spark,
         _sim_search(
@@ -1998,6 +2014,42 @@ def oracle_sql() -> dict[str, str]:
         "FROM tf f JOIN norms n USING (doc_id) JOIN dfr d USING (term), "
         "LATERAL (SELECT (d.ttf + 1.0) * n.dlen / ((SELECT sum_ttf FROM stats) + 1.0) AS e) e "
         "WHERE f.term = 'table'"
+    )
+    # IB SPL-D(f)-H2: lambda = f32((df+1)/(N+1)); tfn = tf*log2(1 +
+    # avgdl/dlen); q = 1 - 1/(tfn+1); s = -ln((lambda^q - lambda)/(1 -
+    # lambda)) (IBSimilarity.java:93-96, DistributionSPL.java:34-58,
+    # LambdaDF.java:32-38, NormalizationH2.java:57-58)
+    O["ft_ib_top10"] = topk_sql(
+        "SELECT f.doc_id, -ln((pow(l.lam, 1 - 1 / (f.tf * ln(1 + (SELECT avgdl FROM stats) "
+        "/ n.dlen) / ln(2) + 1)) - l.lam) / (1 - l.lam)) AS s "
+        "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id), "
+        "LATERAL (SELECT CAST(CAST((d.df + 1.0) / ((SELECT n FROM stats) + 1.0) AS REAL) "
+        "AS DOUBLE) AS lam) l "
+        "WHERE f.term = 'table'"
+    )
+    # Indri Dirichlet mu=2000: ln((tf + mu*p)/(dlen + mu)), p =
+    # ttf/sumTtf — no boost, no clamp (IndriDirichletSimilarity.java:60-66,
+    # IndriCollectionModel:100-105)
+    O["ft_indri_top10"] = topk_sql(
+        "SELECT f.doc_id, ln((f.tf + 2000.0 * d.ttf / (SELECT sum_ttf FROM stats)) "
+        "/ (n.dlen + 2000.0)) AS s "
+        "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
+    )
+    # Axiomatic F2EXP (s=0.25, k=0.35): tf/(tf + s + s*dlen/avgdl) *
+    # ((N+1)/df)^k (AxiomaticF2EXP.java:57-80, Axiomatic.java:96-105)
+    O["ft_axf2exp_top10"] = topk_sql(
+        "SELECT f.doc_id, greatest(f.tf / (f.tf + 0.25 + 0.25 * n.dlen / (SELECT avgdl FROM stats)) "
+        "* pow(((SELECT n FROM stats) + 1.0) / d.df, 0.35), 0.0) AS s "
+        "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
+    )
+    # Axiomatic F3LOG (s=0.25, queryLen=1): (1 + ln(1 + ln(tf+1))) *
+    # ln((N+1)/df) - (dlen - 1)*s*1/avgdl, clamped at 0
+    # (AxiomaticF3LOG.java:48-74, Axiomatic.java:96-105)
+    O["ft_axf3log_top10"] = topk_sql(
+        "SELECT f.doc_id, greatest((1 + ln(1 + ln(f.tf + 1.0))) * "
+        "ln(((SELECT n FROM stats) + 1.0) / d.df) "
+        "- (n.dlen - 1) * 0.25 / (SELECT avgdl FROM stats), 0.0) AS s "
+        "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
     )
     # BooleanSimilarity: per-clause score == boost (1.0); SHOULD sum =
     # number of matched clauses (BooleanSimilarity.java:58-60)

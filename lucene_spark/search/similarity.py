@@ -376,6 +376,215 @@ class DFISim(Similarity):
         return out.astype(np.float32)
 
 
+class IBSim(Similarity):
+    """IBSimilarity.java:93-96 — information-based model: score = boost
+    * distribution.score(stats, tfn, lambda). Components:
+
+    - tfn: NormalizationH2.java:57-58 — tf * log2(1 + c*avgdl/dl), c=1
+      (the same normalization DFR I(n)L2 uses); avgdl is the DOUBLE
+      sumTotalTermFreq/docCount (SimilarityBase.fillBasicStats:108-110).
+    - lambda: LambdaDF.java:32-38 f32((df+1)/(N+1)) or
+      LambdaTTF.java:31-39 f32((ttf+1)/(N+1)), each nudged off exactly
+      1.0 (nextDown/nextUp) because SPL cannot take lambda == 1.
+    - distribution: DistributionLL.java:33-35 -ln(lambda/(tfn+lambda)),
+      or DistributionSPL.java:34-58 -ln((lambda^q - lambda)/(1-lambda))
+      with q = 1 - 1/(tfn+1), q and lambda^q nudged off their
+      singular values exactly as the reference does.
+
+    The reference ships no default configuration (all three components
+    are constructor-required); the engine's named default "ib" is
+    SPL-D(f)-H2. Both distributions are monotone non-decreasing in tfn
+    and tfn is non-increasing in length, so impacts-derived block-max
+    bounds stay true upper bounds. Multi-term weights compose as
+    MultiSimScorer float32 sums (SimilarityBase.scorer:76-89).
+    ``weight`` = tuple of (boost, lambda)."""
+
+    name = "ib"
+
+    def __init__(self, distribution: str = "spl", lam: str = "df", c: float = 1.0):
+        if distribution not in ("ll", "spl"):
+            raise ValueError("distribution must be 'll' or 'spl'")
+        if lam not in ("df", "ttf"):
+            raise ValueError("lam must be 'df' or 'ttf'")
+        self.distribution = distribution
+        self.lam = lam
+        self.c = float(c)
+        self.needs_ttf = lam == "ttf"
+
+    def table(self, stats):
+        avg = stats.sum_total_term_freq / float(stats.doc_count)
+        lens = np.maximum(NORM_LENGTH_TABLE.astype(np.float64), 1.0)
+        return np.log2(1.0 + self.c * avg / lens)
+
+    def _lambda(self, stats, df, ttf) -> float:
+        one = np.float32(1.0)
+        if self.lam == "df":
+            lv = np.float32((df + 1.0) / (stats.doc_count + 1.0))
+            if lv == one:
+                lv = np.nextafter(one, np.float32(0.0), dtype=np.float32)
+        else:
+            lv = np.float32((ttf + 1.0) / (stats.doc_count + 1.0))
+            if lv == one:
+                lv = np.nextafter(one, np.float32(2.0), dtype=np.float32)
+        return float(lv)
+
+    def term_weight(self, stats, df, ttf, boost):
+        return ((float(boost), self._lambda(stats, df, ttf)),)
+
+    def synonym_weight(self, stats, dfs, ttfs, boost):
+        return self.term_weight(stats, max(dfs), int(sum(ttfs)), boost)
+
+    def multi_weight(self, stats, dfs, ttfs, boost):
+        return tuple(self.term_weight(stats, df, ttf, boost)[0] for df, ttf in zip(dfs, ttfs))
+
+    @staticmethod
+    def _spl(tfn: np.ndarray, lam: float) -> np.ndarray:
+        q = 1.0 - 1.0 / (tfn + 1.0)
+        q = np.where(q >= 1.0, np.nextafter(1.0, 0.0), q)
+        pow_ = np.power(lam, q)
+        if lam < 1.0:
+            bumped = np.nextafter(lam, np.inf)
+        else:
+            bumped = np.nextafter(lam, -np.inf)
+        pow_ = np.where(pow_ == lam, bumped, pow_)
+        return -np.log((pow_ - lam) / (1.0 - lam))
+
+    def score(self, weight, freqs, norm_bytes, table):
+        f = np.asarray(freqs, dtype=np.float64)
+        tfn = f * table[np.asarray(norm_bytes, dtype=np.int64)]
+        out = np.zeros(len(f), dtype=np.float32)
+        for boost, lam in weight:
+            if self.distribution == "ll":
+                s = -np.log(lam / (tfn + lam))
+            else:
+                s = self._spl(tfn, lam)
+            out = out + (boost * s).astype(np.float32)  # f32 accumulate
+        return out.astype(np.float32)
+
+
+class IndriDirichletSim(Similarity):
+    """IndriDirichletSimilarity.java:60-66 — Indri's Dirichlet
+    smoothing: score = ln((freq + mu*p) / (docLen + mu)), p =
+    totalTermFreq / numberOfFieldTokens (IndriCollectionModel:100-105 —
+    note: NO +1 smoothing, unlike DefaultCollectionModel). Two faithful
+    quirks: the score method does NOT multiply stats.getBoost() (the
+    boost appears only in explain()), and there is no 0-clamp — scores
+    are log-probabilities and always NEGATIVE. The engine's WAND /
+    top-k paths initialize minCompetitive at -inf, and impacts bounds
+    (max freq, min length) remain true upper bounds, so dynamic pruning
+    stays exact for negative scores. docLen is the decoded norm length
+    (SimilarityBase.BasicSimScorer:218-225). ``weight`` = tuple of
+    (p,)-style collection probabilities."""
+
+    name = "indri"
+    needs_ttf = True
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(mu)
+
+    def table(self, stats):
+        return np.maximum(NORM_LENGTH_TABLE.astype(np.float64), 1.0)
+
+    def term_weight(self, stats, df, ttf, boost):
+        p = float(ttf) / float(max(stats.sum_total_term_freq, 1))
+        return ((float(boost), p),)
+
+    def synonym_weight(self, stats, dfs, ttfs, boost):
+        return self.term_weight(stats, max(dfs), int(sum(ttfs)), boost)
+
+    def multi_weight(self, stats, dfs, ttfs, boost):
+        return tuple(self.term_weight(stats, df, ttf, boost)[0] for df, ttf in zip(dfs, ttfs))
+
+    def score(self, weight, freqs, norm_bytes, table):
+        f = np.asarray(freqs, dtype=np.float64)
+        dl = table[np.asarray(norm_bytes, dtype=np.int64)]
+        out = np.zeros(len(f), dtype=np.float32)
+        for _boost, p in weight:  # boost unused — reference quirk (see class doc)
+            s = np.log((f + self.mu * p) / (dl + self.mu))
+            out = out + s.astype(np.float32)  # f32 accumulate (MultiSimScorer)
+        return out.astype(np.float32)
+
+
+class AxiomaticSim(Similarity):
+    """Axiomatic retrieval models (Axiomatic.java:96-105): score =
+    max(0, (tf * ln * tfln * idf - gamma) * boost). Six variants share
+    the component split (AxiomaticF{1,2,3}{EXP,LOG}.java):
+
+    - tf:   F1*/F3*: 1 + ln(1 + ln(freq + 1)); F2*: 1
+    - ln:   F1*: (avgdl + s)/(avgdl + dl*s); F2*/F3*: 1
+    - tfln: F2*: freq/(freq + s + s*dl/avgdl); F1*/F3*: 1
+    - idf:  *EXP: ((N+1)/df)^k; *LOG: ln((N+1)/df)
+    - gamma:F3*: (dl - queryLen)*s*queryLen/avgdl; F1*/F2*: 0
+
+    Defaults s=0.25, queryLen=1, k=0.35 (Axiomatic.java:91-93); s and k
+    must lie in [0,1] (:53-64). The per-norm-byte table folds the
+    length-dependent component for the variant (ln for F1*, the tfln
+    denominator addend s + s*dl/avgdl for F2*, gamma for F3*); idf is
+    folded into the weight at Weight-creation time. All variants are
+    monotone non-decreasing in freq and non-increasing in length, so
+    impacts block-max bounds hold. Multi-term weights compose as
+    MultiSimScorer float32 sums. ``weight`` = tuple of (boost, idf)."""
+
+    name = "axiomatic"
+    _VARIANTS = ("f1exp", "f1log", "f2exp", "f2log", "f3exp", "f3log")
+
+    def __init__(self, variant: str = "f2exp", s: float = 0.25, query_len: int = 1, k: float = 0.35):
+        v = variant.lower()
+        if v not in self._VARIANTS:
+            raise ValueError(f"variant must be one of {self._VARIANTS}")
+        if not (0.0 <= s <= 1.0) or not np.isfinite(s):
+            raise ValueError(f"illegal s value: {s}, must be between 0 and 1")
+        if not (0.0 <= k <= 1.0) or not np.isfinite(k):
+            raise ValueError(f"illegal k value: {k}, must be between 0 and 1")
+        if query_len < 0:
+            raise ValueError(f"illegal query length value: {query_len}")
+        self.variant = v
+        self.s = float(s)
+        self.query_len = int(query_len)
+        self.k = float(k)
+
+    def table(self, stats):
+        avg = stats.sum_total_term_freq / float(stats.doc_count)
+        dl = NORM_LENGTH_TABLE.astype(np.float64)
+        fam = self.variant[:2]
+        if fam == "f1":
+            return (avg + self.s) / (avg + dl * self.s)
+        if fam == "f2":
+            return self.s + self.s * dl / avg
+        return (dl - self.query_len) * self.s * self.query_len / avg
+
+    def _idf(self, stats, df: int) -> float:
+        ratio = (stats.doc_count + 1.0) / float(df)
+        if self.variant.endswith("exp"):
+            return float(np.power(ratio, self.k))
+        return float(np.log(ratio))
+
+    def term_weight(self, stats, df, ttf, boost):
+        return ((float(boost), self._idf(stats, df)),)
+
+    def synonym_weight(self, stats, dfs, ttfs, boost):
+        return self.term_weight(stats, max(dfs), int(sum(ttfs)), boost)
+
+    def multi_weight(self, stats, dfs, ttfs, boost):
+        return tuple(self.term_weight(stats, df, ttf, boost)[0] for df, ttf in zip(dfs, ttfs))
+
+    def score(self, weight, freqs, norm_bytes, table):
+        f = np.asarray(freqs, dtype=np.float64)
+        t = table[np.asarray(norm_bytes, dtype=np.int64)]
+        fam = self.variant[:2]
+        out = np.zeros(len(f), dtype=np.float32)
+        for boost, idf_v in weight:
+            if fam == "f1":
+                s = (1.0 + np.log1p(np.log(f + 1.0))) * t * idf_v
+            elif fam == "f2":
+                s = f / (f + t) * idf_v
+            else:
+                s = (1.0 + np.log1p(np.log(f + 1.0))) * idf_v - t
+            s = np.maximum(s * boost, 0.0)  # Axiomatic.java:103-105 boost-then-clamp
+            out = out + s.astype(np.float32)  # f32 accumulate (MultiSimScorer)
+        return out.astype(np.float32)
+
+
 BM25_SIM = BM25Sim()
 
 _SIMILARITIES = {
@@ -386,6 +595,14 @@ _SIMILARITIES = {
     "lmjelinekmercer": LMJelinekMercerSim,
     "dfr": DFRSim,
     "dfi": DFISim,
+    "ib": IBSim,
+    "indri": IndriDirichletSim,
+    "axiomaticf1exp": lambda: AxiomaticSim("f1exp"),
+    "axiomaticf1log": lambda: AxiomaticSim("f1log"),
+    "axiomaticf2exp": lambda: AxiomaticSim("f2exp"),
+    "axiomaticf2log": lambda: AxiomaticSim("f2log"),
+    "axiomaticf3exp": lambda: AxiomaticSim("f3exp"),
+    "axiomaticf3log": lambda: AxiomaticSim("f3log"),
 }
 
 

@@ -44,7 +44,7 @@ def _norm(v) -> str:
     return str(v)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import __spark_entry__ as entrymod
     from lucene_spark.session import get_spark
 
@@ -56,6 +56,8 @@ def main(sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = entrymod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if any(k.startswith(p) for p in only)}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -114,4 +116,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            only=sys.argv[2:] or None,  # optional gate-key prefixes
+        )
+    )

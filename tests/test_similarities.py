@@ -103,6 +103,43 @@ class BruteSim:
                 return 0.0
             m = (f - e) / np.sqrt(e)
             return float(np.float32(float(boost) * np.log2(m + 1.0)))
+        if model in ("ib", "ib_ll", "ib_ttf"):
+            # IBSimilarity.java:93-96; NormalizationH2 tfn; LambdaDF/TTF
+            # (f32); DistributionSPL/LL
+            avg = self.sum_ttf / float(self.N)
+            tfn = f * np.log2(1.0 + avg / max(L, 1))
+            if model == "ib_ttf":
+                lam = float(np.float32((ttf + 1.0) / (self.N + 1.0)))
+            else:
+                lam = float(np.float32((df + 1.0) / (self.N + 1.0)))
+            if model == "ib_ll":
+                s = -np.log(lam / (tfn + lam))
+            else:
+                q = 1.0 - 1.0 / (tfn + 1.0)
+                if q >= 1.0:
+                    q = np.nextafter(1.0, 0.0)
+                pw = lam**q
+                if pw == lam:
+                    pw = np.nextafter(lam, np.inf) if lam < 1 else np.nextafter(lam, -np.inf)
+                s = -np.log((pw - lam) / (1.0 - lam))
+            return float(np.float32(float(boost) * s))
+        if model == "indri":
+            # IndriDirichletSimilarity.java:60-66 — NO boost multiply,
+            # no clamp, p = ttf/sumTtf (IndriCollectionModel)
+            p = ttf / float(self.sum_ttf)
+            return float(np.float32(np.log((f + MU * p) / (max(L, 1) + MU))))
+        if model.startswith("axiomatic"):
+            # Axiomatic.java:96-105; F{1,2,3}{EXP,LOG} components
+            variant = model[len("axiomatic") :]
+            avg = self.sum_ttf / float(self.N)
+            s_p, ql, k_p = 0.25, 1, 0.35
+            tf = 1.0 + np.log1p(np.log(f + 1.0)) if variant[:2] in ("f1", "f3") else 1.0
+            ln_c = (avg + s_p) / (avg + L * s_p) if variant[:2] == "f1" else 1.0
+            tfln = f / (f + s_p + s_p * L / avg) if variant[:2] == "f2" else 1.0
+            ratio = (self.N + 1.0) / df
+            idf = ratio**k_p if variant.endswith("exp") else np.log(ratio)
+            gamma = (L - ql) * s_p * ql / avg if variant[:2] == "f3" else 0.0
+            return float(np.float32(max(0.0, (tf * ln_c * tfln * idf - gamma) * float(boost))))
         raise ValueError(model)
 
     def top_k(self, scores: dict, k=10):
@@ -119,7 +156,18 @@ def _hits(td, k=10):
     return [(d, round(float(s), 4)) for d, s in td.hits[:k]]
 
 
-MODELS = ["classic", "boolean", "lmdirichlet", "dfr", "lmjelinekmercer", "dfi"]
+MODELS = [
+    "classic",
+    "boolean",
+    "lmdirichlet",
+    "dfr",
+    "lmjelinekmercer",
+    "dfi",
+    "ib",
+    "indri",
+    "axiomaticf2exp",
+    "axiomaticf3log",
+]
 
 
 @pytest.mark.parametrize("model", MODELS)
@@ -216,6 +264,44 @@ def test_bm25_is_default_and_unchanged(search_index):
 def test_get_similarity_errors():
     with pytest.raises(ValueError):
         get_similarity("nope")
+
+
+@pytest.mark.parametrize("model", ["ib_ll", "ib_ttf"])
+def test_ib_component_variants(search_index, brute, model):
+    """DistributionLL and LambdaTTF component swaps vs brute
+    (DistributionLL.java:33-35, LambdaTTF.java:31-39)."""
+    from lucene_spark.search.similarity import IBSim
+
+    sim = IBSim(distribution="ll" if model == "ib_ll" else "spl",
+                lam="ttf" if model == "ib_ttf" else "df")
+    se = Searcher(search_index, similarity=sim)
+    for term in ["return", "data"]:
+        want = brute.top_k(brute.term_scores(term, model))
+        assert _hits(se.search(term, k=10)) == want, (model, term)
+
+
+def test_indri_scores_are_negative_and_pruning_exact(search_index):
+    """Indri log-probabilities are negative for every hit; WAND and the
+    conjunction kernel must still prune exactly (minCompetitive starts
+    at -inf)."""
+    se = Searcher(search_index, similarity="indri", total_hits_threshold=1)
+    td = se.search("return OR class OR data", k=5)
+    assert td.hits and all(s < 0 for _, s in td.hits)
+    td_and = se.search("return AND class", k=5)
+    assert td_and.hits and all(s < 0 for _, s in td_and.hits)
+
+
+def test_axiomatic_validation():
+    from lucene_spark.search.similarity import AxiomaticSim
+
+    with pytest.raises(ValueError):
+        AxiomaticSim("f9exp")
+    with pytest.raises(ValueError):
+        AxiomaticSim("f2exp", s=1.5)
+    with pytest.raises(ValueError):
+        AxiomaticSim("f2exp", k=-0.1)
+    with pytest.raises(ValueError):
+        AxiomaticSim("f2exp", query_len=-1)
 
 
 @pytest.mark.parametrize("model", MODELS)
