@@ -1347,6 +1347,39 @@ def queries() -> dict:
 
     Q["ft_spanfirst_top10"] = _spanfirst
 
+    def _spanposrange(spark, sf):
+        # SpanPositionRangeQuery(table, 3, 12): start >= 3, excl end <= 12
+        from lucene_spark.search.spans import span_position_range, span_query
+
+        _, searcher = gate_index(spark, sf)
+        return _hits_df(
+            spark, searcher.search(span_query(span_position_range("table", 3, 12)), k=10)
+        )
+
+    Q["ft_spanposrange_top10"] = _spanposrange
+
+    def _spancontain(spark, sf):
+        # SpanContainingQuery(near(table,hash)~4, merge): big pairs that
+        # contain a merge occurrence, scored by the big intervals
+        from lucene_spark.search.spans import span_containing, span_near, span_query
+
+        _, searcher = gate_index(spark, sf)
+        q = span_query(span_containing(span_near(["table", "hash"], 4, True), "merge"))
+        return _hits_df(spark, searcher.search(q, k=10))
+
+    Q["ft_spancontain_top10"] = _spancontain
+
+    def _spanmulti(spark, sf):
+        # SpanMultiTermQueryWrapper(s*) inside SpanFirst(12): the
+        # wildcard expands against the term dictionary into a span-OR
+        from lucene_spark.search.spans import span_first, span_multi_term, span_query
+
+        index, searcher = gate_index(spark, sf)
+        q = span_query(span_first(span_multi_term(index, "s*"), 12))
+        return _hits_df(spark, searcher.search(q, k=10))
+
+    Q["ft_spanmulti_top10"] = _spanmulti
+
     def _interval_or(spark, sf):
         # Intervals.or of two ordered pairs, minimalized across sources
         from lucene_spark.search.intervals import IOr, IOrdered, ITerm
@@ -2208,6 +2241,40 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "      WHERE term = 'table' AND pos <= 6 GROUP BY doc_id) p "
         "JOIN norms n ON n.doc_id = p.doc_id, "
         "(SELECT w FROM idfw WHERE term = 'table') ws"
+    )
+    # SpanPositionRange(table, 3, 12): 0-based start >= 3 and exclusive
+    # end <= 12; post CTE is 1-based so pos BETWEEN 4 AND 12
+    O["ft_spanposrange_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, count(*)::BIGINT AS pf FROM post "
+        "      WHERE term = 'table' AND pos BETWEEN 4 AND 12 GROUP BY doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT w FROM idfw WHERE term = 'table') ws"
+    )
+    # SpanContaining(near(table,hash)~4, merge): minimal ordered pairs
+    # within 4 gaps that contain a merge position; scored by the BIG
+    # pairs (freq term 1/(pb-pa)); weight sums idf over all three terms
+    O["ft_spancontain_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, sum(1.0 / (pb - pa)) AS pf "
+        f"      FROM ({_mutual_pairs('table', 'hash')}) mp "
+        "      WHERE pb - pa - 1 <= 4 "
+        "      AND EXISTS (SELECT 1 FROM post po WHERE po.doc_id = mp.doc_id "
+        "            AND po.term = 'merge' AND po.pos >= mp.pa AND po.pos <= mp.pb) "
+        "      GROUP BY doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','merge')) ws"
+    )
+    # SpanMultiTermQueryWrapper(s*) in SpanFirst(12): dictionary
+    # expansion -> span-OR of width-1 terms; freq = matching positions
+    # with exclusive end <= 12 (1-based pos <= 12); weight = summed idf
+    # over the EXPANDED terms
+    O["ft_spanmulti_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, count(*)::BIGINT AS pf FROM post "
+        "      WHERE term LIKE 's%' AND pos <= 12 GROUP BY doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term LIKE 's%') ws"
     )
     O["ft_synonym_top10"] = topk_sql(
         "SELECT f.doc_id, ws.w - ws.w / (1 + f.tfs * " + _INV + ") AS s "

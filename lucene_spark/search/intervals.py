@@ -51,6 +51,7 @@ __all__ = [
     "IAfter",
     "IExtend",
     "IEndingWithin",
+    "IPositionRange",
     "not_within",
     "terms_of",
     "eval_source",
@@ -198,6 +199,20 @@ class IEndingWithin:
 
 
 @dataclass(frozen=True)
+class IPositionRange:
+    """SpanPositionRangeQuery role (lucene/queries/.../spans/
+    SpanPositionRangeQuery.java:28-45): intervals of ``source`` whose
+    start >= ``start`` AND whose EXCLUSIVE span end (our inclusive end
+    + 1) <= ``limit``. IEndingWithin is the start=0 special case
+    (SpanFirstQuery, ":see SpanFirstQuery for a derivation optimized
+    for start == 0")."""
+
+    source: object
+    start: int
+    limit: int
+
+
+@dataclass(frozen=True)
 class IExtend:
     """Intervals.extend(source, before, after) (Intervals.java:320 →
     ExtendedIntervalsSource): each interval stretched ``before``
@@ -240,7 +255,7 @@ def terms_of(src) -> set[str]:
         for s in src.sources:
             out |= terms_of(s)
         return out
-    if isinstance(src, (IMaxGaps, IMaxWidth, IEndingWithin)):
+    if isinstance(src, (IMaxGaps, IMaxWidth, IEndingWithin, IPositionRange)):
         return terms_of(src.source)
     if isinstance(src, IExtend):
         return terms_of(src.source)
@@ -278,6 +293,8 @@ def map_terms(src, fn):
         return IMaxWidth(src.width, map_terms(src.source, fn))
     if isinstance(src, IEndingWithin):
         return IEndingWithin(map_terms(src.source, fn), src.limit)
+    if isinstance(src, IPositionRange):
+        return IPositionRange(map_terms(src.source, fn), src.start, src.limit)
     if isinstance(src, IExtend):
         return IExtend(map_terms(src.source, fn), src.before, src.after)
     shape = _FILTER_SHAPES.get(type(src))
@@ -301,7 +318,7 @@ def candidate_docs(src, doc_arrays: dict[str, np.ndarray]) -> np.ndarray:
             d = candidate_docs(s, doc_arrays)
             out = d if out is None else np.union1d(out, d)
         return out if out is not None else np.empty(0, dtype=np.int64)
-    if isinstance(src, (IMaxGaps, IMaxWidth, IEndingWithin)):
+    if isinstance(src, (IMaxGaps, IMaxWidth, IEndingWithin, IPositionRange)):
         return candidate_docs(src.source, doc_arrays)
     if isinstance(src, IExtend):
         return candidate_docs(src.source, doc_arrays)
@@ -401,13 +418,26 @@ def eval_source(src, pos_of) -> list[tuple[int, int, int]]:
         return [
             (s, e, c) for s, e, c in eval_source(src.source, pos_of) if e + 1 <= src.limit
         ]
+    if isinstance(src, IPositionRange):
+        return [
+            (s, e, c)
+            for s, e, c in eval_source(src.source, pos_of)
+            if s >= src.start and e + 1 <= src.limit
+        ]
     if isinstance(src, IExtend):
-        return _minimalize(
-            [
-                (max(0, s - src.before), e + src.after, c)
-                for s, e, c in eval_source(src.source, pos_of)
-            ]
-        )
+        # ExtendedIntervalIterator streams the delegate's intervals with
+        # widened bounds and does NOT re-minimalize (ExtendedIntervalIterator
+        # .java:52-79) — clipped starts (max(0, s-before)) may nest, and
+        # the reference's difference/containment iterators see ALL of
+        # them (NonOverlappingIntervalsSource.java:64-80 walks every
+        # subtrahend interval). Matching SpanNotQuery(pre, post): a
+        # match is excluded if it overlaps ANY widened exclusion.
+        # Output stays start- and end-ascending (minimal input has
+        # strictly increasing starts and ends).
+        return [
+            (max(0, s - src.before), e + src.after, c)
+            for s, e, c in eval_source(src.source, pos_of)
+        ]
     if isinstance(src, INotContaining):
         m = eval_source(src.minuend, pos_of)
         sub = eval_source(src.subtrahend, pos_of)

@@ -851,16 +851,19 @@ def _fast_filtered_shape(src):
         IContainedBy: ("containedby", "small", "big"),
         INotContainedBy: ("notcontainedby", "small", "big"),
     }
-    from lucene_spark.search.intervals import IEndingWithin
+    from lucene_spark.search.intervals import IEndingWithin, IPositionRange
 
-    if isinstance(src, IEndingWithin):
+    if isinstance(src, (IEndingWithin, IPositionRange)):
+        # unary position filters: pre carries the exclusive end limit,
+        # post the minimum start (0 for SpanFirst/IEndingWithin)
+        lo = src.start if isinstance(src, IPositionRange) else 0
         pos_op = src.source
         if isinstance(pos_op, ITerm):
-            return (((pos_op.term,),), True, None), "endingwithin", None, src.limit, 0
+            return (((pos_op.term,),), True, None), "endingwithin", None, src.limit, lo
         pd = _fast_nterm_shape(pos_op)
         if pd is None:
             return None
-        return pd, "endingwithin", None, src.limit, 0
+        return pd, "endingwithin", None, src.limit, lo
     info = kinds.get(type(src))
     if info is None:
         return None
@@ -888,29 +891,17 @@ def _fast_filtered_shape(src):
     return None
 
 
-def _clip_minimalized(Kc: np.ndarray, pre: int) -> np.ndarray:
-    """The minimal-interval set of a (pre, post)-extended point source
-    as a point set: every point p <= pre yields a start-0 interval
-    (clipped below pre, exact at pre), and minimalization keeps only
-    the SHORTEST same-start interval — i.e. the smallest such p per doc
-    (IExtend → _minimalize in intervals.eval_source)."""
-    if pre <= 0 or not len(Kc):
-        return Kc
-    pos = Kc & _LOW32
-    is_first = np.ones(len(Kc), dtype=bool)
-    is_first[1:] = (Kc[1:] >> 32) != (Kc[:-1] >> 32)
-    return Kc[(pos > pre) | is_first]
-
-
 def _filtered_interval_keep(
     S: np.ndarray, E: np.ndarray, Kc: np.ndarray, kind: str, pre: int, post: int
 ) -> np.ndarray:
     """Boolean keep-mask over minimal intervals (composite-key S/E) for
     one filtered combinator with a (pre, post)-extended single-position
-    reference whose flat sorted keys are ``Kc``. Matches the tree
-    evaluator exactly, including the minimalization of clipped extended
-    intervals and the zero-start containment special case."""
-    Kc = _clip_minimalized(Kc, pre)
+    reference whose flat sorted keys are ``Kc``. Every reference point
+    p yields the widened interval [max(0, p-pre), p+post] and ALL of
+    them participate (ExtendedIntervalIterator.java:52-79 streams
+    without re-minimalizing; NonOverlappingIntervalsSource.java:64-80
+    checks every subtrahend interval), incl. the zero-start containment
+    special case for clipped points."""
     sp = (S & _LOW32).astype(np.int64)
     ep = (E & _LOW32).astype(np.int64)
     hi_doc = S & ~_LOW32
@@ -1050,8 +1041,10 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
         if len(S):
             if kind == "endingwithin":
                 # SpanFirst/position-range: exclusive span end <= limit
-                # (pre carries the limit for this unary filter)
+                # (pre carries the limit, post the minimum start)
                 keep = ((E & _LOW32) + 1) <= pre
+                if post:
+                    keep &= (S & _LOW32) >= post
             elif rterm[0] == "pairs":
                 rslots, r_order, r_cap = rterm[1]
                 rkeys = [_slot_keys(s) for s in rslots]

@@ -31,12 +31,15 @@ from __future__ import annotations
 from lucene_spark.index.builder import FIELD_SEP
 from lucene_spark.search import ast as A
 from lucene_spark.search.intervals import (
+    IContainedBy,
+    IContaining,
     IEndingWithin,
     IExtend,
     IMaxGaps,
     INonOverlapping,
     IOr,
     IOrdered,
+    IPositionRange,
     ITerm,
     IUnordered,
 )
@@ -47,6 +50,10 @@ __all__ = [
     "span_or",
     "span_not",
     "span_first",
+    "span_position_range",
+    "span_containing",
+    "span_within",
+    "span_multi_term",
     "span_field_mask",
     "span_query",
 ]
@@ -95,6 +102,59 @@ def span_first(match, end: int):
     ``end`` positions (exclusive span end <= end)."""
     match = span_term(match) if isinstance(match, str) else match
     return IEndingWithin(match, end)
+
+
+def span_position_range(match, start: int, end: int):
+    """SpanPositionRangeQuery(match, start, end)
+    (SpanPositionRangeQuery.java:28-45): spans with startPosition >=
+    ``start`` and endPosition <= ``end`` (exclusive span end).
+    start=0 degenerates to SpanFirstQuery."""
+    match = span_term(match) if isinstance(match, str) else match
+    if start <= 0:
+        return IEndingWithin(match, end)
+    return IPositionRange(match, start, end)
+
+
+def span_containing(big, little):
+    """SpanContainingQuery(big, little) (SpanContainingQuery.java:30-55):
+    spans from ``big`` that contain at least one span from ``little``;
+    matches are scored by the big side (the kept intervals ARE big's)."""
+    big = span_term(big) if isinstance(big, str) else big
+    little = span_term(little) if isinstance(little, str) else little
+    return IContaining(big, little)
+
+
+def span_within(little, big):
+    """SpanWithinQuery(big, little) (SpanWithinQuery.java:30-55): spans
+    from ``little`` that lie within (are contained by) a span from
+    ``big``; matches are scored by the little side."""
+    little = span_term(little) if isinstance(little, str) else little
+    big = span_term(big) if isinstance(big, str) else big
+    return IContainedBy(little, big)
+
+
+def span_multi_term(index, pattern: str, max_expansions: int = 128, field: str | None = None):
+    """SpanMultiTermQueryWrapper role (SpanMultiTermQueryWrapper.java:
+    48-90): a wildcard/prefix pattern usable INSIDE a span tree. The
+    reference rewrites the wrapped MultiTermQuery against the reader
+    into a SpanOrQuery of the expanded terms
+    (SpanRewriteMethod/TopTermsSpanBooleanQueryRewrite); here the
+    pattern expands against the index's sorted term dictionary (the
+    same pushed-down scan every multi-term query uses) into an IOr of
+    span terms. Raises if the expansion is empty (a span tree has no
+    MatchNoDocs leaf — callers handle the empty case like the
+    reference's rewrite does, by the enclosing query matching
+    nothing)."""
+    from lucene_spark.testing.oracle import wildcard_to_regex
+
+    pat = pattern.lower()
+    if "*" in pat or "?" in pat:
+        terms = index.expand_terms("regexp", wildcard_to_regex(pat), limit=max_expansions, field=field)
+    else:
+        terms = index.expand_terms("prefix", pat, limit=max_expansions, field=field)
+    if not terms:
+        raise ValueError(f"span multi-term pattern {pattern!r} expands to no terms")
+    return IOr(tuple(ITerm(t) for t in terms))
 
 
 def span_field_mask(source, field: str):

@@ -80,9 +80,9 @@ def brute(src, pos_of):
     if isinstance(src, IMaxWidth):
         return [(s, e, c) for s, e, c in brute(src.source, pos_of) if e - s + 1 <= src.width]
     if isinstance(src, IExtend):
-        return brute_minimalize(
-            [(max(0, s - src.before), e + src.after, c) for s, e, c in brute(src.source, pos_of)]
-        )
+        # ExtendedIntervalIterator streams widened bounds WITHOUT
+        # re-minimalizing (clipped starts may nest) — see intervals.py
+        return [(max(0, s - src.before), e + src.after, c) for s, e, c in brute(src.source, pos_of)]
     if isinstance(src, INotContaining):
         m, sub = brute(src.minuend, pos_of), brute(src.subtrahend, pos_of)
         return [mi for mi in m if not any(mi[0] <= s and e <= mi[1] for s, e, _ in sub)]
@@ -320,8 +320,9 @@ class TestFilteredFastPath:
     (notContaining/containing/overlapping/nonOverlapping/before/after/
     containedBy/notContainedBy with a [extend-wrapped] term reference,
     plus IEndingWithin) must be freq-identical to the per-doc tree
-    evaluator — including minimalization of clipped extended intervals
-    and the zero-start containment case."""
+    evaluator — including the reference's non-minimalized extended
+    intervals (clipped starts may nest) and the zero-start containment
+    case."""
 
     def test_fuzz_vs_tree(self):
         import random

@@ -16,13 +16,17 @@ import pytest
 
 from lucene_spark.search.intervals import eval_source
 from lucene_spark.search.spans import (
+    span_containing,
     span_field_mask,
     span_first,
+    span_multi_term,
     span_near,
     span_not,
     span_or,
+    span_position_range,
     span_query,
     span_term,
+    span_within,
 )
 
 
@@ -79,6 +83,20 @@ def _brute(src, pos_of):
         return [iv for iv in inc if not any(s <= iv[1] and iv[0] <= e for s, e in ex)]
     if isinstance(src, I.IEndingWithin):
         return [iv for iv in _brute(src.source, pos_of) if iv[1] + 1 <= src.limit]
+    if isinstance(src, I.IPositionRange):
+        return [
+            iv
+            for iv in _brute(src.source, pos_of)
+            if iv[0] >= src.start and iv[1] + 1 <= src.limit
+        ]
+    if isinstance(src, I.IContaining):
+        big = _brute(src.big, pos_of)
+        small = _brute(src.small, pos_of)
+        return [b for b in big if any(b[0] <= s and e <= b[1] for s, e in small)]
+    if isinstance(src, I.IContainedBy):
+        small = _brute(src.small, pos_of)
+        big = _brute(src.big, pos_of)
+        return [si for si in small if any(s <= si[0] and si[1] <= e for s, e in big)]
     raise TypeError(type(src))
 
 
@@ -103,6 +121,12 @@ class TestSpanBruteEquivalence:
                 span_not(span_near(["a", "b"], slop, True), "c", pre=1, post=2),
                 span_first("a", rng.randint(1, 12)),
                 span_first(span_near(["a", "b"], slop, True), rng.randint(2, 20)),
+                span_position_range("a", rng.randint(0, 8), rng.randint(8, 24)),
+                span_position_range(
+                    span_near(["a", "b"], slop, True), rng.randint(1, 8), rng.randint(8, 24)
+                ),
+                span_containing(span_near(["a", "c"], slop + 3, False), "b"),
+                span_within("b", span_near(["a", "c"], slop + 3, False)),
             ]
             for src in shapes:
                 got = [(s, e) for s, e, _c in eval_source(src, pos_of)]
@@ -142,6 +166,53 @@ class TestSpanEngine:
         big = {d for d, _ in s.search(span_query(span_first("return", 30)), k=10**6).hits}
         allm = {d for d, _ in s.search(span_query(span_term("return")), k=10**6).hits}
         assert small <= big <= allm and len(small) < len(allm)
+
+    def test_position_range_brackets_spanfirst(self, spark, search_index):
+        """span_position_range(0, n) == span_first(n); a start bound
+        strictly shrinks the match set; engine fast path agrees with
+        the per-position brute count."""
+        s = search_index
+        first = s.search(span_query(span_first("return", 8)), k=10**6)
+        pr0 = s.search(span_query(span_position_range("return", 0, 8)), k=10**6)
+        assert pr0.hits == first.hits
+        bounded = s.search(span_query(span_position_range("return", 3, 8)), k=10**6)
+        assert {d for d, _ in bounded.hits} <= {d for d, _ in first.hits}
+        assert len(bounded.hits) < len(first.hits)
+
+    def test_containing_within_engine(self, spark, search_index):
+        """Containing keeps big spans (scored by big's intervals);
+        within keeps little spans; both match sets are subsets of the
+        unfiltered sides, and each matched doc has a nested pair."""
+        s = search_index
+        big_src = span_near(["return", "else"], 8, False)
+        big_all = {d for d, _ in s.search(span_query(big_src), k=10**6).hits}
+        cont = {
+            d for d, _ in s.search(span_query(span_containing(big_src, "if")), k=10**6).hits
+        }
+        within = {
+            d for d, _ in s.search(span_query(span_within("if", big_src)), k=10**6).hits
+        }
+        lit_all = {d for d, _ in s.search(span_query(span_term("if")), k=10**6).hits}
+        assert cont <= big_all and within <= lit_all
+        assert cont == within  # same doc-level condition, different spans
+        assert cont  # non-trivial on the fixture corpus
+
+    def test_span_multi_term_expansion(self, spark, search_index):
+        """span_multi_term == span_or over the dictionary expansion;
+        empty expansion raises."""
+        idx = search_index.index
+        src = span_multi_term(idx, "ret*")
+        terms = set(idx.expand_terms("regexp", "ret.*"))
+        got = {d for d, _ in search_index.search(span_query(src), k=10**6).hits}
+        want = {
+            d
+            for d, _ in search_index.search(
+                span_query(span_or(*sorted(terms))), k=10**6
+            ).hits
+        }
+        assert got == want and got
+        with pytest.raises(ValueError):
+            span_multi_term(idx, "zzzznope*")
 
     def test_field_scoped_span_and_mask_identity(self, spark, multifield_index):
         """field-scoped span terms match their own field's postings;
