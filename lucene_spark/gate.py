@@ -1853,6 +1853,20 @@ def _pipeline_queries() -> dict:
     Q["tx_tokens"] = lambda spark, sf: textstats.token_counts(_docs(spark, sf)).select(
         "doc_id", "ws_tokens", "an_tokens", "bpe_est"
     )
+
+    def _tx_perplexity(spark, sf):
+        # CCNet-style LM quality signal: add-1 bigram self-perplexity
+        from pyspark.sql import functions as F
+
+        from lucene_spark.pipeline.lm import perplexity
+
+        return (
+            perplexity(_docs(spark, sf))
+            .select("doc_id", "n_tokens", F.round("ppl", 3).alias("ppl"))
+            .orderBy("doc_id")
+        )
+
+    Q["tx_perplexity"] = _tx_perplexity
     Q["tx_fp"] = lambda spark, sf: textstats.fingerprints(_docs(spark, sf)).select("doc_id", "fp")
 
     Q["mm_meta"] = lambda spark, sf: multimodal.extract_metadata(
@@ -3098,6 +3112,25 @@ QUALIFY rank <= 5 ORDER BY query_id, rank"""
         "  round(tg.cnt * (length(tg.gram) - 1)::DOUBLE / tc.tok_chars, 4) ELSE 0.0 END AS top_ngram_char_frac "
         "FROM lm JOIN tc USING (doc_id) LEFT JOIN (SELECT * FROM tg WHERE rn = 1) tg USING (doc_id) "
         "ORDER BY doc_id"
+    )
+    # add-1 bigram self-perplexity (pipeline/lm.py model definition):
+    # prev of token i is l[i-1] (BOS '<s>' at i=1); p = (c12+1)/(c1+V);
+    # ppl = exp(-avg ln p); token-less docs keep NULL ppl
+    O["tx_perplexity"] = (
+        "WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents), "
+        "g AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE l[i-1] END AS prev, l[i] AS cur "
+        "      FROM tk, unnest(range(1, len(l)+1)) AS u(i) WHERE len(l) > 0), "
+        "c12 AS (SELECT prev, cur, count(*)::BIGINT AS c12 FROM g GROUP BY prev, cur), "
+        "c1 AS (SELECT prev, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY prev), "
+        "v AS (SELECT count(DISTINCT cur)::BIGINT AS V FROM c12), "
+        "lp AS (SELECT g.doc_id, ln((coalesce(c12.c12, 0) + 1.0) / "
+        "       (coalesce(c1.c1, 0) + 1.0 * (SELECT V FROM v))) AS lp "
+        "       FROM g LEFT JOIN c12 USING (prev, cur) LEFT JOIN c1 USING (prev)), "
+        "agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, exp(-avg(lp)) AS ppl "
+        "        FROM lp GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, round(a.ppl, 3) AS ppl "
+        "FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id) "
+        "ORDER BY d.doc_id"
     )
     O["tx_quality"] = (
         _TOKS + f""", agg AS (
