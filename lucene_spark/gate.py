@@ -1459,6 +1459,21 @@ def queries() -> dict:
 
     Q["sg_prefix_top10"] = _suggest_prefix
 
+    def _suggest_freetext(spark, sf):
+        # FreeTextSuggester: bigram LM with stupid backoff; key
+        # "table s" -> bigram continuations of 'table' matching s* at
+        # backoff 1.0, unseen unigram s* completions at 0.4
+        from pyspark.sql import functions as F
+
+        from lucene_spark.search.suggest import build_freetext_model, free_text_suggest
+
+        model = build_freetext_model(_docs(spark, sf))
+        return free_text_suggest(model, "table s", num=10).select(
+            "suggestion", F.round("score", 6).alias("score_r")
+        )
+
+    Q["sg_freetext_top10"] = _suggest_freetext
+
     def _suggest_infix(spark, sf):
         # AnalyzingInfixSuggester: suggestions = stored titles, lookup
         # matches any token with the fragment as prefix, weight = n_chars
@@ -2724,6 +2739,29 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
     O["sg_prefix_top10"] = (
         base_ctes() + " SELECT term, ttf::BIGINT AS weight FROM dfr "
         "WHERE term LIKE 's%' ORDER BY weight DESC, term LIMIT 10"
+    )
+    # FreeTextSuggester key 'table s' (bigram stupid backoff, ALPHA
+    # 0.4): bigram (table, s*) scored count/count('table'); unigram s*
+    # not seen at the bigram level scored 0.4*count/totTokens; the
+    # multiply-then-divide order mirrors the engine expression so the
+    # doubles agree bit-for-bit before the 6dp round
+    O["sg_freetext_top10"] = (
+        "WITH tk AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents), "
+        "g1 AS (SELECT l[i] AS last FROM tk, unnest(range(1, len(l)+1)) AS u(i) WHERE len(l) > 0), "
+        "g2 AS (SELECT l[i] AS ctx, l[i+1] AS last FROM tk, unnest(range(1, len(l))) AS u(i) WHERE len(l) >= 2), "
+        "tot AS (SELECT count(*)::BIGINT AS t FROM g1), "
+        "cc AS (SELECT count(*)::BIGINT AS c FROM g1 WHERE last = 'table'), "
+        "lv AS (SELECT 'table ' || last AS suggestion, last, 0 AS lvl, "
+        "       (1.0 * count(*)) / (SELECT c FROM cc) AS score "
+        "       FROM g2 WHERE ctx = 'table' AND last LIKE 's%' GROUP BY last "
+        "       UNION ALL "
+        "       SELECT last AS suggestion, last, 1 AS lvl, "
+        "       (0.4 * count(*)) / (SELECT t FROM tot) AS score "
+        "       FROM g1 WHERE last LIKE 's%' GROUP BY last), "
+        "dd AS (SELECT suggestion, score, "
+        "       row_number() OVER (PARTITION BY last ORDER BY lvl) AS rn FROM lv) "
+        "SELECT suggestion, round(score, 6) AS score_r FROM dd WHERE rn = 1 "
+        "ORDER BY score DESC, suggestion LIMIT 10"
     )
     # infix suggester: any title token with 'tab' as prefix
     O["sg_infix_top10"] = (

@@ -290,3 +290,158 @@ def word_combinations(
     return spark.createDataFrame(
         out[:k], "suggestion string, start_idx bigint, end_idx bigint, changes bigint, freq bigint"
     )
+
+
+# ---- FreeTextSuggester (n-gram LM completion) -------------------------------
+
+
+def build_freetext_model(
+    df: DataFrame,
+    text_col: str = "text",
+    grams: int = 2,
+    token_pattern: str = "[a-z0-9]+",
+) -> DataFrame:
+    """FreeTextSuggester build step (lucene/suggest/.../analyzing/
+    FreeTextSuggester.java:81-124, :213-330 — an n-gram language model
+    over the corpus: ShingleFilter grams of every order 1..``grams``
+    with their occurrence counts, stored in one FST; DEFAULT_GRAMS=2).
+    Returns the model as ONE relation (order, ctx, last, cnt) where
+    ``ctx`` is the space-joined first order−1 tokens ('' for unigrams)
+    and ``last`` the final token — the split the lookup filters on
+    (context equality + completion prefix), so both predicates push
+    into the scan of a persisted model. Building is a single
+    map-side-combined shuffle of gram partial counts (the 100-TB
+    shape; the reference builds one in-RAM FST per shard)."""
+    if grams < 1:
+        raise ValueError("grams must be >= 1")
+    if token_pattern != "[a-z0-9]+":
+        raise ValueError("only the [a-z0-9]+ analyzer convention is supported")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+    t = df.select(toks.alias("_toks")).filter(F.size("_toks") > 0)
+
+    def _gram_struct(o: int):
+        # NOTE: must be a ONE-parameter lambda — F.transform binds a
+        # second lambda parameter to the array index
+        return lambda i: F.struct(
+            F.array_join(F.slice("_toks", i, F.lit(o - 1)), " ").alias("ctx"),
+            F.element_at("_toks", i + F.lit(o - 1)).alias("last"),
+        )
+
+    frames = []
+    for o in range(1, grams + 1):
+        # one (ctx, last) struct per gram start position (1-based slice)
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - F.lit(o - 1)), _gram_struct(o)
+        )
+        frames.append(
+            t.filter(F.size("_toks") >= o).select(
+                F.lit(o).alias("order"), F.explode(g).alias("_g")
+            )
+        )
+    un = frames[0]
+    for fr in frames[1:]:
+        un = un.unionByName(fr)
+    return un.groupBy("order", F.col("_g.ctx").alias("ctx"), F.col("_g.last").alias("last")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def free_text_suggest(
+    model: DataFrame,
+    key: str,
+    num: int = 10,
+    grams: int = 2,
+    alpha: float = 0.4,
+    token_pattern: str = "[a-z0-9]+",
+) -> DataFrame:
+    """FreeTextSuggester.lookup (FreeTextSuggester.java:433-700):
+    predict the next/completed token from the last ``grams−1`` input
+    tokens using stupid backoff (Brants et al. 2007; ALPHA=0.4 :124).
+
+    - The last token of ``key`` is a partial completion prefix unless
+      the key ends outside the token alphabet (trailing space =
+      "lastTokenEnded" :500-516, which upgrades all contexts: 'foo '
+      suggests bigram continuations of foo, never unigrams).
+    - Models are tried highest-order first; each ATTEMPTED model
+      multiplies the running backoff by ALPHA afterwards (skipped
+      models — not enough input tokens, or the empty-prefix unigram
+      guard :536-547 — do not consume a backoff step).
+    - score = backoff · count(gram) / count(context) (unigrams divide
+      by the total token count); a completed token already produced by
+      a higher-order model is suppressed in lower ones (:622-686
+      ``seen``; implemented as a window rank by model level).
+
+    Returns (suggestion, score) — suggestion is the context plus the
+    completed token, space-joined like the reference's separator-joined
+    result key. The whole lookup is Catalyst plan: per-level pushdown
+    filters on the model relation, a union of at most ``grams`` levels,
+    one window, one TakeOrderedAndProject."""
+    import re
+
+    if grams < 1:
+        raise ValueError("grams must be >= 1")
+    low = key.lower()
+    toks = re.findall(token_pattern, low)
+    if not toks:
+        raise ValueError("no tokens produced by the analyzer for key %r" % key)
+    ended = re.search(f"(?:{token_pattern})$", low) is None
+    prefix = "" if ended else toks[-1]
+    ctx_tokens = toks if ended else toks[:-1]
+
+    tot = model.filter(F.col("order") == 1).agg(F.sum("cnt").alias("_tot"))
+    levels = []
+    backoff = 1.0
+    for g in range(grams - 1, -1, -1):
+        if len(ctx_tokens) < g:
+            continue  # not enough input: no backoff step (:541 continue)
+        if g == 0 and prefix == "" and key:
+            continue  # no unigram predictions from the empty string (:536)
+        cand = model.filter(
+            (F.col("order") == g + 1)
+            & (F.col("ctx") == " ".join(ctx_tokens[-g:]) if g else F.col("ctx") == "")
+            & F.col("last").startswith(prefix)
+        )
+        if g == 0:
+            scored = cand.crossJoin(F.broadcast(tot)).select(
+                "last",
+                F.lit(grams - 1 - g).alias("_lvl"),
+                (F.lit(backoff) * F.col("cnt") / F.col("_tot")).alias("score"),
+            )
+        else:
+            c_toks = ctx_tokens[-g:]
+            cc = (
+                model.filter(
+                    (F.col("order") == g)
+                    & (F.col("ctx") == " ".join(c_toks[:-1]))
+                    & (F.col("last") == c_toks[-1])
+                )
+                .agg(F.sum("cnt").alias("_cc"))
+            )
+            scored = cand.crossJoin(F.broadcast(cc)).select(
+                "last",
+                F.lit(grams - 1 - g).alias("_lvl"),
+                (F.lit(backoff) * F.col("cnt") / F.col("_cc")).alias("score"),
+            )
+            scored = scored.withColumn(
+                "suggestion", F.concat(F.lit(" ".join(c_toks) + " "), F.col("last"))
+            )
+        if g == 0:
+            scored = scored.withColumn("suggestion", F.col("last"))
+        levels.append(scored.select("suggestion", "last", "_lvl", "score"))
+        backoff *= alpha
+    if not levels:
+        spark = model.sparkSession
+        return spark.createDataFrame([], "suggestion string, score double")
+    un = levels[0]
+    for fr in levels[1:]:
+        un = un.unionByName(fr)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("last").orderBy(F.asc("_lvl"))
+    return (
+        un.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & F.col("score").isNotNull())
+        .select("suggestion", "score")
+        .orderBy(F.desc("score"), F.asc("suggestion"))
+        .limit(num)
+    )
