@@ -629,6 +629,34 @@ def queries() -> dict:
     Q["ft_axf3log_top10"] = lambda spark, sf: _hits_df(
         spark, _sim_search(spark, sf, "axiomaticf3log", A.TermQuery("table"))
     )
+
+    def _multisim(spark, sf):
+        # MultiSimilarity CombSUM: bm25 + classic over the same stats
+        from lucene_spark.search.similarity import MultiSim
+
+        return _hits_df(
+            spark, _sim_search(spark, sf, MultiSim(["bm25", "classic"]), A.TermQuery("table"))
+        )
+
+    Q["ft_multisim_top10"] = _multisim
+
+    def _perfield(spark, sf):
+        # PerFieldSimilarityWrapper: content scores bm25, title scores
+        # classic, composed in one SHOULD boolean
+        from lucene_spark.search.similarity import PerFieldSim
+
+        q = A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.TermQuery("vector")),
+                (A.Occur.SHOULD, A.TermQuery("vector", field="title")),
+            )
+        )
+        return _hits_df(
+            spark,
+            _sim_search(spark, sf, PerFieldSim("bm25", {"title": "classic"}), q),
+        )
+
+    Q["ft_perfield_top10"] = _perfield
     Q["ft_boolsim_top10"] = lambda spark, sf: _hits_df(
         spark,
         _sim_search(
@@ -2112,6 +2140,28 @@ def oracle_sql() -> dict[str, str]:
         "ln(((SELECT n FROM stats) + 1.0) / d.df) "
         "- (n.dlen - 1) * 0.25 / (SELECT avgdl FROM stats), 0.0) AS s "
         "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
+    )
+    # MultiSimilarity CombSUM (MultiSimilarity.java:31-70): per-doc
+    # bm25 score (tscore) + classic TF-IDF score, f32-summed engine-side
+    O["ft_multisim_top10"] = topk_sql(
+        "SELECT f.doc_id, t.s + sqrt(f.tf) * (ln(((SELECT n FROM stats) + 1) / (d.df + 1.0)) "
+        "+ 1.0) * (1.0 / sqrt(n.dlen)) AS s "
+        "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) "
+        "JOIN tscore t ON t.doc_id = f.doc_id AND t.term = f.term "
+        "WHERE f.term = 'table'"
+    )
+    # PerFieldSimilarityWrapper (PerFieldSimilarityWrapper.java:40-48):
+    # content clause scores bm25 (tscore), title clause scores classic
+    # over the TITLE field's stats (tltf/tlidfw/tnorms/tlstats CTEs)
+    O["ft_perfield_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM ("
+        "SELECT doc_id, s FROM tscore WHERE term = 'vector' "
+        "UNION ALL "
+        "SELECT f.doc_id, sqrt(f.tf) * (ln(((SELECT n FROM tlstats) + 1) / (i.df + 1.0)) + 1.0) "
+        "* (1.0 / sqrt(n.dlen)) AS s "
+        "FROM tltf f JOIN tlidfw i USING (term) JOIN tnorms n USING (doc_id) "
+        "WHERE f.term = 'vector'"
+        ") GROUP BY doc_id"
     )
     # BooleanSimilarity: per-clause score == boost (1.0); SHOULD sum =
     # number of matched clauses (BooleanSimilarity.java:58-60)

@@ -104,9 +104,9 @@ class Searcher:
         sbf = self._stats_by_field()
         if not sbf:
             return self.sim.table(stats)
-        caches = {"": self.sim.table(stats)}
+        caches = {"": self.sim.for_field("").table(stats)}
         for f, st in sbf.items():
-            caches[f] = self.sim.table(st)
+            caches[f] = self.sim.for_field(f).table(st)
         return caches
 
     # ---- query preparation -------------------------------------------------
@@ -588,7 +588,10 @@ class Searcher:
             return cache[ts.field] if isinstance(cache, dict) else cache
 
         return [
-            PostingSource(ts.weight, _c(ts), by_term[ts.term], sim=self.sim)
+            # PerFieldSimilarityWrapper: block-max bounds and scoring
+            # use the term's field's model (for_field is identity for
+            # plain similarities)
+            PostingSource(ts.weight, _c(ts), by_term[ts.term], sim=self.sim.for_field(ts.field))
             for ts in term_specs
             if ts.term in by_term
         ]

@@ -218,7 +218,7 @@ def compile_query(
         if df == 0:
             return NoneSpec()
         fld, st = _stats_of(q.term)
-        return TermSpec(q.term, sim.term_weight(st, df, ttf_of(q.term, 0), float(b32)), fld)
+        return TermSpec(q.term, sim.for_field(fld).term_weight(st, df, ttf_of(q.term, 0), float(b32)), fld)
     if isinstance(q, A.BlendedTermQuery):
         # BlendedTermQuery.rewrite (BlendedTermQuery.java:270-300):
         # artificial df = max docFreq, ttf = sum totalTermFreq, each
@@ -235,7 +235,7 @@ def compile_query(
             if not term_df.get(t):
                 continue
             fld, st = _stats_of(t)
-            w = sim.term_weight(st, df_b, ttf_b, float(np.float32(b32 * np.float32(bo))))
+            w = sim.for_field(fld).term_weight(st, df_b, ttf_b, float(np.float32(b32 * np.float32(bo))))
             subs.append(TermSpec(t, w, fld))
         if q.boolean_rewrite:
             return BoolSpec(shoulds=tuple(subs))
@@ -246,7 +246,7 @@ def compile_query(
             return NoneSpec()
         fld, st = _stats_of(q.terms[0])
         dfs = [term_df[t] for t in present]
-        w = sim.synonym_weight(st, dfs, [ttf_of(t, 0) for t in present], float(b32))
+        w = sim.for_field(fld).synonym_weight(st, dfs, [ttf_of(t, 0) for t in present], float(b32))
         return SynonymSpec(tuple(present), w, fld)
     if isinstance(q, A.TermInSetQuery):
         terms = tuple(t for t in q.terms if term_df.get(t))
@@ -265,13 +265,13 @@ def compile_query(
         if any(not term_df.get(t) for t in q.terms):
             return NoneSpec()
         fld, st = _stats_of(q.terms[0])
-        w = sim.multi_weight(st, [term_df[t] for t in q.terms], [ttf_of(t, 0) for t in q.terms], float(b32))
+        w = sim.for_field(fld).multi_weight(st, [term_df[t] for t in q.terms], [ttf_of(t, 0) for t in q.terms], float(b32))
         return PhraseSpec(q.terms, w, q.slop, fld)
     if isinstance(q, A.SpanNearQuery):
         if any(not term_df.get(t) for t in q.terms):
             return NoneSpec()
         fld, st = _stats_of(q.terms[0])
-        w = sim.multi_weight(st, [term_df[t] for t in q.terms], [ttf_of(t, 0) for t in q.terms], float(b32))
+        w = sim.for_field(fld).multi_weight(st, [term_df[t] for t in q.terms], [ttf_of(t, 0) for t in q.terms], float(b32))
         return SpanNearSpec(q.terms, w, q.slop, q.in_order, fld)
     if isinstance(q, A.IntervalQuery):
         from lucene_spark.search.intervals import terms_of
@@ -281,7 +281,7 @@ def compile_query(
         if not present:
             return NoneSpec()
         fld, st = _stats_of(present[0])
-        w = sim.multi_weight(st, [term_df[t] for t in present], [ttf_of(t, 0) for t in present], float(b32))
+        w = sim.for_field(fld).multi_weight(st, [term_df[t] for t in present], [ttf_of(t, 0) for t in present], float(b32))
         return IntervalSpec(q.source, terms, w, fld)
     if isinstance(q, A.MultiPhraseQuery):
         slots = tuple(tuple(t for t in slot if term_df.get(t)) for slot in q.positions)
@@ -289,7 +289,7 @@ def compile_query(
             return NoneSpec()
         uniq = sorted({t for slot in slots for t in slot})
         fld, st = _stats_of(uniq[0])
-        w = sim.multi_weight(st, [term_df[t] for t in uniq], [ttf_of(t, 0) for t in uniq], float(b32))
+        w = sim.for_field(fld).multi_weight(st, [term_df[t] for t in uniq], [ttf_of(t, 0) for t in uniq], float(b32))
         return MultiPhraseSpec(slots, w, q.slop, fld)
     if isinstance(q, A.DisjunctionMaxQuery):
         subs = tuple(_recur(s, float(b32)) for s in q.queries)
@@ -391,8 +391,9 @@ class ChunkContext:
         self.docvals = docvals or {}
 
     def score(self, weight, freqs, norms, field: str) -> np.ndarray:
-        """Vectorized SimScorer.score over this context's field table."""
-        return self.sim.score(weight, freqs, norms, self.cache_for(field))
+        """Vectorized SimScorer.score over this context's field table
+        (PerFieldSimilarityWrapper resolves per field here)."""
+        return self.sim.for_field(field).score(weight, freqs, norms, self.cache_for(field))
 
     def cache_for(self, field: str) -> np.ndarray:
         """Norm-inverse cache for a field ("" = primary). ``cache`` is

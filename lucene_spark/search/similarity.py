@@ -119,6 +119,13 @@ class Similarity:
     def score(self, weight, freqs, norm_bytes, table: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
+    def for_field(self, field: str) -> "Similarity":
+        """PerFieldSimilarityWrapper.get(field) hook
+        (PerFieldSimilarityWrapper.java:40-48: the scorer is built by
+        the similarity of ``collectionStats.field()``). Every concrete
+        model is field-independent, so the base returns self."""
+        return self
+
 
 class BM25Sim(Similarity):
     """BM25Similarity.java — the default; delegates to the exact-float32
@@ -583,6 +590,81 @@ class AxiomaticSim(Similarity):
             s = np.maximum(s * boost, 0.0)  # Axiomatic.java:103-105 boost-then-clamp
             out = out + s.astype(np.float32)  # f32 accumulate (MultiSimScorer)
         return out.astype(np.float32)
+
+
+class MultiSim(Similarity):
+    """MultiSimilarity.java:31-70 — CombSUM evidence combination (Shaw
+    & Fox 1993): one SimScorer per sub-similarity over the SAME stats,
+    score = float32 sum of the sub-scores (MultiSimScorer.score:62-69).
+    The norm byte comes from sims[0] (computeNorm :41-43) — identical
+    for every model in this engine (SmallFloat intToByte4), so nothing
+    to pick. ``weight`` and ``table`` are tuples aligned with the
+    sub-similarities."""
+
+    name = "multi"
+
+    def __init__(self, sims):
+        self.sims = [get_similarity(s) for s in sims]
+        if not self.sims:
+            raise ValueError("MultiSim needs at least one sub-similarity")
+        self.needs_ttf = any(s.needs_ttf for s in self.sims)
+
+    def table(self, stats):
+        return tuple(s.table(stats) for s in self.sims)
+
+    def term_weight(self, stats, df, ttf, boost):
+        return tuple(s.term_weight(stats, df, ttf, boost) for s in self.sims)
+
+    def synonym_weight(self, stats, dfs, ttfs, boost):
+        return tuple(s.synonym_weight(stats, dfs, ttfs, boost) for s in self.sims)
+
+    def multi_weight(self, stats, dfs, ttfs, boost):
+        return tuple(s.multi_weight(stats, dfs, ttfs, boost) for s in self.sims)
+
+    def score(self, weight, freqs, norm_bytes, table):
+        out = np.zeros(len(np.asarray(freqs)), dtype=np.float32)
+        for s, w, t in zip(self.sims, weight, table):
+            out = out + s.score(w, freqs, norm_bytes, t)  # f32 accumulate
+        return out.astype(np.float32)
+
+
+class PerFieldSim(Similarity):
+    """PerFieldSimilarityWrapper.java:31-48 — a different Similarity
+    per field; the scorer (and this engine's norm-byte table) for a
+    term is built by ``get(field)``. ``per_field`` maps NON-PRIMARY
+    tokenized field names to models; the primary content field (and
+    any unmapped field) scores with ``default``. The engine resolves
+    ``for_field`` at every weight/table/score site that knows the
+    field, so mapped fields keep their own model through WAND,
+    conjunction, exhaustive and distributed kernels."""
+
+    name = "perfield"
+
+    def __init__(self, default="bm25", per_field: dict | None = None):
+        self.default = get_similarity(default)
+        self.per_field = {f: get_similarity(s) for f, s in (per_field or {}).items()}
+        self.needs_ttf = self.default.needs_ttf or any(
+            s.needs_ttf for s in self.per_field.values()
+        )
+
+    def for_field(self, field: str) -> Similarity:
+        return self.per_field.get(field or "", self.default)
+
+    # field-less calls behave as the default model (the primary field)
+    def table(self, stats):
+        return self.default.table(stats)
+
+    def term_weight(self, stats, df, ttf, boost):
+        return self.default.term_weight(stats, df, ttf, boost)
+
+    def synonym_weight(self, stats, dfs, ttfs, boost):
+        return self.default.synonym_weight(stats, dfs, ttfs, boost)
+
+    def multi_weight(self, stats, dfs, ttfs, boost):
+        return self.default.multi_weight(stats, dfs, ttfs, boost)
+
+    def score(self, weight, freqs, norm_bytes, table):
+        return self.default.score(weight, freqs, norm_bytes, table)
 
 
 BM25_SIM = BM25Sim()

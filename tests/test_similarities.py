@@ -266,6 +266,78 @@ def test_get_similarity_errors():
         get_similarity("nope")
 
 
+def test_multisimilarity_combsum(search_index, brute):
+    """MultiSimilarity = float32 sum of the sub-similarity scores over
+    the same stats (MultiSimilarity.java:31-70 CombSUM); exact through
+    term/OR kernels and block-max pruning."""
+    from lucene_spark.search.similarity import MultiSim
+
+    se = Searcher(search_index, similarity=MultiSim(["bm25", "classic"]))
+    for term in ["return", "data"]:
+        a = brute.term_scores(term, "bm25")
+        b = brute.term_scores(term, "classic")
+        want = {
+            d: float(np.float32(np.float32(a[d]) + np.float32(b[d]))) for d in a
+        }
+        assert _hits(se.search(term, k=10)) == brute.top_k(want), term
+    # pruned == exhaustive
+    se1 = Searcher(search_index, similarity=MultiSim(["bm25", "classic"]), total_hits_threshold=1)
+    sef = Searcher(search_index, similarity=MultiSim(["bm25", "classic"]), total_hits_threshold=10**9)
+    q = "return OR class OR data"
+    assert _hits(se1.search(q, k=5)) == _hits(sef.search(q, k=5))
+    with pytest.raises(ValueError):
+        MultiSim([])
+
+
+def test_perfield_similarity(spark, multifield_sim_index, brute):
+    """PerFieldSimilarityWrapper: the title field scores with its own
+    model while the primary keeps the default; each field matches the
+    single-model searcher on that field exactly."""
+    from lucene_spark.search import ast as A
+    from lucene_spark.search.similarity import PerFieldSim
+
+    pf = PerFieldSim(default="bm25", per_field={"title": "classic"})
+    se = Searcher(multifield_sim_index, similarity=pf)
+    se_bm25 = Searcher(multifield_sim_index, similarity="bm25")
+    se_classic = Searcher(multifield_sim_index, similarity="classic")
+    # primary-field query: identical to plain bm25
+    assert se.search("return", k=10).hits == se_bm25.search("return", k=10).hits
+    # title-field query: identical to plain classic on the same field
+    tq = A.TermQuery("vector", field="title")
+    assert se.search(tq, k=10).hits == se_classic.search(tq, k=10).hits
+    # mixed boolean: per-clause scores from each field's own model
+    bq = A.BooleanQuery(
+        ((A.Occur.SHOULD, A.TermQuery("vector")), (A.Occur.SHOULD, tq))
+    )
+    got = dict(se.search(bq, k=10**6).hits)
+    a = dict(se_bm25.search(A.TermQuery("vector"), k=10**6).hits)
+    b = dict(se_classic.search(tq, k=10**6).hits)
+    for d, s in got.items():
+        want = np.float32(np.float64(a.get(d, 0.0)) + np.float64(b.get(d, 0.0)))
+        assert s == pytest.approx(float(want), abs=1e-6), d
+    # distributed mode resolves per-field models on executors too
+    assert se.search(bq, k=10, mode="distributed").hits == se.search(bq, k=10).hits
+
+
+@pytest.fixture(scope="module")
+def multifield_sim_index(spark, corpus_pdf, tmp_path_factory):
+    import shutil
+
+    from lucene_spark.index.builder import IndexBuilder, IndexConfig
+    from lucene_spark.index.reader import SearchIndex
+
+    pdf = corpus_pdf.copy().reset_index(drop=True)
+    pdf["doc_id"] = range(len(pdf))
+    pdf["title"] = pdf["content"].str.split().str[:6].str.join(" ")
+    d = str(tmp_path_factory.mktemp("pfsim"))
+    IndexBuilder(
+        spark,
+        IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True, extra_fields=("title",)),
+    ).build(spark.createDataFrame(pdf).drop("content_sha256"), d, assign_ids=False)
+    yield SearchIndex(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
 @pytest.mark.parametrize("model", ["ib_ll", "ib_ttf"])
 def test_ib_component_variants(search_index, brute, model):
     """DistributionLL and LambdaTTF component swaps vs brute
