@@ -1104,6 +1104,30 @@ def queries() -> dict:
 
     Q["ft_facet_lang"] = _facet
 
+    def _facet_long(spark, sf):
+        # LongValueFacetCounts over an expression source (n_chars // 50)
+        from lucene_spark.search.postprocess import long_value_facet_counts
+
+        _, searcher = gate_index(spark, sf)
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return long_value_facet_counts(
+            searcher, A.TermQuery("table"), docs, F.floor(F.col("n_chars") / 50), n=5
+        )
+
+    Q["ft_facet_long"] = _facet_long
+
+    def _facet_assoc(spark, sf):
+        # sum-association facets: weight = n_chars summed per source
+        from lucene_spark.search.postprocess import facet_sum_associations
+
+        _, searcher = gate_index(spark, sf)
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return facet_sum_associations(
+            searcher, A.TermQuery("table"), docs, "source", "n_chars"
+        ).select("category", F.col("weight").cast("long"))
+
+    Q["ft_facet_assoc"] = _facet_assoc
+
     def _group(spark, sf):
         from lucene_spark.search.postprocess import group_top_hits
 
@@ -2924,6 +2948,19 @@ FROM scored ORDER BY s DESC, doc_id LIMIT 5"""
         base_ctes() + " SELECT d.lang, count(*)::BIGINT AS cnt FROM documents d "
         "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term IN ('table','merge') "
         "GROUP BY doc_id HAVING count(*) = 2) GROUP BY d.lang ORDER BY cnt DESC, lang"
+    )
+    # LongValueFacetCounts getTopChildren(5): cnt desc, value asc
+    O["ft_facet_long"] = (
+        base_ctes() + " SELECT CAST(floor(d.n_chars / 50) AS BIGINT) AS value, "
+        "count(*)::BIGINT AS cnt FROM documents d "
+        "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
+        "GROUP BY value ORDER BY cnt DESC, value LIMIT 5"
+    )
+    # sum-association facets: Σ n_chars per source over the match set
+    O["ft_facet_assoc"] = (
+        base_ctes() + " SELECT d.source AS category, sum(d.n_chars)::BIGINT AS weight "
+        "FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
+        "GROUP BY category ORDER BY weight DESC, category"
     )
     O["ix_term_stats"] = base_ctes() + " SELECT term, df, ttf FROM dfr ORDER BY df DESC, term LIMIT 20"
     O["ix_norms"] = base_ctes() + " SELECT doc_id, dl, norm FROM norms ORDER BY doc_id"

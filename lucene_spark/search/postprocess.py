@@ -133,6 +133,51 @@ def facet_range_counts(
     return wide.selectExpr(f"stack({len(labels)}, {stack}) AS (label, cnt)")
 
 
+def long_value_facet_counts(
+    searcher, query, docs_df: DataFrame, value_expr, n: int | None = None, mode: str = "driver"
+) -> DataFrame:
+    """LongValueFacetCounts (lucene/facet/src/java/org/apache/lucene/
+    facet/LongValueFacetCounts.java:47-90): counts of each distinct
+    LONG value of a LongValuesSource across the match set.
+    ``value_expr`` is a column name or any Catalyst Column (the
+    LongValuesSource generality — e.g. ``F.col("n_chars") / 100``).
+    ``n`` = getTopChildren(n) ordering (cnt desc, value asc, top n);
+    ``n=None`` = getAllChildrenSortByValue (value asc, all).
+    One semi-join + one aggregate keyed by the value — at scale the
+    distinct-value cardinality bounds the shuffle, not the match set."""
+    ids = hits_frame(searcher, query, mode).select("doc_id")
+    v = (F.col(value_expr) if isinstance(value_expr, str) else value_expr).cast("long")
+    counts = (
+        _join_hits(docs_df, ids, mode)
+        .groupBy(v.alias("value"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    if n is None:
+        return counts.orderBy(F.asc("value"))
+    return counts.orderBy(F.desc("cnt"), F.asc("value")).limit(n)
+
+
+def facet_sum_associations(
+    searcher, query, docs_df: DataFrame, cat_col: str, weight_expr, n: int | None = None,
+    mode: str = "driver",
+) -> DataFrame:
+    """Association facets (lucene/facet/src/java/org/apache/lucene/
+    facet/taxonomy/TaxonomyFacetIntAssociations.java /
+    FloatAssociations — aggregate a per-doc association WEIGHT per
+    category instead of counting): sum of ``weight_expr`` grouped by
+    ``cat_col`` over the match set, ordered sum desc / category asc
+    (getTopChildren), all categories when ``n`` is None."""
+    ids = hits_frame(searcher, query, mode).select("doc_id")
+    w = F.col(weight_expr) if isinstance(weight_expr, str) else weight_expr
+    out = (
+        _join_hits(docs_df, ids, mode)
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(F.sum(w).alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("category"))
+    )
+    return out if n is None else out.limit(n)
+
+
 def taxonomy_counts(
     searcher, query, docs_df: DataFrame, components, path: tuple = (), mode: str = "driver"
 ) -> DataFrame:

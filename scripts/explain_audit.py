@@ -287,6 +287,37 @@ def main() -> None:
     check("substring dedup: gram shuffle", plan, r"hashpartitioning\(gram")
     sections.append(("Pipeline: duplicated n-gram spans", plan))
 
+    # 18. pipeline: bigram-LM perplexity — all-JVM (no Python stages),
+    # the model's V scalar broadcasts onto the gram relation, scoring
+    # joins stay shuffle/broadcast joins (no driver materialization)
+    from lucene_spark.pipeline.lm import perplexity
+
+    plan = _capture(perplexity(raw))
+    check(
+        "lm perplexity has zero Python stages",
+        plan,
+        r"^(?:(?!ArrowEvalPython|BatchEvalPython)[\s\S])*$",
+    )
+    check("lm perplexity V scalar broadcasts", plan, r"BroadcastExchange|BroadcastNestedLoopJoin")
+    CHECKS.append(
+        ("lm perplexity never collects to driver", "no LocalTableScan", "LocalTableScan" not in plan)
+    )
+    sections.append(("Pipeline: bigram-LM perplexity", plan))
+
+    # 19. FreeTextSuggester lookup is one Catalyst plan: pushdown-style
+    # filters on the model relation, window dedup, TakeOrderedAndProject
+    from lucene_spark.search.suggest import build_freetext_model, free_text_suggest
+
+    model = build_freetext_model(raw)
+    plan = _capture(free_text_suggest(model, "table s", num=10))
+    check(
+        "freetext lookup has zero Python stages",
+        plan,
+        r"^(?:(?!ArrowEvalPython|BatchEvalPython)[\s\S])*$",
+    )
+    check("freetext lookup top-k is TakeOrderedAndProject", plan, r"TakeOrderedAndProject")
+    sections.append(("FreeTextSuggester lookup", plan))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     with open(out, "w") as fh:
         fh.write("# PLANS — physical-plan audit (scripts/explain_audit.py)\n\n")

@@ -96,6 +96,53 @@ class TestRangeFacets:
         assert labels == ["b", "a"]
 
 
+class TestLongValueAndAssociationFacets:
+    def test_long_value_counts_vs_brute(self, spark, searcher, search_index, oracle):
+        import pyspark.sql.functions as F
+
+        from lucene_spark.search.postprocess import long_value_facet_counts
+
+        q = A.TermQuery("return")
+        hits = [d for d, _ in oracle.top_k(q, k=10**9)]
+        # LongValuesSource generality: an expression, not a raw column
+        got = [
+            (r["value"], r["cnt"])
+            for r in long_value_facet_counts(
+                searcher, q, search_index.docs, F.col("doc_id") % 7, n=5
+            ).collect()
+        ]
+        from collections import Counter
+
+        cnt = Counter(d % 7 for d in hits)
+        want = sorted(((v, c) for v, c in cnt.items()), key=lambda t: (-t[1], t[0]))[:5]
+        assert got == want
+        # getAllChildrenSortByValue ordering (n=None)
+        all_got = [
+            (r["value"], r["cnt"])
+            for r in long_value_facet_counts(
+                searcher, q, search_index.docs, F.col("doc_id") % 7
+            ).collect()
+        ]
+        assert all_got == sorted(cnt.items())
+
+    def test_sum_associations_vs_brute(self, spark, searcher, search_index, oracle, ordered):
+        from lucene_spark.search.postprocess import facet_sum_associations
+
+        q = A.TermQuery("return")
+        hits = [d for d, _ in oracle.top_k(q, k=10**9)]
+        got = [
+            (r["category"], r["weight"])
+            for r in facet_sum_associations(
+                searcher, q, search_index.docs, "repo", "doc_id"
+            ).collect()
+        ]
+        agg: dict = {}
+        for d in hits:
+            agg[ordered.loc[d, "repo"]] = agg.get(ordered.loc[d, "repo"], 0) + d
+        want = sorted(agg.items(), key=lambda t: (-t[1], t[0]))
+        assert got == want
+
+
 class TestTaxonomyFacets:
     def test_top_children_at_root(self, spark, searcher, search_index, oracle, ordered):
         q = A.TermQuery("return")
