@@ -1421,6 +1421,17 @@ def queries() -> dict:
 
     Q["ft_spancontain_top10"] = _spancontain
 
+    def _complexphrase(spark, sf):
+        # ComplexPhraseQueryParser: "(table merge) v*"~2 — group slot +
+        # wildcard slot, ordered span-near with 2 gaps
+        from lucene_spark.search.complexphrase import parse_complex_phrase
+
+        index, searcher = gate_index(spark, sf)
+        q = parse_complex_phrase(index, "(table merge) v*", slop=2)
+        return _hits_df(spark, searcher.search(q, k=10))
+
+    Q["ft_complexphrase_top10"] = _complexphrase
+
     def _spanmulti(spark, sf):
         # SpanMultiTermQueryWrapper(s*) inside SpanFirst(12): the
         # wildcard expands against the term dictionary into a span-OR
@@ -2367,6 +2378,25 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "      GROUP BY doc_id) p "
         "JOIN norms n ON n.doc_id = p.doc_id, "
         "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','merge')) ws"
+    )
+    # ComplexPhrase "(table merge) v*"~2: ordered minimal pairs where
+    # slot1 ∈ {table, merge} and slot2 ∈ v*-expansion {value, vector};
+    # pa = max slot1 pos < pb, minimal wrt slot2 positions; freq term
+    # 1/(pb-pa) for pairs with <= 2 interior gaps; weight = summed idf
+    # over every expanded term (SpanWeight contract)
+    O["ft_complexphrase_top10"] = topk_sql(
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "FROM (SELECT doc_id, sum(1.0 / (pb - pa)) AS pf FROM ("
+        " SELECT * FROM (SELECT b.doc_id, b.pos AS pb, "
+        "  (SELECT max(a.pos) FROM post a WHERE a.doc_id = b.doc_id "
+        "   AND a.term IN ('table','merge') AND a.pos < b.pos) AS pa "
+        "  FROM post b WHERE b.term IN ('value','vector')) mp0 "
+        " WHERE pa IS NOT NULL AND NOT EXISTS "
+        "  (SELECT 1 FROM post b2 WHERE b2.doc_id = mp0.doc_id "
+        "   AND b2.term IN ('value','vector') AND b2.pos > mp0.pa AND b2.pos < mp0.pb)"
+        ") mp WHERE pb - pa - 1 <= 2 GROUP BY doc_id) p "
+        "JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','merge','value','vector')) ws"
     )
     # SpanMultiTermQueryWrapper(s*) in SpanFirst(12): dictionary
     # expansion -> span-OR of width-1 terms; freq = matching positions
