@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v10"  # v10: stacked-index norms carry discounted dl
+ENGINE_VERSION = "v11"  # v11: r_lo/r_hi range-field columns in the gate docs
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
@@ -59,6 +59,9 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic point per doc (LatLonPoint gates); the oracle
         # derives the identical values from doc_id in SQL
         ((F.col("doc_id") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        # deterministic LongRange per doc (RangeFieldQuery gates)
+        (F.col("doc_id") * 17 % 50).alias("r_lo"),
+        (F.col("doc_id") * 17 % 50 + F.col("doc_id") * 7 % 13).alias("r_hi"),
         ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
         F.col("text").alias("content"),
     )
@@ -629,6 +632,28 @@ def queries() -> dict:
     Q["ft_axf3log_top10"] = lambda spark, sf: _hits_df(
         spark, _sim_search(spark, sf, "axiomaticf3log", A.TermQuery("table"))
     )
+
+    def _sweetspot(spark, sf):
+        # SweetSpot plateau config (ln 4..32, steep 0.5, tf_base 1.5,
+        # tf_min 2) — exercises the non-length-monotone bound path
+        from lucene_spark.search.similarity import SweetSpotSim
+
+        sim = SweetSpotSim(ln_min=4, ln_max=32, ln_steep=0.5, tf_base=1.5, tf_min=2.0)
+        return _hits_df(spark, _sim_search(spark, sf, sim, A.TermQuery("table")))
+
+    Q["ft_sweetspot_top10"] = _sweetspot
+
+    def _rangefield(spark, sf):
+        # LongRange CROSSES [10, 25] as a FILTER on a scored term
+        q = A.BooleanQuery(
+            (
+                (A.Occur.MUST, A.TermQuery("table")),
+                (A.Occur.FILTER, A.RangeFieldQuery("r_lo", "r_hi", 10, 25, relation="crosses")),
+            )
+        )
+        return _ids_df(spark, _search(spark, sf, q, k=ALL_K))
+
+    Q["ft_rangefield_ids"] = _rangefield
 
     def _multisim(spark, sf):
         # MultiSimilarity CombSUM: bm25 + classic over the same stats
@@ -2175,6 +2200,26 @@ def oracle_sql() -> dict[str, str]:
         "ln(((SELECT n FROM stats) + 1.0) / d.df) "
         "- (n.dlen - 1) * 0.25 / (SELECT avgdl FROM stats), 0.0) AS s "
         "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
+    )
+    # SweetSpotSimilarity plateau (SweetSpotSimilarity.java:106-142):
+    # tf = tf<=2 ? 1.5 : sqrt(tf + 1.5^2 - 2); classic idf;
+    # lengthNorm = 1/sqrt(0.5*(|L-4| + |L-32| - 28) + 1)
+    O["ft_sweetspot_top10"] = topk_sql(
+        "SELECT f.doc_id, "
+        "(CASE WHEN f.tf <= 2 THEN 1.5 ELSE sqrt(f.tf + 2.25 - 2.0) END) "
+        "* (ln(((SELECT n FROM stats) + 1) / (d.df + 1.0)) + 1.0) "
+        "* (1.0 / sqrt(0.5 * (abs(n.dlen - 4) + abs(n.dlen - 32) - 28) + 1.0)) AS s "
+        "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
+    )
+    # RangeFieldQuery CROSSES (RangeFieldQuery.java:328-345 —
+    # intersects && !within); r_lo/r_hi derive from doc_id like the
+    # geo columns
+    O["ft_rangefield_ids"] = ids_sql(
+        "SELECT doc_id FROM tf WHERE term = 'table' AND doc_id IN ("
+        " SELECT doc_id FROM ("
+        "  SELECT doc_id, (doc_id * 17) % 50 AS r_lo, "
+        "         (doc_id * 17) % 50 + (doc_id * 7) % 13 AS r_hi FROM documents) r"
+        " WHERE (r_lo <= 25 AND r_hi >= 10) AND NOT (r_lo >= 10 AND r_hi <= 25))"
     )
     # MultiSimilarity CombSUM (MultiSimilarity.java:31-70): per-doc
     # bm25 score (tscore) + classic TF-IDF score, f32-summed engine-side

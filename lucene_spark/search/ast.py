@@ -159,6 +159,31 @@ class FieldRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class RangeFieldQuery(Query):
+    """LongRange/DoubleRange field queries (document/RangeFieldQuery
+    .java:65-347; LongRange.newIntersectsQuery / newWithinQuery /
+    newContainsQuery / newCrossesQuery): each doc stores a RANGE as a
+    (lo, hi) column pair; the query relates it to [lower, upper]:
+
+    - ``intersects``: doc range overlaps the query range
+    - ``within``:     doc range lies entirely inside the query range
+    - ``contains``:   doc range entirely covers the query range
+    - ``crosses``:    intersects but NOT within (RangeFieldQuery
+      CROSSES.compare :328-345)
+
+    Spark disposition: a Catalyst predicate over the two columns
+    (parquet min-max stats prune files exactly like the BKD cells),
+    constant score. Bounds are inclusive, matching the reference's
+    packed-value comparisons."""
+
+    lo_field: str
+    hi_field: str
+    lower: object
+    upper: object
+    relation: str = "intersects"
+
+
+@dataclass(frozen=True)
 class GeoBoxQuery(Query):
     """LatLonPoint.newBoxQuery (LatLonPoint.java:236-266): docs whose
     point lies in [min_lat, max_lat] x [min_lon, max_lon]; a box with

@@ -132,6 +132,23 @@ class Searcher:
             return key, polygon_condition(q)
         if isinstance(q, A.FieldExistsQuery):
             return ("exists", q.field), F.col(q.field).isNotNull()
+        if isinstance(q, A.RangeFieldQuery):
+            lo, hi = F.col(q.lo_field), F.col(q.hi_field)
+            intersects = (lo <= q.upper) & (hi >= q.lower)
+            within = (lo >= q.lower) & (hi <= q.upper)
+            if q.relation == "intersects":
+                cond = intersects
+            elif q.relation == "within":
+                cond = within
+            elif q.relation == "contains":
+                cond = (lo <= q.lower) & (hi >= q.upper)
+            elif q.relation == "crosses":
+                # RangeFieldQuery.java:328-345: intersects && !within
+                cond = intersects & ~within
+            else:
+                raise ValueError(f"unknown range relation {q.relation!r}")
+            key = ("rangefield", q.lo_field, q.hi_field, q.lower, q.upper, q.relation)
+            return key, cond
         if isinstance(q, A.FieldRangeQuery):
             cond = F.lit(True)
             if q.lower is not None:
@@ -421,7 +438,7 @@ class Searcher:
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
         if isinstance(
             q,
-            (A.FieldRangeQuery, A.FieldValueQuery, A.FieldExistsQuery,
+            (A.FieldRangeQuery, A.FieldValueQuery, A.FieldExistsQuery, A.RangeFieldQuery,
              A.GeoBoxQuery, A.GeoDistanceQuery, A.GeoPolygonQuery),
         ):
             # PointRangeQuery / StringField equality = pushed-down
@@ -880,7 +897,7 @@ class Searcher:
             q0 = parse_query(filter) if isinstance(filter, str) else A.rewrite(filter)
             if len(index.text_fields) > 1:
                 q0 = self._fieldize(q0)
-            if isinstance(q0, (A.FieldValueQuery, A.FieldRangeQuery, A.FieldExistsQuery)):
+            if isinstance(q0, (A.FieldValueQuery, A.FieldRangeQuery, A.FieldExistsQuery, A.RangeFieldQuery)):
                 # (_fieldize already rewrote tokenized-field values to
                 # term/phrase queries, so this is a keyword/range
                 # predicate on the docs table)

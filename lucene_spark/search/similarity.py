@@ -99,6 +99,10 @@ class Similarity:
 
     name = "?"
     needs_ttf = False  # does term_weight require totalTermFreq?
+    # False when lengthNorm is not non-increasing in doc length
+    # (SweetSpot plateau): block-max bounds then use the globally-best
+    # norm byte instead of the impacts' norms (wand.PostingSource)
+    length_monotone = True
 
     def table(self, stats: BM25Stats) -> np.ndarray:
         raise NotImplementedError
@@ -186,6 +190,83 @@ class ClassicSim(Similarity):
     def score(self, weight, freqs, norm_bytes, table):
         tf = np.sqrt(np.asarray(freqs, dtype=np.float64)).astype(np.float32)
         raw = tf * np.float32(weight)
+        return (raw * table[np.asarray(norm_bytes, dtype=np.int64)]).astype(np.float32)
+
+
+class SweetSpotSim(ClassicSim):
+    """SweetSpotSimilarity (lucene/misc/src/java/org/apache/lucene/
+    misc/SweetSpotSimilarity.java:30-175) — TF-IDF with a "sweet spot"
+    plateau: documents whose length sits in [ln_min, ln_max] get the
+    full lengthNorm 1.0 and it decays with steepness outside; tf is
+    the baseline function (flat ``tf_base`` up to ``tf_min``, then a
+    shifted sqrt), or the hyperbolic-tangent variant with a hard max.
+
+    - lengthNorm(:106-116): 1/sqrt(steep*(|L-min| + |L-max| - (max-min)) + 1)
+    - baselineTf(:137-142): 0 -> 0; freq <= tf_min -> tf_base; else
+      sqrt(freq + tf_base^2 - tf_min)
+    - hyperbolicTf(:155-175): min + (max-min)/2 * (tanh-like in
+      base^(x-xoffset)), NaN -> max
+
+    Defaults mirror the reference (ln_min=ln_max=1, steep=0.5 — which
+    degrades to ClassicSimilarity's 1/sqrt(L); tf_base=tf_min=0 —
+    which degrades to sqrt(freq)). idf and weight composition are
+    inherited from ClassicSimilarity (SweetSpotSimilarity extends it)."""
+
+    name = "sweetspot"
+
+    def __init__(
+        self,
+        ln_min: int = 1,
+        ln_max: int = 1,
+        ln_steep: float = 0.5,
+        tf_base: float = 0.0,
+        tf_min: float = 0.0,
+        tf_mode: str = "baseline",
+        hyper_min: float = 0.0,
+        hyper_max: float = 2.0,
+        hyper_base: float = 1.3,
+        hyper_xoffset: float = 10.0,
+    ):
+        if tf_mode not in ("baseline", "hyperbolic"):
+            raise ValueError("tf_mode must be 'baseline' or 'hyperbolic'")
+        self.ln_min, self.ln_max, self.ln_steep = int(ln_min), int(ln_max), float(ln_steep)
+        self.tf_base, self.tf_min = float(tf_base), float(tf_min)
+        self.tf_mode = tf_mode
+        self.hyper = (float(hyper_min), float(hyper_max), float(hyper_base), float(hyper_xoffset))
+        # lengthNorm increases on [1, ln_min): impacts bounds need the
+        # conservative norm substitution (see Similarity.length_monotone)
+        self.length_monotone = self.ln_min <= 1
+
+    def table(self, stats: BM25Stats) -> np.ndarray:
+        lens = NORM_LENGTH_TABLE.astype(np.float64)
+        t = (
+            1.0
+            / np.sqrt(
+                self.ln_steep * (np.abs(lens - self.ln_min) + np.abs(lens - self.ln_max) - (self.ln_max - self.ln_min))
+                + 1.0
+            )
+        ).astype(np.float32)
+        t[0] = np.float32(1.0) / t[255]  # TFIDFSimilarity normTable[0] convention
+        return t
+
+    def _tf(self, freqs: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        if self.tf_mode == "baseline":
+            out = np.where(
+                f <= self.tf_min,
+                self.tf_base,
+                np.sqrt(f + self.tf_base * self.tf_base - self.tf_min),
+            )
+        else:
+            mn, mx, base, xoff = self.hyper
+            x = f - xoff
+            p, q = np.power(base, x), np.power(base, -x)
+            out = mn + (mx - mn) / 2.0 * ((p - q) / (p + q) + 1.0)
+            out = np.where(np.isnan(out), mx, out)
+        return np.where(f == 0.0, 0.0, out).astype(np.float32)
+
+    def score(self, weight, freqs, norm_bytes, table):
+        raw = self._tf(freqs) * np.float32(weight)
         return (raw * table[np.asarray(norm_bytes, dtype=np.int64)]).astype(np.float32)
 
 
@@ -608,6 +689,7 @@ class MultiSim(Similarity):
         if not self.sims:
             raise ValueError("MultiSim needs at least one sub-similarity")
         self.needs_ttf = any(s.needs_ttf for s in self.sims)
+        self.length_monotone = all(s.length_monotone for s in self.sims)
 
     def table(self, stats):
         return tuple(s.table(stats) for s in self.sims)
@@ -646,6 +728,9 @@ class PerFieldSim(Similarity):
         self.needs_ttf = self.default.needs_ttf or any(
             s.needs_ttf for s in self.per_field.values()
         )
+        self.length_monotone = self.default.length_monotone and all(
+            s.length_monotone for s in self.per_field.values()
+        )
 
     def for_field(self, field: str) -> Similarity:
         return self.per_field.get(field or "", self.default)
@@ -672,6 +757,7 @@ BM25_SIM = BM25Sim()
 _SIMILARITIES = {
     "bm25": BM25Sim,
     "classic": ClassicSim,
+    "sweetspot": SweetSpotSim,
     "boolean": BooleanSim,
     "lmdirichlet": LMDirichletSim,
     "lmjelinekmercer": LMJelinekMercerSim,

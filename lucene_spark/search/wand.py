@@ -63,7 +63,17 @@ class PostingSource:
             n_blocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
             ub = np.zeros(n_blocks, dtype=np.float32)
             if len(ib):
-                s = self.sim.score(self.weight, np.asarray(if_), np.asarray(in_), cache)
+                in_arr = np.asarray(in_)
+                if not getattr(self.sim, "length_monotone", True):
+                    # models whose lengthNorm is NOT non-increasing
+                    # (SweetSpotSimilarity's plateau): the competitive
+                    # impacts' Pareto frontier (max freq, min norm) no
+                    # longer contains the max scorer, so substitute the
+                    # globally-best norm byte — a true (looser) upper
+                    # bound that keeps dynamic pruning exact
+                    best = int(np.argmax(np.asarray(cache, dtype=np.float64)))
+                    in_arr = np.full(len(in_arr), best, dtype=np.int64)
+                s = self.sim.score(self.weight, np.asarray(if_), in_arr, cache)
                 np.maximum.at(ub, np.asarray(ib, dtype=np.int64), s)
             for b in range(n_blocks):
                 end = int(block_last[b])  # exact per-block last doc (incl. tail)

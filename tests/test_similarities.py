@@ -128,6 +128,30 @@ class BruteSim:
             # no clamp, p = ttf/sumTtf (IndriCollectionModel)
             p = ttf / float(self.sum_ttf)
             return float(np.float32(np.log((f + MU * p) / (max(L, 1) + MU))))
+        if model == "sweetspot":
+            # default params degrade to classic: lengthNorm 1/sqrt(L),
+            # tf sqrt(freq) (SweetSpotSimilarity.java:106-142)
+            idf = np.float32(np.log((self.N + 1) / float(df + 1)) + 1.0)
+            w = np.float32(b * idf)
+            tf = np.float32(np.sqrt(float(f)))
+            ln = np.float32(1.0 / np.sqrt(0.5 * (abs(L - 1) + abs(L - 1)) + 1.0))
+            return float(np.float32(np.float32(tf * w) * ln))
+        if model == "sweetspot_plateau":
+            # ln_min=4, ln_max=32, steep=0.5, tf_base=1.5, tf_min=2
+            idf = np.float32(np.log((self.N + 1) / float(df + 1)) + 1.0)
+            w = np.float32(b * idf)
+            tf = np.float32(1.5 if f <= 2 else np.sqrt(f + 1.5 * 1.5 - 2.0))
+            ln = np.float32(1.0 / np.sqrt(0.5 * (abs(L - 4) + abs(L - 32) - 28) + 1.0))
+            return float(np.float32(np.float32(tf * w) * ln))
+        if model == "sweetspot_hyper":
+            # hyperbolic tf defaults: min 0, max 2, base 1.3, xoffset 10
+            idf = np.float32(np.log((self.N + 1) / float(df + 1)) + 1.0)
+            w = np.float32(b * idf)
+            x = float(f) - 10.0
+            p, q = 1.3**x, 1.3**-x
+            tf = np.float32(0.0 + 2.0 / 2.0 * ((p - q) / (p + q) + 1.0))
+            ln = np.float32(1.0 / np.sqrt(0.5 * (abs(L - 1) + abs(L - 1)) + 1.0))
+            return float(np.float32(np.float32(tf * w) * ln))
         if model.startswith("axiomatic"):
             # Axiomatic.java:96-105; F{1,2,3}{EXP,LOG} components
             variant = model[len("axiomatic") :]
@@ -167,6 +191,7 @@ MODELS = [
     "indri",
     "axiomaticf2exp",
     "axiomaticf3log",
+    "sweetspot",
 ]
 
 
@@ -361,6 +386,33 @@ def test_indri_scores_are_negative_and_pruning_exact(search_index):
     assert td.hits and all(s < 0 for _, s in td.hits)
     td_and = se.search("return AND class", k=5)
     assert td_and.hits and all(s < 0 for _, s in td_and.hits)
+
+
+def test_sweetspot_plateau_and_hyperbolic(search_index, brute):
+    """Non-default SweetSpot configs vs brute; the plateau config makes
+    lengthNorm NON-monotone in length, so block-max pruning must fall
+    back to the conservative best-norm bound and stay exact."""
+    from lucene_spark.search.similarity import SweetSpotSim
+
+    plateau = SweetSpotSim(ln_min=4, ln_max=32, ln_steep=0.5, tf_base=1.5, tf_min=2.0)
+    assert not plateau.length_monotone
+    se = Searcher(search_index, similarity=plateau)
+    for term in ["return", "data"]:
+        want = brute.top_k(brute.term_scores(term, "sweetspot_plateau"))
+        assert _hits(se.search(term, k=10)) == want, term
+    # pruning exact despite the plateau (conservative bound)
+    se1 = Searcher(search_index, similarity=plateau, total_hits_threshold=1)
+    sef = Searcher(search_index, similarity=plateau, total_hits_threshold=10**9)
+    for q in ["return OR class OR data", "return AND class"]:
+        assert _hits(se1.search(q, k=5)) == _hits(sef.search(q, k=5)), q
+
+    hyper = SweetSpotSim(tf_mode="hyperbolic")
+    assert hyper.length_monotone
+    se_h = Searcher(search_index, similarity=hyper)
+    want = brute.top_k(brute.term_scores("return", "sweetspot_hyper"))
+    assert _hits(se_h.search("return", k=10)) == want
+    with pytest.raises(ValueError):
+        SweetSpotSim(tf_mode="nope")
 
 
 def test_axiomatic_validation():
