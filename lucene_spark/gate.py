@@ -1970,6 +1970,21 @@ def _pipeline_queries() -> dict:
         )
 
     Q["tx_perplexity"] = _tx_perplexity
+
+    def _tx_bpe(spark, sf):
+        # BPE tokenizer training (deterministic merge sequence). The
+        # merge loop is iterative, not one-shot-SQL-expressible, so
+        # this gate is rows-only (pytest holds the from-definition
+        # brute oracle, tests/test_bpe.py).
+        from lucene_spark.pipeline.bpe import train_bpe
+
+        merges = train_bpe(_docs(spark, sf), n_merges=24)
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank bigint, left string, right string",
+        )
+
+    Q["tx_bpe_merges"] = _tx_bpe
     Q["tx_fp"] = lambda spark, sf: textstats.fingerprints(_docs(spark, sf)).select("doc_id", "fp")
 
     Q["mm_meta"] = lambda spark, sf: multimodal.extract_metadata(
