@@ -1985,6 +1985,16 @@ def _pipeline_queries() -> dict:
         )
 
     Q["tx_bpe_merges"] = _tx_bpe
+
+    def _tx_rebalance(spark, sf):
+        # source-mix rebalancing: cap every source at 3% of the corpus
+        from lucene_spark.pipeline.curation import rebalance_sources
+
+        return rebalance_sources(_docs(spark, sf), "source", max_frac=0.03).select(
+            "doc_id"
+        ).orderBy("doc_id")
+
+    Q["tx_rebalance"] = _tx_rebalance
     Q["tx_fp"] = lambda spark, sf: textstats.fingerprints(_docs(spark, sf)).select("doc_id", "fp")
 
     Q["mm_meta"] = lambda spark, sf: multimodal.extract_metadata(
@@ -3297,6 +3307,16 @@ QUALIFY rank <= 5 ORDER BY query_id, rank"""
         "SELECT doc_id FROM documents WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < "
         "(CASE WHEN lang = 'en' THEN 1000000 WHEN lang = 'fr' THEN 500000 ELSE 100000 END) "
         "ORDER BY doc_id"
+    )
+    # source-mix rebalancing: per-source rate = min(1, cap/group_n),
+    # cap = 0.03 * corpus; md5-bucket filter (int() truncation = floor)
+    O["tx_rebalance"] = (
+        "WITH gc AS (SELECT source, count(*)::DOUBLE AS gn FROM documents GROUP BY source), "
+        "t AS (SELECT count(*)::DOUBLE AS n FROM documents) "
+        "SELECT d.doc_id FROM documents d JOIN gc USING (source), t "
+        "WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 "
+        "< floor((CASE WHEN gn <= 0.03 * n THEN 1.0 ELSE 0.03 * n / gn END) * 1000000) "
+        "ORDER BY d.doc_id"
     )
     O["sg_fuzzy_top10"] = (
         base_ctes()

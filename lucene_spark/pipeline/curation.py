@@ -118,6 +118,36 @@ def sample_stratified(
     return df.filter(bucket < expr)
 
 
+def rebalance_sources(
+    df: DataFrame,
+    group_col: str,
+    max_frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Source/domain mix rebalancing (the Pile / LLaMA-style data
+    mixing: cap any one source's share of the corpus): groups holding
+    more than ``max_frac`` of all rows are deterministically
+    downsampled to (in expectation) exactly that share of the ORIGINAL
+    corpus; smaller groups pass through whole.
+
+    Rates derive from group counts, so the plan is: one tiny aggregate
+    keyed by the group (rows = #groups), broadcast back onto a
+    map-only md5-bucket filter — the same no-RNG determinism as
+    :func:`sample_deterministic` (identical output under retries and
+    any cluster size). Two scans of the corpus, zero wide shuffles of
+    data rows."""
+    if not (0.0 < max_frac <= 1.0):
+        raise ValueError("max_frac must be in (0, 1]")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_gn"))
+    total = df.count()
+    cap = max_frac * total
+    rates = {
+        r[group_col]: (1.0 if r["_gn"] <= cap else cap / r["_gn"])
+        for r in counts.collect()
+    }
+    return sample_stratified(df, rates, group_col, id_col)
+
+
 C4_TERMINAL_PUNCT = (".", "!", "?", '"', "'")
 
 

@@ -95,3 +95,36 @@ def test_sample_stratified(spark, corpus_pdf):
     # default_rate=0 drops unknown groups entirely
     got2 = sample_stratified(df, {"even": 1.0}, "grp").count()
     assert got2 == sum(1 for d in docs.doc_id if d % 2 == 0)
+
+
+def test_rebalance_sources(spark, corpus_pdf):
+    from lucene_spark.pipeline.curation import rebalance_sources
+
+    docs = corpus_pdf.reset_index().rename(columns={"index": "doc_id"})
+    # skewed mix: group 'big' holds 75% of rows
+    docs["grp"] = ["big" if d % 4 != 0 else f"s{d % 3}" for d in docs.doc_id]
+    df = spark.createDataFrame(docs[["doc_id", "grp"]])
+    out = rebalance_sources(df, "grp", max_frac=0.30)
+    got = {r["doc_id"] for r in out.collect()}
+    # brute: rates from counts, same md5 buckets
+    total = len(docs)
+    counts = docs.grp.value_counts().to_dict()
+    cap = 0.30 * total
+    want = {
+        int(d)
+        for d, g in zip(docs.doc_id, docs.grp)
+        if _bucket(d) < int((1.0 if counts[g] <= cap else cap / counts[g]) * 1_000_000)
+    }
+    assert got == want
+    # small groups pass through whole; the big group is capped
+    kept = out.toPandas().grp.value_counts().to_dict()
+    for g, n in counts.items():
+        if n <= cap:
+            assert kept.get(g, 0) == n, g
+    assert kept["big"] < counts["big"]
+    # deterministic under re-run
+    assert {r["doc_id"] for r in rebalance_sources(df, "grp", 0.30).collect()} == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rebalance_sources(df, "grp", 0.0)
