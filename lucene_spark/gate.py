@@ -643,6 +643,18 @@ def queries() -> dict:
 
     Q["ft_sweetspot_top10"] = _sweetspot
 
+    def _fieldinset(spark, sf):
+        # DocValuesTermsQuery role: lang IN (en, fr) FILTER on a term
+        q = A.BooleanQuery(
+            (
+                (A.Occur.MUST, A.TermQuery("table")),
+                (A.Occur.FILTER, A.FieldInSetQuery("lang", ("en", "fr"))),
+            )
+        )
+        return _ids_df(spark, _search(spark, sf, q, k=ALL_K))
+
+    Q["ft_fieldset_ids"] = _fieldinset
+
     def _rangefield(spark, sf):
         # LongRange CROSSES [10, 25] as a FILTER on a scored term
         q = A.BooleanQuery(
@@ -2235,6 +2247,11 @@ def oracle_sql() -> dict[str, str]:
         "* (ln(((SELECT n FROM stats) + 1) / (d.df + 1.0)) + 1.0) "
         "* (1.0 / sqrt(0.5 * (abs(n.dlen - 4) + abs(n.dlen - 32) - 28) + 1.0)) AS s "
         "FROM tf f JOIN dfr d USING (term) JOIN norms n USING (doc_id) WHERE f.term = 'table'"
+    )
+    # DocValuesTermsQuery role: metadata set membership as FILTER
+    O["ft_fieldset_ids"] = ids_sql(
+        "SELECT doc_id FROM tf WHERE term = 'table' AND doc_id IN "
+        "(SELECT doc_id FROM documents WHERE lang IN ('en','fr'))"
     )
     # RangeFieldQuery CROSSES (RangeFieldQuery.java:328-345 —
     # intersects && !within); r_lo/r_hi derive from doc_id like the

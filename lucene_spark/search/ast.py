@@ -159,6 +159,18 @@ class FieldRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldInSetQuery(Query):
+    """DocValuesTermsQuery / SortedSetDocValuesField.newSlowSetQuery
+    role (lucene/sandbox DocValuesTermsQuery.java:60-90 — docs whose
+    doc-values field holds ANY of the given terms): set membership on
+    a stored metadata column, Catalyst ``IN`` predicate (dictionary +
+    min-max pruning on the parquet scan), constant score."""
+
+    field: str
+    values: tuple
+
+
+@dataclass(frozen=True)
 class RangeFieldQuery(Query):
     """LongRange/DoubleRange field queries (document/RangeFieldQuery
     .java:65-347; LongRange.newIntersectsQuery / newWithinQuery /

@@ -132,6 +132,8 @@ class Searcher:
             return key, polygon_condition(q)
         if isinstance(q, A.FieldExistsQuery):
             return ("exists", q.field), F.col(q.field).isNotNull()
+        if isinstance(q, A.FieldInSetQuery):
+            return ("inset", q.field, q.values), F.col(q.field).isin(list(q.values))
         if isinstance(q, A.RangeFieldQuery):
             lo, hi = F.col(q.lo_field), F.col(q.hi_field)
             intersects = (lo <= q.upper) & (hi >= q.lower)
@@ -438,7 +440,7 @@ class Searcher:
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
         if isinstance(
             q,
-            (A.FieldRangeQuery, A.FieldValueQuery, A.FieldExistsQuery, A.RangeFieldQuery,
+            (A.FieldRangeQuery, A.FieldValueQuery, A.FieldExistsQuery, A.RangeFieldQuery, A.FieldInSetQuery,
              A.GeoBoxQuery, A.GeoDistanceQuery, A.GeoPolygonQuery),
         ):
             # PointRangeQuery / StringField equality = pushed-down
@@ -897,7 +899,7 @@ class Searcher:
             q0 = parse_query(filter) if isinstance(filter, str) else A.rewrite(filter)
             if len(index.text_fields) > 1:
                 q0 = self._fieldize(q0)
-            if isinstance(q0, (A.FieldValueQuery, A.FieldRangeQuery, A.FieldExistsQuery, A.RangeFieldQuery)):
+            if isinstance(q0, (A.FieldValueQuery, A.FieldRangeQuery, A.FieldExistsQuery, A.RangeFieldQuery, A.FieldInSetQuery)):
                 # (_fieldize already rewrote tokenized-field values to
                 # term/phrase queries, so this is a keyword/range
                 # predicate on the docs table)

@@ -257,6 +257,26 @@ class TestFieldQueries:
         b = searcher.search(A.TermRangeQuery("scan", "table"), k=10**6).hits
         assert a == b
 
+    def test_field_in_set(self, searcher, lang_of):
+        """DocValuesTermsQuery role: set membership == union of the
+        per-value equality queries, as a FILTER keeps scores."""
+        q = A.FieldInSetQuery("lang", ("go", "c"))
+        got = {d for d, _ in searcher.search(q, k=10**6).hits}
+        want = {d for d, lg in lang_of.items() if lg in ("go", "c")}
+        assert got == want and want
+        filt = A.BooleanQuery(
+            (
+                (A.Occur.MUST, A.TermQuery("return")),
+                (A.Occur.FILTER, q),
+            )
+        )
+        base = dict(searcher.search(A.TermQuery("return"), k=10**6).hits)
+        for d, s in searcher.search(filt, k=10**6).hits:
+            assert lang_of[d] in ("go", "c") and s == base[d]
+        # distributed twin
+        gd = {d for d, _ in searcher.search(q, k=10**6, mode="distributed").hits}
+        assert gd == want
+
 
 class TestEquivalences:
     def test_commutativity(self, searcher):
