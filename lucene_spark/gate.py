@@ -429,10 +429,18 @@ tlscore AS (SELECT f.doc_id, f.term,
 
 
 def topk_sql(score_cte: str, k: int = 10) -> str:
+    # Rank ordering quantizes the float64 oracle score to FLOAT32 — the
+    # precision the ENGINE compares at. Two docs whose scores are
+    # mathematically equal can come out of DuckDB's parallel SUM with
+    # last-ulp float64 noise in a thread-scheduling-dependent order;
+    # the engine sees exactly-equal f32 scores and tie-breaks by
+    # doc_id. Casting the sort key to REAL collapses that noise so the
+    # oracle tie-breaks identically, making the rank column
+    # deterministic run-to-run. score_r stays the f64 2dp round.
     return (
         f"{base_ctes()}, q AS ({score_cte}) "
-        f"SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
-        f"doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT {k}"
+        f"SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
+        f"doc_id, round(s, 2) AS score_r FROM q ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT {k}"
     )
 
 
@@ -2043,8 +2051,8 @@ def oracle_sql() -> dict[str, str]:
         "q AS (SELECT f.doc_id, egw.w - egw.w / (1 + f.tf * (1.0 / "
         f"  ({K1} * ((1 - {B}) + {B} * n.dlen / (SELECT avgdl FROM egstat))))) AS s "
         "  FROM egtf f JOIN norms n ON n.doc_id = f.doc_id, egw) "
-        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
-        "doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"
     )
     # KeywordAnalyzer: every doc is one token (tf=1, dl=1 → norm
     # decode 1, avgdl=1); BM25 from first principles over the whole
@@ -2058,8 +2066,8 @@ def oracle_sql() -> dict[str, str]:
         "  - ln(1 + ((SELECT n FROM kst) - (SELECT df FROM kdf) + 0.5) / ((SELECT df FROM kdf) + 0.5)) "
         f"    / (1 + 1.0 * (1.0 / ({K1} * ((1 - {B}) + {B} * 1.0 / 1.0)))) AS s "
         "  FROM kw WHERE term = 'src13-EN') "
-        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
-        "doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"
     )
     O["ft_kw_prefix_ids"] = (
         "SELECT doc_id FROM documents "
@@ -2081,8 +2089,8 @@ def oracle_sql() -> dict[str, str]:
         "q AS (SELECT f.doc_id, sw.w - sw.w / (1 + f.tf * (1.0 / "
         f"      ({K1} * ((1 - {B}) + {B} * n.dlen / (SELECT avgdl FROM sstat))))) AS s "
         "      FROM stf f JOIN norms n ON n.doc_id = f.doc_id, sw) "
-        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
-        "doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"
     )
     O["ft_geobox_ids"] = (
         "WITH coords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "
@@ -2347,8 +2355,8 @@ pf AS (SELECT doc_id, sum(1.0 / (1 + d)) AS pf FROM mt WHERE d IS NOT NULL AND d
 q AS (SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * {_INV}) AS s
       FROM pf p JOIN norms n ON n.doc_id = p.doc_id,
       (SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws)
-SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
-       doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"""
+SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 2) AS score_r FROM q ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"""
 
     # span-near: minimal ordered 2-term intervals = mutually-nearest
     # (a < b) pairs — b's nearest 'table' predecessor is a AND a's
@@ -2531,8 +2539,8 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "        / (1 + cn.fr * (1.0 / (1.2 * ((1 - 0.75) + 0.75 * cn.dlen2 "
         "           / (ps.sttf::DOUBLE / ps.dc))))) AS s "
         "      FROM cn, ps) "
-        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
-        "doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"
     )
     # synonym-map expansion of 'hash' -> blended SynonymQuery(hash,scan)
     O["ft_synexp_top10"] = topk_sql(
@@ -2566,10 +2574,10 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         base_ctes() + ", q AS (SELECT t.doc_id, d.lang AS key, t.s FROM tscore t "
         "      JOIN documents d USING (doc_id) WHERE t.term = 'table'), "
         "r AS (SELECT doc_id, key, s, row_number() OVER "
-        "      (PARTITION BY key ORDER BY s DESC, doc_id) AS rn FROM q) "
-        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+        "      (PARTITION BY key ORDER BY CAST(s AS REAL) DESC, doc_id) AS rn FROM q) "
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
         "doc_id, key, round(s, 2) AS score_r FROM r WHERE rn <= 1 "
-        "ORDER BY s DESC, doc_id LIMIT 10"
+        "ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"
     )
     # DocValuesStats(n_chars) over the 'table' match set
     O["ft_dvstats"] = (
@@ -2622,8 +2630,8 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "   FROM tltf f JOIN tnorms n ON n.doc_id = f.doc_id WHERE f.term = 'table'), "
         "q AS (SELECT doc_id, max(s) + 0.01 * (sum(s) - max(s)) AS s FROM "
         "   (SELECT * FROM bcs UNION ALL SELECT * FROM bts) GROUP BY doc_id) "
-        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
-        "doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"
     )
     O["ft_field_top10"] = topk_sql("SELECT doc_id, s FROM tlscore WHERE term = 'vector'")
     O["ft_fields_bool_top10"] = topk_sql(
@@ -2722,8 +2730,8 @@ pf AS (SELECT doc_id, sum(1.0 / (1 + emit_ml)) AS pf FROM steps
 q AS (SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * {_INV}) AS s
       FROM pf p JOIN norms n ON n.doc_id = p.doc_id,
       (SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws)
-SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
-       doc_id, round(s, 2) AS score_r FROM q ORDER BY s DESC, doc_id LIMIT 10"""
+SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 2) AS score_r FROM q ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"""
 
     O["ft_msm_top10"] = topk_sql(
         "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('dup','vector','scan') "
@@ -2746,8 +2754,8 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         base_ctes() + ", q AS (SELECT doc_id, s FROM tscore WHERE term = 'table'), "
         "g AS (SELECT d.source AS parent, max(q.s) AS s, count(*)::BIGINT AS n_children "
         "      FROM q JOIN documents d USING (doc_id) GROUP BY d.source) "
-        "SELECT CAST(row_number() OVER (ORDER BY s DESC, parent) AS BIGINT) AS rank, "
-        "parent, round(s, 2) AS score_r, n_children FROM g ORDER BY s DESC, parent LIMIT 10"
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, parent) AS BIGINT) AS rank, "
+        "parent, round(s, 2) AS score_r, n_children FROM g ORDER BY CAST(s AS REAL) DESC, parent LIMIT 10"
     )
     # TermVectors.get(7): terms of one doc with tf + 0-based positions
     # (the oracle's post CTE is 1-based)
@@ -2777,8 +2785,8 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "      FROM tscore WHERE term IN ('table','hash','scan') GROUP BY doc_id), "
         "f AS (SELECT q.doc_id, q.s, q.n_matched FROM q "
         "      WHERE q.n_matched >= greatest(1 + q.doc_id % 3, 1)) "
-        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
-        "doc_id, round(s, 2) AS score_r, n_matched FROM f ORDER BY s DESC, doc_id LIMIT 10"
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r, n_matched FROM f ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"
     )
     # DrillSideways: dim X's counts apply every filter EXCEPT X's own
     O["ft_sideways_counts"] = (
@@ -2800,9 +2808,9 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "      FROM q WHERE q.doc_id % 5 <> 4), "
         "g AS (SELECT parent AS parent_doc_id, sum(s) AS s, count(*)::BIGINT AS n_children "
         "      FROM m WHERE parent IS NOT NULL GROUP BY parent) "
-        "SELECT CAST(row_number() OVER (ORDER BY s DESC, parent_doc_id) AS BIGINT) AS rank, "
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, parent_doc_id) AS BIGINT) AS rank, "
         "parent_doc_id, round(s, 2) AS score_r, n_children FROM g "
-        "ORDER BY s DESC, parent_doc_id LIMIT 10"
+        "ORDER BY CAST(s AS REAL) DESC, parent_doc_id LIMIT 10"
     )
     O["ft_childjoin_top10"] = (
         base_ctes() + ", ph AS (SELECT doc_id AS p_id, s FROM tscore "
@@ -2812,9 +2820,9 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
         "         FROM documents d WHERE d.doc_id % 5 <> 4), "
         "j AS (SELECT k.doc_id, k.parent AS parent_doc_id, ph.s FROM kids k "
         "      JOIN ph ON ph.p_id = k.parent) "
-        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank, "
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
         "doc_id, parent_doc_id, round(s, 2) AS score_r FROM j "
-        "ORDER BY s DESC, doc_id LIMIT 10"
+        "ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"
     )
     # surround 3W(table, hash): ordered minimal pairs with <= 2 gaps
     O["ft_surround_top10"] = topk_sql(
@@ -3010,10 +3018,10 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
     # searchAfter page 2 == global ranks 11..20, re-numbered 1..10
     O["ft_searchafter_top10"] = (
         base_ctes() + ", q AS (SELECT doc_id, s FROM tscore WHERE term = 'table') "
-        "SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) - 10 AS BIGINT) AS rank, "
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) - 10 AS BIGINT) AS rank, "
         "doc_id, round(s, 2) AS score_r FROM q "
-        "QUALIFY row_number() OVER (ORDER BY s DESC, doc_id) BETWEEN 11 AND 20 "
-        "ORDER BY s DESC, doc_id"
+        "QUALIFY row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) BETWEEN 11 AND 20 "
+        "ORDER BY CAST(s AS REAL) DESC, doc_id"
     )
 
     # distributed-mode twins: identical semantics, leaf-parallel plan
@@ -3046,9 +3054,9 @@ dots AS (SELECT e.vec_id, sum(e.x * q.x) AS dp, sqrt(sum(e.x * e.x)) AS nr
          FROM ex e JOIN q ON q.i = e.i GROUP BY e.vec_id),
 scored AS (SELECT d.vec_id AS doc_id, (1 + dp / (d.nr * (SELECT nr FROM qn))) / 2 AS s
            FROM dots d JOIN documents doc ON doc.doc_id = d.vec_id WHERE doc.lang = 'en')
-SELECT row_number() OVER (ORDER BY s DESC, doc_id)::BIGINT AS rank,
+SELECT row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id)::BIGINT AS rank,
        doc_id::BIGINT AS doc_id, round(s, 4) AS score_r
-FROM scored ORDER BY s DESC, doc_id LIMIT 5"""
+FROM scored ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 5"""
 
     O["ft_prefix_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term LIKE 's%'")
     O["ft_wildcard_ids"] = ids_sql("SELECT doc_id FROM tf WHERE regexp_full_match(term, '.*ow')")
@@ -3432,15 +3440,17 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
     O["mm_meta"] = """SELECT doc_id::BIGINT AS doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        CASE WHEN doc_id % 6 = 0 THEN 'png' WHEN doc_id % 3 = 0 THEN 'jpeg'
-            WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'raw' END AS format,
+            WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
        (octet_length(encode(text)) + CASE WHEN doc_id % 6 = 0 THEN 33
-            WHEN doc_id % 3 = 0 THEN 21 WHEN doc_id % 3 = 1 THEN 44 ELSE 0 END)::BIGINT AS n_bytes,
-       CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1 ELSE 0 END::BIGINT AS width,
-       CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1 ELSE 0 END::BIGINT AS height,
+            WHEN doc_id % 3 = 0 THEN 21 WHEN doc_id % 3 = 1 THEN 44 ELSE 244 END)::BIGINT AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1
+            WHEN doc_id % 3 = 2 THEN doc_id % 1920 + 16 ELSE 0 END::BIGINT AS width,
+       CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1
+            WHEN doc_id % 3 = 2 THEN doc_id % 1080 + 16 ELSE 0 END::BIGINT AS height,
        CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 ELSE 0 END::BIGINT AS sample_rate,
        CASE WHEN doc_id % 3 = 0 THEN 1
             WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) // 2
-            ELSE octet_length(encode(text)) % 24 + 1 END::BIGINT AS n_frames
+            ELSE doc_id % 240 + 24 END::BIGINT AS n_frames
 FROM documents"""
     # distributed-hit-relation twins share the driver-mode oracles
     O["ft_dist_facet_lang"] = O["ft_facet_lang"]

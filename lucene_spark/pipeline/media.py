@@ -110,3 +110,87 @@ def wav_bytes(sample_rate: int, data: bytes, channels: int = 1, bits: int = 16) 
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---- MP4 (ISO BMFF) header codec --------------------------------------------
+#
+# Minimal box walk: ftyp + moov(mvhd + trak(tkhd)) + mdat. Enough for
+# the metadata a demuxer's probe step yields (duration/timescale and
+# the track's presentation dimensions) without any media library.
+
+_MP4_TIMESCALE = 24  # ticks == frames at the synthesis' fixed 24 fps
+
+
+def mp4_bytes(width: int, height: int, n_frames: int, tail: bytes = b"") -> bytes:
+    """Minimal valid ISO BMFF file: ftyp, moov(mvhd v0 with
+    timescale=24 and duration=n_frames, trak(tkhd v0 with 16.16-fixed
+    width/height)), mdat(tail). Fixed header size: 244 bytes + tail
+    (closed-form for SQL oracles)."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", _MP4_TIMESCALE, int(n_frames))  # timescale, duration
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4  # reserved
+        + struct.pack(">I", int(n_frames))  # duration
+        + b"\x00" * 8  # reserved
+        + struct.pack(">hh", 0, 0)  # layer, alternate_group
+        + struct.pack(">h", 0)  # volume (video track)
+        + b"\x00" * 2  # reserved
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", int(width) << 16, int(height) << 16),  # 16.16 fixed
+    )
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    mdat = box(b"mdat", bytes(tail))
+    return ftyp + moov + mdat
+
+
+def decode_mp4(b: bytes):
+    """(timescale, duration, width, height) from the moov header, or
+    None if the bytes are not ISO BMFF. Walks top-level boxes, then
+    moov children, then trak children — a demuxer's probe step."""
+    b = bytes(b)
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", b[i : i + 4])[0]
+            if size < 8 or i + size > hi:
+                return
+            yield b[i + 4 : i + 8], i + 8, i + size
+            i += size
+
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+    timescale = duration = width = height = None
+    for typ, lo, hi in walk(0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, lo2, hi2 in walk(lo, hi):
+            if t2 == b"mvhd" and hi2 - lo2 >= 20:
+                timescale, duration = struct.unpack(">II", b[lo2 + 12 : lo2 + 20])
+            elif t2 == b"trak":
+                for t3, lo3, hi3 in walk(lo2, hi2):
+                    if t3 == b"tkhd" and hi3 - lo3 >= 84:
+                        w_fx, h_fx = struct.unpack(">II", b[hi3 - 8 : hi3])
+                        width, height = w_fx >> 16, h_fx >> 16
+    if timescale is None:
+        return None
+    return int(timescale), int(duration), int(width or 0), int(height or 0)

@@ -2,12 +2,12 @@
 
 Treats image/audio/video as `binary` columns with a `kind` tag and
 per-kind metadata extracted by Arrow-batched `mapInPandas` kernels.
-The decode stage is REAL for containers a pure-Python parser covers:
-image dimensions come from actual PNG/JPEG/GIF/BMP headers and audio
-rate/samples from RIFF/WAVE headers (pipeline.media); only video
-container parsing remains a deterministic stub (no pyav in this
-container) — `_VIDEO_STUB` marks the seam where a real demuxer plugs
-into the same kernel.
+The decode stage is REAL for every kind: image dimensions come from
+actual PNG/JPEG/GIF/BMP headers, audio rate/samples from RIFF/WAVE
+headers, and video duration/timescale/dimensions from an actual ISO
+BMFF (MP4) box walk (pipeline.media decode_mp4 — the demuxer's probe
+step; per-frame pixel decode would plug into the same mapInPandas
+kernel via pyav when available).
 
 Scale notes: binary payloads ride in their own parquet column (no
 row-group bloat for metadata-only scans thanks to column pruning);
@@ -32,8 +32,10 @@ from pyspark.sql.types import (
 
 from lucene_spark.pipeline.media import (
     decode_image,
+    decode_mp4,
     decode_wav,
     jpeg_bytes,
+    mp4_bytes,
     png_bytes,
     wav_bytes,
 )
@@ -58,8 +60,8 @@ def with_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     text rows (the test/gate stand-in for media bytes arriving from an
     object store): images get PNG (doc_id % 6 == 0) or JPEG headers
     with dimensions derived from doc_id, audio gets a canonical WAV
-    header, video stays a raw byte blob (container parse is the one
-    remaining stub). Sizes are closed-form — header + utf8(text) — so
+    header, video a minimal ISO BMFF (MP4) container whose mdat holds
+    the text bytes. Sizes are closed-form — header + utf8(text) — so
     a SQL oracle can re-derive every decoded field."""
     schema = StructType(
         [
@@ -87,7 +89,9 @@ def with_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
                     payload = wav_bytes(8000 + (did % 8) * 1000, tail)
                 else:
                     kind = "video"
-                    payload = tail
+                    payload = mp4_bytes(
+                        did % 1920 + 16, did % 1080 + 16, did % 240 + 24, tail
+                    )
                 out["doc_id"].append(did)
                 out["kind"].append(kind)
                 out["payload"].append(payload)
@@ -102,8 +106,9 @@ def extract_metadata(payloads: DataFrame) -> DataFrame:
     """(doc_id, kind, payload) → typed metadata via mapInPandas with
     REAL header decode: PNG/JPEG/GIF/BMP dimensions, WAV sample rate +
     sample count (pipeline.media). Unrecognized payloads get format
-    NULL and zeroed fields; the video kind keeps a deterministic
-    byte-derived frame count (container demux = the remaining stub)."""
+    NULL and zeroed fields; video decodes duration (in timescale
+    ticks; the synthesis writes 24 fps so ticks == frames) and the
+    track's presentation dimensions from the real MP4 box walk."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -123,8 +128,11 @@ def extract_metadata(payloads: DataFrame) -> DataFrame:
                     if got is not None:
                         rate, _ch, _bits, n_samples = got
                         fmt, frames = "wav", n_samples
-                else:  # _VIDEO_STUB: real demuxer plugs in here
-                    fmt, frames = "raw", len(b) % 24 + 1
+                else:
+                    got = decode_mp4(b)
+                    if got is not None:
+                        _ts, duration, w, h = got
+                        fmt, frames = "mp4", duration
                 out["doc_id"].append(int(did))
                 out["kind"].append(kind)
                 out["format"].append(fmt)
@@ -140,10 +148,13 @@ def extract_metadata(payloads: DataFrame) -> DataFrame:
 
 
 def frame_sample(payloads: DataFrame, every_n: int = 8) -> DataFrame:
-    """Deterministic frame sampling plumbing for video payloads: emits
-    (doc_id, frame_idx, frame_bytes) rows — the stub slices the payload
-    bytes; a real decoder would emit encoded frames. Demonstrates the
-    1→N mapInPandas fan-out shape used for frame-level training data."""
+    """Frame-sampling plumbing for video payloads: emits (doc_id,
+    frame_idx, frame_bytes) rows for every ``every_n``-th frame. The
+    frame COUNT comes from the real MP4 header (mvhd duration; the
+    synthesis writes ticks == frames); the emitted bytes slice the
+    mdat payload deterministically — a codec would emit decoded frames
+    from the same positions. Demonstrates the 1→N mapInPandas fan-out
+    shape used for frame-level training data."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -152,7 +163,10 @@ def frame_sample(payloads: DataFrame, every_n: int = 8) -> DataFrame:
                 if r["kind"] != "video":
                     continue
                 b = bytes(r["payload"])
-                n_frames = len(b) % 24 + 1
+                got = decode_mp4(b)
+                if got is None:
+                    continue
+                _ts, n_frames, _w, _h = got
                 for i in range(0, n_frames, every_n):
                     lo = (i * 37) % max(len(b) - 8, 1)
                     rows["doc_id"].append(r["doc_id"])

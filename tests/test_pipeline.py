@@ -286,7 +286,11 @@ class TestMultimodal:
                 assert r["sample_rate"] == 8000 + (did % 8) * 1000
                 assert r["n_frames"] == (r["n_bytes"] - 44) // 2
             else:
-                assert r["format"] == "raw" and r["n_frames"] >= 1
+                # duration/dimensions parsed from the ACTUAL MP4 boxes
+                assert r["format"] == "mp4"
+                assert r["n_frames"] == did % 240 + 24
+                assert r["width"] == did % 1920 + 16
+                assert r["height"] == did % 1080 + 16
 
     def test_decoders_roundtrip_and_reject_garbage(self):
         from lucene_spark.pipeline.media import (
@@ -311,6 +315,15 @@ class TestMultimodal:
         bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 77, -55) + b"\x00" * 4
         assert decode_image(bmp) == ("bmp", 77, 55)
 
+    def test_mp4_roundtrip_and_reject_garbage(self):
+        from lucene_spark.pipeline.media import decode_mp4, mp4_bytes
+
+        b = mp4_bytes(1920, 1080, 240, b"mdat-payload")
+        assert len(b) == 244 + len(b"mdat-payload")  # closed-form size
+        assert decode_mp4(b) == (24, 240, 1920, 1080)
+        assert decode_mp4(b"not a video") is None
+        assert decode_mp4(b"\x00\x00\x00\x14ftypisom") is None  # truncated
+
     def test_frame_sample_video_only(self, spark, docs_df):
         from lucene_spark.pipeline.multimodal import frame_sample, with_payload
 
@@ -319,6 +332,13 @@ class TestMultimodal:
         rows = frame_sample(payloads).collect()
         assert {r["doc_id"] for r in rows} <= video_ids
         assert all(len(r["frame_bytes"]) > 0 for r in rows)
+        # frame count follows the MP4 header: every_n=8 over did%240+24
+        by_doc = {}
+        for r in rows:
+            by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + 1
+        for did, n in by_doc.items():
+            want = -(-(did % 240 + 24) // 8)  # ceil(frames / 8)
+            assert n == want, did
 
 
 class TestDuplicateClusters:
