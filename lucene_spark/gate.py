@@ -1516,6 +1516,18 @@ def queries() -> dict:
 
     Q["ft_funcscore_top10"] = _funcscore
 
+    def _rescore(spark, sf):
+        # QueryRescorer: first pass BM25('table') top-30, rescored by
+        # first + 2.0 * BM25('hash') where 'hash' matches; the second
+        # pass rides the distributed match relation
+        from lucene_spark.search.postprocess import rescore
+
+        _, searcher = gate_index(spark, sf)
+        first = searcher.search(A.TermQuery("table"), k=30)
+        return _hits_df(spark, rescore(searcher, first, A.TermQuery("hash"), top_n=10, weight=2.0))
+
+    Q["ft_rescore_top10"] = _rescore
+
     def _facet_range(spark, sf):
         from lucene_spark.search.postprocess import facet_range_counts
 
@@ -2866,6 +2878,17 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT)
     O["ft_funcscore_top10"] = topk_sql(
         "SELECT t.doc_id, t.s * ln(1 + d.n_chars) AS s FROM tscore t "
         "JOIN documents d USING (doc_id) WHERE t.term = 'table'"
+    )
+    # QueryRescorer: first-pass top-30 of 'table' (f32 cut order),
+    # combined = first + 2.0*second where 'hash' matches, else first
+    O["ft_rescore_top10"] = (
+        base_ctes() + ", fp AS (SELECT doc_id, s FROM tscore WHERE term = 'table' "
+        "      ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 30), "
+        "sp AS (SELECT doc_id, s FROM tscore WHERE term = 'hash'), "
+        "q AS (SELECT fp.doc_id, fp.s + coalesce(2.0 * sp.s, 0) AS s "
+        "      FROM fp LEFT JOIN sp USING (doc_id)) "
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"
     )
     # LongRangeFacetCounts: overlapping ranges each counted independently
     O["ft_facet_range"] = (

@@ -101,6 +101,49 @@ def group_top_hits(
     )
 
 
+def rescore(searcher, first_pass, second_query, top_n: int = 10, weight: float = 1.0):
+    """Two-pass ranking (CORE/search/QueryRescorer.java:36-104; the
+    :141-164 static ``rescore(searcher, topDocs, query, weight, topN)``
+    convenience is this signature): ``second_query`` is evaluated ONLY
+    against the first-pass hits; a hit's combined score is the Java
+    float expression first + weight * second where the second query
+    matches it, the first-pass score alone where it doesn't
+    (combine(first, secondMatches, second) with the default weighted
+    sum). Hits re-sort by (score desc, doc_id asc) — QueryRescorer's
+    comparator, :86-97 — and cut to ``top_n``. ``total_hits`` stays the
+    FIRST pass's total: rescoring reorders, it never changes the match
+    count.
+
+    Scale shape: the second pass rides the distributed hit relation
+    (match_frame — per-chunk kernels, nothing O(matches) on the
+    driver) inner-joined to the broadcast ≤len(hits) first-pass id
+    set, so only O(first-pass) rows reach the driver even when
+    ``second_query`` matches half the corpus."""
+    import numpy as np
+
+    from lucene_spark.search.engine import TopDocs
+
+    hits = list(first_pass.hits)
+    if not hits:
+        return TopDocs([], first_pass.total_hits, first_pass.relation, {"mode": "rescore"})
+    spark = searcher.index.spark
+    ids = spark.createDataFrame([(int(d),) for d, _ in hits], "doc_id bigint")
+    second = searcher.match_frame(second_query).join(F.broadcast(ids), "doc_id")
+    smap = {int(r["doc_id"]): np.float32(r["score"]) for r in second.collect()}
+    w = np.float32(weight)
+    combined = []
+    for d, s in hits:
+        c = np.float32(s)
+        s2 = smap.get(int(d))
+        if s2 is not None:
+            c = np.float32(c + np.float32(w * s2))
+        combined.append((int(d), float(c)))
+    combined.sort(key=lambda t: (-t[1], t[0]))
+    return TopDocs(
+        combined[:top_n], first_pass.total_hits, first_pass.relation, {"mode": "rescore"}
+    )
+
+
 def facet_range_counts(
     searcher, query, docs_df: DataFrame, value_col: str, ranges, mode: str = "driver"
 ) -> DataFrame:

@@ -70,6 +70,59 @@ class TestFunctionScore:
         assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
 
 
+class TestQueryRescorer:
+    """QueryRescorer.java:36-104 — second-pass reweighting of the
+    first-pass top-N, vs a from-definition float32 brute force."""
+
+    def _brute(self, oracle, first_hits, second_q, weight, top_n):
+        smap = oracle.score(second_q)
+        out = []
+        for d, s in first_hits:
+            c = np.float32(s)
+            if d in smap:
+                c = np.float32(c + np.float32(np.float32(weight) * smap[d]))
+            out.append((int(d), float(c)))
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:top_n]
+
+    def test_matches_brute_force(self, searcher, oracle):
+        from lucene_spark.search.postprocess import rescore
+
+        first = searcher.search(A.TermQuery("return"), k=25)
+        got = rescore(searcher, first, A.TermQuery("if"), top_n=10, weight=2.0)
+        want = self._brute(oracle, first.hits, A.TermQuery("if"), 2.0, 10)
+        assert [(d, np.float32(s)) for d, s in got.hits] == [
+            (d, np.float32(s)) for d, s in want
+        ]
+        # rescoring reorders; it never changes the match count
+        assert got.total_hits == first.total_hits
+
+    def test_second_query_can_be_composite(self, searcher, oracle):
+        from lucene_spark.search.postprocess import rescore
+
+        second = A.PhraseQuery(("return", "if"))
+        first = searcher.search(A.TermQuery("int"), k=20)
+        got = rescore(searcher, first, second, top_n=8, weight=0.5)
+        want = self._brute(oracle, first.hits, second, 0.5, 8)
+        assert [(d, np.float32(s)) for d, s in got.hits] == [
+            (d, np.float32(s)) for d, s in want
+        ]
+
+    def test_no_second_matches_keeps_first_order(self, searcher):
+        from lucene_spark.search.postprocess import rescore
+
+        first = searcher.search(A.TermQuery("return"), k=10)
+        got = rescore(searcher, first, A.TermQuery("zzznosuchterm"), top_n=10)
+        assert got.hits == sorted(first.hits, key=lambda t: (-t[1], t[0]))
+
+    def test_empty_first_pass(self, searcher):
+        from lucene_spark.search.postprocess import rescore
+
+        first = searcher.search(A.TermQuery("zzznosuchterm"), k=10)
+        got = rescore(searcher, first, A.TermQuery("return"), top_n=10)
+        assert got.hits == [] and got.total_hits == 0
+
+
 class TestRangeFacets:
     def test_counts_vs_brute(self, spark, searcher, search_index, oracle):
         q = A.TermQuery("return")
