@@ -820,6 +820,18 @@ def queries() -> dict:
             ),
         ),
     )
+    # MultiFieldQueryParser (lucene/queryparser/classic/
+    # MultiFieldQueryParser.java:43-121): unqualified clauses fan out
+    # into SHOULD per-field copies with per-field boosts
+    def _mfparse(spark, sf):
+        from lucene_spark.search.parser import parse_multifield
+
+        q = parse_multifield(
+            "table merge", fields=("content", "title"), boosts={"title": 0.5}
+        )
+        return _hits_df(spark, _search(spark, sf, q))
+
+    Q["ft_mfparse_top10"] = _mfparse
     Q["ft_multiphrase_top10"] = lambda spark, sf: _hits_df(
         spark, _search(spark, sf, A.MultiPhraseQuery((("table", "merge"), ("hash",))))
     )
@@ -2651,6 +2663,14 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT)
         "SELECT doc_id, s FROM tscore WHERE term = 'table' "
         "UNION ALL SELECT doc_id, s FROM tlscore WHERE term = 'merge'"
         ") GROUP BY doc_id HAVING count(*) = 2"
+    )
+    # MultiFieldQueryParser fan-out: 'table merge' over content+title
+    # (title boosted 0.5) — SHOULD-sum of every per-field BM25 leaf
+    O["ft_mfparse_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM ("
+        "SELECT doc_id, s FROM tscore WHERE term IN ('table','merge') "
+        "UNION ALL SELECT doc_id, 0.5 * s FROM tlscore WHERE term IN ('table','merge')"
+        ") GROUP BY doc_id"
     )
     O["ft_fields_dismax_top10"] = topk_sql(
         "SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s FROM ("

@@ -332,3 +332,64 @@ def parse_query(
     if isinstance(q, tuple):
         q = BooleanQuery((q,))
     return rewrite(q) if rewrite_tree else q
+
+
+# ---- MultiFieldQueryParser --------------------------------------------------
+
+_MULTIFIELD_LEAVES = (
+    TermQuery,
+    PhraseQuery,
+    PrefixQuery,
+    WildcardQuery,
+    RegexpQuery,
+    FuzzyQuery,
+    TermRangeQuery,
+)
+
+
+def parse_multifield(
+    s: str,
+    fields: tuple[str, ...] | list[str],
+    boosts: dict[str, float] | None = None,
+    analyzer: str | None = None,
+) -> Query:
+    """MultiFieldQueryParser (lucene/queryparser/classic/
+    MultiFieldQueryParser.java:43-121): parse ``s`` with the classic
+    grammar, then expand every clause the user did NOT field-qualify
+    into a SHOULD BooleanQuery of per-field copies (:98-121 —
+    getFieldQuery(null, ...) loops the fields), each wrapped in a
+    BoostQuery when ``boosts`` maps its field away from 1.0 (:114-118).
+    Field-qualified clauses parse exactly as the single-field parser
+    would. Unqualified means the leaf landed on the parser's default
+    field ("content"); an explicit ``content:`` prefix is
+    indistinguishable and expands too."""
+    from dataclasses import replace
+
+    fields = tuple(fields)
+    if not fields:
+        raise ValueError("parse_multifield needs at least one field")
+    boosts = dict(boosts or {})
+
+    def fan(q: Query) -> Query:
+        copies = []
+        for f in fields:
+            c = q if f == "content" else replace(q, field=f)
+            b = float(boosts.get(f, 1.0))
+            copies.append(BoostQuery(c, b) if b != 1.0 else c)
+        if len(copies) == 1:
+            return copies[0]
+        return BooleanQuery(tuple((Occur.SHOULD, c) for c in copies))
+
+    def walk(q: Query) -> Query:
+        if isinstance(q, _MULTIFIELD_LEAVES) and q.field == "content":
+            return fan(q)
+        if isinstance(q, BooleanQuery):
+            return replace(
+                q, clauses=tuple((occ, walk(sub)) for occ, sub in q.clauses)
+            )
+        if isinstance(q, BoostQuery):
+            return replace(q, query=walk(q.query))
+        return q
+
+    parsed = parse_query(s, analyzer=analyzer)
+    return rewrite(walk(parsed))

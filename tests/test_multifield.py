@@ -168,3 +168,93 @@ class TestMultiField:
         s = Searcher(mf_index)
         td = s.search("lang:python AND return", k=5)
         assert len(td.hits) > 0
+
+
+class TestMultiFieldQueryParser:
+    """MultiFieldQueryParser (lucene/queryparser/classic/
+    MultiFieldQueryParser.java:43-121): every clause the user did not
+    field-qualify expands into a SHOULD disjunction of per-field
+    copies, optionally boosted per field."""
+
+    def test_term_fans_out(self):
+        from lucene_spark.search.parser import parse_multifield
+
+        q = parse_multifield("hello", ("content", "path"))
+        assert q == A.BooleanQuery(
+            ((A.Occur.SHOULD, A.TermQuery("hello")), (A.Occur.SHOULD, A.TermQuery("hello", field="path")))
+        )
+
+    def test_single_field_is_identity(self):
+        from lucene_spark.search.parser import parse_multifield, parse_query
+
+        assert parse_multifield("hello world", ("content",)) == parse_query("hello world")
+
+    def test_boost_wraps(self):
+        from lucene_spark.search.parser import parse_multifield
+
+        q = parse_multifield("hello", ("content", "path"), boosts={"path": 2.0})
+        assert q == A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.TermQuery("hello")),
+                (A.Occur.SHOULD, A.BoostQuery(A.TermQuery("hello", field="path"), 2.0)),
+            )
+        )
+
+    def test_field_qualified_clause_not_expanded(self):
+        from lucene_spark.search.parser import parse_multifield
+
+        q = parse_multifield("return AND path:py", ("content", "path"))
+        assert isinstance(q, A.BooleanQuery)
+        (o1, c1), (o2, c2) = q.clauses
+        assert o1 is A.Occur.MUST and o2 is A.Occur.MUST
+        assert isinstance(c1, A.BooleanQuery)  # the fanned 'return'
+        assert c2 == A.FieldValueQuery("path", "py")  # untouched
+
+    def test_phrase_and_prefix_fan(self):
+        from lucene_spark.search.parser import parse_multifield
+
+        q = parse_multifield('"int return" foo*', ("content", "path"))
+        assert isinstance(q, A.BooleanQuery)
+        phr, pre = (c for _, c in q.clauses)
+        assert phr.clauses[0][1] == A.PhraseQuery(("int", "return"))
+        assert phr.clauses[1][1] == A.PhraseQuery(("int", "return"), field="path")
+        assert pre.clauses[0][1] == A.PrefixQuery("foo")
+        assert pre.clauses[1][1] == A.PrefixQuery("foo", field="path")
+
+    def test_must_not_fans_under_occur(self):
+        from lucene_spark.search.parser import parse_multifield
+
+        q = parse_multifield("+return -py", ("content", "path"))
+        occ = [o for o, _ in q.clauses]
+        assert occ == [A.Occur.MUST, A.Occur.MUST_NOT]
+        for _, sub in q.clauses:
+            assert isinstance(sub, A.BooleanQuery) and len(sub.clauses) == 2
+
+    def test_e2e_should_sums_per_field_bm25(self, mf_index, content_oracle, path_oracle):
+        from lucene_spark.search.parser import parse_multifield
+
+        s = Searcher(mf_index)
+        hits = s.search(parse_multifield("return", ("content", "path")), k=10).hits
+        sc_c = content_oracle.score(A.TermQuery("return"))
+        sc_p = path_oracle.score(A.TermQuery("return"))
+        union = {
+            d: float(np.float32(sc_c.get(d, 0.0)) + np.float32(sc_p.get(d, 0.0)))
+            for d in set(sc_c) | set(sc_p)
+        }
+        expect = sorted(union.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        _close(hits, expect)
+
+    def test_e2e_boost_scales_field(self, mf_index, content_oracle, path_oracle):
+        from lucene_spark.search.parser import parse_multifield
+
+        s = Searcher(mf_index)
+        q = parse_multifield("py", ("content", "path"), boosts={"path": 3.0})
+        hits = s.search(q, k=10).hits
+        sc_c = content_oracle.score(A.TermQuery("py"))
+        sc_p = path_oracle.score(A.TermQuery("py"))
+        union = {
+            d: float(np.float32(sc_c.get(d, 0.0)) + np.float32(3.0) * np.float32(sc_p.get(d, 0.0)))
+            for d in set(sc_c) | set(sc_p)
+        }
+        expect = sorted(union.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        _close(hits, expect)
