@@ -1528,6 +1528,39 @@ def queries() -> dict:
 
     Q["ft_funcscore_top10"] = _funcscore
 
+    def _exprsort(spark, sf):
+        # lucene/expressions: JS-language expression compiled to a
+        # Catalyst expression (Expression.getSortField role) — sort
+        # matches by its value; integer-exact arithmetic so the DuckDB
+        # oracle computes bit-identical doubles
+        from lucene_spark.search.expressions import expression_sort
+
+        index, searcher = gate_index(spark, sf)
+        out = expression_sort(
+            searcher,
+            A.TermQuery("table"),
+            index.docs,
+            "floor(n_chars / 7) * (doc_id % 5 + 1) + n_chars % 13",
+            k=10,
+        )
+        return out.select("rank", "doc_id", F.round("sort_value", 2).alias("value_r"))
+
+    Q["ft_exprsort_top10"] = _exprsort
+
+    def _exprrescore(spark, sf):
+        # ExpressionRescorer: first-pass BM25('table') top-30 re-ranked
+        # by 0.5*_score + n_chars % 101 (the _score binding)
+        from lucene_spark.search.expressions import expression_rescore
+
+        index, searcher = gate_index(spark, sf)
+        first = searcher.search(A.TermQuery("table"), k=30)
+        td = expression_rescore(
+            searcher, first, "0.5 * _score + n_chars % 101", index.docs, top_n=10
+        )
+        return _hits_df(spark, td)
+
+    Q["ft_exprrescore_top10"] = _exprrescore
+
     def _rescore(spark, sf):
         # QueryRescorer: first pass BM25('table') top-30, rescored by
         # first + 2.0 * BM25('hash') where 'hash' matches; the second
@@ -2898,6 +2931,27 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT)
     O["ft_funcscore_top10"] = topk_sql(
         "SELECT t.doc_id, t.s * ln(1 + d.n_chars) AS s FROM tscore t "
         "JOIN documents d USING (doc_id) WHERE t.term = 'table'"
+    )
+    # JS expression sort: integer-exact double arithmetic, identical
+    # in DuckDB and Catalyst
+    O["ft_exprsort_top10"] = (
+        base_ctes()
+        + " SELECT CAST(row_number() OVER (ORDER BY v DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(v, 2) AS value_r FROM ("
+        " SELECT d.doc_id, floor(d.n_chars / 7.0) * (d.doc_id % 5 + 1) + d.n_chars % 13 AS v"
+        " FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'table')"
+        ") ORDER BY v DESC, doc_id LIMIT 10"
+    )
+    # ExpressionRescorer: first-pass top-30 (f32 cut order), value =
+    # 0.5*relevance + n_chars % 101
+    O["ft_exprrescore_top10"] = (
+        base_ctes() + ", fp AS (SELECT doc_id, s FROM tscore WHERE term = 'table' "
+        "      ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 30), "
+        "q AS (SELECT fp.doc_id, 0.5 * fp.s + d.n_chars % 101 AS s "
+        "      FROM fp JOIN documents d USING (doc_id)) "
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q "
+        "ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"
     )
     # QueryRescorer: first-pass top-30 of 'table' (f32 cut order),
     # combined = first + 2.0*second where 'hash' matches, else first
