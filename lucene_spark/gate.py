@@ -1284,6 +1284,17 @@ def queries() -> dict:
 
     Q["tx_chunks"] = _chunks
 
+    def _pack(spark, sf):
+        # concat-and-split sequence packing (pretraining layout):
+        # count = char length, 4096-token sequences
+        from lucene_spark.pipeline.chunking import pack_sequences
+
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        counted = docs.select("doc_id", F.length("text").cast("long").alias("n"))
+        return pack_sequences(counted, "n", seq_len=4096)
+
+    Q["tx_pack"] = _pack
+
     def _blockjoin(spark, sf):
         # ToParentBlockJoinQuery: every 5th doc is the block parent
         # (children 5k..5k+3, parent 5k+4), ScoreMode.Total
@@ -2843,6 +2854,16 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT)
         "SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, len(win)::BIGINT AS n_chunk_tokens, "
         "(chunk_idx*48)::BIGINT AS begin_tok, md5(array_to_string(win, ' ')) AS chunk_md5 "
         "FROM w ORDER BY doc_id, chunk_idx"
+    )
+    O["tx_pack"] = (
+        "WITH t AS (SELECT doc_id, length(text)::BIGINT AS n FROM documents), "
+        "c AS (SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY doc_id "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS b FROM t) "
+        "SELECT doc_id, n AS n_tokens, b AS begin_off, "
+        "CASE WHEN n > 0 THEN b // 4096 END AS first_seq, "
+        "CASE WHEN n > 0 THEN (b + n - 1) // 4096 END AS last_seq, "
+        "(CASE WHEN n > 0 THEN (b + n - 1) // 4096 - b // 4096 + 1 ELSE 0 END)::BIGINT AS n_seqs "
+        "FROM c ORDER BY doc_id"
     )
     # CoveringQuery: sum of matching clause scores, per-doc threshold
     O["ft_covering_top10"] = (

@@ -70,3 +70,83 @@ def chunk_documents(
             F.array_join("_w", " ").alias("chunk_text"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    count_col: str,
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-split sequence packing — the standard LLM-pretraining
+    layout: documents are concatenated in deterministic ``id_col``
+    order and the token stream is cut into fixed ``seq_len`` training
+    sequences, so a document's tokens land at absolute offset
+    [begin_off, begin_off + n) and span sequences
+    floor(begin/seq_len) .. floor((begin+n-1)/seq_len).
+
+    Returns (doc_id, n_tokens, begin_off, first_seq, last_seq, n_seqs);
+    empty documents get first_seq = last_seq = NULL and n_seqs = 0.
+
+    Scale shape: the global running sum is NOT a single-partition
+    window. The stream is range-partitioned on doc_id and sorted
+    within partitions; per-partition totals (one tiny row each) are
+    aggregated, turned into exclusive partition offsets on the driver
+    (O(#partitions)), broadcast back, and each partition computes its
+    local prefix sum independently — the classic two-phase scan, so
+    1000 executors each cumsum their own range and nothing large ever
+    centralizes. Partition-count invariance is pytest-verified.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    spark = df.sparkSession
+    n_parts = int(
+        num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col(count_col).cast("long"), F.lit(0)).alias("n_tokens"),
+        )
+        .repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    base = base.localCheckpoint(eager=False)  # pin the partitioning: the
+    # partial-sum pass and the prefix pass must see identical _pid maps
+    partials = base.groupBy("_pid").agg(F.sum("n_tokens").alias("_t")).collect()
+    totals = {int(r["_pid"]): int(r["_t"]) for r in partials}
+    offsets, acc = [], 0
+    for pid in sorted(totals):  # repartitionByRange: pid order == key order
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _part_off long")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    begin = F.col("_part_off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = (
+        base.join(F.broadcast(off_df), "_pid")
+        .withColumn("begin_off", begin.cast("long"))
+        .withColumn(
+            "first_seq",
+            F.when(F.col("n_tokens") > 0, F.floor(F.col("begin_off") / seq_len)),
+        )
+        .withColumn(
+            "last_seq",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor((F.col("begin_off") + F.col("n_tokens") - 1) / seq_len),
+            ),
+        )
+        .withColumn(
+            "n_seqs",
+            F.coalesce(F.col("last_seq") - F.col("first_seq") + 1, F.lit(0)).cast("long"),
+        )
+    )
+    return out.select("doc_id", "n_tokens", "begin_off", "first_seq", "last_seq", "n_seqs")
