@@ -820,6 +820,22 @@ def queries() -> dict:
             ),
         ),
     )
+    # XML query parser (queryparser/xml CoreParser): Boolean with
+    # must/boosted-should/mustnot built from the XML surface
+    def _xmlq(spark, sf):
+        from lucene_spark.search.xmlparser import parse_xml_query
+
+        q = parse_xml_query(
+            '<BooleanQuery fieldName="content">'
+            '<Clause occurs="must"><TermQuery>table</TermQuery></Clause>'
+            '<Clause occurs="should"><TermQuery boost="2.0">merge</TermQuery></Clause>'
+            '<Clause occurs="mustnot"><TermQuery>vector</TermQuery></Clause>'
+            "</BooleanQuery>"
+        )
+        return _hits_df(spark, _search(spark, sf, q))
+
+    Q["ft_xml_top10"] = _xmlq
+
     # MultiFieldQueryParser (lucene/queryparser/classic/
     # MultiFieldQueryParser.java:43-121): unqualified clauses fan out
     # into SHOULD per-field copies with per-field boosts
@@ -2707,6 +2723,14 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT)
         "SELECT doc_id, s FROM tscore WHERE term = 'table' "
         "UNION ALL SELECT doc_id, s FROM tlscore WHERE term = 'merge'"
         ") GROUP BY doc_id HAVING count(*) = 2"
+    )
+    # XML parser boolean: must table + 2.0*should merge - mustnot vector
+    O["ft_xml_top10"] = topk_sql(
+        "SELECT doc_id, sum(CASE WHEN term = 'merge' THEN 2 * s ELSE s END) AS s "
+        "FROM tscore WHERE term IN ('table','merge') "
+        "AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
+        "AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'vector') "
+        "GROUP BY doc_id"
     )
     # MultiFieldQueryParser fan-out: 'table merge' over content+title
     # (title boosted 0.5) — SHOULD-sum of every per-field BM25 leaf
