@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v11"  # v11: r_lo/r_hi range-field columns in the gate docs
+ENGINE_VERSION = "v12"  # v12: reversed term-dictionary sidecar (leading wildcards)
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 

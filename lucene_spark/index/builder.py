@@ -778,6 +778,22 @@ class IndexBuilder:
             term_stats.repartition(cfg.term_buckets, "term").sortWithinPartitions(
                 "term"
             ).write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+            # ReverseStringFilter role (analysis/common/.../reverse/
+            # ReverseStringFilter.java:30-60, Solr's leading-wildcard
+            # trick): a reversed-key dictionary sidecar, sorted by
+            # reverse(term) so a leading wildcard (*suffix) becomes a
+            # pushed-down startswith on term_rev — row-group min/max
+            # pruning instead of a full-dictionary regexp scan.
+            # Vocabulary-sized (no postings duplicated); invalidated by
+            # IndexWriter commits (which rewrite the manifest without
+            # the reverse_dict flag).
+            (
+                term_stats.select("term", F.reverse("term").alias("term_rev"))
+                .repartition(cfg.term_buckets, "term_rev")
+                .sortWithinPartitions("term_rev")
+                .write.mode("overwrite")
+                .parquet(f"{index_dir}/term_stats_rev")
+            )
 
         # the collection-stats aggregations read the SAME persisted
         # intermediates as the writes — run them as a fifth concurrent
@@ -923,6 +939,7 @@ class IndexBuilder:
             "ngrams": list(cfg.ngrams) if cfg.ngrams else None,
             "edge_ngrams": list(cfg.edge_ngrams) if cfg.edge_ngrams else None,
             "char_filters": list(cfg.char_filters),
+            "reverse_dict": True,
         }
         with open(f"{index_dir}/manifest.json", "w") as fh:
             json.dump(metrics, fh, indent=2)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -156,6 +157,9 @@ class ResumableIndexBuilder:
             "overwrite"
         ).parquet(f"{index_dir}/term_stats")
 
+        # the merged term set changed: a reversed-dictionary sidecar
+        # from an earlier one-shot build would be stale
+        shutil.rmtree(f"{index_dir}/term_stats_rev", ignore_errors=True)
         # a session that read these paths before the overwrite would see
         # stale file listings (Spark caches the FileIndex per path)
         for t in ("docs", "norms", "postings", "term_stats", "collection_stats"):

@@ -267,6 +267,19 @@ class SearchIndex:
         )
         return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
 
+    def expand_wildcard(self, pattern: str, limit: int = MAX_EXPANSION, field: str | None = None) -> list[str]:
+        """Wildcard expansion with path selection: a pure leading
+        wildcard (*suffix) rides the reversed-dictionary sidecar
+        (pruned startswith) instead of the full regexp scan; everything
+        else goes through the wildcard→regexp automaton route."""
+        from lucene_spark.testing.oracle import wildcard_to_regex
+
+        if pattern.startswith("*") and len(pattern) > 1 and not any(
+            c in "*?" for c in pattern[1:]
+        ):
+            return self.expand_terms("suffix", pattern[1:], limit=limit, field=field)
+        return self.expand_terms("regexp", wildcard_to_regex(pattern), limit=limit, field=field)
+
     def expand_terms(self, kind: str, arg, limit: int = MAX_EXPANSION, field: str | None = None) -> list[str]:
         """MultiTermQuery expansion against the term dictionary
         (MultiTermQuery.java:55-93; AutomatonTermsEnum ∩ dictionary →
@@ -283,6 +296,12 @@ class SearchIndex:
             self._expand_cache.move_to_end(ckey)
             return list(cached)
         t = self.term_stats_df
+        if kind == "suffix" and self._manifest.get("reverse_dict"):
+            # leading-wildcard acceleration (ReverseStringFilter role):
+            # the reversed-key sidecar is sorted by term_rev, so the
+            # startswith below prunes row groups instead of scanning
+            # the whole dictionary
+            t = self.spark.read.parquet(f"{self.index_dir}/term_stats_rev")
         bare = F.col("term")
         if keyprefix:
             t = t.filter(F.col("term").startswith(keyprefix))
@@ -292,7 +311,14 @@ class SearchIndex:
             # composite keys (e.g. wildcard '*ow' matching
             # 'title<SEP>window') — the FieldInfos key-space boundary
             t = t.filter(~F.col("term").contains(FIELD_SEP))
-        if kind == "prefix":
+        if kind == "suffix":
+            # a composite key reversed starts with the reversed bare
+            # term, so the pruning column works for every field
+            if "term_rev" in t.columns:
+                cond = F.col("term_rev").startswith(arg[::-1])
+            else:  # no sidecar (writer-modified index): plain scan
+                cond = bare.endswith(arg)
+        elif kind == "prefix":
             cond = bare.startswith(arg)
         elif kind == "regexp":
             cond = bare.rlike(f"^(?:{arg})$")

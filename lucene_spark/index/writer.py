@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -270,6 +271,7 @@ class IndexWriter:
             if s not in committed:
                 shutil.rmtree(f"{self.index_dir}/segments/seg={s}", ignore_errors=True)
         self._save_commits(snap["commits"])
+        shutil.rmtree(f"{self.index_dir}/term_stats_rev", ignore_errors=True)
         for t in self._TABLES:
             self.spark.catalog.refreshByPath(f"{self.index_dir}/{t}")
         n_docs = self._write_collection_stats()
@@ -464,6 +466,10 @@ class IndexWriter:
                     {"tiers": [{"tier": 0, "segments": self._staged_segments(), "n_docs": -1}]}
                 )
         n_docs = self._write_collection_stats()
+        # the committed tier changes the term set: drop the reversed-
+        # dictionary sidecar (the rewritten manifest below has no
+        # reverse_dict flag, so readers fall back to the plain scan)
+        shutil.rmtree(f"{self.index_dir}/term_stats_rev", ignore_errors=True)
         with open(f"{self.index_dir}/manifest.json", "w") as fh:
             json.dump(
                 {

@@ -41,7 +41,6 @@ _SLOT_RE = re.compile(r"\(([^)]*)\)|(\S+)")
 
 def _expand_atom(index, atom: str, max_expansions: int) -> list[str]:
     """One phrase atom -> concrete dictionary terms."""
-    from lucene_spark.testing.oracle import wildcard_to_regex
 
     atom = atom.lower()
     m = re.fullmatch(r"(.+?)~(\d?)", atom)
@@ -50,7 +49,7 @@ def _expand_atom(index, atom: str, max_expansions: int) -> list[str]:
         edits = int(ed) if ed else 2
         return index.expand_terms("fuzzy", (base, edits, 0), limit=max_expansions)
     if "*" in atom or "?" in atom:
-        return index.expand_terms("regexp", wildcard_to_regex(atom), limit=max_expansions)
+        return index.expand_wildcard(atom, limit=max_expansions)
     return [atom] if index.term_stats([atom]).get(atom, (0, 0))[0] else []
 
 

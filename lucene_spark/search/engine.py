@@ -397,9 +397,9 @@ class Searcher:
             terms = self.index.expand_terms("prefix", q.prefix, field=q.field)
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
         if isinstance(q, A.WildcardQuery):
-            from lucene_spark.testing.oracle import wildcard_to_regex
-
-            terms = self.index.expand_terms("regexp", wildcard_to_regex(q.pattern), field=q.field)
+            # leading wildcards ride the reversed-dictionary sidecar
+            # (ReverseStringFilter role) instead of a full regexp scan
+            terms = self.index.expand_wildcard(q.pattern, field=q.field)
             return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
         if isinstance(q, A.RegexpQuery):
             terms = self.index.expand_terms("regexp", q.pattern, field=q.field)

@@ -44,14 +44,11 @@ def phrase_wildcard(index, slots, slop: int = 0, max_expansions: int = 128) -> A
     (MatchNoDocsQuery), mirroring PhraseWildcardQuery's empty-slot
     early exit."""
     from lucene_spark.analysis import tokenize
-    from lucene_spark.testing.oracle import wildcard_to_regex
 
     positions: list[tuple[str, ...]] = []
     for slot in slots:
         if "*" in slot or "?" in slot:
-            terms = tuple(
-                index.expand_terms("regexp", wildcard_to_regex(slot.lower()), limit=max_expansions)
-            )
+            terms = tuple(index.expand_wildcard(slot.lower(), limit=max_expansions))
             if not terms:
                 return A.MatchNoDocsQuery(f"phrase slot {slot!r} expands to nothing")
             positions.append(terms)

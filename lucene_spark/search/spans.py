@@ -145,11 +145,10 @@ def span_multi_term(index, pattern: str, max_expansions: int = 128, field: str |
     MatchNoDocs leaf — callers handle the empty case like the
     reference's rewrite does, by the enclosing query matching
     nothing)."""
-    from lucene_spark.testing.oracle import wildcard_to_regex
 
     pat = pattern.lower()
     if "*" in pat or "?" in pat:
-        terms = index.expand_terms("regexp", wildcard_to_regex(pat), limit=max_expansions, field=field)
+        terms = index.expand_wildcard(pat, limit=max_expansions, field=field)
     else:
         terms = index.expand_terms("prefix", pat, limit=max_expansions, field=field)
     if not terms:

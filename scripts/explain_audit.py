@@ -65,6 +65,17 @@ def main() -> None:
     check("prefix StartsWith pushed", plan, r"PushedFilters: \[.*StartsWith\(term")
     sections.append(("Term-dictionary prefix expansion", plan))
 
+    # 2b. reversed dictionary: leading wildcard = pushed StartsWith on
+    # term_rev (ReverseStringFilter sidecar), not a regexp full scan
+    tr = (
+        spark.read.parquet(f"{index.index_dir}/term_stats_rev")
+        .filter(F.col("term_rev").startswith("wo"))
+        .select("term")
+    )
+    plan = _capture(tr)
+    check("leading wildcard StartsWith(term_rev) pushed", plan, r"PushedFilters: \[.*StartsWith\(term_rev")
+    sections.append(("Reversed-dictionary suffix expansion (leading wildcard)", plan))
+
     # 3. norms doc-range read
     n = index.norms.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
     plan = _capture(n)
