@@ -1140,6 +1140,15 @@ def queries() -> dict:
 
     # -- MultiTermQuery family (constant-score doc sets) --
     Q["ft_prefix_ids"] = lambda spark, sf: _ids_df(spark, _search(spark, sf, A.PrefixQuery("s"), k=ALL_K))
+    # SCORING_BOOLEAN_REWRITE: each expansion scored with its own idf
+    Q["ft_prefix_scoring_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, A.PrefixQuery("sc", rewrite="scoring_boolean"))
+    )
+    # TopTermsScoringBooleanQueryRewrite: equal-boost expansions keep
+    # the lexicographically smallest top_n
+    Q["ft_prefix_topterms_top10"] = lambda spark, sf: _hits_df(
+        spark, _search(spark, sf, A.PrefixQuery("sc", rewrite="top_terms", top_n=5))
+    )
     Q["ft_wildcard_ids"] = lambda spark, sf: _ids_df(
         spark, _search(spark, sf, A.WildcardQuery("*ow"), k=ALL_K)
     )
@@ -3201,6 +3210,14 @@ SELECT row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id)::BIGINT AS rank
 FROM scored ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 5"""
 
     O["ft_prefix_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term LIKE 's%'")
+    O["ft_prefix_scoring_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM tscore WHERE term LIKE 'sc%' GROUP BY doc_id"
+    )
+    O["ft_prefix_topterms_top10"] = topk_sql(
+        "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ("
+        "SELECT term FROM (SELECT DISTINCT term FROM tf WHERE term LIKE 'sc%' "
+        "ORDER BY term LIMIT 5)) GROUP BY doc_id"
+    )
     O["ft_wildcard_ids"] = ids_sql("SELECT doc_id FROM tf WHERE regexp_full_match(term, '.*ow')")
     O["ft_fuzzy_ids"] = ids_sql("SELECT doc_id FROM tf WHERE levenshtein(term, 'tabl') <= 1")
     O["ft_range_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term >= 'scan' AND term <= 'table'")

@@ -64,20 +64,39 @@ class MultiPhraseQuery(Query):
 
 @dataclass(frozen=True)
 class PrefixQuery(Query):
+    """``rewrite``: "constant" (CONSTANT_SCORE_REWRITE, the default),
+    "scoring_boolean" (SCORING_BOOLEAN_REWRITE — SHOULD boolean of
+    every expansion, each scored with its own idf,
+    ScoringRewrite.java:40-55), or "top_terms" (TopTermsScoring-
+    BooleanQueryRewrite — keep the ``top_n`` best expansions; with the
+    equal-boost terms a non-fuzzy expansion produces, the reference pq
+    keeps the lexicographically SMALLEST terms,
+    TopTermsRewrite.java:119-122)."""
+
     prefix: str
     field: str = "content"
+    rewrite: str = "constant"
+    top_n: int = 1024  # IndexSearcher maxClauseCount role
 
 
 @dataclass(frozen=True)
 class WildcardQuery(Query):
+    """``rewrite`` as in PrefixQuery."""
+
     pattern: str  # Lucene wildcard syntax: * (any run), ? (one char)
     field: str = "content"
+    rewrite: str = "constant"
+    top_n: int = 1024
 
 
 @dataclass(frozen=True)
 class RegexpQuery(Query):
+    """``rewrite`` as in PrefixQuery."""
+
     pattern: str
     field: str = "content"
+    rewrite: str = "constant"
+    top_n: int = 1024
 
 
 @dataclass(frozen=True)

@@ -390,20 +390,41 @@ class Searcher:
             return A.DisjunctionMaxQuery(subs, q.tie_breaker) if subs else None
         return q
 
+    def _mtq_rewrite(self, terms: list, q) -> A.Query:
+        """Apply the MultiTermQuery rewrite method (MultiTermQuery.java
+        :55-93): "constant" -> constant-score TermInSet (the default);
+        "scoring_boolean" -> SHOULD boolean of every expansion, each
+        scored with its own idf (ScoringRewrite.java:40-55);
+        "top_terms" -> the same over only the top_n best expansions —
+        equal-boost terms keep the lexicographically smallest
+        (TopTermsRewrite.java:119-122 pq competitiveness rule).
+        Expansion keys are full composite keys, which TermQuery accepts
+        verbatim (primary terms have no field prefix)."""
+        rewrite = getattr(q, "rewrite", "constant")
+        if rewrite == "constant":
+            return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
+        if rewrite == "top_terms":
+            terms = sorted(terms)[: q.top_n]
+        elif rewrite != "scoring_boolean":
+            raise ValueError(f"unknown multi-term rewrite {rewrite!r}")
+        if not terms:
+            return A.MatchNoDocsQuery(f"no expansions for {q!r}")
+        return A.BooleanQuery(tuple((A.Occur.SHOULD, A.TermQuery(t)) for t in terms))
+
     def _expand_multiterm(self, q: A.Query, lazy_docsets: bool = False) -> A.Query:
         """Rewrite MultiTermQuery nodes into constant-score TermInSet
         (CONSTANT_SCORE_REWRITE, MultiTermQuery.java:55-93)."""
         if isinstance(q, A.PrefixQuery):
             terms = self.index.expand_terms("prefix", q.prefix, field=q.field)
-            return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
+            return self._mtq_rewrite(terms, q)
         if isinstance(q, A.WildcardQuery):
             # leading wildcards ride the reversed-dictionary sidecar
             # (ReverseStringFilter role) instead of a full regexp scan
             terms = self.index.expand_wildcard(q.pattern, field=q.field)
-            return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
+            return self._mtq_rewrite(terms, q)
         if isinstance(q, A.RegexpQuery):
             terms = self.index.expand_terms("regexp", q.pattern, field=q.field)
-            return A.ConstantScoreQuery(A.TermInSetQuery(tuple(terms)))
+            return self._mtq_rewrite(terms, q)
         if isinstance(q, A.FuzzyQuery):
             terms = self.index.expand_terms("fuzzy", (q.term, q.max_edits, q.prefix_length), field=q.field)
             if q.rewrite == "blended_freq":
