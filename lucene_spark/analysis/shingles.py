@@ -207,3 +207,46 @@ def common_grams_stream(
     if with_offsets:
         return out_t, out_p, out_ov, out_s, out_e
     return out_t, out_p, out_ov
+
+
+def stem_repeat_stream(
+    tokens: list[str],
+    positions: list[int],
+    starts: list[int] | None = None,
+    ends: list[int] | None = None,
+):
+    """KeywordRepeatFilter + PorterStemFilter + RemoveDuplicates
+    (analysis/common/.../miscellaneous/KeywordRepeatFilter.java:28-44 —
+    every token emitted twice, the keyword-marked original first, the
+    stemmer's copy stacked at posInc 0; RemoveDuplicatesTokenFilter.java
+    :30-60 drops the copy when stemming changed nothing): the standard
+    Lucene recipe for exact-plus-stemmed matching in one field. Output
+    is the stacked-stream shape (tokens, positions, overlaps[, starts,
+    ends]); the stemmed copy is the overlap, so discounted norms count
+    surface tokens only — exactly discountOverlaps over this chain."""
+    from lucene_spark.analysis.porter import porter_stem
+
+    with_offsets = starts is not None
+    out_t: list[str] = []
+    out_p: list[int] = []
+    out_o: list[bool] = []
+    out_s: list[int] = []
+    out_e: list[int] = []
+    for i, (t, p) in enumerate(zip(tokens, positions)):
+        out_t.append(t)
+        out_p.append(p)
+        out_o.append(False)
+        if with_offsets:
+            out_s.append(starts[i])
+            out_e.append(ends[i])
+        st = porter_stem(t)
+        if st != t:
+            out_t.append(st)
+            out_p.append(p)
+            out_o.append(True)
+            if with_offsets:
+                out_s.append(starts[i])
+                out_e.append(ends[i])
+    if with_offsets:
+        return out_t, out_p, out_o, out_s, out_e
+    return out_t, out_p, out_o

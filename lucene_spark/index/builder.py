@@ -147,6 +147,14 @@ class IndexConfig:
     ngrams: tuple[int, int] | None = None
     edge_ngrams: tuple[int, int] | None = None
     ngram_preserve_original: bool = False
+    # KeywordRepeatFilter + PorterStemFilter + RemoveDuplicates
+    # (miscellaneous/KeywordRepeatFilter.java:28-44): index the surface
+    # form AND its Porter stem stacked at the same position — exact and
+    # stemmed matching in one field. Query side rewrites a term into
+    # SynonymQuery(term, stem) / multiphrase slot alternatives
+    # (QueryBuilder's graph-token path). Mutually exclusive with the
+    # other stacked stages.
+    stem_repeat: bool = False
     # term vectors (Lucene90TermVectorsFormat role,
     # lucene/core/src/java/org/apache/lucene/codecs/lucene90/compressing/
     # Lucene90CompressingTermVectorsFormat.java): the per-DOCUMENT view
@@ -295,23 +303,33 @@ def _stacker_of(cfg):
     ends]) — ``overlaps`` flags posInc-0 tokens for norm discounting."""
     n_stages = sum(
         1
-        for x in (cfg.shingles, tuple(cfg.common_grams) or None, cfg.ngrams, cfg.edge_ngrams)
+        for x in (
+            cfg.shingles,
+            tuple(cfg.common_grams) or None,
+            cfg.ngrams,
+            cfg.edge_ngrams,
+            cfg.stem_repeat or None,
+        )
         if x is not None
     )
     if n_stages == 0:
         return None
     if n_stages > 1:
         raise ValueError(
-            "shingles / common_grams / ngrams / edge_ngrams are mutually exclusive stages"
+            "shingles / common_grams / ngrams / edge_ngrams / stem_repeat "
+            "are mutually exclusive stages"
         )
     from lucene_spark.analysis.shingles import (
         common_grams_stream,
         ngram_stream,
         shingle_stream,
+        stem_repeat_stream,
     )
 
     sh, uni, cg = cfg.shingles, cfg.shingle_unigrams, tuple(cfg.common_grams)
     ng, eng, pres = cfg.ngrams, cfg.edge_ngrams, cfg.ngram_preserve_original
+
+    repeat = cfg.stem_repeat
 
     def stack(toks, poss, sts=None, ens=None):
         if sh is not None:
@@ -324,6 +342,8 @@ def _stacker_of(cfg):
                 toks, poss, lo, hi,
                 edge=eng is not None, preserve_original=pres, starts=sts, ends=ens,
             )
+        if repeat:
+            return stem_repeat_stream(toks, poss, starts=sts, ends=ens)
         return common_grams_stream(toks, poss, cg, starts=sts, ends=ens)
 
     return stack
@@ -938,6 +958,7 @@ class IndexBuilder:
             "common_grams": list(cfg.common_grams),
             "ngrams": list(cfg.ngrams) if cfg.ngrams else None,
             "edge_ngrams": list(cfg.edge_ngrams) if cfg.edge_ngrams else None,
+            "stem_repeat": cfg.stem_repeat,
             "char_filters": list(cfg.char_filters),
             "reverse_dict": True,
         }

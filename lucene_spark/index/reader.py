@@ -122,6 +122,13 @@ class SearchIndex:
         return self.manifest.get("analyzer") or "standard"
 
     @property
+    def stem_repeat(self) -> bool:
+        """Index built with the KeywordRepeat+stem stacked stage — the
+        Searcher rewrites query terms into SynonymQuery(term, stem)
+        (QueryBuilder's graph-token path over the same chain)."""
+        return bool(self.manifest.get("stem_repeat"))
+
+    @property
     def index_sort(self) -> list[str]:
         """The index-time sort spec this index was built with
         (IndexWriterConfig.setIndexSort / LeafMetaData.getSort role);

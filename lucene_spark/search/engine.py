@@ -390,6 +390,49 @@ class Searcher:
             return A.DisjunctionMaxQuery(subs, q.tie_breaker) if subs else None
         return q
 
+    def _stem_repeat_query(self, q: A.Query) -> A.Query:
+        """Query-side graph-token rewrite for a stem_repeat index
+        (KeywordRepeatFilter chain): analyzing a query term through the
+        same chain yields the surface form plus its stem stacked at one
+        position, which QueryBuilder turns into a SynonymQuery
+        (QueryBuilder.java:391-400 newSynonymQuery) and, inside a
+        phrase, into per-slot MultiPhrase alternatives (:544-560
+        analyzeMultiPhrase). MultiTermQuery patterns stay unanalyzed
+        (classic QueryParser contract)."""
+        from dataclasses import replace
+
+        from lucene_spark.analysis.porter import porter_stem
+
+        def slot(t: str) -> tuple[str, ...]:
+            st = porter_stem(t)
+            return (t,) if st == t else (t, st)
+
+        def walk(x: A.Query) -> A.Query:
+            if isinstance(x, A.TermQuery):
+                alts = slot(x.term)
+                return x if len(alts) == 1 else A.SynonymQuery(alts, field=x.field)
+            if isinstance(x, A.PhraseQuery):
+                slots = tuple(slot(t) for t in x.terms)
+                if all(len(s) == 1 for s in slots):
+                    return x
+                return A.MultiPhraseQuery(slots, slop=x.slop, field=x.field)
+            if isinstance(x, A.MultiPhraseQuery):
+                slots = tuple(
+                    tuple(dict.fromkeys(a for t in s for a in slot(t))) for s in x.positions
+                )
+                return replace(x, positions=slots)
+            if isinstance(x, A.BooleanQuery):
+                return replace(x, clauses=tuple((o, walk(s)) for o, s in x.clauses))
+            if isinstance(x, A.BoostQuery):
+                return replace(x, query=walk(x.query))
+            if isinstance(x, A.ConstantScoreQuery):
+                return replace(x, query=walk(x.query))
+            if isinstance(x, A.DisjunctionMaxQuery):
+                return replace(x, queries=tuple(walk(s) for s in x.queries))
+            return x
+
+        return walk(q)
+
     def _mtq_rewrite(self, terms: list, q) -> A.Query:
         """Apply the MultiTermQuery rewrite method (MultiTermQuery.java
         :55-93): "constant" -> constant-score TermInSet (the default);
@@ -530,6 +573,8 @@ class Searcher:
             q = query if one_to_n else A.rewrite(query)
         if self.index.analyzer not in ("standard", None):
             q = self._stem_query(q)
+        if self.index.stem_repeat:
+            q = self._stem_repeat_query(q)
         if len(self.index.text_fields) > 1:
             q = self._fieldize(q)
         q = A.rewrite(self._expand_multiterm(q, lazy_docsets))
