@@ -1652,6 +1652,38 @@ def queries() -> dict:
 
     Q["ft_mlt_top10"] = _mlt
 
+    def _nbayes(spark, sf):
+        # SimpleNaiveBayesClassifier batch: every doc_id % 17 == 3 doc
+        # classified against the lang-labeled corpus; full posterior
+        # distribution (p softmax-normalized, rank 1 = assignClass)
+        from lucene_spark.search.classify import naive_bayes_classify
+
+        index, _ = gate_index(spark, sf)
+        corpus = corpus_df(spark, sf)
+        inputs = corpus.filter(F.col("doc_id") % 17 == 3)
+        out = naive_bayes_classify(
+            index, inputs, corpus, class_col="lang", text_col="content"
+        )
+        return out.select(
+            "doc_id", "cls", F.round("p", 4).alias("p_r"), F.col("rank").cast("long").alias("rank")
+        ).orderBy("doc_id", "rank")
+
+    Q["ft_nbayes"] = _nbayes
+
+    def _knn_classify(spark, sf):
+        # KNearestNeighborClassifier: MLT(doc 0) top-10 voting
+        from lucene_spark.search.classify import knn_classify
+        from lucene_spark.search.engine import Searcher
+
+        index, _ = gate_index(spark, sf)
+        corpus = corpus_df(spark, sf)
+        text = corpus.filter(F.col("doc_id") == 0).collect()[0]["content"]
+        votes = knn_classify(Searcher(index), text, corpus, "lang", k=10)
+        rows = [(i + 1, c, _round2(float(s))) for i, (c, s) in enumerate(votes)]
+        return spark.createDataFrame(rows, "rank bigint, cls string, score_r double")
+
+    Q["ft_knncls"] = _knn_classify
+
     def _suggest_prefix(spark, sf):
         from lucene_spark.search.suggest import complete_prefix
 
@@ -3048,6 +3080,52 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT)
         "  WHERE t.doc_id = 0 AND t.tf >= 2 AND d.df >= 5"
         "  ORDER BY msc DESC, t.term LIMIT 25) z"
         ") GROUP BY doc_id"
+    )
+    # SimpleNaiveBayesClassifier batch (classify.py): prior + add-1
+    # likelihood + softmax, classes = documents.lang
+    O["ft_nbayes"] = (
+        base_ctes()
+        + """,
+cls AS (SELECT lang AS cls, count(*)::BIGINT AS n_c FROM documents GROUP BY lang),
+csum AS (SELECT sum(n_c)::DOUBLE AS dwc FROM cls),
+au AS (SELECT sum(df)::DOUBLE / (SELECT n FROM stats) AS au FROM dfr),
+wc AS (SELECT t.term, d.lang AS cls, count(*)::BIGINT AS wf
+       FROM tf t JOIN documents d USING (doc_id) GROUP BY t.term, d.lang),
+inp AS (SELECT doc_id, term, tf::DOUBLE AS tf FROM tf WHERE doc_id % 17 = 3),
+sc AS (SELECT i.doc_id, c.cls,
+        ln(c.n_c) - ln((SELECT dwc FROM csum))
+        + sum(i.tf * ln((coalesce(w.wf, 0) + 1.0) /
+              ((SELECT au FROM au) * c.n_c + (SELECT dwc FROM csum)))) AS ls
+     FROM inp i CROSS JOIN cls c
+     LEFT JOIN wc w ON w.term = i.term AND w.cls = c.cls
+     GROUP BY i.doc_id, c.cls, c.n_c),
+mx AS (SELECT doc_id, cls, ls, max(ls) OVER (PARTITION BY doc_id) AS m FROM sc),
+ex AS (SELECT doc_id, cls, exp(ls - m) AS el FROM mx),
+pr AS (SELECT doc_id, cls, el / sum(el) OVER (PARTITION BY doc_id) AS p FROM ex)
+SELECT doc_id, cls, round(p, 4) AS p_r,
+       CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY CAST(p AS REAL) DESC, cls) AS BIGINT) AS rank
+FROM pr ORDER BY doc_id, rank"""
+    )
+    # KNearestNeighborClassifier (classify.py): boosted-MLT top-10 of
+    # doc 0 (boost = msc/best per knnSearch's setBoost(true)) + 1.0
+    # (the MUST ConstantScore class-exists clause), votes boost/k
+    O["ft_knncls"] = (
+        base_ctes()
+        + """,
+mq AS (SELECT term, msc FROM (
+        SELECT t.term, t.tf * (ln(((SELECT n FROM stats) + 1.0) / (d.df + 1.0)) + 1.0) AS msc
+        FROM tf t JOIN dfr d USING (term)
+        WHERE t.doc_id = 0 AND t.tf >= 2 AND d.df >= 5
+        ORDER BY msc DESC, t.term LIMIT 25)),
+best AS (SELECT max(msc) AS b FROM mq),
+qs AS (SELECT s.doc_id, sum(s.s * q.msc / (SELECT b FROM best)) + 1.0 AS s
+       FROM tscore s JOIN mq q USING (term) GROUP BY s.doc_id),
+top AS (SELECT doc_id, s FROM qs ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10),
+v AS (SELECT d.lang AS cls, sum(t.s / (SELECT max(s) FROM top)) / 10.0 AS sc
+      FROM top t JOIN documents d USING (doc_id) GROUP BY d.lang)
+SELECT CAST(row_number() OVER (ORDER BY CAST(sc AS REAL) DESC, cls) AS BIGINT) AS rank,
+       cls, round(sc, 2) AS score_r FROM v ORDER BY rank"""
     )
     O["ft_commonterms_top10"] = topk_sql(
         "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('the','scan','dup') "

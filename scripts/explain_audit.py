@@ -329,6 +329,31 @@ def main() -> None:
     check("freetext lookup top-k is TakeOrderedAndProject", plan, r"TakeOrderedAndProject")
     sections.append(("FreeTextSuggester lookup", plan))
 
+    # 20. Naive Bayes batch classification: the class table broadcasts
+    # (never shuffles the token relation against a 5-row table), the
+    # only Python stages are the two analyzer UDFs (train + score
+    # tokenize), and nothing corpus-sized lands on the driver
+    from lucene_spark.gate import corpus_df, gate_index
+    from lucene_spark.search.classify import naive_bayes_classify
+
+    index, _ = gate_index(spark, sf)
+    corpus = corpus_df(spark, sf)
+    plan = _capture(
+        naive_bayes_classify(
+            index, corpus.limit(50), corpus, class_col="lang", text_col="content"
+        )
+    )
+    check("naive-bayes class table broadcasts", plan, r"BroadcastExchange")
+    n_py = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+    CHECKS.append(
+        (
+            "naive-bayes Python stages = analyzer UDFs only",
+            f"ArrowEvalPython nodes x{n_py} (want <=2: train+score tokenize)",
+            n_py <= 2,
+        )
+    )
+    sections.append(("Naive Bayes batch classification", plan))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     with open(out, "w") as fh:
         fh.write("# PLANS — physical-plan audit (scripts/explain_audit.py)\n\n")
