@@ -871,7 +871,37 @@ class IndexBuilder:
             self.spark.createDataFrame(
                 rows, schema="doc_count long, sum_ttf long, sum_df long, field string"
             ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/collection_stats")
-            return nd, st, sd
+            # vocabulary / partition / skew metrics (terms per postings
+            # bucket + hot-term chunking): the bucket id replays the
+            # write's HashPartitioning (pmod(murmur3(term), buckets));
+            # chunks/term = ceil(df / docs_per_chunk) — the salting the
+            # hot-set broadcast applies. One vocab-sized agg, hidden
+            # behind the postings write like the rest of this job.
+            bkt = F.pmod(F.hash("term"), F.lit(cfg.term_buckets))
+            per_bucket = [
+                int(r["n"])
+                for r in term_stats.groupBy(bkt.alias("b"))
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ]
+            vrow = term_stats.agg(
+                F.count("*").alias("terms"),
+                F.max("df").alias("max_df"),
+                F.sum((F.col("df") > cfg.docs_per_chunk).cast("long")).alias("hot"),
+            ).first()
+            vocab = {
+                "terms_total": int(vrow["terms"]),
+                "terms_per_partition": {
+                    "buckets": cfg.term_buckets,
+                    "min": min(per_bucket) if per_bucket else 0,
+                    "max": max(per_bucket) if per_bucket else 0,
+                    "avg": round(sum(per_bucket) / len(per_bucket), 1) if per_bucket else 0,
+                },
+                "max_df": int(vrow["max_df"] or 0),
+                "hot_terms_chunked": int(vrow["hot"] or 0),
+                "max_chunks_per_term": -(-int(vrow["max_df"] or 0) // cfg.docs_per_chunk),
+            }
+            return nd, st, sd, vocab
 
         def _write_vectors():
             # vectors sidecar (.vec/.vem role): doc-range partitioned
@@ -925,7 +955,7 @@ class IndexBuilder:
             futures = [pool.submit(f) for f in writers]
             for fut in futures:
                 fut.result()
-            n_docs, sum_ttf, sum_df = stats_fut.result()
+            n_docs, sum_ttf, sum_df, vocab_metrics = stats_fut.result()
         t_done = time.time()
         inverted.unpersist()
         term_stats.unpersist()
@@ -947,6 +977,10 @@ class IndexBuilder:
                 "between": round(t_writes - t_inv, 2),
             },
             "docs_per_sec": (int(n_docs) / elapsed) if elapsed else None,
+            # terms/partition + skew-salting metrics (north-rule build
+            # observability: docs/sec, terms per partition, hot-term
+            # chunking); per-segment lineage lives in checkpoint.py
+            "vocab": vocab_metrics,
             "docs_per_chunk": cfg.docs_per_chunk,
             "field": cfg.field,
             "extra_fields": list(cfg.extra_fields),

@@ -122,6 +122,26 @@ def test_hot_terms_are_chunked(search_index):
         assert r["max_df"] <= 128, "chunk row exceeds docs_per_chunk bound"
 
 
+def test_manifest_vocab_metrics(search_index):
+    """Build observability: terms/partition + skew-salting metrics in
+    the manifest (docs/sec is asserted non-null alongside)."""
+    m = search_index.manifest
+    assert m["docs_per_sec"] > 0
+    v = m["vocab"]
+    tp = v["terms_per_partition"]
+    assert tp["buckets"] == 4 and tp["min"] <= tp["avg"] <= tp["max"]
+    # per-bucket counts must sum back to the vocabulary
+    assert v["terms_total"] >= tp["max"]
+    # the fixture corpus has hot terms (df > docs_per_chunk=128)
+    assert v["hot_terms_chunked"] > 0
+    assert v["max_chunks_per_term"] == -(-v["max_df"] // 128)
+    # chunking metric agrees with the physical postings layout
+    n_chunks = (
+        search_index.postings.groupBy("term").count().agg(F.max("count")).first()[0]
+    )
+    assert v["max_chunks_per_term"] >= n_chunks
+
+
 def test_impacts_are_pareto(search_index, decoded_postings):
     from lucene_spark.codec.impacts import block_impacts
 
