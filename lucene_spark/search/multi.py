@@ -36,6 +36,8 @@ class MultiSearchIndex:
         for ix in indexes[1:]:
             if ix.analyzer != a or ix.primary_field != f:
                 raise ValueError("sub-indexes must share analyzer and primary field")
+            if ix.stem_repeat != indexes[0].stem_repeat:
+                raise ValueError("sub-indexes must agree on stem_repeat")
             if len(ix.text_fields) > 1 or len(indexes[0].text_fields) > 1:
                 raise ValueError("multi-index search supports single-field sub-indexes")
         self.indexes = indexes
@@ -50,6 +52,10 @@ class MultiSearchIndex:
     @property
     def analyzer(self) -> str:
         return self.indexes[0].analyzer
+
+    @property
+    def stem_repeat(self) -> bool:
+        return self.indexes[0].stem_repeat
 
     @property
     def primary_field(self) -> str:
