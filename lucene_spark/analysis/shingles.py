@@ -209,6 +209,73 @@ def common_grams_stream(
     return out_t, out_p, out_ov
 
 
+def synonym_stream(
+    tokens: list[str],
+    positions: list[int],
+    syn_map: dict[str, tuple[str, ...]],
+    starts: list[int] | None = None,
+    ends: list[int] | None = None,
+):
+    """Index-time SynonymGraphFilter + FlattenGraphFilter for
+    single-token rules (analysis/common/.../synonym/SynonymGraphFilter
+    .java:221-280 — synonym outputs are injected at the matched input's
+    graph node, which flattening collapses to posInc 0 over the
+    original; SynonymMap.Builder.add keepOrig=true / expand=true,
+    SynonymMap.java:143-215): every occurrence of a mapped token also
+    indexes its alternatives stacked at the same position, with the
+    original's offsets. Single-token rules are exactly what survives
+    index-time flattening losslessly (FlattenGraphFilter.java:51 —
+    multi-word outputs lose their spans when flattened, which is why
+    Lucene documents multi-word synonyms as a search-time filter).
+    Output is the stacked-stream shape (tokens, positions, overlaps
+    [, starts, ends]); stacked copies are the overlaps, so discounted
+    norms count surface tokens only while collection statistics count
+    every posting."""
+    with_offsets = starts is not None
+    out_t: list[str] = []
+    out_p: list[int] = []
+    out_o: list[bool] = []
+    out_s: list[int] = []
+    out_e: list[int] = []
+    for i, (t, p) in enumerate(zip(tokens, positions)):
+        out_t.append(t)
+        out_p.append(p)
+        out_o.append(False)
+        if with_offsets:
+            out_s.append(starts[i])
+            out_e.append(ends[i])
+        for alt in syn_map.get(t, ()):
+            out_t.append(alt)
+            out_p.append(p)
+            out_o.append(True)
+            if with_offsets:
+                out_s.append(starts[i])
+                out_e.append(ends[i])
+    if with_offsets:
+        return out_t, out_p, out_o, out_s, out_e
+    return out_t, out_p, out_o
+
+
+def build_synonym_map(groups) -> dict[str, tuple[str, ...]]:
+    """Equivalence sets → token → stacked alternatives (SynonymMap
+    expand=true: every member maps to every other member). Terms must
+    be in post-analysis form (the builder lowercases them to match the
+    standard chain). A term in several sets gets the deduplicated
+    union of its alternatives."""
+    out: dict[str, list[str]] = {}
+    for group in groups:
+        g = [str(t).lower() for t in group]
+        g = list(dict.fromkeys(g))
+        if len(g) < 2:
+            raise ValueError(f"synonym set needs >= 2 distinct terms: {group!r}")
+        for t in g:
+            bucket = out.setdefault(t, [])
+            for alt in g:
+                if alt != t and alt not in bucket:
+                    bucket.append(alt)
+    return {t: tuple(alts) for t, alts in out.items()}
+
+
 def stem_repeat_stream(
     tokens: list[str],
     positions: list[int],

@@ -260,6 +260,28 @@ def edgegram_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, 
     return _CACHE[key]
 
 
+def synstack_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """Index-time synonym index (SynonymGraphFilter.java:221-280 +
+    FlattenGraphFilter, SynonymMap expand=true): the set {table, hash}
+    — every occurrence of either term also indexes the other, stacked
+    at posInc 0. Querying either member sees the UNION postings:
+    tf = tf(table)+tf(hash), df = docs containing either, avgdl grows
+    by one stacked copy per occurrence, norms discount the stack."""
+    key = ("sy", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gatesy_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, synonyms=(("table", "hash"),))
+        IndexBuilder(spark, cfg).build(
+            corpus_df(spark, sf_dir).drop("title"), idx_dir, assign_ids=False
+        )
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 def shingle_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
     """Bigram-shingled index (ShingleFilter.java:30-120, min=max=2,
     outputUnigrams=true): shingles are first-class postings stacked at
@@ -506,6 +528,16 @@ def queries() -> dict:
     # BM25 with tf = adjacency count, discounted norms, stacked sum_ttf
     Q["ft_shingle_top10"] = lambda spark, sf: _hits_df(
         spark, shingle_gate_index(spark, sf)[1].search(A.TermQuery("table hash"), k=10)
+    )
+    # index-time synonyms {table, hash}: querying one member scores the
+    # union postings (tf summed, df union, avgdl counts stacked copies)
+    Q["ft_synstack_top10"] = lambda spark, sf: _hits_df(
+        spark, synstack_gate_index(spark, sf)[1].search(A.TermQuery("hash"), k=10)
+    )
+    # phrase over the synonym index: both slots expand to the set, so
+    # '"table hash"' counts every adjacency of set members
+    Q["ft_synstack_phrase_top10"] = lambda spark, sf: _hits_df(
+        spark, synstack_gate_index(spark, sf)[1].search(A.PhraseQuery(("table", "hash")), k=10)
     )
     # edge-ngram postings: the prefix gram 'tab' scores BM25 with
     # tf = count of tokens with that prefix (len >= 3)
@@ -2216,6 +2248,45 @@ def oracle_sql() -> dict[str, str]:
         "      FROM stf f JOIN norms n ON n.doc_id = f.doc_id, sw) "
         "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
         "doc_id, round(s, 2) AS score_r FROM q ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"
+    )
+    # index-time synonyms {table, hash}: member postings are the UNION
+    # (tf = tf(table)+tf(hash), df = docs with either); avgdl counts one
+    # stacked copy per member occurrence; norms stay the surface dl
+    _SYN_CTES = (
+        ", synx AS (SELECT count(*)::BIGINT AS extra FROM toks WHERE term IN ('table', 'hash')), "
+        "sstat AS (SELECT ((SELECT sum_ttf FROM stats) + (SELECT extra FROM synx))::DOUBLE "
+        "          / (SELECT n FROM stats) AS avgdl), "
+        "stf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM toks "
+        "        WHERE term IN ('table', 'hash') GROUP BY doc_id), "
+        "sdf AS (SELECT count(*)::BIGINT AS df FROM stf), "
+        "sw AS (SELECT ln(1 + ((SELECT n FROM stats) - (SELECT df FROM sdf) + 0.5) "
+        "        / ((SELECT df FROM sdf) + 0.5)) AS w), "
+    )
+    _SYN_INV = f"(1.0 / ({K1} * ((1 - {B}) + {B} * n.dlen / (SELECT avgdl FROM sstat))))"
+    _SYN_TAIL = (
+        "SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, round(s, 2) AS score_r FROM q ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 10"
+    )
+    O["ft_synstack_top10"] = (
+        base_ctes()
+        + _SYN_CTES
+        + "q AS (SELECT f.doc_id, sw.w - sw.w / (1 + f.tf * " + _SYN_INV + ") AS s "
+        "      FROM stf f JOIN norms n USING (doc_id), sw) "
+        + _SYN_TAIL
+    )
+    # phrase '"table hash"' over the synonym index: both slots see the
+    # union postings, so freq = adjacencies of ANY two set members;
+    # weight = idf(table) + idf(hash) = 2w (equal union df)
+    O["ft_synstack_phrase_top10"] = (
+        base_ctes()
+        + _SYN_CTES
+        + "ptf AS (SELECT a.doc_id, count(*)::BIGINT AS tf FROM post a "
+        "        JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "        WHERE a.term IN ('table', 'hash') AND b.term IN ('table', 'hash') "
+        "        GROUP BY a.doc_id), "
+        "q AS (SELECT f.doc_id, 2 * sw.w - 2 * sw.w / (1 + f.tf * " + _SYN_INV + ") AS s "
+        "      FROM ptf f JOIN norms n USING (doc_id), sw) "
+        + _SYN_TAIL
     )
     O["ft_geobox_ids"] = (
         "WITH coords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "

@@ -155,6 +155,17 @@ class IndexConfig:
     # (QueryBuilder's graph-token path). Mutually exclusive with the
     # other stacked stages.
     stem_repeat: bool = False
+    # Index-time synonyms (SynonymGraphFilter + FlattenGraphFilter,
+    # analysis/common/.../synonym/SynonymGraphFilter.java:221-280;
+    # SynonymMap expand=true, keepOrig=true): equivalence sets of
+    # single tokens — each occurrence of a member additionally indexes
+    # every other member stacked at posInc 0, so querying ANY member
+    # (term, phrase, or span) matches documents containing any of
+    # them with shared statistics. Single-token rules only (what
+    # index-time graph flattening preserves losslessly); terms are
+    # lowercased to match the standard chain. Mutually exclusive with
+    # the other stacked stages.
+    synonyms: tuple[tuple[str, ...], ...] = ()
     # term vectors (Lucene90TermVectorsFormat role,
     # lucene/core/src/java/org/apache/lucene/codecs/lucene90/compressing/
     # Lucene90CompressingTermVectorsFormat.java): the per-DOCUMENT view
@@ -309,6 +320,7 @@ def _stacker_of(cfg):
             cfg.ngrams,
             cfg.edge_ngrams,
             cfg.stem_repeat or None,
+            tuple(cfg.synonyms) or None,
         )
         if x is not None
     )
@@ -317,21 +329,26 @@ def _stacker_of(cfg):
     if n_stages > 1:
         raise ValueError(
             "shingles / common_grams / ngrams / edge_ngrams / stem_repeat "
-            "are mutually exclusive stages"
+            "/ synonyms are mutually exclusive stages"
         )
     from lucene_spark.analysis.shingles import (
+        build_synonym_map,
         common_grams_stream,
         ngram_stream,
         shingle_stream,
         stem_repeat_stream,
+        synonym_stream,
     )
 
     sh, uni, cg = cfg.shingles, cfg.shingle_unigrams, tuple(cfg.common_grams)
     ng, eng, pres = cfg.ngrams, cfg.edge_ngrams, cfg.ngram_preserve_original
 
     repeat = cfg.stem_repeat
+    syn_map = build_synonym_map(cfg.synonyms) if cfg.synonyms else None
 
     def stack(toks, poss, sts=None, ens=None):
+        if syn_map is not None:
+            return synonym_stream(toks, poss, syn_map, starts=sts, ends=ens)
         if sh is not None:
             return shingle_stream(
                 toks, poss, sh[0], sh[1], output_unigrams=uni, starts=sts, ends=ens
@@ -993,6 +1010,7 @@ class IndexBuilder:
             "ngrams": list(cfg.ngrams) if cfg.ngrams else None,
             "edge_ngrams": list(cfg.edge_ngrams) if cfg.edge_ngrams else None,
             "stem_repeat": cfg.stem_repeat,
+            "synonyms": [list(g) for g in cfg.synonyms] or None,
             "char_filters": list(cfg.char_filters),
             "reverse_dict": True,
         }
