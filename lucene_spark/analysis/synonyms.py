@@ -45,13 +45,133 @@ def _norm_map(groups) -> dict[str, tuple[str, ...]]:
 
 
 class SynonymMap:
-    """Immutable term → alternatives map (SynonymMap role)."""
+    """Immutable term → alternatives map (SynonymMap role).
 
-    def __init__(self, groups):
+    ``groups`` carries keep-orig alternatives (SynonymMap.Builder add
+    includeOrig=true); ``replace`` carries explicit-mapping outputs
+    (includeOrig=false — the matched term is substituted, not kept).
+    A term present in both keeps the original and gets the union of
+    outputs (Builder.add merges entries per input)."""
+
+    def __init__(self, groups, replace: dict | None = None):
         self.map = _norm_map(groups)
+        self.replace: dict[str, tuple[str, ...]] = {
+            k.lower(): tuple(dict.fromkeys(a.lower() for a in v))
+            for k, v in (replace or {}).items()
+        }
 
     def alts(self, term: str) -> tuple[str, ...]:
         return self.map.get(term, ())
+
+    def outputs(self, term: str) -> tuple[tuple[str, ...], bool]:
+        """(all mapped outputs, keep_original) for ``term`` — empty
+        outputs = no rule matched."""
+        keep_alts = self.map.get(term, ())
+        repl = self.replace.get(term, ())
+        if keep_alts or not repl:
+            outs = tuple(dict.fromkeys(keep_alts + tuple(a for a in repl if a != term)))
+            return outs, True
+        return repl, False
+
+
+def _split_escaped(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` ignoring backslash-escaped occurrences
+    (SolrSynonymParser.split/unescape, SolrSynonymParser.java:140-170)."""
+    parts, cur, i = [], [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if s.startswith(sep, i):
+            parts.append("".join(cur))
+            cur = []
+            i += len(sep)
+            continue
+        cur.append(s[i])
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def parse_solr_synonyms(text: str, expand: bool = True) -> SynonymMap:
+    """Parser for the Solr synonyms format
+    (analysis/common/.../synonym/SolrSynonymParser.java:82-137):
+
+    - blank lines and ``#`` comments are skipped
+    - ``a, b => c, d`` — explicit mapping: every LHS term maps to every
+      RHS term with the original REPLACED (add includeOrig=false);
+      entries for the same input merge across lines
+    - ``a, b, c`` — equivalence line: with ``expand`` every member maps
+      to every other keeping the original (includeOrig=true); without
+      it every member is replaced by the FIRST (includeOrig=false)
+    - backslash escapes ``\\,`` / ``\\=>`` protect separators
+
+    Single-token terms only (this engine's synonym stages are the
+    single-token-rule subset that index-time flattening preserves; a
+    multi-word term raises). The returned map drives query-time
+    ``expand_synonyms``; its ``index_sets()`` feeds
+    ``IndexConfig.synonyms`` when the file is pure expand-equivalence."""
+    groups: list[tuple[str, ...]] = []
+    replace: dict[str, list[str]] = {}
+
+    def _terms(chunk: str) -> list[str]:
+        out = []
+        for raw in _split_escaped(chunk, ","):
+            t = raw.strip().lower()
+            if not t:
+                continue
+            if any(c.isspace() for c in t):
+                raise ValueError(
+                    f"multi-word synonym {t!r} unsupported: single-token rules only "
+                    "(multi-word rules do not survive index-time graph flattening)"
+                )
+            out.append(t)
+        return out
+
+    for line in text.splitlines():
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        sides = _split_escaped(line, "=>")
+        if len(sides) > 2:
+            raise ValueError(f"more than one explicit mapping on one line: {line!r}")
+        if len(sides) == 2:
+            lhs, rhs = _terms(sides[0]), _terms(sides[1])
+            if not lhs or not rhs:
+                raise ValueError(f"empty side of explicit mapping: {line!r}")
+            for t in lhs:
+                bucket = replace.setdefault(t, [])
+                for o in rhs:
+                    if o not in bucket:
+                        bucket.append(o)
+            continue
+        members = _terms(line)
+        if len(members) < 2:
+            raise ValueError(f"equivalence line needs >= 2 terms: {line!r}")
+        if expand:
+            groups.append(tuple(members))
+        else:
+            first = members[0]
+            for t in members:
+                bucket = replace.setdefault(t, [])
+                if first not in bucket:
+                    bucket.append(first)
+    m = SynonymMap(groups, replace={k: tuple(v) for k, v in replace.items()})
+    m.groups = tuple(groups)
+    return m
+
+
+def index_sets(syn: SynonymMap) -> tuple[tuple[str, ...], ...]:
+    """The equivalence sets of a parsed map, for ``IndexConfig.synonyms``.
+    Raises when the map carries replacement rules — substitution is a
+    different index-time transform than posInc-0 stacking and would
+    silently change which surface terms are searchable."""
+    if syn.replace:
+        raise ValueError(
+            "synonym file has explicit '=>' (or expand=false) rules; only pure "
+            "expand-equivalence files can back an index-time stacked stage"
+        )
+    return tuple(getattr(syn, "groups", ()) or ())
 
 
 def expand_synonyms(q: A.Query, syn: "SynonymMap | dict | list", field: str = "content") -> A.Query:
@@ -65,9 +185,10 @@ def expand_synonyms(q: A.Query, syn: "SynonymMap | dict | list", field: str = "c
 
 
 def _slot_alts(terms: tuple[str, ...], syn: SynonymMap) -> tuple[str, ...]:
-    out = list(terms)
+    out: list[str] = []
     for t in terms:
-        for a in syn.alts(t):
+        outs, keep = syn.outputs(t)
+        for a in ((t,) if keep or not outs else ()) + outs:
             if a not in out:
                 out.append(a)
     return tuple(out)
@@ -75,10 +196,13 @@ def _slot_alts(terms: tuple[str, ...], syn: SynonymMap) -> tuple[str, ...]:
 
 def _walk(q: A.Query, syn: SynonymMap, field: str) -> A.Query:
     if isinstance(q, A.TermQuery) and q.field == field:
-        alts = syn.alts(q.term)
-        if alts:
-            return A.SynonymQuery((q.term,) + alts, field=field)
-        return q
+        outs, keep = syn.outputs(q.term)
+        if not outs:
+            return q
+        terms = ((q.term,) + outs) if keep else outs
+        if len(terms) == 1:
+            return A.TermQuery(terms[0], field=field)
+        return A.SynonymQuery(terms, field=field)
     if isinstance(q, A.SynonymQuery) and q.field == field:
         return A.SynonymQuery(_slot_alts(q.terms, syn), field=field)
     if isinstance(q, A.PhraseQuery) and q.field == field:

@@ -64,3 +64,78 @@ class TestEndToEnd:
         got = s.search(expand_synonyms(A.PhraseQuery(("return", "if")), syn), k=10).hits
         want = s.search(A.MultiPhraseQuery((("return", "int"), ("if",))), k=10).hits
         assert got == want
+
+
+class TestSolrSynonymParser:
+    """SolrSynonymParser format (SolrSynonymParser.java:82-137):
+    explicit '=>' mappings replace (includeOrig=false) and merge across
+    lines; equivalence lines follow the expand flag."""
+
+    def test_equivalence_expand(self):
+        from lucene_spark.analysis.synonyms import parse_solr_synonyms
+
+        m = parse_solr_synonyms("# comment\n\nipod, ipud, ipd\n")
+        assert set(m.alts("ipod")) == {"ipud", "ipd"}
+        assert set(m.alts("ipd")) == {"ipod", "ipud"}
+        assert not m.replace
+
+    def test_equivalence_noexpand_maps_to_first(self):
+        from lucene_spark.analysis.synonyms import parse_solr_synonyms
+
+        m = parse_solr_synonyms("ipod, ipud, ipd\n", expand=False)
+        assert not m.map
+        assert m.replace["ipud"] == ("ipod",) and m.replace["ipd"] == ("ipod",)
+        # the first member maps to itself (type change only in Lucene)
+        assert m.replace["ipod"] == ("ipod",)
+
+    def test_explicit_mapping_replaces_and_merges(self):
+        from lucene_spark.analysis.synonyms import parse_solr_synonyms
+
+        m = parse_solr_synonyms("foo => bar\nfoo => baz\na, b => c\n")
+        assert m.replace["foo"] == ("bar", "baz")
+        assert m.replace["a"] == ("c",) and m.replace["b"] == ("c",)
+
+    def test_escaped_separators(self):
+        from lucene_spark.analysis.synonyms import parse_solr_synonyms
+
+        m = parse_solr_synonyms("a\\,b, c\n")
+        assert set(m.alts("a,b")) == {"c"}
+
+    def test_errors(self):
+        import pytest
+
+        from lucene_spark.analysis.synonyms import parse_solr_synonyms
+
+        with pytest.raises(ValueError, match="multi-word"):
+            parse_solr_synonyms("sea biscuit, seabiscuit\n")
+        with pytest.raises(ValueError, match="more than one explicit"):
+            parse_solr_synonyms("a => b => c\n")
+        with pytest.raises(ValueError, match=">= 2 terms"):
+            parse_solr_synonyms("lonely\n")
+
+    def test_replacement_drives_query_rewrite(self):
+        from lucene_spark.analysis.synonyms import expand_synonyms, parse_solr_synonyms
+        from lucene_spark.search import ast as A
+
+        m = parse_solr_synonyms("foo => bar\nx => y, z\nquick, fast\n")
+        # single replacement output -> plain TermQuery of the output
+        assert expand_synonyms(A.TermQuery("foo"), m) == A.TermQuery("bar")
+        # multiple outputs, original NOT kept
+        assert expand_synonyms(A.TermQuery("x"), m) == A.SynonymQuery(("y", "z"))
+        # equivalence keeps the original
+        assert expand_synonyms(A.TermQuery("quick"), m) == A.SynonymQuery(("quick", "fast"))
+        # phrase slot substitution
+        got = expand_synonyms(A.PhraseQuery(("foo", "quick")), m)
+        assert got == A.MultiPhraseQuery((("bar",), ("quick", "fast")))
+
+    def test_index_sets_roundtrip_and_guard(self):
+        import pytest
+
+        from lucene_spark.analysis.synonyms import index_sets, parse_solr_synonyms
+
+        m = parse_solr_synonyms("quick, fast\nbig, large, huge\n")
+        assert index_sets(m) == (("quick", "fast"), ("big", "large", "huge"))
+        with pytest.raises(ValueError, match="expand-equivalence"):
+            index_sets(parse_solr_synonyms("a => b\n"))
+        with pytest.raises(ValueError, match="expand-equivalence"):
+            index_sets(parse_solr_synonyms("a, b\n", expand=False))
