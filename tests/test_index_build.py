@@ -154,3 +154,29 @@ def test_impacts_are_pareto(search_index, decoded_postings):
             got.setdefault(b, []).append((f, nm))
         for b, imp in enumerate(expected):
             assert sorted(got.get(b, [])) == sorted(imp), (r["term"], b)
+
+
+def test_build_is_input_partitioning_invariant(spark, corpus_df, tmp_path):
+    """Cluster-size determinism: the SAME corpus built from 1 input
+    partition and from 7 yields content-identical index tables (blobs
+    included). At 1000 executors a retried/rescaled build must produce
+    the same index — chunk assignment keys on doc_id, packing is
+    deterministic per (term, chunk), nothing depends on task layout."""
+    from lucene_spark.index.builder import IndexBuilder, IndexConfig
+
+    cfg = IndexConfig(docs_per_chunk=64, term_buckets=4, positions=True)
+    d1, d7 = str(tmp_path / "p1"), str(tmp_path / "p7")
+    IndexBuilder(spark, cfg).build(corpus_df.drop("content_sha256").repartition(1), d1)
+    IndexBuilder(spark, cfg).build(corpus_df.drop("content_sha256").repartition(7), d7)
+
+    def snap(d, sub, key):
+        df = spark.read.parquet(f"{d}/{sub}")
+        rows = [tuple(r) for r in df.select(*sorted(df.columns)).collect()]
+        return sorted(
+            tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else
+                  (tuple(v) if isinstance(v, list) else v) for v in row)
+            for row in rows
+        )
+
+    for sub in ("postings", "norms", "collection_stats", "docs"):
+        assert snap(d1, sub, sub) == snap(d7, sub, sub), sub
