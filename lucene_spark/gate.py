@@ -1941,6 +1941,34 @@ def _pipeline_queries() -> dict:
     ).select(
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), F.round("sim", 4).alias("sim_r")
     )
+    # SemDeDup trained path: k-means quantizer → rows-only check (the
+    # pinned-centroid twin below carries the full oracle)
+    Q["dd_semdedup"] = lambda spark, sf: similarity.semantic_dedup(
+        _emb(spark, sf), threshold=0.45, n_clusters=4
+    ).select(
+        "vec_id", F.col("is_dup").cast("long").alias("dup"),
+    ).orderBy("vec_id")
+
+    def _semdedup_full(spark, sf):
+        import numpy as np
+
+        emb = _emb(spark, sf)
+        dim = len(emb.select("embedding").first()[0])
+        # one PINNED centroid (the first basis vector): centroid_sim =
+        # v[0]/|v| and a single cluster — the whole keep-low algorithm
+        # becomes SQL-expressible, the oracle twin for dd_semdedup
+        cent = np.zeros((1, dim)); cent[0, 0] = 1.0
+        return (
+            similarity.semantic_dedup(emb, threshold=0.45, centroids=cent)
+            .select(
+                "vec_id",
+                F.round("centroid_sim", 4).alias("csim_r"),
+                F.col("is_dup").cast("long").alias("dup"),
+            )
+            .orderBy("vec_id")
+        )
+
+    Q["dd_semdedup_full"] = _semdedup_full
     # IVF-Flat ANN: probe-dependent recall → rows-only check (no oracle)
     Q["ann_ivf_top5"] = lambda spark, sf: similarity.ivf_cosine_topk(
         _emb(spark, sf), _ann_queries(spark, sf), k=5, n_centroids=8, n_probe=3
@@ -3623,6 +3651,26 @@ QUALIFY rank <= 5 ORDER BY query_id, rank"""
     # scanned) provably equal brute force — same oracle
     O["ann_lsh_full_top5"] = O["ann_cosine_top5"]
     O["ann_ivf_full_top5"] = O["ann_cosine_top5"]
+    # SemDeDup pinned-centroid twin: centroid = e0 → centroid_sim =
+    # v[0]/|v|, one cluster; keep-low order = (csim ASC, vec_id ASC);
+    # is_dup(b) = some EARLIER a with cosine(a, b) >= 0.45
+    O["dd_semdedup_full"] = """WITH ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nr FROM ex GROUP BY vec_id),
+cs AS (SELECT e.vec_id, e.x / n.nr AS csim FROM ex e JOIN nrm n USING (vec_id) WHERE e.i = 1),
+dots AS (SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.x * b.x) AS dp
+         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id != b.vec_id GROUP BY 1, 2),
+sims AS (SELECT qa, qb, dp / (na.nr * nb.nr) AS sim
+         FROM dots JOIN nrm na ON na.vec_id = qa JOIN nrm nb ON nb.vec_id = qb),
+dup AS (SELECT b.vec_id,
+          CAST(coalesce(max(CASE WHEN s.sim >= 0.45 THEN 1 ELSE 0 END), 0) AS BIGINT) AS dup
+        FROM cs b
+        LEFT JOIN cs a ON (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+        LEFT JOIN sims s ON s.qa = a.vec_id AND s.qb = b.vec_id
+        GROUP BY b.vec_id)
+SELECT c.vec_id, round(c.csim, 4) AS csim_r, d.dup FROM cs c JOIN dup d USING (vec_id)
+ORDER BY c.vec_id"""
 
     _SW = ",".join(f"'{s}'" for s in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
     _TOKS = f"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term FROM documents)"

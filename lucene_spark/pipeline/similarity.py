@@ -329,3 +329,92 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long"), "vec_id", "sim")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+    centroids: np.ndarray | None = None,
+    sample: int = 4096,
+    iters: int = 10,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 §2): k-means the
+    embedding space, then look for duplicates only WITHIN each cluster.
+    Cluster members are ordered by similarity to their centroid
+    ASCENDING (ties by id) and a member is flagged ``is_dup`` when some
+    EARLIER member is within ``threshold`` cosine — so of every
+    near-duplicate group exactly the member LEAST similar to the
+    centroid survives, the keep-low policy the paper selected.
+
+    Returns (vec_id, cluster, centroid_sim, is_dup).
+
+    Scale shape: centroid training is a driver-side sample (the
+    corpus never centralizes); assignment is a map-only Arrow UDF with
+    broadcast centroids; the single shuffle is the groupBy(cluster),
+    and pairwise work is O(cluster_size^2) PER TASK — n_clusters grows
+    with the corpus (the paper runs 50k clusters on LAION-440M) so
+    cluster size, and with it task memory, stays bounded. Pass
+    ``centroids`` explicitly to pin the quantizer (retry determinism
+    across cluster resizes comes free: training samples by id order,
+    not partition layout)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = (
+        centroids
+        if centroids is not None
+        else train_centroids(
+            corpus, n_clusters, sample=sample, iters=iters,
+            vec_col=vec_col, id_col=id_col, seed=seed,
+        )
+    )
+    cent = np.asarray(cent, dtype=np.float64)
+    # spherical k-means centroids are unit vectors by definition —
+    # normalize rows so an explicitly-passed quantizer behaves the same
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    ct = cent.T
+
+    @pandas_udf("cluster int, csim double")
+    def _assign(vecs: pd.Series) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ ct
+        a = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {"cluster": a.astype(np.int32), "csim": sims[np.arange(len(a)), a]}
+        )
+
+    ann = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_ac", _assign("_v"))
+        .select(
+            "vec_id",
+            F.col("_ac.cluster").alias("cluster"),
+            F.col("_ac.csim").alias("csim"),
+            "_v",
+        )
+    )
+    thr = float(threshold)
+
+    def _flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["csim", "vec_id"], ascending=[True, True]).reset_index(drop=True)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        # dup[j] = some i earlier in keep-low order with cos >= threshold
+        dup = np.triu(sims >= thr, 1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"],
+                "centroid_sim": pdf["csim"],
+                "is_dup": dup,
+            }
+        )
+
+    return ann.groupBy("cluster").applyInPandas(
+        _flag, "vec_id long, cluster int, centroid_sim double, is_dup boolean"
+    )

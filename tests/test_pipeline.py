@@ -450,3 +450,78 @@ class TestRepetitionSignals:
         assert out.count() == len(docs)
         row = out.first()
         assert 0.0 <= row["top_ngram_char_frac"] <= 1.0
+
+
+class TestSemanticDedup:
+    """SemDeDup (Abbas et al. 2023 §2): within-cluster near-dup removal
+    keeping the member LEAST similar to its centroid."""
+
+    @staticmethod
+    def _brute(vecs: dict[int, np.ndarray], cent: np.ndarray, thr: float):
+        ct = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        unit = {
+            i: v / max(np.linalg.norm(v), 1e-12) for i, v in vecs.items()
+        }
+        assign = {i: (int(np.argmax(ct @ u)), float((ct @ u).max())) for i, u in unit.items()}
+        flags = {}
+        for c in {a for a, _ in assign.values()}:
+            members = sorted(
+                (i for i in vecs if assign[i][0] == c),
+                key=lambda i: (assign[i][1], i),
+            )
+            for j, b in enumerate(members):
+                flags[b] = any(
+                    float(unit[a] @ unit[b]) >= thr for a in members[:j]
+                )
+        return assign, flags
+
+    def test_matches_brute_with_pinned_centroids(self, spark, emb_df):
+        from lucene_spark.pipeline.similarity import semantic_dedup
+
+        dim = len(emb_df.select("embedding").first()[0])
+        rng = np.random.default_rng(5)
+        cent = rng.normal(size=(4, dim))
+        got = {
+            r["vec_id"]: (r["cluster"], r["centroid_sim"], r["is_dup"])
+            for r in semantic_dedup(emb_df, threshold=0.45, centroids=cent).collect()
+        }
+        vecs = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb_df.collect()
+        }
+        assign, flags = self._brute(vecs, cent, 0.45)
+        assert set(got) == set(vecs)
+        for i in vecs:
+            assert got[i][0] == assign[i][0], i
+            assert abs(got[i][1] - assign[i][1]) < 1e-9, i
+            assert got[i][2] == flags[i], i
+
+    def test_planted_duplicate_flagged_keep_low(self, spark, emb_df):
+        from lucene_spark.pipeline.similarity import semantic_dedup
+
+        pdf = emb_df.limit(20).toPandas()
+        base = np.asarray(pdf.loc[0, "embedding"], dtype=np.float32)
+        rows = [(int(r.vec_id), list(map(float, r.embedding))) for r in pdf.itertuples()]
+        rows.append((9999, list(map(float, base * np.float32(1.5)))))  # exact dup direction
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r for r in
+               semantic_dedup(df, threshold=0.99, n_clusters=2, sample=21).collect()}
+        a, b = out[int(pdf.loc[0, "vec_id"])], out[9999]
+        # the pair is mutually >= 0.99: exactly ONE flagged, and it is
+        # the one MORE similar to the centroid (keep-low survives)
+        assert a["is_dup"] != b["is_dup"]
+        dup, keep = (a, b) if a["is_dup"] else (b, a)
+        assert dup["centroid_sim"] >= keep["centroid_sim"]
+
+    def test_trained_path_runs_and_is_deterministic(self, spark, emb_df):
+        from lucene_spark.pipeline.similarity import semantic_dedup
+
+        r1 = sorted(map(tuple, semantic_dedup(emb_df, threshold=0.45, n_clusters=4).collect()))
+        r2 = sorted(map(tuple, semantic_dedup(
+            emb_df.repartition(7), threshold=0.45, n_clusters=4).collect()))
+        # partitioning-invariant decisions (sampling is id-ordered);
+        # centroid_sim itself may move a last ulp with Arrow batch
+        # shape (BLAS blocked-summation order), so decisions compare
+        # exactly and the float to 1e-9
+        assert [(i, c, d) for i, c, _s, d in r1] == [(i, c, d) for i, c, _s, d in r2]
+        assert all(abs(a[2] - b[2]) < 1e-9 for a, b in zip(r1, r2))
