@@ -306,6 +306,43 @@ def _tokenize_pos_off_udf(stem=False, char_filters=()):
     return _tok
 
 
+def chain_manifest_keys(cfg: "IndexConfig", index_dir: str | None = None) -> dict:
+    """The analyzer/field-chain manifest keys EVERY manifest writer
+    must carry so readers analyze queries identically to indexing
+    (Searcher reads analyzer/stem_repeat/field/extra_fields/index_sort
+    from the manifest — losing them silently re-analyzes queries with
+    the standard chain). With ``index_dir``, values already present in
+    that index's manifest win: they are the index's true build chain
+    even when a writer/merger was opened with a default config."""
+    base = {
+        "field": cfg.field,
+        "extra_fields": list(cfg.extra_fields),
+        "index_sort": list(cfg.index_sort),
+        "vector_field": cfg.vector_field,
+        "analyzer": cfg.analyzer,
+        "shingles": list(cfg.shingles) if cfg.shingles else None,
+        "shingle_unigrams": cfg.shingle_unigrams,
+        "common_grams": list(cfg.common_grams),
+        "ngrams": list(cfg.ngrams) if cfg.ngrams else None,
+        "edge_ngrams": list(cfg.edge_ngrams) if cfg.edge_ngrams else None,
+        "stem_repeat": cfg.stem_repeat,
+        "synonyms": [list(g) for g in cfg.synonyms] or None,
+        "char_filters": list(cfg.char_filters),
+    }
+    if index_dir:
+        mpath = f"{index_dir}/manifest.json"
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as fh:
+                    cur = json.load(fh)
+            except (OSError, ValueError):
+                cur = {}
+            for k in base:
+                if k in cur:
+                    base[k] = cur[k]
+    return base
+
+
 def _stacker_of(cfg):
     """Per-row stacked-token transform of the analyzed stream
     (ShingleFilter / CommonGramsFilter chained in that order), or None
@@ -999,19 +1036,7 @@ class IndexBuilder:
             # chunking); per-segment lineage lives in checkpoint.py
             "vocab": vocab_metrics,
             "docs_per_chunk": cfg.docs_per_chunk,
-            "field": cfg.field,
-            "extra_fields": list(cfg.extra_fields),
-            "index_sort": list(cfg.index_sort),
-            "vector_field": cfg.vector_field,
-            "analyzer": cfg.analyzer,
-            "shingles": list(cfg.shingles) if cfg.shingles else None,
-            "shingle_unigrams": cfg.shingle_unigrams,
-            "common_grams": list(cfg.common_grams),
-            "ngrams": list(cfg.ngrams) if cfg.ngrams else None,
-            "edge_ngrams": list(cfg.edge_ngrams) if cfg.edge_ngrams else None,
-            "stem_repeat": cfg.stem_repeat,
-            "synonyms": [list(g) for g in cfg.synonyms] or None,
-            "char_filters": list(cfg.char_filters),
+            **chain_manifest_keys(cfg),
             "reverse_dict": True,
         }
         with open(f"{index_dir}/manifest.json", "w") as fh:

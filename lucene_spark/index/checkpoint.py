@@ -197,7 +197,10 @@ class ResumableIndexBuilder:
         base.unpersist()
         elapsed = time.time() - t0
         stats_row = self.spark.read.parquet(f"{index_dir}/collection_stats").first()
+        from lucene_spark.index.builder import chain_manifest_keys
+
         metrics = {
+            **chain_manifest_keys(self.config, index_dir),
             "docs": merge_rec["docs"],
             "sum_ttf": int(stats_row["sum_ttf"]),
             "elapsed_sec": elapsed,

@@ -49,7 +49,7 @@ class IndexWriter:
     def __init__(self, spark: SparkSession, index_dir: str, config: IndexConfig | None = None):
         self.spark = spark
         self.index_dir = index_dir
-        self.config = config or IndexConfig()
+        self.config = self._adopt_chain(config or IndexConfig())
         self._inner = IndexBuilder(spark, self.config)
         seg_root = f"{index_dir}/segments"
         if os.path.exists(f"{index_dir}/manifest.json") and not os.path.exists(seg_root):
@@ -58,7 +58,53 @@ class IndexWriter:
                 "this directory holds a one-shot build with no segment intermediates"
             )
 
+    def _adopt_chain(self, cfg: IndexConfig) -> IndexConfig:
+        """The analyzer/field chain is a property of the INDEX, not of
+        this writer: new segments must tokenize exactly like the
+        existing ones or the shared postings space (and the manifest
+        the Searcher analyzes queries from) silently mixes analyses.
+        Opening a writer on an existing index adopts its chain,
+        overriding whatever config was passed."""
+        import dataclasses
+
+        mpath = f"{self.index_dir}/manifest.json"
+        if not os.path.exists(mpath):
+            return cfg
+        try:
+            with open(mpath) as fh:
+                m = json.load(fh)
+        except (OSError, ValueError):
+            return cfg
+        over: dict = {}
+        _tup = lambda v: tuple(v) if v is not None else None  # noqa: E731
+        if "analyzer" in m:
+            over["analyzer"] = m["analyzer"] or "standard"
+        for k in ("field", "vector_field", "stem_repeat", "shingle_unigrams"):
+            if k in m:
+                over[k] = m[k]
+        for k in ("extra_fields", "index_sort", "char_filters", "common_grams"):
+            if k in m:
+                over[k] = tuple(m[k] or ())
+        for k in ("shingles", "ngrams", "edge_ngrams"):
+            if k in m:
+                over[k] = _tup(m[k])
+        if "synonyms" in m:
+            over["synonyms"] = tuple(tuple(g) for g in (m["synonyms"] or ()))
+        return dataclasses.replace(cfg, **over) if over else cfg
+
     # ---- write path --------------------------------------------------------
+
+    def _manifest_chain(self) -> dict:
+        """Analyzer/field configuration the reader needs to analyze
+        queries identically to indexing (SegmentInfos carries the
+        per-field analyzer contract in Lucene; here it lives in the
+        manifest). A writer commit must not lose it: existing manifest
+        values win — they are the index's true build chain even when
+        the writer was opened with a default config — and a fresh
+        index falls back to this writer's config."""
+        from lucene_spark.index.builder import chain_manifest_keys
+
+        return chain_manifest_keys(self.config, self.index_dir)
 
     def _next_gen(self) -> int:
         seg_root = f"{self.index_dir}/segments"
@@ -278,6 +324,7 @@ class IndexWriter:
         with open(f"{self.index_dir}/manifest.json", "w") as fh:
             json.dump(
                 {
+                    **self._manifest_chain(),
                     "docs": n_docs,
                     "docs_per_chunk": self.config.docs_per_chunk,
                     "mode": "writer",
@@ -450,6 +497,11 @@ class IndexWriter:
         from lucene_spark.index.checkpoint import ResumableIndexBuilder
         from lucene_spark.index.deletes import purge_deletes
 
+        # capture the chain BEFORE the merge/pack steps below — their
+        # inner IndexBuilder.build rewrites the manifest from THIS
+        # writer's config, which may be the default when the writer was
+        # opened on an existing differently-analyzed index
+        chain = self._manifest_chain()
         rec: dict = {}
         if expunge_deletes and os.path.exists(f"{self.index_dir}/deletes"):
             purge_deletes(self.spark, self.index_dir, self.config)  # full collapse
@@ -473,6 +525,7 @@ class IndexWriter:
         with open(f"{self.index_dir}/manifest.json", "w") as fh:
             json.dump(
                 {
+                    **chain,
                     "docs": n_docs,
                     "docs_per_chunk": self.config.docs_per_chunk,
                     "mode": "writer",

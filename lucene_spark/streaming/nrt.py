@@ -92,10 +92,13 @@ class StreamingIndexer:
         merger.merge(self.index_dir)
         import json
 
+        from lucene_spark.index.builder import chain_manifest_keys
+
         stats = self.spark.read.parquet(f"{self.index_dir}/collection_stats").first()
         with open(f"{self.index_dir}/manifest.json", "w") as fh:
             json.dump(
                 {
+                    **chain_manifest_keys(self.config, self.index_dir),
                     "docs": int(stats["doc_count"]),
                     "docs_per_chunk": self.config.docs_per_chunk,
                     "mode": "streaming",

@@ -153,3 +153,34 @@ class TestTieredCommit:
         # conversion preserved tier-0 postings: term present in both tiers
         assert s.count("return") == s.index.term_stats(["return"])["return"][0]
         assert len(s.search("return", k=5).hits) == 5
+
+
+def test_commit_preserves_analyzer_chain(tmp_path, spark, corpus_df):
+    """A writer commit must not lose the manifest's analyzer/field
+    chain — readers analyze query terms from it (a porter index whose
+    manifest decays to 'standard' silently stops matching stems)."""
+    d = str(tmp_path / "wchain")
+    cfg = IndexConfig(analyzer="porter", synonyms=(("return", "retour"),), **{
+        k: v for k, v in CFG.items()
+    })
+    w = IndexWriter(spark, d, cfg)
+    half = corpus_df.drop("content_sha256")
+    w.add_documents(half.limit(60))
+    w.commit()
+    ix = SearchIndex(spark, d)
+    assert ix.analyzer == "porter"
+    assert ix.manifest["synonyms"] == [["return", "retour"]]
+    # a second writer opened with the DEFAULT config ADOPTS the index's
+    # chain (new segments must tokenize like the old ones) and carries
+    # it through its commit
+    w2 = IndexWriter(spark, d, IndexConfig(**CFG))
+    assert w2.config.analyzer == "porter"
+    assert w2.config.synonyms == (("return", "retour"),)
+    w2.add_documents(half.limit(100).subtract(half.limit(60)))
+    w2.commit()
+    ix2 = SearchIndex(spark, d)
+    assert ix2.analyzer == "porter"
+    assert ix2.manifest["synonyms"] == [["return", "retour"]]
+    # the chain is live: the synonym alias matches and terms are stemmed
+    s = Searcher(ix2)
+    assert s.search("retour", k=5).total_hits > 0
