@@ -343,6 +343,40 @@ def chain_manifest_keys(cfg: "IndexConfig", index_dir: str | None = None) -> dic
     return base
 
 
+def adopt_chain_config(cfg: "IndexConfig", index_dir: str) -> "IndexConfig":
+    """The analyzer/field chain is a property of the INDEX, not of a
+    writer: appending to an existing index must tokenize new segments
+    exactly like the old ones, or the shared postings space (and the
+    manifest the Searcher analyzes queries from) silently mixes
+    analyses. Returns ``cfg`` with the chain fields overridden from the
+    index's manifest when one exists."""
+    import dataclasses
+
+    mpath = f"{index_dir}/manifest.json"
+    if not os.path.exists(mpath):
+        return cfg
+    try:
+        with open(mpath) as fh:
+            m = json.load(fh)
+    except (OSError, ValueError):
+        return cfg
+    over: dict = {}
+    if "analyzer" in m:
+        over["analyzer"] = m["analyzer"] or "standard"
+    for k in ("field", "vector_field", "stem_repeat", "shingle_unigrams"):
+        if k in m:
+            over[k] = m[k]
+    for k in ("extra_fields", "index_sort", "char_filters", "common_grams"):
+        if k in m:
+            over[k] = tuple(m[k] or ())
+    for k in ("shingles", "ngrams", "edge_ngrams"):
+        if k in m:
+            over[k] = tuple(m[k]) if m[k] is not None else None
+    if "synonyms" in m:
+        over["synonyms"] = tuple(tuple(g) for g in (m["synonyms"] or ()))
+    return dataclasses.replace(cfg, **over) if over else cfg
+
+
 def _stacker_of(cfg):
     """Per-row stacked-token transform of the analyzed stream
     (ShingleFilter / CommonGramsFilter chained in that order), or None

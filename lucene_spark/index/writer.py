@@ -49,7 +49,12 @@ class IndexWriter:
     def __init__(self, spark: SparkSession, index_dir: str, config: IndexConfig | None = None):
         self.spark = spark
         self.index_dir = index_dir
-        self.config = self._adopt_chain(config or IndexConfig())
+        # the analyzer/field chain is a property of the INDEX, not of
+        # this writer: new segments must tokenize exactly like the
+        # existing ones (see adopt_chain_config)
+        from lucene_spark.index.builder import adopt_chain_config
+
+        self.config = adopt_chain_config(config or IndexConfig(), index_dir)
         self._inner = IndexBuilder(spark, self.config)
         seg_root = f"{index_dir}/segments"
         if os.path.exists(f"{index_dir}/manifest.json") and not os.path.exists(seg_root):
@@ -57,40 +62,6 @@ class IndexWriter:
                 "IndexWriter needs a segmented index (resumable/streaming build); "
                 "this directory holds a one-shot build with no segment intermediates"
             )
-
-    def _adopt_chain(self, cfg: IndexConfig) -> IndexConfig:
-        """The analyzer/field chain is a property of the INDEX, not of
-        this writer: new segments must tokenize exactly like the
-        existing ones or the shared postings space (and the manifest
-        the Searcher analyzes queries from) silently mixes analyses.
-        Opening a writer on an existing index adopts its chain,
-        overriding whatever config was passed."""
-        import dataclasses
-
-        mpath = f"{self.index_dir}/manifest.json"
-        if not os.path.exists(mpath):
-            return cfg
-        try:
-            with open(mpath) as fh:
-                m = json.load(fh)
-        except (OSError, ValueError):
-            return cfg
-        over: dict = {}
-        _tup = lambda v: tuple(v) if v is not None else None  # noqa: E731
-        if "analyzer" in m:
-            over["analyzer"] = m["analyzer"] or "standard"
-        for k in ("field", "vector_field", "stem_repeat", "shingle_unigrams"):
-            if k in m:
-                over[k] = m[k]
-        for k in ("extra_fields", "index_sort", "char_filters", "common_grams"):
-            if k in m:
-                over[k] = tuple(m[k] or ())
-        for k in ("shingles", "ngrams", "edge_ngrams"):
-            if k in m:
-                over[k] = _tup(m[k])
-        if "synonyms" in m:
-            over["synonyms"] = tuple(tuple(g) for g in (m["synonyms"] or ()))
-        return dataclasses.replace(cfg, **over) if over else cfg
 
     # ---- write path --------------------------------------------------------
 

@@ -38,7 +38,12 @@ class StreamingIndexer:
     def __init__(self, spark: SparkSession, index_dir: str, config: IndexConfig | None = None):
         self.spark = spark
         self.index_dir = index_dir
-        self.config = config or IndexConfig()
+        # the analyzer/field chain is a property of the INDEX: appending
+        # to an existing one adopts its chain so streamed segments
+        # tokenize identically (same contract as IndexWriter)
+        from lucene_spark.index.builder import adopt_chain_config
+
+        self.config = adopt_chain_config(config or IndexConfig(), index_dir)
         self._inner = IndexBuilder(spark, self.config)
 
     # ---- write path --------------------------------------------------------
