@@ -510,6 +510,11 @@ def queries() -> dict:
     Q["ft_multi_top10"] = lambda spark, sf: _hits_df(
         spark, multi_gate_index(spark, sf).search("table OR merge", k=10)
     )
+    # distributed composite: one composite Weight runs each leaf's
+    # chunk-parallel plan, TopDocs.merge — same oracle as driver mode
+    Q["ft_multi_dist_top10"] = lambda spark, sf: _hits_df(
+        spark, multi_gate_index(spark, sf).search("table OR merge", k=10, mode="distributed")
+    )
     # WhitespaceAnalyzer: cased term over the initcap-ed corpus — the
     # token bijection means the standard tscore oracle applies verbatim
     Q["ft_ws_top10"] = lambda spark, sf: _hits_df(
@@ -2396,6 +2401,7 @@ def oracle_sql() -> dict[str, str]:
     O["ft_multi_top10"] = topk_sql(
         "SELECT doc_id, sum(s) AS s FROM tscore WHERE term IN ('table','merge') GROUP BY doc_id"
     )
+    O["ft_multi_dist_top10"] = O["ft_multi_top10"]
     O["ft_classic_top10"] = topk_sql(
         "SELECT f.doc_id, sqrt(f.tf) * (ln(((SELECT n FROM stats) + 1) / (d.df + 1.0)) + 1.0) "
         "* (1.0 / sqrt(n.dlen)) AS s "

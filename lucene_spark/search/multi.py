@@ -175,14 +175,59 @@ class MultiSearcher(Searcher):
         super().__init__(MultiSearchIndex(indexes), total_hits_threshold, similarity)
 
     def search(self, query, k: int = 10, mode: str = "driver") -> TopDocs:
+        if mode == "distributed":
+            return self._search_distributed_multi(query, k)
         if mode != "driver":
-            raise ValueError("multi-index search is a driver-mode surface; "
-                             "run distributed queries per sub-index and merge TopDocs")
+            raise ValueError(f"unknown mode {mode!r}")
         q, spec, stats, _ = self.prepare(query, collect_rows=False)
         if isinstance(spec, NoneSpec) or k <= 0:
             return TopDocs([], 0, "EQUAL_TO", {})
         cache = self._norm_caches(stats)
         return self._search_exhaustive(spec, k, cache, rows_by_term=None)
+
+    def _search_distributed_multi(self, query, k: int) -> TopDocs:
+        """Distributed composite search: ONE Weight from the summed
+        statistics (this searcher's prepare) runs each sub-index's
+        chunk-parallel plan, then per-leaf TopDocs merge with the
+        Lucene tie-break — (score desc, shard order, local doc asc) ==
+        (score desc, composite doc asc) after docBase rebasing
+        (TopDocs.java merge :270-320). Rank- and score-identical to
+        driver mode: per-doc scores depend only on (tf, norm) and the
+        composite weight/norm caches, which are shared across leaves.
+        Field filters stay lazy (PredSpec), resolving against each
+        sub-index's own docs table — never against composite ids."""
+        from lucene_spark.search.kernels import DocSetSpec
+
+        _q, spec, stats, _ = self.prepare(query, collect_rows=False, lazy_docsets=True)
+        if isinstance(spec, NoneSpec) or k <= 0:
+            return TopDocs([], 0, "EQUAL_TO", {})
+
+        def has_docset(s) -> bool:
+            if isinstance(s, DocSetSpec):
+                return True
+            for grp in ("musts", "shoulds", "filters", "nots", "subs"):
+                for x in getattr(s, grp, ()) or ():
+                    if has_docset(x):
+                        return True
+            if isinstance(s, tuple) and s and s[0] == "const":
+                return has_docset(s[1])
+            return False
+
+        if has_docset(spec):
+            raise ValueError(
+                "distributed multi-index search needs lazily-resolved filters; "
+                "this query resolved a doc set in composite id space"
+            )
+        cache = self._norm_caches(stats)
+        hits: list[tuple[int, float]] = []
+        total = 0
+        for base, ix in zip(self.index.doc_bases, self.index.indexes):
+            sub = Searcher(ix, self.total_hits_threshold, self.sim)
+            td = sub._search_distributed(spec, k, cache)
+            total += td.total_hits
+            hits.extend((int(d) + int(base), s) for d, s in td.hits)
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return TopDocs(hits[:k], total, "EQUAL_TO", {"mode": "distributed-multi"})
 
     def count(self, query, mode: str = "driver") -> int:
         """Weight#count over the composite: TermQuery = summed docFreq,

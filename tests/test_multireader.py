@@ -133,3 +133,43 @@ def test_multi_count(split_indexes):
     ss = Searcher(whole)
     for q in ["return", "*:*", "return AND class"]:
         assert ms.count(q) == ss.count(q), q
+
+
+def test_multi_distributed_equals_driver(split_indexes):
+    """Distributed composite search: one composite Weight runs each
+    leaf's chunk-parallel plan; merged TopDocs must be rank- AND
+    score-identical to the driver-mode composite (and so to the
+    single whole index)."""
+    a, b, whole = split_indexes
+    ms = MultiSearcher([a, b])
+    ss = Searcher(whole)
+    for q in ["return", "return AND class", "return OR class OR data",
+              '"the data"', "return^2.5 OR class"]:
+        got = ms.search(q, k=10, mode="distributed")
+        drv = ms.search(q, k=10)
+        want = ss.search(q, k=10)
+        assert got.hits == drv.hits == want.hits, q
+        assert got.total_hits == drv.total_hits == want.total_hits, q
+
+
+def test_multi_distributed_term_missing_from_one_leaf(tmp_path_factory, spark, corpus_pdf, split_indexes):
+    """A term present in only one leaf still scores with the COMPOSITE
+    statistics on the distributed path."""
+    a, b, _ = split_indexes
+    ms = MultiSearcher([a, b])
+    # pick a term unique to one half (fall back to skip if none)
+    from lucene_spark.analysis.tokenizer import tokenize
+
+    ordered = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    mid = len(ordered) // 2
+    t1 = {t for text in ordered.iloc[:mid]["content"] for t in tokenize(text)}
+    t2 = {t for text in ordered.iloc[mid:]["content"] for t in tokenize(text)}
+    only2 = sorted(t2 - t1)
+    if not only2:
+        import pytest
+
+        pytest.skip("fixture halves share the whole vocabulary")
+    q = only2[0]
+    got = ms.search(q, k=10, mode="distributed")
+    drv = ms.search(q, k=10)
+    assert got.hits == drv.hits and got.total_hits == drv.total_hits
