@@ -223,6 +223,10 @@ class MultiSearcher(Searcher):
         total = 0
         for base, ix in zip(self.index.doc_bases, self.index.indexes):
             sub = Searcher(ix, self.total_hits_threshold, self.sim)
+            # lazy filter conditions were registered by THIS searcher's
+            # prepare; the leaf plans resolve them by key
+            sub._pred_conds = self._pred_conds
+            sub._val_conds = self._val_conds
             td = sub._search_distributed(spec, k, cache)
             total += td.total_hits
             hits.extend((int(d) + int(base), s) for d, s in td.hits)

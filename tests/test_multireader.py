@@ -173,3 +173,18 @@ def test_multi_distributed_term_missing_from_one_leaf(tmp_path_factory, spark, c
     got = ms.search(q, k=10, mode="distributed")
     drv = ms.search(q, k=10)
     assert got.hits == drv.hits and got.total_hits == drv.total_hits
+
+
+def test_multi_distributed_filters_and_mtq(split_indexes):
+    """Lazy field filters (PredSpec) and dictionary-expanded patterns
+    (ConstSpec carries TERMS, not ids) work on the distributed
+    composite path and match driver mode exactly."""
+    a, b, whole = split_indexes
+    ms = MultiSearcher([a, b])
+    ss = Searcher(whole)
+    for q in ["return AND lang:java", "ret*", "return AND ta*"]:
+        got = ms.search(q, k=10, mode="distributed")
+        drv = ms.search(q, k=10)
+        want = ss.search(q, k=10)
+        assert got.hits == drv.hits == want.hits, q
+        assert got.total_hits == drv.total_hits == want.total_hits, q
