@@ -265,6 +265,11 @@ def build_synonym_map(groups) -> dict[str, tuple[str, ...]]:
     out: dict[str, list[str]] = {}
     for group in groups:
         g = [str(t).lower() for t in group]
+        if any(not t or any(c.isspace() for c in t) for t in g):
+            raise ValueError(
+                f"synonym terms must be single non-empty tokens: {group!r} "
+                "(multi-word rules do not survive index-time graph flattening)"
+            )
         g = list(dict.fromkeys(g))
         if len(g) < 2:
             raise ValueError(f"synonym set needs >= 2 distinct terms: {group!r}")
