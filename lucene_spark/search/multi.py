@@ -236,7 +236,14 @@ class MultiSearcher(Searcher):
     def count(self, query, mode: str = "driver") -> int:
         """Weight#count over the composite: TermQuery = summed docFreq,
         MatchAll = summed docCount (no leaf has deletions); exhaustive
-        evaluation otherwise."""
+        evaluation otherwise. ``distributed`` sums per-leaf distributed
+        counts (leaf doc spaces are disjoint; counting needs no shared
+        statistics)."""
+        if mode == "distributed":
+            return sum(
+                Searcher(ix, self.total_hits_threshold, self.sim).count(query, mode="distributed")
+                for ix in self.index.indexes
+            )
         from lucene_spark.search import ast as A
         from lucene_spark.search.kernels import evaluate
         from lucene_spark.search.parser import parse_query

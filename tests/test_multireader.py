@@ -133,6 +133,7 @@ def test_multi_count(split_indexes):
     ss = Searcher(whole)
     for q in ["return", "*:*", "return AND class"]:
         assert ms.count(q) == ss.count(q), q
+        assert ms.count(q, mode="distributed") == ss.count(q), q
 
 
 def test_multi_distributed_equals_driver(split_indexes):
