@@ -94,3 +94,45 @@ class TestPercolate:
         docs = spark.createDataFrame([(0, "return if done"), (1, "return only")], "doc_id long, text string")
         got = {(r["doc_id"], r["query_id"]) for r in qm.match(docs).collect()}
         assert got == {(0, "q")}
+
+
+def test_monitor_runs_on_structured_stream(spark, corpus_df, tmp_path):
+    """The Monitor role at cluster scale is ALERTING on a document
+    STREAM: match() is one stateless mapInPandas, so the identical call
+    runs on a readStream DataFrame — streamed pairs must equal the
+    batch pairs over the same docs."""
+    docs = corpus_df.drop("content_sha256").selectExpr(
+        "doc_id", "content AS text"
+    ) if "doc_id" in corpus_df.columns else None
+    if docs is None:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        docs = (
+            corpus_df.drop("content_sha256")
+            .withColumn(
+                "doc_id",
+                F.row_number().over(Window.orderBy("repo", "path", "commit")) - 1,
+            )
+            .selectExpr("CAST(doc_id AS LONG) AS doc_id", "content AS text")
+        )
+    src = str(tmp_path / "pstream")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    qm = QueryMonitor(spark, dict(QUERIES))
+    batch_pairs = {(r["doc_id"], r["query_id"]) for r in qm.match(docs).collect()}
+    assert batch_pairs  # fixture corpus matches some registered query
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        qm.match(stream)
+        .writeStream.format("memory")
+        .queryName("percolate_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_pairs = {
+        (r["doc_id"], r["query_id"])
+        for r in spark.sql("SELECT * FROM percolate_stream").collect()
+    }
+    assert stream_pairs == batch_pairs
