@@ -544,6 +544,17 @@ def queries() -> dict:
     Q["ft_synstack_phrase_top10"] = lambda spark, sf: _hits_df(
         spark, synstack_gate_index(spark, sf)[1].search(A.PhraseQuery(("table", "hash")), k=10)
     )
+    # distributed twins (same oracles): stacked postings are plain
+    # postings to the chunk-parallel path
+    Q["ft_dist_synstack_top10"] = lambda spark, sf: _hits_df(
+        spark, synstack_gate_index(spark, sf)[1].search(A.TermQuery("hash"), k=10, mode="distributed")
+    )
+    Q["ft_dist_synstack_phrase_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        synstack_gate_index(spark, sf)[1].search(
+            A.PhraseQuery(("table", "hash")), k=10, mode="distributed"
+        ),
+    )
     # edge-ngram postings: the prefix gram 'tab' scores BM25 with
     # tf = count of tokens with that prefix (len >= 3)
     Q["ft_edgegram_top10"] = lambda spark, sf: _hits_df(
@@ -2321,6 +2332,8 @@ def oracle_sql() -> dict[str, str]:
         "      FROM ptf f JOIN norms n USING (doc_id), sw) "
         + _SYN_TAIL
     )
+    O["ft_dist_synstack_top10"] = O["ft_synstack_top10"]
+    O["ft_dist_synstack_phrase_top10"] = O["ft_synstack_phrase_top10"]
     O["ft_geobox_ids"] = (
         "WITH coords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "
         "SELECT doc_id FROM coords WHERE lat BETWEEN -30.0 AND 45.0 "
