@@ -108,3 +108,36 @@ def unpack_positions(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     np.maximum.accumulate(base, out=base)
     flat = cs - base
     return np.split(flat, starts[1:] if len(starts) > 1 else [])
+
+
+def pack_payloads(pay_lists: list) -> bytes:
+    """Per-occurrence payload stream (the .pay file role,
+    Lucene90PostingsFormat PAY_EXTENSION; payloads written per position
+    by Lucene90PostingsWriter alongside offsets). Documented subset:
+    payloads are FLOAT payloads (PayloadHelper/FloatEncoder, the
+    DelimitedPayloadTokenFilter default), stored as fixed 4-byte
+    little-endian float32 per occurrence in position order; NaN marks
+    "no payload at this position" (the reference's null payload).
+    ``pay_lists``: per-doc float arrays aligned with the position
+    arrays (len == tf)."""
+    if len(pay_lists) == 0:
+        return b""
+    flat = np.concatenate(
+        [np.asarray(p, dtype=np.float32) for p in pay_lists]
+        if len(pay_lists) > 1
+        else [np.asarray(pay_lists[0], dtype=np.float32)]
+    )
+    if len(flat) == 0:
+        return b""
+    return flat.astype("<f4", copy=False).tobytes()
+
+
+def unpack_payloads(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of ``pack_payloads`` → per-doc float32 arrays (NaN = no
+    payload at that occurrence), doc boundaries from the tf array."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if not blob:
+        return [np.empty(0, dtype=np.float32) for _ in tfs]
+    flat = np.frombuffer(blob, dtype="<f4")
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    return np.split(flat, starts[1:] if len(starts) > 1 else [])

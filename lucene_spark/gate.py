@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v12"  # v12: reversed term-dictionary sidecar (leading wildcards)
+ENGINE_VERSION = "v13"  # v13: pay_blob postings column (delimited payloads)
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
@@ -164,6 +164,41 @@ def ws_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Search
         cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True, analyzer="whitespace")
         corpus = corpus_df(spark, sf_dir).drop("title").withColumn(
             "content", F.initcap(F.col("content"))
+        )
+        IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
+def pay_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """DelimitedPayloadTokenFilter index (DelimitedPayloadTokenFilter
+    .java:35-70 + FloatEncoder): every token of the corpus is annotated
+    "token|<p>" with p = (0-based position % 7) - 1 — a deterministic
+    integer payload in [-1, 5] the oracle re-derives from the post CTE
+    ((pos-1) % 7 - 1, pos being 1-based there). Stripping the suffix
+    restores the raw token stream exactly (whitespace tokens of the
+    corpus are the TOKEN_SQL words), so tf/df/dl and the standard
+    tscore oracle apply verbatim while the .pay stream carries the
+    per-occurrence floats."""
+    key = ("pay", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gatepay_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(
+            docs_per_chunk=128,
+            term_buckets=4,
+            analyzer="whitespace",
+            delimited_payloads="|",
+        )
+        corpus = corpus_df(spark, sf_dir).drop("title").withColumn(
+            "content",
+            F.expr(
+                "array_join(transform(split(content, ' '), "
+                "(t, i) -> concat(t, '|', cast(pmod(i, 7) - 1 as int))), ' ')"
+            ),
         )
         IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
     index = SearchIndex(spark, idx_dir)
@@ -519,6 +554,50 @@ def queries() -> dict:
     # token bijection means the standard tscore oracle applies verbatim
     Q["ft_ws_top10"] = lambda spark, sf: _hits_df(
         spark, ws_gate_index(spark, sf)[1].search("Table", k=10)
+    )
+    # PayloadScoreQuery over the delimited-payload index: BM25 span
+    # score × SumPayloadFunction over 'table' occurrence payloads
+    # (PayloadScoreQuery.java:43-95; negative sums truncate to 0)
+    Q["ft_payload_sum_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        pay_gate_index(spark, sf)[1].search(
+            A.PayloadScoreQuery(A.TermQuery("table"), function="sum"), k=10
+        ),
+    )
+    # MaxPayloadFunction as the WHOLE score (includeSpanScore=false)
+    Q["ft_payload_max_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        pay_gate_index(spark, sf)[1].search(
+            A.PayloadScoreQuery(
+                A.TermQuery("table"), function="max", include_span_score=False
+            ),
+            k=10,
+        ),
+    )
+    # exact ordered phrase span: payloads of BOTH slots of every
+    # "table hash" adjacency feed the sum
+    Q["ft_payload_phrase_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        pay_gate_index(spark, sf)[1].search(
+            A.PayloadScoreQuery(A.PhraseQuery(("table", "hash")), function="sum"), k=10
+        ),
+    )
+    # SpanPayloadCheckQuery: only occurrences whose payload == 3 match
+    # (SpanPayloadCheckQuery.java:47-90, MatchOperation.EQ)
+    Q["ft_payloadcheck_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        pay_gate_index(spark, sf)[1].search(
+            A.SpanPayloadCheckQuery(A.TermQuery("table"), payloads=(3.0,)), k=10**9
+        ),
+    )
+    # distributed twin: the payload stream rides the per-chunk blobs
+    Q["ft_dist_payload_sum_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        pay_gate_index(spark, sf)[1].search(
+            A.PayloadScoreQuery(A.TermQuery("table"), function="sum"),
+            k=10,
+            mode="distributed",
+        ),
     )
     # ASCIIFolding: accented index + accented QUERY term both fold to
     # the standard stream (query-side analysis through the same chain)
@@ -2274,6 +2353,38 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id FROM documents "
         "WHERE (source || '-' || upper(lang)) LIKE 'src1%' ORDER BY doc_id"
     )
+    # payload gates: payload of the occurrence at 1-based post.pos is
+    # (pos-1) % 7 - 1 (the index annotated 0-based positions); the
+    # token stream is the raw corpus, so tscore applies verbatim.
+    # Sum factor truncates negative to 0 (PayloadSpanScorer:250-257).
+    _PAY = "((p.pos - 1) % 7 - 1)"
+    O["ft_payload_sum_top10"] = topk_sql(
+        "SELECT t.doc_id, t.s * greatest(pf.f, 0) AS s "
+        "FROM tscore t JOIN (SELECT p.doc_id, sum(" + _PAY + ")::DOUBLE AS f "
+        "  FROM post p WHERE p.term = 'table' GROUP BY p.doc_id) pf USING (doc_id) "
+        "WHERE t.term = 'table'"
+    )
+    O["ft_payload_max_top10"] = topk_sql(
+        "SELECT p.doc_id, greatest(max(" + _PAY + "), 0)::DOUBLE AS s "
+        "FROM post p WHERE p.term = 'table' GROUP BY p.doc_id"
+    )
+    # phrase span payloads: both slots of every 'table hash' adjacency
+    # (a.pos and b.pos = a.pos+1) contribute to the sum; span score =
+    # exact-phrase BM25 (freq = adjacency count, weight = summed idfs)
+    O["ft_payload_phrase_top10"] = topk_sql(
+        "SELECT sp.doc_id, "
+        "  (ws.w - ws.w / (1 + sp.pf * " + _INV + ")) * greatest(sp.f, 0) AS s "
+        "FROM (SELECT a.doc_id, count(*)::BIGINT AS pf, "
+        "        sum(((a.pos - 1) % 7 - 1) + ((b.pos - 1) % 7 - 1))::DOUBLE AS f "
+        "      FROM post a JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "      WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id) sp "
+        "JOIN norms n ON n.doc_id = sp.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws"
+    )
+    O["ft_payloadcheck_ids"] = ids_sql(
+        "SELECT p.doc_id FROM post p WHERE p.term = 'table' AND " + _PAY + " = 3"
+    )
+    O["ft_dist_payload_sum_top10"] = O["ft_payload_sum_top10"]
     # bigram-shingled index: tf('table hash') = adjacency count; df =
     # docs with the adjacency; norms = unigram dlen (discountOverlaps);
     # avgdl = (Σ dl + shingles)/n with shingles = dl-1 (dense positions)

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -166,6 +167,18 @@ class IndexConfig:
     # lowercased to match the standard chain. Mutually exclusive with
     # the other stacked stages.
     synonyms: tuple[tuple[str, ...], ...] = ()
+    # DelimitedPayloadTokenFilter (analysis/common/.../payloads/
+    # DelimitedPayloadTokenFilter.java:35-70): tokens of the form
+    # "term<delim>payload" carry a per-occurrence FLOAT payload
+    # (FloatEncoder, the filter's default encoder); the payload is
+    # stripped from the term and stored in a parallel per-occurrence
+    # stream (the .pay file role). Set to the delimiter char (the
+    # reference's DEFAULT_DELIMITER is '|'). Requires the whitespace
+    # analyzer (the canonical pairing — any splitting tokenizer would
+    # cut the payload off the token) with positions on and no stacked
+    # stages/offsets. Tokens without the delimiter carry no payload
+    # (the reference's null payload).
+    delimited_payloads: str | None = None
     # term vectors (Lucene90TermVectorsFormat role,
     # lucene/core/src/java/org/apache/lucene/codecs/lucene90/compressing/
     # Lucene90CompressingTermVectorsFormat.java): the per-DOCUMENT view
@@ -186,6 +199,7 @@ _POSTINGS_SCHEMA = StructType(
         StructField("blob", BinaryType()),
         StructField("pos_blob", BinaryType()),
         StructField("off_blob", BinaryType()),
+        StructField("pay_blob", BinaryType()),
         StructField("block_last", ArrayType(LongType())),
         StructField("imp_block", ArrayType(IntegerType())),
         StructField("imp_freq", ArrayType(IntegerType())),
@@ -306,6 +320,54 @@ def _tokenize_pos_off_udf(stem=False, char_filters=()):
     return _tok
 
 
+def _tokenize_pos_pay_udf(stem, delim: str, char_filters=()):
+    """Tokens + positions + per-occurrence float payloads — the
+    DelimitedPayloadTokenFilter stage (DelimitedPayloadTokenFilter
+    .java:60-70: scan the token from the END for the delimiter, strip
+    the suffix, decode it with FloatEncoder; no delimiter = null
+    payload, here NaN). Unparsable payload text raises, matching
+    FloatEncoder's NumberFormatException."""
+    from pyspark.sql.functions import pandas_udf
+
+    schema = StructType(
+        [
+            StructField("tokens", ArrayType(StringType())),
+            StructField("positions", ArrayType(IntegerType())),
+            StructField("payloads", ArrayType(FloatType())),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _tok(content: pd.Series) -> pd.DataFrame:
+        from lucene_spark.analysis.tokenizer import tokenize_pos_series
+
+        toks_s, poss_s = tokenize_pos_series(content, stem=stem, char_filters=char_filters)
+        out_t, out_p, out_y = [], [], []
+        for toks, poss in zip(toks_s, poss_s):
+            terms, pays = [], []
+            for tok in toks:
+                i = tok.rfind(delim)
+                if i < 0:
+                    terms.append(tok)
+                    pays.append(float("nan"))
+                else:
+                    body, ptxt = tok[:i], tok[i + 1 :]
+                    try:
+                        pays.append(float(ptxt))
+                    except ValueError as e:
+                        raise ValueError(
+                            f"undecodable payload {ptxt!r} in token {tok!r} "
+                            "(FloatEncoder contract)"
+                        ) from e
+                    terms.append(body)
+            out_t.append(terms)
+            out_p.append(poss)
+            out_y.append(pays)
+        return pd.DataFrame({"tokens": out_t, "positions": out_p, "payloads": out_y})
+
+    return _tok
+
+
 def chain_manifest_keys(cfg: "IndexConfig", index_dir: str | None = None) -> dict:
     """The analyzer/field-chain manifest keys EVERY manifest writer
     must carry so readers analyze queries identically to indexing
@@ -328,6 +390,7 @@ def chain_manifest_keys(cfg: "IndexConfig", index_dir: str | None = None) -> dic
         "stem_repeat": cfg.stem_repeat,
         "synonyms": [list(g) for g in cfg.synonyms] or None,
         "char_filters": list(cfg.char_filters),
+        "delimited_payloads": cfg.delimited_payloads,
     }
     if index_dir:
         mpath = f"{index_dir}/manifest.json"
@@ -363,7 +426,7 @@ def adopt_chain_config(cfg: "IndexConfig", index_dir: str) -> "IndexConfig":
     over: dict = {}
     if "analyzer" in m:
         over["analyzer"] = m["analyzer"] or "standard"
-    for k in ("field", "vector_field", "stem_repeat", "shingle_unigrams"):
+    for k in ("field", "vector_field", "stem_repeat", "shingle_unigrams", "delimited_payloads"):
         if k in m:
             over[k] = m[k]
     for k in ("extra_fields", "index_sort", "char_filters", "common_grams"):
@@ -504,11 +567,20 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     arrays → packed doc/freq/norm blob + separate position/offset blobs
     + block skip data + competitive impacts. Vectorized per posting
     list."""
-    from lucene_spark.codec.positions import pack_offsets, pack_positions
+    from lucene_spark.codec.positions import pack_offsets, pack_payloads, pack_positions
+
+    def _pay_f32(p):
+        try:
+            return np.asarray(p, dtype=np.float32)
+        except (TypeError, ValueError):  # object list with None holes
+            return np.asarray(
+                [np.nan if x is None else float(x) for x in p], dtype=np.float32
+            )
 
     for pdf in batches:
         has_pos = "poss" in pdf.columns
         has_off = "sts" in pdf.columns
+        has_pay = "pays" in pdf.columns
         rows = []
         for i in range(len(pdf)):
             term = pdf["term"].iloc[i]
@@ -519,6 +591,7 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             poss = pdf["poss"].iloc[i] if has_pos else None
             sts = pdf["sts"].iloc[i] if has_off else None
             ens = pdf["ens"].iloc[i] if has_off else None
+            pays = pdf["pays"].iloc[i] if has_pay else None
             if len(d) > 1 and not (np.diff(d) > 0).all():
                 order = np.argsort(d, kind="stable")
                 d, t, nm = d[order], t[order], nm[order]
@@ -527,9 +600,12 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 if sts is not None:
                     sts = [sts[j] for j in order]
                     ens = [ens[j] for j in order]
+                if pays is not None:
+                    pays = [pays[j] for j in order]
             blob, block_last = pack_postings(d, t, nm)
             pos_blob = pack_positions(poss) if has_pos else None
             off_blob = pack_offsets(sts, ens) if has_off else None
+            pay_blob = pack_payloads([_pay_f32(p) for p in pays]) if has_pay else None
             ib, if_, in_ = competitive_impacts_flat(t, nm, BLOCK_SIZE)
             rows.append(
                 (
@@ -540,6 +616,7 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     blob,
                     pos_blob,
                     off_blob,
+                    pay_blob,
                     block_last.tolist(),
                     ib.tolist(),
                     if_.tolist(),
@@ -556,6 +633,7 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "blob",
                 "pos_blob",
                 "off_blob",
+                "pay_blob",
                 "block_last",
                 "imp_block",
                 "imp_freq",
@@ -580,6 +658,8 @@ class IndexBuilder:
         # the analyzer name selects the whole post-tokenizer filter
         # chain (standard / porter / english) — tokenizer._emitter
         stem = self.config.analyzer
+        if self.config.delimited_payloads and _stacker_of(self.config) is not None:
+            raise ValueError("delimited_payloads is mutually exclusive with stacked-token stages")
         if _stacker_of(self.config) is not None:
             # stacked-token stages (shingles / common grams): the UDF
             # emits dl = non-overlap token count (discountOverlaps) —
@@ -595,6 +675,26 @@ class IndexBuilder:
                 .drop("_tp")
                 .withColumn("norm", norm(F.col("dl")))
             )
+        if self.config.delimited_payloads:
+            if self.config.analyzer != "whitespace":
+                raise ValueError(
+                    "delimited_payloads requires analyzer='whitespace' "
+                    "(the DelimitedPayloadTokenFilter pairing — a splitting "
+                    "tokenizer would cut the payload off the token)"
+                )
+            if self.config.offsets or not self.config.positions:
+                raise ValueError("delimited_payloads requires positions=True and offsets=False")
+            tok = _tokenize_pos_pay_udf(
+                stem, self.config.delimited_payloads, self.config.char_filters
+            )
+            out = (
+                corpus.withColumn("_tp", tok(F.col(field)))
+                .withColumn("tokens", F.col("_tp.tokens"))
+                .withColumn("positions", F.col("_tp.positions"))
+                .withColumn("payloads", F.col("_tp.payloads"))
+                .drop("_tp")
+            )
+            return out.withColumn("dl", F.size("tokens")).withColumn("norm", norm(F.col("dl")))
         if self.config.offsets:
             tok = _tokenize_pos_off_udf(stem, self.config.char_filters)
             out = (
@@ -676,6 +776,43 @@ class IndexBuilder:
                     F.expr("transform(occ, x -> x.en)").alias("ens"),
                 )
             )
+        if self.config.delimited_payloads:
+            # payloads ride the same (term, doc) aggregation as
+            # positions: sort_array on (pos, pay) structs orders by pos,
+            # keeping the payload stream position-aligned (the .pay file
+            # contract). NaN payloads can't ride the sort (NaN ordering)
+            # so "no payload" travels as null and decodes back to NaN.
+            return (
+                tokenized.select(
+                    "doc_id",
+                    "norm",
+                    *dlc,
+                    F.explode_outer(F.arrays_zip("tokens", "positions", "payloads")).alias("tp"),
+                )
+                .select(
+                    "doc_id",
+                    "norm",
+                    *dlc,
+                    F.col("tp.tokens").alias("term"),
+                    F.col("tp.positions").alias("pos"),
+                    F.when(~F.isnan(F.col("tp.payloads")), F.col("tp.payloads")).alias("pay"),
+                )
+                .filter(F.col("term").isNotNull())
+                .groupBy("term", "doc_id", "norm", *dlc)
+                .agg(
+                    F.count("*").alias("tf"),
+                    F.sort_array(F.collect_list(F.struct("pos", "pay"))).alias("occ"),
+                )
+                .select(
+                    "term",
+                    "doc_id",
+                    "norm",
+                    *dlc,
+                    "tf",
+                    F.expr("transform(occ, x -> x.pos)").alias("poss"),
+                    F.expr("transform(occ, x -> x.pay)").alias("pays"),
+                )
+            )
         if self.config.positions:
             return (
                 tokenized.select(
@@ -723,9 +860,10 @@ class IndexBuilder:
             )
         has_pos = self.config.positions or self.config.offsets
         has_off = self.config.offsets
+        has_pay = bool(self.config.delimited_payloads)
         struct_cols = ["doc_id", "tf", "norm"] + (["poss"] if has_pos else []) + (
             ["sts", "ens"] if has_off else []
-        )
+        ) + (["pays"] if has_pay else [])
         sel = [
             "term",
             "chunk_id",
@@ -738,6 +876,8 @@ class IndexBuilder:
         if has_off:
             sel.append(F.expr("transform(plist, x -> x.sts)").alias("sts"))
             sel.append(F.expr("transform(plist, x -> x.ens)").alias("ens"))
+        if has_pay:
+            sel.append(F.expr("transform(plist, x -> x.pays)").alias("pays"))
         # plain collect_list + numpy argsort in the pack kernel: sorting
         # structs that carry nested position arrays is much cheaper as a
         # vectorized argsort + fancy-index over Arrow columns than as a

@@ -36,6 +36,7 @@ class PostingList:
     norms: np.ndarray
     positions: list | None = None  # per-doc position arrays (aligned with docs)
     offsets: list | None = None  # per-doc (starts, ends) arrays (aligned with docs)
+    payloads: list | None = None  # per-doc float32 payload arrays (position-aligned)
 
 
 MAX_CACHED_TERMS = 4096  # LRUQueryCache.java:86 role (per-reader cache)
@@ -127,6 +128,12 @@ class SearchIndex:
         Searcher rewrites query terms into SynonymQuery(term, stem)
         (QueryBuilder's graph-token path over the same chain)."""
         return bool(self.manifest.get("stem_repeat"))
+
+    @property
+    def delimited_payloads(self) -> str | None:
+        """Delimiter char when the index carries per-occurrence float
+        payloads (DelimitedPayloadTokenFilter stage); None otherwise."""
+        return self.manifest.get("delimited_payloads") or None
 
     @property
     def index_sort(self) -> list[str]:
@@ -396,21 +403,35 @@ class SearchIndex:
         return out
 
     def collect_postings(
-        self, terms: list[str], with_positions: bool = False, with_offsets: bool = False
+        self,
+        terms: list[str],
+        with_positions: bool = False,
+        with_offsets: bool = False,
+        with_payloads: bool = False,
     ) -> dict[str, PostingList]:
         """Driver-mode read: decode and concatenate all chunks per term
         (chunk rows are doc-range ordered by chunk_id)."""
-        return self.postings_from_rows(self.collect_rows(terms), with_positions, with_offsets)
+        return self.postings_from_rows(
+            self.collect_rows(terms), with_positions, with_offsets, with_payloads
+        )
 
     def postings_from_rows(
-        self, by_term: dict[str, list], with_positions: bool = False, with_offsets: bool = False
+        self,
+        by_term: dict[str, list],
+        with_positions: bool = False,
+        with_offsets: bool = False,
+        with_payloads: bool = False,
     ) -> dict[str, PostingList]:
         """Decode already-collected chunk rows (no Spark job)."""
-        from lucene_spark.codec.positions import unpack_offsets, unpack_positions
+        from lucene_spark.codec.positions import (
+            unpack_offsets,
+            unpack_payloads,
+            unpack_positions,
+        )
 
         out: dict[str, PostingList] = {}
         for term, rs in by_term.items():
-            dkey = (term, with_positions, with_offsets)
+            dkey = (term, with_positions, with_offsets, with_payloads)
             hit = self._decoded_cache.get(dkey)
             if hit is not None:
                 self._decoded_cache.move_to_end(dkey)
@@ -437,6 +458,17 @@ class SearchIndex:
                             f"index has no offsets for term {term!r} (built with offsets=False)"
                         )
                     offsets.extend(unpack_offsets(bytes(ob), p[1]))
+            payloads = None
+            if with_payloads:
+                payloads = []
+                for r, p in zip(rs, parts):
+                    pb = r["pay_blob"] if "pay_blob" in r.__fields__ else None
+                    if pb is None:
+                        raise ValueError(
+                            f"index has no payloads for term {term!r} "
+                            "(built without delimited_payloads)"
+                        )
+                    payloads.extend(unpack_payloads(bytes(pb), p[1]))
             if not (len(docs) < 2 or (np.diff(docs) > 0).all()):
                 order = np.argsort(docs, kind="stable")
                 docs, tfs, norms = docs[order], tfs[order], norms[order]
@@ -444,8 +476,10 @@ class SearchIndex:
                     positions = [positions[i] for i in order]
                 if offsets is not None:
                     offsets = [offsets[i] for i in order]
+                if payloads is not None:
+                    payloads = [payloads[i] for i in order]
             out[term] = PostingList(
-                term, -1, len(docs), docs, tfs, norms.astype(np.int64), positions, offsets
+                term, -1, len(docs), docs, tfs, norms.astype(np.int64), positions, offsets, payloads
             )
             self._decoded_cache[dkey] = out[term]
             while len(self._decoded_cache) > MAX_CACHED_TERMS:

@@ -393,6 +393,50 @@ class IntervalQuery(Query):
 
 
 @dataclass(frozen=True)
+class PayloadScoreQuery(Query):
+    """lucene/queries/payloads PayloadScoreQuery.java:43-95: wrap a
+    span query and fold its matches' per-occurrence FLOAT payloads
+    (PayloadDecoder.FLOAT_DECODER) into the score through a
+    PayloadFunction:
+
+    - payload factor = function.docScore over the payloads collected
+      from every matching span in the doc — "min" / "max" / "sum"
+      keep the running value, "avg" divides the running sum by the
+      payload count (AveragePayloadFunction.java:39-41); docs whose
+      spans carry NO payloads keep factor 1; a negative (or NaN)
+      factor truncates to 0 (PayloadSpanScorer.getPayloadScore
+      :250-257).
+    - ``include_span_score``: score = spanScore * factor, else the
+      factor alone (:259-266 scoreCurrentDoc).
+
+    Implemented span subset (the SpanCollector shapes whose collected
+    payloads are position-complete in this engine): SpanTermQuery
+    (every occurrence of the term), span-OR of terms (every occurrence
+    of any member), and exact ordered SpanNear of distinct single
+    terms (payloads of every slot of every matching span) — expressed
+    as TermQuery / SynonymQuery / PhraseQuery(slop=0) wrapped nodes.
+    Requires an index built with IndexConfig.delimited_payloads."""
+
+    span: "Query"
+    function: str = "avg"  # min | max | avg | sum
+    include_span_score: bool = True
+
+
+@dataclass(frozen=True)
+class SpanPayloadCheckQuery(Query):
+    """lucene/queries/payloads SpanPayloadCheckQuery.java:47-90: keep
+    only the spans whose collected payload sequence EQUALS the given
+    payload list (MatchOperation.EQ over PayloadType.FLOAT); the doc
+    matches (and its freq counts) only those spans. An occurrence
+    without a payload never matches (null payload fails the
+    comparison). Same wrapped-span subset as PayloadScoreQuery; scores
+    like the underlying span query over the kept spans."""
+
+    span: "Query"
+    payloads: tuple[float, ...] = ()
+
+
+@dataclass(frozen=True)
 class PredDocSetQuery(Query):
     """UNRESOLVED doc-set: a docs-table predicate identified by ``key``
     (internal: produced by the Searcher in distributed mode instead of
@@ -588,4 +632,6 @@ def extract_terms(q: Query) -> set[str]:
         return set().union(*(extract_terms(s) for s in q.queries)) if q.queries else set()
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
         return extract_terms(q.query)
+    if isinstance(q, (PayloadScoreQuery, SpanPayloadCheckQuery)):
+        return extract_terms(q.span)
     return set()

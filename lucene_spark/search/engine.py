@@ -755,14 +755,24 @@ class Searcher:
     def _driver_context(self, spec, cache, rows_by_term=None) -> ChunkContext:
         terms = sorted(spec_terms(spec))
         with_pos = _has_phrase(spec)
+        pay_terms = _payload_terms(spec)
         if rows_by_term is not None:
-            plists = self.index.postings_from_rows(rows_by_term, with_positions=with_pos)
+            plists = self.index.postings_from_rows(
+                rows_by_term, with_positions=with_pos, with_payloads=bool(pay_terms)
+            )
         else:
-            plists = self.index.collect_postings(terms, with_positions=with_pos)
+            plists = self.index.collect_postings(
+                terms, with_positions=with_pos, with_payloads=bool(pay_terms)
+            )
         arrays = {t: (p.docs, p.tfs, p.norms) for t, p in plists.items()}
         positions = {t: p.positions for t, p in plists.items()} if with_pos else None
+        payloads = (
+            {t: p.payloads for t, p in plists.items() if p.payloads is not None}
+            if pay_terms
+            else None
+        )
         all_docs = self.index.all_doc_ids() if _needs_all_docs(spec) else None
-        return ChunkContext(arrays, cache, all_docs, positions, sim=self.sim)
+        return ChunkContext(arrays, cache, all_docs, positions, sim=self.sim, payloads=payloads)
 
     def _apply_live_docs(self, docs, scores):
         """Mask tombstoned docs (liveDocs applied at search,
@@ -815,6 +825,11 @@ class Searcher:
         dpc = int(manifest.get("docs_per_chunk", 1 << 17))
         max_doc, _, contiguous = index.doc_id_bounds
         with_pos = _has_phrase(spec)
+        if _payload_terms(spec):
+            raise NotImplementedError(
+                "payload queries are not wired into the sorted-index "
+                "early-termination path; use search()/match_frame()"
+            )
         needs_all = _needs_all_docs(spec)
         deleted = index.deleted_ids
 
@@ -1178,13 +1193,28 @@ class Searcher:
         hot_terms = {r["term"] for r in chunk_counts if r["n"] > 1 or r["maxc"] > 0}
         small_terms = [t for t in terms if t not in hot_terms]
         with_pos = _has_phrase(spec)
-        small = index.collect_postings(small_terms, with_positions=with_pos)
+        with_pay = bool(_payload_terms(spec))
+        small = index.collect_postings(
+            small_terms, with_positions=with_pos, with_payloads=with_pay
+        )
         small_arrays = {t: (p.docs, p.tfs, p.norms) for t, p in small.items()}
         small_positions = {t: p.positions for t, p in small.items()} if with_pos else {}
+        small_payloads = (
+            {t: p.payloads for t, p in small.items() if p.payloads is not None}
+            if with_pay
+            else {}
+        )
         if not hot_terms and not preds and not vspecs and not needs_all:
             # all-small-term query: bounded driver evaluation (each
             # small term covers ≤ docs_per_chunk docs by construction)
-            ctx = ChunkContext(small_arrays, cache, None, small_positions if with_pos else None, sim=self.sim)
+            ctx = ChunkContext(
+                small_arrays,
+                cache,
+                None,
+                small_positions if with_pos else None,
+                sim=self.sim,
+                payloads=small_payloads if with_pay else None,
+            )
             docs, scores = self._apply_live_docs(*evaluate(spec, ctx))
             top = top_k_from_arrays(docs, scores, k if k is not None else len(docs))
             return "topdocs", TopDocs(top, len(docs), "EQUAL_TO", {})
@@ -1269,12 +1299,13 @@ class Searcher:
             )
 
         def score_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            from lucene_spark.codec.positions import unpack_positions
+            from lucene_spark.codec.positions import unpack_payloads, unpack_positions
 
             chunk_id = int(key[0])
             lo, hi = chunk_id * dpc, (chunk_id + 1) * dpc
             arrays = {}
             positions: dict = {}
+            payloads: dict = {}
             docsets: dict = {}
             docvals: dict = {}
             deleted = None
@@ -1303,6 +1334,11 @@ class Searcher:
                     if with_pos and r.pos_blob is not None
                     else None
                 )
+                pay = (
+                    unpack_payloads(bytes(r.pay_blob), tf)
+                    if with_pay and getattr(r, "pay_blob", None) is not None
+                    else None
+                )
                 prev = arrays.get(t)
                 if prev is not None:
                     # tiered index: a boundary chunk can hold one row
@@ -1313,19 +1349,27 @@ class Searcher:
                     nm = np.concatenate([prev[2], nm])
                     if pos is not None and t in positions:
                         pos = positions[t] + pos
+                    if pay is not None and t in payloads:
+                        pay = payloads[t] + pay
                     if len(d) > 1 and not (np.diff(d) > 0).all():
                         order = np.argsort(d, kind="stable")
                         d, tf, nm = d[order], tf[order], nm[order]
                         if pos is not None:
                             pos = [pos[i] for i in order]
+                        if pay is not None:
+                            pay = [pay[i] for i in order]
                 arrays[t] = (d, tf, nm)
                 if pos is not None:
                     positions[t] = pos
+                if pay is not None:
+                    payloads[t] = pay
             for t, (d, tf, nm) in small_arrays.items():
                 i0, i1 = np.searchsorted(d, lo), np.searchsorted(d, hi)
                 arrays[t] = (d[i0:i1], tf[i0:i1], nm[i0:i1])
                 if with_pos and small_positions.get(t) is not None:
                     positions[t] = small_positions[t][i0:i1]
+                if with_pay and small_payloads.get(t) is not None:
+                    payloads[t] = small_payloads[t][i0:i1]
             if all_contiguous:
                 all_docs = np.arange(lo, min(hi, max_doc), dtype=np.int64)
             ctx = ChunkContext(
@@ -1337,6 +1381,7 @@ class Searcher:
                 docsets=docsets,
                 sim=sim_b,
                 docvals=docvals,
+                payloads=payloads if with_pay else None,
             )
             docs, scores = evaluate(spec_b, ctx)
             if deleted is not None and len(docs):
@@ -1369,7 +1414,7 @@ class Searcher:
         cols = [
             "chunk_id", "term", "df", "ttf", "blob", "pos_blob",
             "block_last", "imp_block", "imp_freq", "imp_norm", "ds_docs", "ds_vals",
-        ]
+        ] + (["pay_blob"] if with_pay else [])
         parts = []
         if hot_rows is not None:
             parts.append(
@@ -1393,6 +1438,8 @@ class Searcher:
                 .withColumn("ds_docs", F.lit(None).cast("array<long>"))
                 .withColumn("ds_vals", F.lit(None).cast("array<array<double>>"))
             )
+            if with_pay:
+                pad = pad.withColumn("pay_blob", F.lit(None).cast("binary"))
             parts.append(pad.select(*cols))
         for aux in aux_parts:
             aux = (
@@ -1409,6 +1456,8 @@ class Searcher:
                 aux = aux.withColumn("ds_docs", F.lit(None).cast("array<long>"))
             if "ds_vals" not in aux.columns:
                 aux = aux.withColumn("ds_vals", F.lit(None).cast("array<array<double>>"))
+            if with_pay:
+                aux = aux.withColumn("pay_blob", F.lit(None).cast("binary"))
             parts.append(aux.select(*cols))
         grouped_src = parts[0]
         for p in parts[1:]:
@@ -1424,12 +1473,15 @@ def _has_phrase(spec) -> bool:
         DisMaxSpec,
         IntervalSpec,
         MultiPhraseSpec,
+        PayloadSpec,
         PhraseSpec,
         SpanNearSpec,
     )
 
     if isinstance(spec, (PhraseSpec, MultiPhraseSpec, SpanNearSpec, IntervalSpec)):
         return True
+    if isinstance(spec, PayloadSpec):
+        return spec.kind == "phrase"  # positional alignment only for phrase spans
     if isinstance(spec, BoolSpec):
         return any(_has_phrase(s) for g in (spec.musts, spec.shoulds, spec.filters, spec.nots) for s in g)
     if isinstance(spec, DisMaxSpec):
@@ -1437,6 +1489,25 @@ def _has_phrase(spec) -> bool:
     if isinstance(spec, tuple) and spec and spec[0] == "const":
         return _has_phrase(spec[1])
     return False
+
+
+def _payload_terms(spec) -> set[str]:
+    """Terms whose payload streams a PayloadSpec in the tree needs."""
+    from lucene_spark.search.kernels import DisMaxSpec, PayloadSpec
+
+    if isinstance(spec, PayloadSpec):
+        return set(spec.terms)
+    if isinstance(spec, BoolSpec):
+        out: set[str] = set()
+        for g in (spec.musts, spec.shoulds, spec.filters, spec.nots):
+            for s in g:
+                out |= _payload_terms(s)
+        return out
+    if isinstance(spec, DisMaxSpec):
+        return set().union(*(_payload_terms(s) for s in spec.subs)) if spec.subs else set()
+    if isinstance(spec, tuple) and spec and spec[0] == "const":
+        return _payload_terms(spec[1])
+    return set()
 
 
 def _collect_predspecs(spec) -> list:

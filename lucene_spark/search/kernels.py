@@ -157,6 +157,28 @@ class IntervalSpec:
 
 
 @dataclass(frozen=True)
+class PayloadSpec:
+    """PayloadScoreQuery / SpanPayloadCheckQuery kernel spec
+    (lucene/queries/payloads; see ast.PayloadScoreQuery). ``kind``
+    picks the wrapped-span shape: "term" (every occurrence), "or"
+    (every occurrence of any member), "phrase" (exact ordered match of
+    distinct terms; payloads of every slot per matching span).
+    ``check`` (SpanPayloadCheckQuery) keeps only spans whose payload
+    sequence equals it; None applies ``function`` as a score factor.
+    Float32 summation runs per-term/per-slot then combines, so "sum"/
+    "avg" may differ from the reference's position-interleaved
+    accumulation order by f32 associativity (last-ulp; documented)."""
+
+    terms: tuple[str, ...]
+    kind: str  # term | or | phrase
+    weight: object
+    function: str = "avg"
+    include_span_score: bool = True
+    check: tuple | None = None
+    field: str = ""
+
+
+@dataclass(frozen=True)
 class MultiPhraseSpec:
     """Alternatives per slot (MultiPhraseQuery.java); weight = summed
     idf over ALL distinct terms, like PhraseWeight over the union."""
@@ -291,6 +313,51 @@ def compile_query(
         fld, st = _stats_of(uniq[0])
         w = sim.for_field(fld).multi_weight(st, [term_df[t] for t in uniq], [ttf_of(t, 0) for t in uniq], float(b32))
         return MultiPhraseSpec(slots, w, q.slop, fld)
+    if isinstance(q, (A.PayloadScoreQuery, A.SpanPayloadCheckQuery)):
+        span = q.span
+        while isinstance(span, A.BoostQuery):  # boost folds into the weight
+            b32 = np.float32(b32 * np.float32(span.boost))
+            span = span.query
+        if isinstance(span, A.TermQuery):
+            kind, pterms = "term", (span.term,)
+        elif isinstance(span, A.SynonymQuery):
+            kind, pterms = "or", tuple(span.terms)
+        elif isinstance(span, A.PhraseQuery) and span.slop == 0:
+            if len(set(span.terms)) != len(span.terms):
+                raise ValueError("payload phrase spans require distinct terms (documented subset)")
+            kind, pterms = "phrase", tuple(span.terms)
+        else:
+            raise ValueError(
+                f"unsupported payload span shape {type(span).__name__} "
+                "(subset: TermQuery / SynonymQuery-as-SpanOr / PhraseQuery slop=0)"
+            )
+        if kind == "or":
+            pterms = tuple(t for t in pterms if term_df.get(t))
+            if not pterms:
+                return NoneSpec()
+        elif any(not term_df.get(t) for t in pterms):
+            return NoneSpec()
+        uniq = sorted(set(pterms))
+        fld, st = _stats_of(uniq[0])
+        if kind == "term":
+            w = sim.for_field(fld).term_weight(
+                st, term_df[pterms[0]], ttf_of(pterms[0], 0), float(b32)
+            )
+        else:
+            w = sim.for_field(fld).multi_weight(
+                st, [term_df[t] for t in uniq], [ttf_of(t, 0) for t in uniq], float(b32)
+            )
+        if isinstance(q, A.SpanPayloadCheckQuery):
+            check = tuple(float(np.float32(x)) for x in q.payloads)
+            n_span = 1 if kind in ("term", "or") else len(pterms)
+            if len(check) != n_span:
+                # spans collecting a different payload count never match
+                # (SpanPayloadCheckQuery PayloadChecker upto contract)
+                return NoneSpec()
+            return PayloadSpec(pterms, kind, w, check=check, field=fld)
+        if q.function not in ("min", "max", "avg", "sum"):
+            raise ValueError(f"unknown payload function {q.function!r}")
+        return PayloadSpec(pterms, kind, w, q.function, q.include_span_score, None, fld)
     if isinstance(q, A.DisjunctionMaxQuery):
         subs = tuple(_recur(s, float(b32)) for s in q.queries)
         subs = tuple(s for s in subs if not isinstance(s, NoneSpec))
@@ -322,7 +389,7 @@ def compile_query(
 def spec_terms(spec) -> set[str]:
     if isinstance(spec, (TermSpec,)):
         return {spec.term}
-    if isinstance(spec, (SynonymSpec, ConstSpec, PhraseSpec, SpanNearSpec, IntervalSpec)):
+    if isinstance(spec, (SynonymSpec, ConstSpec, PhraseSpec, SpanNearSpec, IntervalSpec, PayloadSpec)):
         return set(spec.terms)
     if isinstance(spec, MultiPhraseSpec):
         return {t for slot in spec.slots for t in slot}
@@ -373,6 +440,7 @@ class ChunkContext:
         docsets: dict | None = None,
         sim=None,
         docvals: dict | None = None,
+        payloads: dict | None = None,
     ):
         self.arrays = arrays
         self.cache = cache
@@ -389,6 +457,9 @@ class ChunkContext:
         self.docsets = docsets or {}
         # ValueSpec key → (docs int64, vals float64 [n, m]) slice
         self.docvals = docvals or {}
+        # term → per-doc float32 payload arrays (position-aligned; the
+        # .pay stream), present only when the query has a PayloadSpec
+        self.payloads = payloads or {}
 
     def score(self, weight, freqs, norms, field: str) -> np.ndarray:
         """Vectorized SimScorer.score over this context's field table
@@ -550,7 +621,201 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
         return _evaluate_spannear(spec, ctx)
     if isinstance(spec, IntervalSpec):
         return _evaluate_interval(spec, ctx)
+    if isinstance(spec, PayloadSpec):
+        return _evaluate_payload(spec, ctx)
     raise TypeError(type(spec))
+
+
+def _payload_segment_aggs(flat: np.ndarray, bounds: np.ndarray):
+    """Per-segment (count, f32 sum, min, max) of the non-NaN entries of
+    ``flat`` — the PayloadFunction running values (currentScore is
+    sequential f32 accumulation; np.ufunc.reduceat IS sequential, so
+    the f32 sums are bit-equal to the reference's within a segment).
+    ``bounds`` are segment starts (each segment non-empty)."""
+    valid = ~np.isnan(flat)
+    cnt = np.add.reduceat(valid.astype(np.int64), bounds)
+    sums = np.add.reduceat(np.where(valid, flat, np.float32(0.0)).astype(np.float32), bounds)
+    mins = np.minimum.reduceat(np.where(valid, flat, np.float32(np.inf)), bounds)
+    maxs = np.maximum.reduceat(np.where(valid, flat, np.float32(-np.inf)), bounds)
+    return cnt, sums, mins, maxs
+
+
+def _payload_factor(function: str, cnt, sums, mins, maxs) -> np.ndarray:
+    """PayloadFunction.docScore (xxxPayloadFunction.java:39-43): docs
+    with no collected payloads keep 1; negative (or NaN) truncates to 0
+    (PayloadSpanScorer.getPayloadScore :250-257)."""
+    f = np.ones(len(cnt), dtype=np.float32)
+    has = cnt > 0
+    if function == "sum":
+        f[has] = sums[has]
+    elif function == "min":
+        f[has] = mins[has]
+    elif function == "max":
+        f[has] = maxs[has]
+    else:  # avg: f32 sum / count (AveragePayloadFunction.java:39-41)
+        f[has] = (sums[has] / cnt[has].astype(np.float32)).astype(np.float32)
+    np.copyto(f, np.float32(0.0), where=~(f >= 0))  # catches negatives AND NaN
+    return f
+
+
+def _flat_payload_stream(ctx: ChunkContext, term: str):
+    """(docs, tfs, norms, flat payload f32, per-doc start bounds)."""
+    docs, tfs, norms = ctx.term(term)
+    pays = ctx.payloads.get(term)
+    if pays is None:
+        raise ValueError(f"no payload stream for term {term!r} in this context")
+    flat = (
+        np.concatenate([np.asarray(p, dtype=np.float32) for p in pays])
+        if len(pays)
+        else np.empty(0, dtype=np.float32)
+    )
+    bounds = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+    return docs, tfs, norms, flat, bounds
+
+
+def _evaluate_payload(spec: PayloadSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
+    if spec.kind == "term":
+        docs, tfs, norms, flat, bounds = _flat_payload_stream(ctx, spec.terms[0])
+        if not len(docs):
+            return EMPTY_I, EMPTY_F
+        if spec.check is not None:
+            keep = (~np.isnan(flat)) & (flat == np.float32(spec.check[0]))
+            freq = np.add.reduceat(keep.astype(np.int64), bounds)
+            m = freq > 0
+            return docs[m], ctx.score(spec.weight, freq[m].astype(np.float32), norms[m], spec.field)
+        cnt, sums, mins, maxs = _payload_segment_aggs(flat, bounds)
+        factor = _payload_factor(spec.function, cnt, sums, mins, maxs)
+        if not spec.include_span_score:
+            return docs, factor
+        span = ctx.score(spec.weight, tfs.astype(np.float32), norms, spec.field)
+        return docs, (span * factor).astype(np.float32)
+    if spec.kind == "or":
+        parts = []
+        for t in spec.terms:
+            docs, tfs, norms, flat, bounds = _flat_payload_stream(ctx, t)
+            if len(docs):
+                parts.append((docs, tfs, norms, flat, bounds))
+        if not parts:
+            return EMPTY_I, EMPTY_F
+        u_docs = np.unique(np.concatenate([p[0] for p in parts]))
+        n = len(u_docs)
+        freq = np.zeros(n, dtype=np.float64)
+        norms_out = np.zeros(n, dtype=np.int64)
+        cnt = np.zeros(n, dtype=np.int64)
+        sums = np.zeros(n, dtype=np.float32)
+        mins = np.full(n, np.float32(np.inf), dtype=np.float32)
+        maxs = np.full(n, np.float32(-np.inf), dtype=np.float32)
+        for docs, tfs, norms, flat, bounds in parts:
+            mask, idx = _membership(docs, u_docs)
+            src = idx[mask]
+            if spec.check is not None:
+                keep = (~np.isnan(flat)) & (flat == np.float32(spec.check[0]))
+                freq[mask] += np.add.reduceat(keep.astype(np.int64), bounds)[src]
+            else:
+                freq[mask] += tfs[src]
+                c, s, mn, mx = _payload_segment_aggs(flat, bounds)
+                cnt[mask] += c[src]
+                sums[mask] = (sums[mask] + s[src]).astype(np.float32)
+                np.minimum.at(mins, np.nonzero(mask)[0], mn[src])
+                np.maximum.at(maxs, np.nonzero(mask)[0], mx[src])
+            norms_out[mask] = norms[src]
+        if spec.check is not None:
+            m = freq > 0
+            return u_docs[m], ctx.score(
+                spec.weight, freq[m].astype(np.float32), norms_out[m], spec.field
+            )
+        factor = _payload_factor(spec.function, cnt, sums, mins, maxs)
+        if not spec.include_span_score:
+            return u_docs, factor
+        span = ctx.score(spec.weight, freq.astype(np.float32), norms_out, spec.field)
+        return u_docs, (span * factor).astype(np.float32)
+    # ---- exact ordered phrase span ------------------------------------------
+    n_slots = len(spec.terms)
+    slot_data = []
+    for t in spec.terms:
+        docs, tfs, norms, flat, bounds = _flat_payload_stream(ctx, t)
+        if not len(docs):
+            return EMPTY_I, EMPTY_F
+        slot_data.append((docs, tfs, norms, flat, bounds))
+    cand = slot_data[0][0]
+    for docs, *_ in slot_data[1:]:
+        cand = cand[np.isin(cand, docs, assume_unique=True)]
+    if not len(cand):
+        return EMPTY_I, EMPTY_F
+    # composite key = cand_index * P + (pos - slot); P bounds positions
+    pos_lists = {t: ctx.positions[t] for t in set(spec.terms)}
+    keys_per_slot, pay_per_slot = [], []
+    P = 0
+    slot_flat = []
+    for i, t in enumerate(spec.terms):
+        docs, tfs, norms, flat_y, _ = slot_data[i]
+        mask, idx = _membership(docs, cand)
+        sel = idx[mask]  # every cand doc is present in every slot
+        plist = pos_lists[t]
+        sel_pos = [plist[j] for j in sel]
+        lens = np.fromiter((len(x) for x in sel_pos), dtype=np.int64, count=len(sel))
+        flat_p = np.concatenate(sel_pos) if len(sel_pos) else np.empty(0, dtype=np.int64)
+        # payloads: slice the flat stream to the selected docs
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+        y_parts = [flat_y[starts[j] : starts[j] + tfs[j]] for j in sel]
+        flat_yy = (
+            np.concatenate(y_parts) if y_parts else np.empty(0, dtype=np.float32)
+        )
+        doc_ix = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+        slot_flat.append((doc_ix, flat_p, flat_yy))
+        if len(flat_p):
+            P = max(P, int(flat_p.max()) + n_slots + 1)
+    P = max(P, n_slots + 1)
+    matched = None
+    for i, (doc_ix, flat_p, _) in enumerate(slot_flat):
+        keys = doc_ix * P + (flat_p - i)
+        keys_per_slot.append(keys)
+        matched = keys if matched is None else matched[np.isin(matched, keys, assume_unique=True)]
+    if matched is None or not len(matched):
+        return EMPTY_I, EMPTY_F
+    # per-slot payloads of each matched span (keys are sorted per slot)
+    span_pays = []
+    for keys, (_, _, flat_yy) in zip(keys_per_slot, slot_flat):
+        pos_in = np.searchsorted(keys, matched)
+        span_pays.append(flat_yy[pos_in])
+    doc_of = matched // P  # cand indices, sorted
+    if spec.check is not None:
+        kept = np.ones(len(matched), dtype=bool)
+        for i, y in enumerate(span_pays):
+            kept &= (~np.isnan(y)) & (y == np.float32(spec.check[i]))
+        freq = np.bincount(doc_of[kept], minlength=len(cand))
+        m = freq > 0
+        norms_c = _phrase_norms(slot_data[0], cand)
+        return cand[m], ctx.score(
+            spec.weight, freq[m].astype(np.float32), norms_c[m], spec.field
+        )
+    mdocs = np.unique(doc_of)
+    seg = np.searchsorted(doc_of, mdocs)
+    cnt = np.zeros(len(mdocs), dtype=np.int64)
+    sums = np.zeros(len(mdocs), dtype=np.float32)
+    mins = np.full(len(mdocs), np.float32(np.inf), dtype=np.float32)
+    maxs = np.full(len(mdocs), np.float32(-np.inf), dtype=np.float32)
+    for y in span_pays:
+        c, s, mn, mx = _payload_segment_aggs(y, seg)
+        cnt += c
+        sums = (sums + s).astype(np.float32)
+        np.minimum(mins, mn, out=mins)
+        np.maximum(maxs, mx, out=maxs)
+    factor = _payload_factor(spec.function, cnt, sums, mins, maxs)
+    freq = np.bincount(doc_of, minlength=len(cand))[mdocs].astype(np.float32)
+    out_docs = cand[mdocs]
+    norms_c = _phrase_norms(slot_data[0], cand)[mdocs]
+    if not spec.include_span_score:
+        return out_docs, factor
+    span = ctx.score(spec.weight, freq, norms_c, spec.field)
+    return out_docs, (span * factor).astype(np.float32)
+
+
+def _phrase_norms(slot0, cand: np.ndarray) -> np.ndarray:
+    """Norms of the candidate docs (from the first slot's postings)."""
+    docs, _tfs, norms, _flat, _bounds = slot0
+    mask, idx = _membership(docs, cand)
+    return norms[idx[mask]]
 
 
 def minimal_intervals(pos_lists: list[np.ndarray], in_order: bool) -> list[tuple[int, int]]:

@@ -113,11 +113,15 @@ class MultiSearchIndex:
     # ---- postings / doc domain (rebased) --------------------------------------
 
     def collect_postings(
-        self, terms: list[str], with_positions: bool = False, with_offsets: bool = False
+        self,
+        terms: list[str],
+        with_positions: bool = False,
+        with_offsets: bool = False,
+        with_payloads: bool = False,
     ) -> dict[str, PostingList]:
         parts: dict[str, list[tuple[int, PostingList]]] = {}
         for base, ix in zip(self.doc_bases, self.indexes):
-            got = ix.collect_postings(terms, with_positions, with_offsets)
+            got = ix.collect_postings(terms, with_positions, with_offsets, with_payloads)
             for t, p in got.items():
                 parts.setdefault(t, []).append((base, p))
         out: dict[str, PostingList] = {}
@@ -145,7 +149,19 @@ class MultiSearchIndex:
                             "with offsets=True"
                         )
                 offsets = [ol for _, p in ps for ol in p.offsets]
-            out[t] = PostingList(t, -1, len(docs), docs, tfs, norms, positions, offsets)
+            payloads = None
+            if with_payloads:
+                for _, p in ps:
+                    if p.payloads is None:
+                        raise ValueError(
+                            f"sub-index lacks payloads for term {t!r}; "
+                            "payload queries need every sub-index built "
+                            "with delimited_payloads"
+                        )
+                payloads = [yl for _, p in ps for yl in p.payloads]
+            out[t] = PostingList(
+                t, -1, len(docs), docs, tfs, norms, positions, offsets, payloads
+            )
         return out
 
     def all_doc_ids(self) -> np.ndarray:
