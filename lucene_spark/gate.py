@@ -171,6 +171,22 @@ def ws_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Search
     return _CACHE[key]
 
 
+def _taq_gap_dfa():
+    """0 -table-> 1 -hash-> 2(acc); 1 -ANY-> 3 -hash-> 2(acc): exact
+    adjacency or one-token gap (TermAutomatonQuery javadoc example
+    shape). Built per call — TermDFA is a frozen dataclass, cheap."""
+    from lucene_spark.search.automaton import TermAutomatonBuilder
+
+    b = TermAutomatonBuilder()
+    s1, s2, s3 = b.create_state(), b.create_state(), b.create_state()
+    b.set_accept(s2)
+    b.add_transition(0, s1, "table")
+    b.add_transition(s1, s2, "hash")
+    b.add_any_transition(s1, s3)
+    b.add_transition(s3, s2, "hash")
+    return b.finish()
+
+
 def pay_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
     """DelimitedPayloadTokenFilter index (DelimitedPayloadTokenFilter
     .java:35-70 + FloatEncoder): every token of the corpus is annotated
@@ -597,6 +613,22 @@ def queries() -> dict:
             A.PayloadScoreQuery(A.TermQuery("table"), function="sum"),
             k=10,
             mode="distributed",
+        ),
+    )
+    # TermAutomatonQuery (sandbox): "table hash" | "table ANY hash" —
+    # an automaton that does NOT rewrite to a phrase (ANY arc). freq
+    # follows TermAutomatonScorer.countMatches exactly: adjacency
+    # arrivals + one arrival per dist-2 span via the expanded term
+    # step + ANOTHER arrival for dist-2 spans whose gap token is
+    # itself a query term (the separate anyTermID advance lands in the
+    # same det state — path counts add, PosState never dedups)
+    Q["ft_automaton_top10"] = lambda spark, sf: _hits_df(
+        spark, gate_index(spark, sf)[1].search(A.TermAutomatonQuery(_taq_gap_dfa()), k=10)
+    )
+    Q["ft_dist_automaton_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        gate_index(spark, sf)[1].search(
+            A.TermAutomatonQuery(_taq_gap_dfa()), k=10, mode="distributed"
         ),
     )
     # ASCIIFolding: accented index + accented QUERY term both fold to
@@ -2385,6 +2417,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT p.doc_id FROM post p WHERE p.term = 'table' AND " + _PAY + " = 3"
     )
     O["ft_dist_payload_sum_top10"] = O["ft_payload_sum_top10"]
+    # TermAutomatonQuery "table (hash | ANY hash)": countMatches path
+    # counting = adjacencies + dist-2 spans + dist-2 spans AGAIN when
+    # the gap token is a query term (see the Q-side comment); weight =
+    # summed idfs of the automaton's present terms
+    O["ft_automaton_top10"] = topk_sql(
+        "SELECT f.doc_id, ws.w - ws.w / (1 + f.tf * " + _INV + ") AS s "
+        "FROM (SELECT x.doc_id, sum(x.c)::BIGINT AS tf FROM ("
+        "  SELECT a.doc_id, count(*)::BIGINT AS c FROM post a "
+        "    JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "    WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id "
+        "  UNION ALL SELECT a.doc_id, count(*)::BIGINT FROM post a "
+        "    JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 2 "
+        "    WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id "
+        "  UNION ALL SELECT a.doc_id, count(*)::BIGINT FROM post a "
+        "    JOIN post m ON a.doc_id = m.doc_id AND m.pos = a.pos + 1 "
+        "    JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 2 "
+        "    WHERE a.term = 'table' AND m.term IN ('table','hash') AND b.term = 'hash' "
+        "    GROUP BY a.doc_id"
+        ") x GROUP BY x.doc_id) f "
+        "JOIN norms n USING (doc_id), "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws"
+    )
+    O["ft_dist_automaton_top10"] = O["ft_automaton_top10"]
     # bigram-shingled index: tf('table hash') = adjacency count; df =
     # docs with the adjacency; norms = unigram dlen (discountOverlaps);
     # avgdl = (Σ dl + shingles)/n with shingles = dl-1 (dense positions)

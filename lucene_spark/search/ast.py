@@ -437,6 +437,22 @@ class SpanPayloadCheckQuery(Query):
 
 
 @dataclass(frozen=True)
+class TermAutomatonQuery(Query):
+    """lucene/sandbox TermAutomatonQuery.java:66-80: a proximity query
+    whose transitions are terms (or ANY) — the generalization of
+    Phrase/MultiPhrase/SpanNear. ``dfa`` is the FINISHED automaton
+    (search.automaton.TermAutomatonBuilder.finish()); matching acts as
+    a disjunction over the automaton's terms with a per-doc
+    position-merge state walk (TermAutomatonScorer), freq = accept
+    arrivals via term arcs / initial seeds. Rewrites like the
+    reference (:430-520): singleton → TermQuery, sausage → Phrase /
+    MultiPhrase, empty → MatchNoDocs."""
+
+    dfa: "object"  # search.automaton.TermDFA (frozen/hashable)
+    field: str = "content"
+
+
+@dataclass(frozen=True)
 class PredDocSetQuery(Query):
     """UNRESOLVED doc-set: a docs-table predicate identified by ``key``
     (internal: produced by the Searcher in distributed mode instead of
@@ -609,6 +625,16 @@ def _rewrite_once(q: Query) -> Query:
             return PhraseQuery(tuple(s[0] for s in q.positions), q.slop, q.field)
         if len(q.positions) == 1:
             return SynonymQuery(q.positions[0], q.field)
+    if isinstance(q, TermAutomatonQuery):
+        from lucene_spark.search.automaton import try_rewrite
+
+        rq = try_rewrite(q.dfa)
+        if rq is not None:
+            if q.field != "content" and hasattr(rq, "field"):
+                from dataclasses import replace as _rep
+
+                rq = _rep(rq, field=q.field)
+            return rq
     return q
 
 
@@ -634,4 +660,6 @@ def extract_terms(q: Query) -> set[str]:
         return extract_terms(q.query)
     if isinstance(q, (PayloadScoreQuery, SpanPayloadCheckQuery)):
         return extract_terms(q.span)
+    if isinstance(q, TermAutomatonQuery):
+        return set(q.dfa.real_terms())
     return set()

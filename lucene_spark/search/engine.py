@@ -1476,9 +1476,10 @@ def _has_phrase(spec) -> bool:
         PayloadSpec,
         PhraseSpec,
         SpanNearSpec,
+        TermAutomatonSpec,
     )
 
-    if isinstance(spec, (PhraseSpec, MultiPhraseSpec, SpanNearSpec, IntervalSpec)):
+    if isinstance(spec, (PhraseSpec, MultiPhraseSpec, SpanNearSpec, IntervalSpec, TermAutomatonSpec)):
         return True
     if isinstance(spec, PayloadSpec):
         return spec.kind == "phrase"  # positional alignment only for phrase spans

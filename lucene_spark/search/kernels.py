@@ -179,6 +179,26 @@ class PayloadSpec:
 
 
 @dataclass(frozen=True)
+class TermAutomatonSpec:
+    """TermAutomatonQuery kernel spec (sandbox TermAutomatonScorer).
+    ``terms``/``syms`` align: the automaton's real terms and their
+    symbol ids; ``steps``/``accepts``/``any_sym`` are the finished DFA
+    (automaton.TermDFA). Candidates = the UNION of the terms' postings
+    (the scorer is a disjunction — TermAutomatonQuery.java:69-71);
+    freq per doc = the countMatches state walk over the merged
+    (position, symbol) stream; weight = similarity scorer over the
+    stats of every term with df > 0 (TermAutomatonWeight:380-399)."""
+
+    terms: tuple  # real terms present in the index (df > 0)
+    syms: tuple  # symbol id per term, aligned with ``terms``
+    steps: tuple
+    accepts: tuple
+    any_sym: "int | None"
+    weight: object
+    field: str = ""
+
+
+@dataclass(frozen=True)
 class MultiPhraseSpec:
     """Alternatives per slot (MultiPhraseQuery.java); weight = summed
     idf over ALL distinct terms, like PhraseWeight over the union."""
@@ -358,6 +378,31 @@ def compile_query(
         if q.function not in ("min", "max", "avg", "sum"):
             raise ValueError(f"unknown payload function {q.function!r}")
         return PayloadSpec(pterms, kind, w, q.function, q.include_span_score, None, fld)
+    if isinstance(q, A.TermAutomatonQuery):
+        dfa = q.dfa
+        pairs = [
+            (t, i)
+            for i, t in enumerate(dfa.terms)
+            if t is not None and term_df.get(t)
+        ]
+        if not pairs:
+            return NoneSpec()  # no automaton term matches any doc
+        uniq = sorted({t for t, _ in pairs})
+        fld, st = _stats_of(uniq[0])
+        # TermAutomatonWeight:380-399 — similarity scorer over the
+        # stats of every term with df>0 (summed idfs for BM25)
+        w = sim.for_field(fld).multi_weight(
+            st, [term_df[t] for t in uniq], [ttf_of(t, 0) for t in uniq], float(b32)
+        )
+        return TermAutomatonSpec(
+            tuple(t for t, _ in pairs),
+            tuple(i for _, i in pairs),
+            dfa.steps,
+            dfa.accepts,
+            dfa.any_sym,
+            w,
+            fld,
+        )
     if isinstance(q, A.DisjunctionMaxQuery):
         subs = tuple(_recur(s, float(b32)) for s in q.queries)
         subs = tuple(s for s in subs if not isinstance(s, NoneSpec))
@@ -389,7 +434,10 @@ def compile_query(
 def spec_terms(spec) -> set[str]:
     if isinstance(spec, (TermSpec,)):
         return {spec.term}
-    if isinstance(spec, (SynonymSpec, ConstSpec, PhraseSpec, SpanNearSpec, IntervalSpec, PayloadSpec)):
+    if isinstance(
+        spec,
+        (SynonymSpec, ConstSpec, PhraseSpec, SpanNearSpec, IntervalSpec, PayloadSpec, TermAutomatonSpec),
+    ):
         return set(spec.terms)
     if isinstance(spec, MultiPhraseSpec):
         return {t for slot in spec.slots for t in slot}
@@ -623,7 +671,58 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
         return _evaluate_interval(spec, ctx)
     if isinstance(spec, PayloadSpec):
         return _evaluate_payload(spec, ctx)
+    if isinstance(spec, TermAutomatonSpec):
+        return _evaluate_termautomaton(spec, ctx)
     raise TypeError(type(spec))
+
+
+def _evaluate_termautomaton(spec: TermAutomatonSpec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
+    """TermAutomatonScorer: union candidates, per-doc merged-position
+    state walk. The per-candidate loop is Python by design parity —
+    the reference itself is a merge-sort-positions-per-doc scorer and
+    documents that it 'is likely slow' (TermAutomatonQuery.java:69-71);
+    candidates are bounded by the union of the automaton's term
+    postings, and each doc's walk is linear in its query-term
+    occurrences (plus ANY gap spans)."""
+    from lucene_spark.search.automaton import automaton_freq
+
+    table = {(s, a): d for s, a, d in spec.steps}
+    accepts = frozenset(spec.accepts)
+    per_term = []
+    for t, sym in zip(spec.terms, spec.syms):
+        docs, tfs, norms = ctx.term(t)
+        if len(docs):
+            pos = ctx.positions[t]
+            per_term.append((docs, norms, pos, sym))
+    if not per_term:
+        return EMPTY_I, EMPTY_F
+    u_docs = np.unique(np.concatenate([p[0] for p in per_term]))
+    n = len(u_docs)
+    norms_out = np.zeros(n, dtype=np.int64)
+    # per-doc (symbol, positions) lists, indexed by candidate slot
+    doc_toks: list[list] = [[] for _ in range(n)]
+    for docs, norms, pos, sym in per_term:
+        mask, idx = _membership(docs, u_docs)
+        cand_slots = np.nonzero(mask)[0]
+        norms_out[mask] = norms[idx[mask]]
+        for slot, row in zip(cand_slots, idx[mask]):
+            doc_toks[slot].append((sym, pos[row]))
+    freqs = np.zeros(n, dtype=np.float64)
+    for j, toks in enumerate(doc_toks):
+        if len(toks) == 1:
+            sym, pos = toks[0]
+            stream = [(int(p), sym) for p in pos]
+        else:
+            stream = sorted(
+                (int(p), sym) for sym, pos in toks for p in pos
+            )
+        freqs[j] = automaton_freq(stream, table, accepts, spec.any_sym)
+    m = freqs > 0
+    if not m.any():
+        return EMPTY_I, EMPTY_F
+    return u_docs[m], ctx.score(
+        spec.weight, freqs[m].astype(np.float32), norms_out[m], spec.field
+    )
 
 
 def _payload_segment_aggs(flat: np.ndarray, bounds: np.ndarray):
