@@ -615,6 +615,17 @@ def queries() -> dict:
             mode="distributed",
         ),
     )
+    # MultiRangeQuery (sandbox): OR of point ranges over one field in
+    # ONE scan (single Catalyst OR-of-BETWEEN predicate)
+    Q["ft_multirange_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        gate_index(spark, sf)[1].search(
+            A.ConstantScoreQuery(
+                A.MultiRangeQuery("n_chars", ((None, 400), (800, 1200), (3000, None)))
+            ),
+            k=10**9,
+        ),
+    )
     # TermAutomatonQuery (sandbox): "table hash" | "table ANY hash" —
     # an automaton that does NOT rewrite to a phrase (ANY arc). freq
     # follows TermAutomatonScorer.countMatches exactly: adjacency
@@ -2440,6 +2451,10 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws"
     )
     O["ft_dist_automaton_top10"] = O["ft_automaton_top10"]
+    O["ft_multirange_ids"] = (
+        "SELECT doc_id FROM documents WHERE n_chars <= 400 "
+        "OR n_chars BETWEEN 800 AND 1200 OR n_chars >= 3000 ORDER BY doc_id"
+    )
     # bigram-shingled index: tf('table hash') = adjacency count; df =
     # docs with the adjacency; norms = unigram dlen (discountOverlaps);
     # avgdl = (Σ dl + shingles)/n with shingles = dl-1 (dense positions)

@@ -190,6 +190,23 @@ class FieldInSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiRangeQuery(Query):
+    """lucene/sandbox MultiRangeQuery.java:45-55: a disjunction of
+    point ranges over ONE field evaluated in a single pass ("OR'd
+    together" range clauses — the single BKD traversal the sandbox
+    query exists for). ``ranges`` are inclusive (lower, upper) pairs;
+    None bounds are open. Rewrite merges overlapping 1-D ranges
+    (MultiRangeQuery.rewrite:172-188 + mergeOverlappingRanges:197) and
+    unwraps a single surviving range to FieldRangeQuery. Spark
+    disposition: ONE Catalyst OR-of-BETWEEN predicate on the docs
+    table — one scan, parquet min-max pruning per range, constant
+    score."""
+
+    field: str
+    ranges: tuple  # tuple[(lower|None, upper|None), ...] inclusive
+
+
+@dataclass(frozen=True)
 class RangeFieldQuery(Query):
     """LongRange/DoubleRange field queries (document/RangeFieldQuery
     .java:65-347; LongRange.newIntersectsQuery / newWithinQuery /
@@ -567,6 +584,30 @@ def _rewrite_boolean(q: BooleanQuery) -> Query:
     return new
 
 
+def _merge_ranges(ranges) -> tuple:
+    """mergeOverlappingRanges (sandbox MultiRangeQuery.java:197-230):
+    sort by lower bound, merge clauses whose ranges overlap. None
+    bounds are open (-inf / +inf for the comparison)."""
+    import math
+
+    def lo_key(r):
+        return -math.inf if r[0] is None else r[0]
+
+    def hi_key(r):
+        return math.inf if r[1] is None else r[1]
+
+    srt = sorted(ranges, key=lambda r: (lo_key(r), hi_key(r)))
+    out = [srt[0]]
+    for lo, hi in srt[1:]:
+        plo, phi = out[-1]
+        if lo_key((lo, hi)) <= hi_key((plo, phi)):  # overlap: merge
+            nhi = None if (phi is None or hi is None) else max(phi, hi)
+            out[-1] = (plo, nhi)
+        else:
+            out.append((lo, hi))
+    return tuple(out)
+
+
 def rewrite(q: Query) -> Query:
     """Rewrite to fixpoint (IndexSearcher.java:765-774)."""
     for _ in range(16):
@@ -625,6 +666,15 @@ def _rewrite_once(q: Query) -> Query:
             return PhraseQuery(tuple(s[0] for s in q.positions), q.slop, q.field)
         if len(q.positions) == 1:
             return SynonymQuery(q.positions[0], q.field)
+    if isinstance(q, MultiRangeQuery):
+        if not q.ranges:
+            return MatchNoDocsQuery("empty MultiRangeQuery")
+        merged = _merge_ranges(q.ranges)
+        if len(merged) == 1:
+            lo, hi = merged[0]
+            return FieldRangeQuery(q.field, lo, hi, True, True)
+        if merged != tuple(q.ranges):
+            return MultiRangeQuery(q.field, merged)
     if isinstance(q, TermAutomatonQuery):
         from lucene_spark.search.automaton import try_rewrite
 

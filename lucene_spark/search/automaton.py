@@ -158,6 +158,37 @@ class TermAutomatonBuilder:
         )
 
 
+def token_stream_to_automaton(tokens) -> TermDFA:
+    """TokenStreamToTermAutomatonQuery.toQuery (TokenStreamToTerm
+    AutomatonQuery.java:56-110): build the automaton from a token
+    GRAPH — ``tokens`` is an iterable of (term, pos_inc, pos_length);
+    states are positions, each token is an arc pos → pos+pos_length,
+    the literal term '*' becomes an ANY arc, holes (pos_inc > 1) are
+    rejected ("cannot handle holes; to accept any term, use '*'
+    term"), and the last state is the (single) accept state."""
+    b = TermAutomatonBuilder()
+    pos = -1
+    max_state = 0
+    for term, pos_inc, pos_length in tokens:
+        if pos_inc > 1:
+            raise ValueError("cannot handle holes; to accept any term, use '*' term")
+        if pos == -1 and pos_inc == 0:
+            raise ValueError("first token must have pos_inc > 0")
+        if pos_inc > 0:
+            pos += pos_inc
+        end_pos = pos + pos_length
+        while max_state < end_pos:
+            max_state = b.create_state()
+        if term == "*":
+            b.add_any_transition(pos, end_pos)
+        else:
+            b.add_transition(pos, end_pos, term)
+    if pos == -1:
+        raise ValueError("empty token stream")
+    b.set_accept(max_state)
+    return b.finish()
+
+
 def try_rewrite(dfa: TermDFA):
     """TermAutomatonQuery.rewrite (TermAutomatonQuery.java:430-520):
     a single-term singleton becomes a TermQuery; a "sausage" (linear

@@ -161,6 +161,18 @@ class Searcher:
                 cond = cond & c
             key = ("range", q.field, q.lower, q.upper, q.include_lower, q.include_upper)
             return key, cond
+        if isinstance(q, A.MultiRangeQuery):
+            # sandbox MultiRangeQuery: one scan, OR of inclusive ranges
+            cond = F.lit(False)
+            for lo, hi in q.ranges:
+                c = F.lit(True)
+                if lo is not None:
+                    c = c & (F.col(q.field) >= lo)
+                if hi is not None:
+                    c = c & (F.col(q.field) <= hi)
+                cond = cond | c
+            key = ("multirange", q.field, q.ranges)
+            return key, cond
         return ("eq", q.field, q.value), F.col(q.field) == q.value
 
     def _value_cond(self, q):
@@ -505,7 +517,7 @@ class Searcher:
         if isinstance(
             q,
             (A.FieldRangeQuery, A.FieldValueQuery, A.FieldExistsQuery, A.RangeFieldQuery, A.FieldInSetQuery,
-             A.GeoBoxQuery, A.GeoDistanceQuery, A.GeoPolygonQuery),
+             A.MultiRangeQuery, A.GeoBoxQuery, A.GeoDistanceQuery, A.GeoPolygonQuery),
         ):
             # PointRangeQuery / StringField equality = pushed-down
             # predicate on the docs table (parquet min-max pruning =
@@ -980,7 +992,7 @@ class Searcher:
             q0 = parse_query(filter) if isinstance(filter, str) else A.rewrite(filter)
             if len(index.text_fields) > 1:
                 q0 = self._fieldize(q0)
-            if isinstance(q0, (A.FieldValueQuery, A.FieldRangeQuery, A.FieldExistsQuery, A.RangeFieldQuery, A.FieldInSetQuery)):
+            if isinstance(q0, (A.FieldValueQuery, A.FieldRangeQuery, A.FieldExistsQuery, A.RangeFieldQuery, A.FieldInSetQuery, A.MultiRangeQuery)):
                 # (_fieldize already rewrote tokenized-field values to
                 # term/phrase queries, so this is a keyword/range
                 # predicate on the docs table)

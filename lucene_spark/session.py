@@ -43,6 +43,13 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # ORDER BY + LIMIT k plans TakeOrderedAndProject, whose
+        # per-partition heap is O(k) — a "give me every match" call
+        # (k ~ 10^9) OOMs the executor before a single row flows.
+        # Above this threshold Spark falls back to a global
+        # (spillable) sort + streamed limit, which is the right plan
+        # for huge k at any scale; below it the top-k heap wins.
+        .config("spark.sql.execution.topKSortFallbackThreshold", "100000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -338,3 +338,56 @@ class TestEngineE2E:
         b.add_transition(s1, s2, "if")
         s = Searcher(search_index)
         assert s.search(A.TermAutomatonQuery(b.finish()), k=5).hits == []
+
+
+class TestTokenStreamToAutomaton:
+    """TokenStreamToTermAutomatonQuery.toQuery
+    (TokenStreamToTermAutomatonQuery.java:56-110): states = positions,
+    '*' term = ANY arc, holes rejected, last state accepts."""
+
+    def test_linear_stream_is_phrase(self):
+        from lucene_spark.search.automaton import token_stream_to_automaton
+
+        dfa = token_stream_to_automaton([("a", 1, 1), ("b", 1, 1), ("c", 1, 1)])
+        assert try_rewrite(dfa) == A.PhraseQuery(("a", "b", "c"))
+
+    def test_stacked_tokens_are_multiphrase(self):
+        from lucene_spark.search.automaton import token_stream_to_automaton
+
+        # posInc 0 stacks 'x' on 'a' (SynonymGraphFilter output shape)
+        dfa = token_stream_to_automaton([("a", 1, 1), ("x", 0, 1), ("b", 1, 1)])
+        assert try_rewrite(dfa) == A.MultiPhraseQuery((("a", "x"), ("b",)))
+
+    def test_star_becomes_any(self):
+        from lucene_spark.search.automaton import token_stream_to_automaton
+
+        dfa = token_stream_to_automaton([("a", 1, 1), ("*", 1, 1), ("b", 1, 1)])
+        assert dfa.any_sym is not None
+        term_sym = {t: i for i, t in enumerate(dfa.terms) if t is not None}
+        table = dfa.step_table()
+        # "a x b" matches, "a b" does not (the ANY slot must consume one)
+        assert brute_freq(["a", "x", "b"], term_sym, table, set(dfa.accepts), dfa.any_sym) == 1
+        assert brute_freq(["a", "b"], term_sym, table, set(dfa.accepts), dfa.any_sym) == 0
+
+    def test_pos_length_spans_states(self):
+        from lucene_spark.search.automaton import token_stream_to_automaton
+
+        # 'ab' spans two positions (posLength 2) — a graph token: the
+        # automaton accepts "a b" OR "ab ANY"-less direct span... here
+        # 'ab' consumes one TOKEN but two STATES, so "ab b"? No: it
+        # accepts token 'ab' jumping 0->2 or tokens 'a','b' stepping
+        # 0->1->2 (the SynonymGraphFilter multi-word synonym shape)
+        dfa = token_stream_to_automaton(
+            [("ab", 1, 2), ("a", 0, 1), ("b", 1, 1)]
+        )
+        term_sym = {t: i for i, t in enumerate(dfa.terms) if t is not None}
+        table = dfa.step_table()
+        assert brute_freq(["ab"], term_sym, table, set(dfa.accepts), dfa.any_sym) == 1
+        assert brute_freq(["a", "b"], term_sym, table, set(dfa.accepts), dfa.any_sym) == 1
+        assert brute_freq(["a"], term_sym, table, set(dfa.accepts), dfa.any_sym) == 0
+
+    def test_holes_rejected(self):
+        from lucene_spark.search.automaton import token_stream_to_automaton
+
+        with pytest.raises(ValueError, match="holes"):
+            token_stream_to_automaton([("a", 1, 1), ("b", 2, 1)])

@@ -102,3 +102,52 @@ class TestRangeField:
     def test_unknown_relation_rejected(self, searcher):
         with pytest.raises(ValueError):
             searcher.search(A.RangeFieldQuery("r_lo", "r_hi", 1, 2, relation="nope"), k=5)
+
+
+class TestMultiRange:
+    """sandbox MultiRangeQuery.java:45-55 — OR of point ranges over one
+    field in a single pass; rewrite merges overlapping 1-D ranges
+    (:172-188, mergeOverlappingRanges :197-230)."""
+
+    def test_vs_brute(self, searcher):
+        q = A.MultiRangeQuery("r_lo", ((0, 5), (20, 30), (45, None)))
+        got = {d for d, _ in searcher.search(q, k=10**6).hits}
+        want = {
+            i
+            for i in range(N)
+            if (0 <= _range_of(i)[0] <= 5)
+            or (20 <= _range_of(i)[0] <= 30)
+            or (_range_of(i)[0] >= 45)
+        }
+        assert got == want and want
+        gotd = {d for d, _ in searcher.search(q, k=10**6, mode="distributed").hits}
+        assert gotd == want
+
+    def test_merge_rewrite(self):
+        from lucene_spark.search.ast import _merge_ranges
+
+        # overlap merges, disjoint stays, containment collapses
+        assert _merge_ranges(((0, 5), (3, 9), (12, 14))) == ((0, 9), (12, 14))
+        assert _merge_ranges(((3, 9), (4, 6))) == ((3, 9),)
+        assert _merge_ranges(((None, 5), (2, 8), (20, None))) == ((None, 8), (20, None))
+        # adjacency (upper < next lower) does NOT merge
+        assert _merge_ranges(((0, 5), (6, 9))) == ((0, 5), (6, 9))
+
+    def test_single_range_unwraps(self):
+        q = A.rewrite(A.MultiRangeQuery("r_lo", ((0, 5), (2, 9))))
+        assert q == A.FieldRangeQuery("r_lo", 0, 9, True, True)
+
+    def test_empty_matches_nothing(self, searcher):
+        assert searcher.search(A.MultiRangeQuery("r_lo", ()), k=5).hits == []
+
+    def test_equivalent_to_or_of_ranges(self, searcher):
+        multi = A.MultiRangeQuery("r_lo", ((0, 5), (20, 30)))
+        ors = A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.FieldRangeQuery("r_lo", 0, 5)),
+                (A.Occur.SHOULD, A.FieldRangeQuery("r_lo", 20, 30)),
+            )
+        )
+        a = {d for d, _ in searcher.search(multi, k=10**6).hits}
+        b = {d for d, _ in searcher.search(ors, k=10**6).hits}
+        assert a == b
