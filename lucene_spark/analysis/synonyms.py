@@ -17,6 +17,18 @@ alternatives (PhraseQuery → MultiPhraseQuery).  Expansion applies only
 to ``field``-matching leaves; multi-term patterns (prefix/wildcard/
 fuzzy/regexp/range) are never analyzed, matching the reference's
 QueryBuilder contract.
+
+MULTI-WORD (graph) rules — the posLength>1 case QueryBuilder routes to
+the graph analyzers: a term whose outputs span several tokens becomes
+the SHOULD boolean of per-path queries (analyzeGraphBoolean,
+QueryBuilder.java:503-560, newGraphSynonymQuery:617-624 — single-token
+paths stay TermQuery, multi-token paths auto-generate a PhraseQuery);
+a phrase touching any graph rule becomes the SHOULD boolean of one
+PhraseQuery per finite string with the slop preserved
+(analyzeGraphPhrase:565-582 over
+GraphTokenStreamFiniteStrings.getFiniteStrings). Multi-word INPUTS
+match consecutive token runs (keep-orig equivalence rules only —
+multi-word replacement inputs raise, a documented subset).
 """
 
 from __future__ import annotations
@@ -59,6 +71,19 @@ class SynonymMap:
             k.lower(): tuple(dict.fromkeys(a.lower() for a in v))
             for k, v in (replace or {}).items()
         }
+        for k in self.replace:
+            if " " in k:
+                raise ValueError(
+                    f"multi-word INPUT {k!r} with a replacement rule is "
+                    "unsupported (documented subset: multi-word inputs are "
+                    "keep-orig equivalence alternatives only; multi-word "
+                    "OUTPUTS work in both rule kinds)"
+                )
+
+    def multi_inputs(self) -> tuple[str, ...]:
+        """Keep-orig rule inputs spanning several tokens (the
+        SynonymGraphFilter consecutive-token match keys)."""
+        return tuple(k for k in self.map if " " in k)
 
     def alts(self, term: str) -> tuple[str, ...]:
         return self.map.get(term, ())
@@ -94,7 +119,7 @@ def _split_escaped(s: str, sep: str) -> list[str]:
     return parts
 
 
-def parse_solr_synonyms(text: str, expand: bool = True) -> SynonymMap:
+def parse_solr_synonyms(text: str, expand: bool = True, allow_multi_word: bool = False) -> SynonymMap:
     """Parser for the Solr synonyms format
     (analysis/common/.../synonym/SolrSynonymParser.java:82-137):
 
@@ -118,13 +143,15 @@ def parse_solr_synonyms(text: str, expand: bool = True) -> SynonymMap:
     def _terms(chunk: str) -> list[str]:
         out = []
         for raw in _split_escaped(chunk, ","):
-            t = raw.strip().lower()
+            t = " ".join(raw.strip().lower().split())
             if not t:
                 continue
-            if any(c.isspace() for c in t):
+            if any(c.isspace() for c in t) and not allow_multi_word:
                 raise ValueError(
-                    f"multi-word synonym {t!r} unsupported: single-token rules only "
-                    "(multi-word rules do not survive index-time graph flattening)"
+                    f"multi-word synonym {t!r} unsupported here: single-token rules "
+                    "only (multi-word rules do not survive index-time graph "
+                    "flattening); pass allow_multi_word=True for QUERY-TIME graph "
+                    "expansion (QueryBuilder.analyzeGraphBoolean/-Phrase role)"
                 )
             out.append(t)
         return out
@@ -165,13 +192,22 @@ def index_sets(syn: SynonymMap) -> tuple[tuple[str, ...], ...]:
     """The equivalence sets of a parsed map, for ``IndexConfig.synonyms``.
     Raises when the map carries replacement rules — substitution is a
     different index-time transform than posInc-0 stacking and would
-    silently change which surface terms are searchable."""
+    silently change which surface terms are searchable — or multi-word
+    terms (they do not survive index-time graph flattening)."""
     if syn.replace:
         raise ValueError(
             "synonym file has explicit '=>' (or expand=false) rules; only pure "
             "expand-equivalence files can back an index-time stacked stage"
         )
-    return tuple(getattr(syn, "groups", ()) or ())
+    sets = tuple(getattr(syn, "groups", ()) or ())
+    for g in sets:
+        for t in g:
+            if " " in t:
+                raise ValueError(
+                    f"multi-word synonym {t!r} cannot back an index-time stacked "
+                    "stage; use query-time expand_synonyms (graph paths)"
+                )
+    return sets
 
 
 def expand_synonyms(q: A.Query, syn: "SynonymMap | dict | list", field: str = "content") -> A.Query:
@@ -189,9 +225,75 @@ def _slot_alts(terms: tuple[str, ...], syn: SynonymMap) -> tuple[str, ...]:
     for t in terms:
         outs, keep = syn.outputs(t)
         for a in ((t,) if keep or not outs else ()) + outs:
+            if " " in a:
+                raise ValueError(
+                    f"multi-word synonym {a!r} inside a MultiPhrase slot: only "
+                    "PhraseQuery/TermQuery leaves take the graph-path expansion"
+                )
             if a not in out:
                 out.append(a)
     return tuple(out)
+
+
+MAX_GRAPH_PATHS = 1024  # IndexSearcher maxClauseCount role: the SHOULD
+# boolean of path queries is capped like any boolean
+
+
+def _graph_involved(terms: tuple[str, ...], syn: SynonymMap) -> bool:
+    """True when the analyzed token sequence forms a GRAPH (some rule
+    output spans >1 position, or a multi-word input matches a
+    consecutive run) — the posLength>1 condition that routes
+    QueryBuilder to analyzeGraphPhrase instead of analyzeMultiPhrase."""
+    for i, t in enumerate(terms):
+        outs, _ = syn.outputs(t)
+        if any(" " in o for o in outs):
+            return True
+    for key in syn.multi_inputs():
+        kt = key.split()
+        n = len(kt)
+        for i in range(len(terms) - n + 1):
+            if list(terms[i : i + n]) == kt:
+                return True
+    return False
+
+
+def _phrase_paths(terms: tuple[str, ...], syn: SynonymMap) -> tuple[tuple[str, ...], ...]:
+    """Every finite string through the synonym graph over ``terms``
+    (GraphTokenStreamFiniteStrings.getFiniteStrings role): at each slot
+    branch on the slot term's outputs (multi-word outputs splice their
+    tokens in) and on multi-word INPUT rules matching the consecutive
+    run starting there (SynonymGraphFilter's multi-token match). Capped
+    at MAX_GRAPH_PATHS like the boolean the paths feed."""
+    multi_keys = [k.split() for k in syn.multi_inputs()]
+
+    def rec(i: int) -> list[tuple[str, ...]]:
+        if i == len(terms):
+            return [()]
+        out: list[tuple[str, ...]] = []
+        outs, keep = syn.outputs(terms[i])
+        members = ((terms[i],) + outs) if (keep or not outs) else outs
+        rest1 = rec(i + 1)
+        for m in dict.fromkeys(members):
+            mt = tuple(m.split())
+            out.extend(mt + r for r in rest1)
+        for kt in multi_keys:
+            n = len(kt)
+            if list(terms[i : i + n]) == kt:
+                outs2, _keep2 = syn.outputs(" ".join(kt))
+                # the kept-original consecutive run already arises from
+                # the per-slot branch above; add the mapped outputs
+                restn = rec(i + n)
+                for m in dict.fromkeys(outs2):
+                    mt = tuple(m.split())
+                    out.extend(mt + r for r in restn)
+        if len(out) > MAX_GRAPH_PATHS:
+            raise ValueError(
+                f"synonym graph explodes past {MAX_GRAPH_PATHS} paths "
+                "(maxClauseCount role)"
+            )
+        return out
+
+    return tuple(dict.fromkeys(rec(0)))
 
 
 def _walk(q: A.Query, syn: SynonymMap, field: str) -> A.Query:
@@ -200,12 +302,42 @@ def _walk(q: A.Query, syn: SynonymMap, field: str) -> A.Query:
         if not outs:
             return q
         terms = ((q.term,) + outs) if keep else outs
+        if any(" " in t for t in terms):
+            # graph side-path segment (QueryBuilder.analyzeGraphBoolean
+            # :503-560 + newGraphSynonymQuery:617-624): one SHOULD
+            # clause per finite path — single-token paths stay
+            # TermQuery, multi-token paths become the auto-generated
+            # PhraseQuery (autoGenerateMultiTermSynonymsPhraseQuery)
+            clauses = []
+            for t in dict.fromkeys(terms):
+                parts = tuple(t.split())
+                sub = (
+                    A.TermQuery(parts[0], field=field)
+                    if len(parts) == 1
+                    else A.PhraseQuery(parts, field=field)
+                )
+                clauses.append((A.Occur.SHOULD, sub))
+            return A.BooleanQuery(tuple(clauses))
         if len(terms) == 1:
             return A.TermQuery(terms[0], field=field)
         return A.SynonymQuery(terms, field=field)
     if isinstance(q, A.SynonymQuery) and q.field == field:
         return A.SynonymQuery(_slot_alts(q.terms, syn), field=field)
     if isinstance(q, A.PhraseQuery) and q.field == field:
+        if _graph_involved(q.terms, syn):
+            # analyzeGraphPhrase (QueryBuilder.java:565-582): one
+            # PhraseQuery per finite string, SHOULD-combined, the
+            # phrase slop applied to every path
+            paths = _phrase_paths(q.terms, syn)
+            subs = tuple(
+                A.TermQuery(p[0], field=field)
+                if len(p) == 1
+                else A.PhraseQuery(p, slop=q.slop, field=field)
+                for p in paths
+            )
+            if len(subs) == 1:
+                return subs[0]
+            return A.BooleanQuery(tuple((A.Occur.SHOULD, s) for s in subs))
         slots = tuple(_slot_alts((t,), syn) for t in q.terms)
         if all(len(s) == 1 for s in slots):
             return q

@@ -615,6 +615,28 @@ def queries() -> dict:
             mode="distributed",
         ),
     )
+    # Multi-word (graph) query-time synonyms: analyzeGraphBoolean —
+    # term "table" with alternative "hash merge" → SHOULD(TermQuery,
+    # auto-generated PhraseQuery); scores SUM over matching clauses
+    def _graphsyn_term(spark, sf):
+        from lucene_spark.analysis.synonyms import SynonymMap, expand_synonyms
+
+        q = expand_synonyms(A.TermQuery("table"), SynonymMap([("table", "hash merge")]))
+        return _hits_df(spark, gate_index(spark, sf)[1].search(q, k=10))
+
+    Q["ft_graphsyn_top10"] = _graphsyn_term
+
+    # analyzeGraphPhrase: phrase "table hash" where "hash" ≡ "merge
+    # sort" → SHOULD of one PhraseQuery per finite path
+    def _graphsyn_phrase(spark, sf):
+        from lucene_spark.analysis.synonyms import SynonymMap, expand_synonyms
+
+        q = expand_synonyms(
+            A.PhraseQuery(("table", "hash")), SynonymMap([("hash", "merge sort")])
+        )
+        return _hits_df(spark, gate_index(spark, sf)[1].search(q, k=10))
+
+    Q["ft_graphsyn_phrase_top10"] = _graphsyn_phrase
     # MultiRangeQuery (sandbox): OR of point ranges over one field in
     # ONE scan (single Catalyst OR-of-BETWEEN predicate)
     Q["ft_multirange_ids"] = lambda spark, sf: _ids_df(
@@ -2451,6 +2473,45 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws"
     )
     O["ft_dist_automaton_top10"] = O["ft_automaton_top10"]
+    # graph synonyms: SHOULD boolean sums the matching clause scores —
+    # term score + per-path phrase scores re-derived relationally
+    _PH2 = (
+        "SELECT a.doc_id, count(*)::BIGINT AS tf FROM post a "
+        "JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "WHERE a.term = 'hash' AND b.term = 'merge' GROUP BY a.doc_id"
+    )
+    O["ft_graphsyn_top10"] = topk_sql(
+        "SELECT coalesce(t.doc_id, p.doc_id) AS doc_id, "
+        "  coalesce(t.s, 0) + coalesce(p.s, 0) AS s FROM "
+        "(SELECT doc_id, s FROM tscore WHERE term = 'table') t FULL JOIN "
+        "(SELECT f.doc_id, ws.w - ws.w / (1 + f.tf * " + _INV + ") AS s "
+        " FROM (" + _PH2 + ") f JOIN norms n USING (doc_id), "
+        " (SELECT sum(w) AS w FROM idfw WHERE term IN ('hash','merge')) ws) p "
+        "ON t.doc_id = p.doc_id"
+    )
+    _PH2B = (
+        "SELECT a.doc_id, count(*)::BIGINT AS tf FROM post a "
+        "JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id"
+    )
+    _PH3 = (
+        "SELECT a.doc_id, count(*)::BIGINT AS tf FROM post a "
+        "JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "JOIN post c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 "
+        "WHERE a.term = 'table' AND b.term = 'merge' AND c.term = 'sort' "
+        "GROUP BY a.doc_id"
+    )
+    O["ft_graphsyn_phrase_top10"] = topk_sql(
+        "SELECT coalesce(p1.doc_id, p2.doc_id) AS doc_id, "
+        "  coalesce(p1.s, 0) + coalesce(p2.s, 0) AS s FROM "
+        "(SELECT f.doc_id, w1.w - w1.w / (1 + f.tf * " + _INV + ") AS s "
+        " FROM (" + _PH2B + ") f JOIN norms n USING (doc_id), "
+        " (SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) w1) p1 FULL JOIN "
+        "(SELECT f.doc_id, w2.w - w2.w / (1 + f.tf * " + _INV + ") AS s "
+        " FROM (" + _PH3 + ") f JOIN norms n USING (doc_id), "
+        " (SELECT sum(w) AS w FROM idfw WHERE term IN ('table','merge','sort')) w2) p2 "
+        "ON p1.doc_id = p2.doc_id"
+    )
     O["ft_multirange_ids"] = (
         "SELECT doc_id FROM documents WHERE n_chars <= 400 "
         "OR n_chars BETWEEN 800 AND 1200 OR n_chars >= 3000 ORDER BY doc_id"

@@ -139,3 +139,116 @@ class TestSolrSynonymParser:
             index_sets(parse_solr_synonyms("a => b\n"))
         with pytest.raises(ValueError, match="expand-equivalence"):
             index_sets(parse_solr_synonyms("a, b\n", expand=False))
+
+
+class TestGraphSynonyms:
+    """Multi-word (graph) rules — QueryBuilder.analyzeGraphBoolean
+    (:503-560, newGraphSynonymQuery :617-624) and analyzeGraphPhrase
+    (:565-582): SHOULD boolean of per-path queries."""
+
+    def test_term_with_multiword_output(self):
+        syn = SynonymMap([("usa", "united states")])
+        got = expand_synonyms(A.TermQuery("usa"), syn)
+        assert got == A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.TermQuery("usa")),
+                (A.Occur.SHOULD, A.PhraseQuery(("united", "states"))),
+            )
+        )
+
+    def test_multiword_input_matches_nothing_on_single_term(self):
+        syn = SynonymMap([("new york", "nyc")])
+        assert expand_synonyms(A.TermQuery("new"), syn) == A.TermQuery("new")
+        # the single-token member still expands (bidirectional group)
+        got = expand_synonyms(A.TermQuery("nyc"), syn)
+        assert got == A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.TermQuery("nyc")),
+                (A.Occur.SHOULD, A.PhraseQuery(("new", "york"))),
+            )
+        )
+
+    def test_replacement_to_multiword_drops_original(self):
+        from lucene_spark.analysis.synonyms import parse_solr_synonyms
+
+        syn = parse_solr_synonyms("usa => united states\n", allow_multi_word=True)
+        got = expand_synonyms(A.TermQuery("usa"), syn)
+        assert got == A.BooleanQuery(
+            ((A.Occur.SHOULD, A.PhraseQuery(("united", "states"))),)
+        )
+        assert A.rewrite(got) == A.PhraseQuery(("united", "states"))
+
+    def test_phrase_paths(self):
+        syn = SynonymMap([("usa", "united states")])
+        got = expand_synonyms(A.PhraseQuery(("big", "usa", "city"), slop=1), syn)
+        assert got == A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.PhraseQuery(("big", "usa", "city"), slop=1)),
+                (A.Occur.SHOULD, A.PhraseQuery(("big", "united", "states", "city"), slop=1)),
+            )
+        )
+
+    def test_phrase_multiword_input_consecutive_match(self):
+        syn = SynonymMap([("new york", "nyc")])
+        got = expand_synonyms(A.PhraseQuery(("in", "new", "york", "now")), syn)
+        assert got == A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.PhraseQuery(("in", "new", "york", "now"))),
+                (A.Occur.SHOULD, A.PhraseQuery(("in", "nyc", "now"))),
+            )
+        )
+        # non-consecutive run never matches
+        q2 = A.PhraseQuery(("new", "x", "york"))
+        assert expand_synonyms(q2, syn) == q2
+
+    def test_single_token_path_becomes_term(self):
+        syn = SynonymMap([("new york", "nyc")])
+        got = expand_synonyms(A.PhraseQuery(("new", "york")), syn)
+        assert got == A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.PhraseQuery(("new", "york"))),
+                (A.Occur.SHOULD, A.TermQuery("nyc")),
+            )
+        )
+
+    def test_parser_gate_and_index_sets_guard(self):
+        import pytest
+
+        from lucene_spark.analysis.synonyms import index_sets, parse_solr_synonyms
+
+        with pytest.raises(ValueError, match="multi-word"):
+            parse_solr_synonyms("usa, united states\n")
+        syn = parse_solr_synonyms("usa, united states\n", allow_multi_word=True)
+        with pytest.raises(ValueError, match="multi-word"):
+            index_sets(syn)
+        with pytest.raises(ValueError, match="multi-word INPUT"):
+            parse_solr_synonyms("united states => usa\n", allow_multi_word=True)
+
+    def test_multiphrase_slot_guard(self):
+        import pytest
+
+        syn = SynonymMap([("usa", "united states")])
+        with pytest.raises(ValueError, match="MultiPhrase"):
+            expand_synonyms(A.MultiPhraseQuery((("usa",), ("x",))), syn)
+
+    def test_path_explosion_capped(self):
+        import pytest
+
+        syn = SynonymMap([("a", "x y")])
+        with pytest.raises(ValueError, match="paths"):
+            expand_synonyms(A.PhraseQuery(tuple(["a"] * 11)), syn)
+
+    def test_e2e_scores_are_sum_of_path_queries(self, search_index):
+        s = Searcher(search_index, total_hits_threshold=10**9)
+        syn = SynonymMap([("return", "if int")])
+        q = expand_synonyms(A.TermQuery("return"), syn)
+        got = dict(s.search(q, k=10**6).hits)
+        a = dict(s.search(A.TermQuery("return"), k=10**6).hits)
+        b = dict(s.search(A.PhraseQuery(("if", "int")), k=10**6).hits)
+        import numpy as np
+        import pytest as _pt
+
+        want = {d: float(np.float32(a.get(d, 0.0)) + np.float32(b.get(d, 0.0))) for d in set(a) | set(b)}
+        assert set(got) == set(want)
+        for d in got:
+            assert got[d] == _pt.approx(want[d], rel=1e-6)
