@@ -2360,6 +2360,35 @@ def _pipeline_queries() -> dict:
         ).orderBy("doc_id")
 
     Q["tx_rebalance"] = _tx_rebalance
+
+    def _tx_dsir_weights(spark, sf):
+        # DSIR (Xie et al. 2023): importance weights of every doc under
+        # hashed unigram+bigram bucket models — target = the doc_id%17
+        # slice (a deterministic stand-in for the quality corpus), raw =
+        # the full table
+        from lucene_spark.pipeline.dsir import importance_weights
+
+        docs = _docs(spark, sf)
+        return (
+            importance_weights(docs, docs.filter("doc_id % 17 = 0"), n_buckets=4096)
+            .select("doc_id", "n_grams", F.round("logw", 4).alias("logw"))
+            .orderBy("doc_id")
+        )
+
+    Q["tx_dsir_weights"] = _tx_dsir_weights
+
+    def _tx_dsir_select(spark, sf):
+        # DSIR Gumbel top-k selection (deterministic md5-derived noise)
+        from lucene_spark.pipeline.dsir import dsir_select
+
+        docs = _docs(spark, sf)
+        return (
+            dsir_select(docs, docs.filter("doc_id % 17 = 0"), n=50, n_buckets=4096)
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
+    Q["tx_dsir_select"] = _tx_dsir_select
     Q["tx_fp"] = lambda spark, sf: textstats.fingerprints(_docs(spark, sf)).select("doc_id", "fp")
 
     Q["mm_meta"] = lambda spark, sf: multimodal.extract_metadata(
@@ -3959,6 +3988,41 @@ ORDER BY c.vec_id"""
         "WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 "
         "< floor((CASE WHEN gn <= 0.03 * n THEN 1.0 ELSE 0.03 * n / gn END) * 1000000) "
         "ORDER BY d.doc_id"
+    )
+    # DSIR (pipeline/dsir.py model definition): hashed unigram+bigram
+    # buckets (md5-prefix % 4096), add-1 smoothed log-ratio of the
+    # target (doc_id%17 slice) vs raw (full-table) models; logw = sum
+    # over gram occurrences; empty docs keep exactly 0
+    _DSIR_CTES = (
+        "WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents), "
+        "gr AS (SELECT doc_id, l[i] AS gram FROM tk, unnest(range(1, len(l)+1)) AS u(i) "
+        "       UNION ALL "
+        "       SELECT doc_id, l[i] || ' ' || l[i+1] AS gram FROM tk, unnest(range(1, len(l))) AS u(i)), "
+        "gb AS (SELECT doc_id, CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT) % 4096 AS bucket FROM gr), "
+        "p AS (SELECT bucket, count(*)::BIGINT AS ct FROM gb WHERE doc_id % 17 = 0 GROUP BY bucket), "
+        "q AS (SELECT bucket, count(*)::BIGINT AS cq FROM gb GROUP BY bucket), "
+        "tot AS (SELECT (SELECT sum(ct) FROM p) AS tp, (SELECT sum(cq) FROM q) AS tq), "
+        "lr AS (SELECT q.bucket, ln((coalesce(p.ct, 0) + 1.0) / (tot.tp + 4096.0)) "
+        "              - ln((q.cq + 1.0) / (tot.tq + 4096.0)) AS lr "
+        "       FROM q LEFT JOIN p USING (bucket), tot), "
+        "dw AS (SELECT gb.doc_id, count(*)::BIGINT AS n_grams, sum(lr.lr) AS logw "
+        "       FROM gb JOIN lr USING (bucket) GROUP BY gb.doc_id) "
+    )
+    O["tx_dsir_weights"] = (
+        _DSIR_CTES
+        + "SELECT d.doc_id, coalesce(dw.n_grams, 0) AS n_grams, "
+        "round(coalesce(dw.logw, 0.0), 4) AS logw "
+        "FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN dw USING (doc_id) "
+        "ORDER BY d.doc_id"
+    )
+    O["tx_dsir_select"] = (
+        _DSIR_CTES
+        + ", ky AS (SELECT d.doc_id, coalesce(dw.logw, 0.0) "
+        "  - ln(-ln(((CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "            % 1000000) + 0.5) / 1000000.0)) AS key "
+        "  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN dw USING (doc_id)), "
+        "sel AS (SELECT doc_id FROM ky ORDER BY key DESC, doc_id LIMIT 50) "
+        "SELECT doc_id FROM sel ORDER BY doc_id"
     )
     O["sg_fuzzy_top10"] = (
         base_ctes()
