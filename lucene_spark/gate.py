@@ -637,6 +637,16 @@ def queries() -> dict:
         return _hits_df(spark, gate_index(spark, sf)[1].search(q, k=10))
 
     Q["ft_graphsyn_phrase_top10"] = _graphsyn_phrase
+
+    # distributed twins: the graph-expanded SHOULD booleans run the
+    # chunked leaf-parallel path bit-identically
+    def _graphsyn_dist(spark, sf):
+        from lucene_spark.analysis.synonyms import SynonymMap, expand_synonyms
+
+        q = expand_synonyms(A.TermQuery("table"), SynonymMap([("table", "hash merge")]))
+        return _hits_df(spark, gate_index(spark, sf)[1].search(q, k=10, mode="distributed"))
+
+    Q["ft_dist_graphsyn_top10"] = _graphsyn_dist
     # MultiRangeQuery (sandbox): OR of point ranges over one field in
     # ONE scan (single Catalyst OR-of-BETWEEN predicate)
     Q["ft_multirange_ids"] = lambda spark, sf: _ids_df(
@@ -2541,6 +2551,7 @@ def oracle_sql() -> dict[str, str]:
         " (SELECT sum(w) AS w FROM idfw WHERE term IN ('table','merge','sort')) w2) p2 "
         "ON p1.doc_id = p2.doc_id"
     )
+    O["ft_dist_graphsyn_top10"] = O["ft_graphsyn_top10"]
     O["ft_multirange_ids"] = (
         "SELECT doc_id FROM documents WHERE n_chars <= 400 "
         "OR n_chars BETWEEN 800 AND 1200 OR n_chars >= 3000 ORDER BY doc_id"
