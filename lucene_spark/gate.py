@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v13"  # v13: pay_blob postings column (delimited payloads)
+ENGINE_VERSION = "v14"  # v14: LatLonShape tessellation columns on docs
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
@@ -40,12 +40,44 @@ _CACHE: dict[str, tuple[SearchIndex, Searcher]] = {}
 # ---- corpus + index --------------------------------------------------------
 
 
+# Deterministic per-doc triangle for the LatLonShape gates: one
+# tessellation triangle per doc (docs with doc_id % 7 == 6 carry no
+# shape; docs with doc_id % 7 == 3 cluster in a [-50,-18]x[5,30]
+# lon/lat region so fixed query boxes get real selectivity). The SAME
+# SQL text runs through Spark (F.expr in corpus_df) and DuckDB (the
+# oracle CTE), so every derived double is bit-identical on both sides.
+_SHAPE_AX = (
+    "CASE WHEN doc_id % 7 = 3 THEN -50.0 + (doc_id * 11 % 200) / 10.0 "
+    "ELSE (doc_id * 104729 % 33000) / 100.0 - 170.0 END"
+)
+_SHAPE_AY = (
+    "CASE WHEN doc_id % 7 = 3 THEN 5.0 + (doc_id * 29 % 150) / 10.0 "
+    "ELSE (doc_id * 7919 % 16000) / 100.0 - 85.0 END"
+)
+_SHAPE_BX = (
+    "CASE WHEN doc_id % 7 = 3 THEN {ax} + 8.0 + (doc_id * 3 % 40) / 10.0 "
+    "ELSE {ax} + ((doc_id * 31 % 40) + 5) / 10.0 END"
+)
+_SHAPE_BY = (
+    "CASE WHEN doc_id % 7 = 3 THEN {ay} + (doc_id * 5 % 20) / 10.0 - 1.0 "
+    "ELSE {ay} + ((doc_id * 17 % 30) - 15) / 10.0 END"
+)
+_SHAPE_CX = (
+    "CASE WHEN doc_id % 7 = 3 THEN {ax} + (doc_id * 13 % 60) / 10.0 "
+    "ELSE {ax} + ((doc_id * 13 % 25) + 3) / 10.0 END"
+)
+_SHAPE_CY = (
+    "CASE WHEN doc_id % 7 = 3 THEN {ay} + 7.0 + (doc_id * 7 % 30) / 10.0 "
+    "ELSE {ay} + ((doc_id * 23 % 35) + 5) / 10.0 END"
+)
+
+
 def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) → the engine's
     (repo, path, commit, lang, content) input shape, keeping the
     table's own doc_id (deterministic, already dense)."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return docs.select(
+    docs = docs.select(
         F.col("doc_id").cast("long"),
         F.col("source").alias("repo"),
         F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
@@ -65,6 +97,35 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
         F.col("text").alias("content"),
     )
+    # LatLonShape tessellation columns (x = lon, y = lat); the docs with
+    # doc_id % 7 == 6 carry NULLs (no indexed geometry)
+    docs = (
+        docs.withColumn("_shax", F.expr(_SHAPE_AX))
+        .withColumn("_shay", F.expr(_SHAPE_AY))
+        .withColumn("_shbx", F.expr(_SHAPE_BX.format(ax="_shax")))
+        .withColumn("_shby", F.expr(_SHAPE_BY.format(ay="_shay")))
+        .withColumn("_shcx", F.expr(_SHAPE_CX.format(ax="_shax")))
+        .withColumn("_shcy", F.expr(_SHAPE_CY.format(ay="_shay")))
+    )
+    has = F.col("doc_id") % 7 != 6
+    docs = (
+        docs.withColumn(
+            "shape_tris",
+            F.when(
+                has,
+                F.expr(
+                    "array(named_struct('ax', _shax, 'ay', _shay, 'bx', _shbx, 'by', _shby, "
+                    "'cx', _shcx, 'cy', _shcy, 'ab', true, 'bc', true, 'ca', true))"
+                ),
+            ),
+        )
+        .withColumn("shape_minlat", F.when(has, F.least("_shay", "_shby", "_shcy")))
+        .withColumn("shape_maxlat", F.when(has, F.greatest("_shay", "_shby", "_shcy")))
+        .withColumn("shape_minlon", F.when(has, F.least("_shax", "_shbx", "_shcx")))
+        .withColumn("shape_maxlon", F.when(has, F.greatest("_shax", "_shbx", "_shcx")))
+        .drop("_shax", "_shay", "_shbx", "_shby", "_shcx", "_shcy")
+    )
+    return docs
 
 
 def gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
@@ -748,6 +809,57 @@ def queries() -> dict:
         spark,
         _search(
             spark, sf, A.GeoPolygonQuery("lat", "lon", _POLY_SHELL, (_POLY_HOLE,)), k=ALL_K
+        ),
+    )
+    # LatLonShape doc-geometry queries (tessellated triangles on the
+    # docs table; search/shapes.py): box relations + a triangle-polygon
+    # intersects, every one oracled by re-deriving the fixture triangle
+    # and the closed-geometry predicates in SQL
+    Q["ft_shape_intersects_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(spark, sf, A.ShapeBoxQuery("shape", 8.0, 18.0, -45.0, -35.0), k=ALL_K),
+    )
+    Q["ft_shape_within_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(
+            spark, sf,
+            A.ShapeBoxQuery("shape", 0.0, 32.0, -55.0, -25.0, relation="within"),
+            k=ALL_K,
+        ),
+    )
+    Q["ft_shape_disjoint_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(
+            spark, sf,
+            A.ShapeBoxQuery("shape", 8.0, 18.0, -45.0, -35.0, relation="disjoint"),
+            k=ALL_K,
+        ),
+    )
+    Q["ft_shape_contains_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(
+            spark, sf,
+            A.ShapeBoxQuery("shape", 12.0, 13.0, -40.0, -39.0, relation="contains"),
+            k=ALL_K,
+        ),
+    )
+    _SHAPE_QPOLY = ((8.0, -46.0), (22.0, -38.0), (6.0, -30.0))
+    Q["ft_shape_poly_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(spark, sf, A.ShapePolygonQuery("shape", _SHAPE_QPOLY), k=ALL_K),
+    )
+    Q["ft_dist_shape_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(
+            spark,
+            sf,
+            A.BooleanQuery(
+                (
+                    (A.Occur.MUST, A.TermQuery("table")),
+                    (A.Occur.FILTER, A.ShapeBoxQuery("shape", 8.0, 18.0, -45.0, -35.0)),
+                )
+            ),
+            mode="distributed",
         ),
     )
     # distributed twins: the lazy PredSpec path for the polygon filter
@@ -2677,6 +2789,158 @@ def oracle_sql() -> dict[str, str]:
     )
     O["ft_dist_feature_top10"] = O["ft_feature_top10"]
     O["ft_dist_geopoly_ids"] = O["ft_geopoly_ids"]
+
+    # ---- LatLonShape oracles: re-derive the fixture triangle from
+    # doc_id with the SAME SQL text Spark ran (corpus_df F.expr), then
+    # the SAME closed-geometry predicate formulas as search/shapes.py —
+    # every cross product is float64-identical on both sides.
+    _SHP_REL = (
+        "(SELECT doc_id, x1, y1, "
+        + _SHAPE_BX.format(ax="x1") + " AS x2, "
+        + _SHAPE_BY.format(ay="y1") + " AS y2, "
+        + _SHAPE_CX.format(ax="x1") + " AS x3, "
+        + _SHAPE_CY.format(ay="y1") + " AS y3 "
+        "FROM (SELECT doc_id, " + _SHAPE_AX + " AS x1, " + _SHAPE_AY + " AS y1 "
+        "FROM documents WHERE doc_id % 7 <> 6))"
+    )
+    _SHPV = (("x1", "y1"), ("x2", "y2"), ("x3", "y3"))
+
+    def _scross(ox, oy, px, py, qx, qy):
+        # (p - o) x (q - o), the shapes.py _cross_c operand order
+        return f"(({px}) - ({ox})) * (({qy}) - ({oy})) - (({py}) - ({oy})) * (({qx}) - ({ox}))"
+
+    def _spin(kx, ky):
+        # constant point in the doc triangle (shapes._pin_tri_c)
+        s1 = _scross("x1", "y1", "x2", "y2", kx, ky)
+        s2 = _scross("x2", "y2", "x3", "y3", kx, ky)
+        s3 = _scross("x3", "y3", "x1", "y1", kx, ky)
+        bbox = (
+            f"{kx} >= least(x1,x2,x3) AND {kx} <= greatest(x1,x2,x3) AND "
+            f"{ky} >= least(y1,y2,y3) AND {ky} <= greatest(y1,y2,y3)"
+        )
+        return (
+            f"(({bbox}) AND ((({s1}) >= 0 AND ({s2}) >= 0 AND ({s3}) >= 0) OR "
+            f"(({s1}) <= 0 AND ({s2}) <= 0 AND ({s3}) <= 0)))"
+        )
+
+    def _bcorners(b):
+        bminx, bminy, bmaxx, bmaxy = b
+        return ((bminx, bminy), (bmaxx, bminy), (bmaxx, bmaxy), (bminx, bmaxy))
+
+    def _sseg_box(p, q, b):
+        # closed segment-vs-box (shapes._seg_box_closed_c)
+        (px, py), (qx, qy) = p, q
+        bminx, bminy, bmaxx, bmaxy = b
+        ds = [_scross(px, py, qx, qy, x, y) for x, y in _bcorners(b)]
+        overlap = (
+            f"greatest({px},{qx}) >= {bminx} AND least({px},{qx}) <= {bmaxx} AND "
+            f"greatest({py},{qy}) >= {bminy} AND least({py},{qy}) <= {bmaxy}"
+        )
+        return (
+            f"(({overlap}) AND least({ds[0]},{ds[1]},{ds[2]},{ds[3]}) <= 0 "
+            f"AND greatest({ds[0]},{ds[1]},{ds[2]},{ds[3]}) >= 0)"
+        )
+
+    def _stri_box(b):
+        # closed triangle-vs-box (shapes._tri_box_intersects_c)
+        bminx, bminy, bmaxx, bmaxy = b
+        vin = " OR ".join(
+            f"({x} >= {bminx} AND {x} <= {bmaxx} AND {y} >= {bminy} AND {y} <= {bmaxy})"
+            for x, y in _SHPV
+        )
+        pins = " OR ".join(_spin(kx, ky) for kx, ky in _bcorners(b))
+        segs = " OR ".join(_sseg_box(_SHPV[i], _SHPV[(i + 1) % 3], b) for i in range(3))
+        return f"(({vin}) OR ({pins}) OR ({segs}))"
+
+    def _scontains(b):
+        # box ⊆ triangle union (shapes shape_box_condition 'contains');
+        # every fixture edge carries the boundary flag
+        bminx, bminy, bmaxx, bmaxy = b
+        corners_cov = " AND ".join(_spin(kx, ky) for kx, ky in _bcorners(b))
+
+        def crossing(p, q):
+            (px, py), (qx, qy) = p, q
+            pin_open_p = f"({px} > {bminx} AND {px} < {bmaxx} AND {py} > {bminy} AND {py} < {bmaxy})"
+            pin_open_q = f"({qx} > {bminx} AND {qx} < {bmaxx} AND {qy} > {bminy} AND {qy} < {bmaxy})"
+            ds = [_scross(px, py, qx, qy, x, y) for x, y in _bcorners(b)]
+            strict = (
+                f"least({ds[0]},{ds[1]},{ds[2]},{ds[3]}) < 0 AND "
+                f"greatest({ds[0]},{ds[1]},{ds[2]},{ds[3]}) > 0"
+            )
+            oover = (
+                f"greatest({px},{qx}) > {bminx} AND least({px},{qx}) < {bmaxx} AND "
+                f"greatest({py},{qy}) > {bminy} AND least({py},{qy}) < {bmaxy}"
+            )
+            return f"({pin_open_p} OR {pin_open_q} OR (({strict}) AND ({oover})))"
+
+        no_cross = " OR ".join(
+            crossing(_SHPV[i], _SHPV[(i + 1) % 3]) for i in range(3)
+        )
+        return f"(({corners_cov}) AND NOT ({no_cross}))"
+
+    _SB = (-45.0, 8.0, -35.0, 18.0)  # bminx(lon), bminy(lat), bmaxx, bmaxy
+    O["ft_shape_intersects_ids"] = ids_sql(
+        f"SELECT doc_id FROM {_SHP_REL} WHERE {_stri_box(_SB)}"
+    )
+    O["ft_shape_disjoint_ids"] = ids_sql(
+        f"SELECT doc_id FROM {_SHP_REL} WHERE NOT {_stri_box(_SB)}"
+    )
+    O["ft_shape_within_ids"] = ids_sql(
+        f"SELECT doc_id FROM {_SHP_REL} WHERE "
+        "least(x1,x2,x3) >= -55.0 AND greatest(x1,x2,x3) <= -25.0 AND "
+        "least(y1,y2,y3) >= 0.0 AND greatest(y1,y2,y3) <= 32.0"
+    )
+    O["ft_shape_contains_ids"] = ids_sql(
+        f"SELECT doc_id FROM {_SHP_REL} WHERE {_scontains((-40.0, 12.0, -39.0, 13.0))}"
+    )
+
+    def _stri_tri(qt):
+        # closed doc-tri vs constant query-tri (shapes._tri_tri_closed_c)
+        qax, qay, qbx, qby, qcx, qcy = qt
+
+        def pin_const(px, py):
+            s1 = _scross(qax, qay, qbx, qby, px, py)
+            s2 = _scross(qbx, qby, qcx, qcy, px, py)
+            s3 = _scross(qcx, qcy, qax, qay, px, py)
+            bbox = (
+                f"{px} >= {min(qax, qbx, qcx)} AND {px} <= {max(qax, qbx, qcx)} AND "
+                f"{py} >= {min(qay, qby, qcy)} AND {py} <= {max(qay, qby, qcy)}"
+            )
+            return (
+                f"(({bbox}) AND ((({s1}) >= 0 AND ({s2}) >= 0 AND ({s3}) >= 0) OR "
+                f"(({s1}) <= 0 AND ({s2}) <= 0 AND ({s3}) <= 0)))"
+            )
+
+        def segseg(p, q, c, d):
+            (px, py), (qx, qy) = p, q
+            (cx_, cy_), (dx_, dy_) = c, d
+            o1 = _scross(px, py, qx, qy, cx_, cy_)
+            o2 = _scross(px, py, qx, qy, dx_, dy_)
+            o3 = _scross(cx_, cy_, dx_, dy_, px, py)
+            o4 = _scross(cx_, cy_, dx_, dy_, qx, qy)
+            overlap = (
+                f"greatest({px},{qx}) >= {min(cx_, dx_)} AND least({px},{qx}) <= {max(cx_, dx_)} AND "
+                f"greatest({py},{qy}) >= {min(cy_, dy_)} AND least({py},{qy}) <= {max(cy_, dy_)}"
+            )
+            return f"(({overlap}) AND ({o1}) * ({o2}) <= 0 AND ({o3}) * ({o4}) <= 0)"
+
+        doc_in_q = " OR ".join(pin_const(x, y) for x, y in _SHPV)
+        q_in_doc = " OR ".join(_spin(kx, ky) for kx, ky in ((qax, qay), (qbx, qby), (qcx, qcy)))
+        qe = (((qax, qay), (qbx, qby)), ((qbx, qby), (qcx, qcy)), ((qcx, qcy), (qax, qay)))
+        crossings = " OR ".join(
+            segseg(_SHPV[i], _SHPV[(i + 1) % 3], c, d) for i in range(3) for c, d in qe
+        )
+        return f"(({doc_in_q}) OR ({q_in_doc}) OR ({crossings}))"
+
+    # query triangle (lat,lon) ((8,-46),(22,-38),(6,-30)) as (x, y)
+    O["ft_shape_poly_ids"] = ids_sql(
+        f"SELECT doc_id FROM {_SHP_REL} WHERE "
+        f"{_stri_tri((-46.0, 8.0, -38.0, 22.0, -30.0, 6.0))}"
+    )
+    O["ft_dist_shape_top10"] = topk_sql(
+        f"SELECT t.doc_id, t.s FROM tscore t JOIN {_SHP_REL} f ON f.doc_id = t.doc_id "
+        f"AND {_stri_box(_SB)} WHERE t.term = 'table'"
+    )
     O["ft_dist_fuzzyscored_top10"] = O["ft_fuzzyscored_top10"]
     # LongDistanceFeatureQuery: pivot / (pivot + |value - origin|)
     O["ft_distfeat_top10"] = topk_sql(

@@ -283,6 +283,42 @@ class GeoPolygonQuery(Query):
 
 
 @dataclass(frozen=True)
+class ShapeBoxQuery(Query):
+    """LatLonShape.newBoxQuery (LatLonShapeBoundingBoxQuery.java;
+    ShapeField.QueryRelation, ShapeField.java:121-127): docs whose
+    indexed GEOMETRY (tessellated triangles in the ``{field}_tris``
+    column, LatLonShape.createIndexableFields role) relates to the box
+    by ``relation`` ∈ intersects/within/disjoint/contains. Spark
+    disposition: scalar bbox columns give the pushed-down coarse phase
+    (parquet min-max = BKD traversal); the exact phase is a
+    whole-stage-codegen F.exists/F.forall over the triangle array —
+    no Python in the plan; constant score."""
+
+    field: str
+    min_lat: float
+    max_lat: float
+    min_lon: float
+    max_lon: float
+    relation: str = "intersects"
+
+
+@dataclass(frozen=True)
+class ShapePolygonQuery(Query):
+    """LatLonShape.newGeometryQuery with a Polygon (LatLonShape.java:
+    createIndexableFields + Tessellator.java): the query polygon is
+    tessellated at plan time into constant triangles; docs match when
+    their indexed geometry relates by ``relation`` ∈
+    intersects/within/disjoint (closed-region semantics; CONTAINS is
+    box-only, documented subset). Same two-phase Catalyst plan as
+    ShapeBoxQuery."""
+
+    field: str
+    points: tuple  # ((lat, lon), ...) shell
+    holes: tuple = ()  # (((lat, lon), ...), ...)
+    relation: str = "intersects"
+
+
+@dataclass(frozen=True)
 class DocSetQuery(Query):
     """Resolved doc-id set (internal: produced by the Searcher from
     FieldValueQuery after the metadata scan; constant score)."""

@@ -130,6 +130,16 @@ class Searcher:
 
             key = ("geopoly", q.lat_field, q.lon_field, q.points, q.holes)
             return key, polygon_condition(q)
+        if isinstance(q, A.ShapeBoxQuery):
+            from lucene_spark.search.shapes import shape_box_condition
+
+            key = ("shapebox", q.field, q.min_lat, q.max_lat, q.min_lon, q.max_lon, q.relation)
+            return key, shape_box_condition(q)
+        if isinstance(q, A.ShapePolygonQuery):
+            from lucene_spark.search.shapes import shape_polygon_condition
+
+            key = ("shapepoly", q.field, q.points, q.holes, q.relation)
+            return key, shape_polygon_condition(q)
         if isinstance(q, A.FieldExistsQuery):
             return ("exists", q.field), F.col(q.field).isNotNull()
         if isinstance(q, A.FieldInSetQuery):
@@ -517,7 +527,8 @@ class Searcher:
         if isinstance(
             q,
             (A.FieldRangeQuery, A.FieldValueQuery, A.FieldExistsQuery, A.RangeFieldQuery, A.FieldInSetQuery,
-             A.MultiRangeQuery, A.GeoBoxQuery, A.GeoDistanceQuery, A.GeoPolygonQuery),
+             A.MultiRangeQuery, A.GeoBoxQuery, A.GeoDistanceQuery, A.GeoPolygonQuery,
+             A.ShapeBoxQuery, A.ShapePolygonQuery),
         ):
             # PointRangeQuery / StringField equality = pushed-down
             # predicate on the docs table (parquet min-max pruning =
