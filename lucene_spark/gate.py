@@ -30,7 +30,7 @@ from lucene_spark.index.reader import SearchIndex
 from lucene_spark.search import ast as A
 from lucene_spark.search.engine import Searcher, TopDocs
 
-ENGINE_VERSION = "v14"  # v14: LatLonShape tessellation columns on docs
+ENGINE_VERSION = "v15"  # v15: LatLonShape tessellation columns (double-typed)
 TOKEN_SQL = "[a-z0-9]+"
 K1, B = 1.2, 0.75
 
@@ -99,9 +99,15 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # LatLonShape tessellation columns (x = lon, y = lat); the docs with
     # doc_id % 7 == 6 carry NULLs (no indexed geometry)
+    # cast the base coords to DOUBLE up front: Spark's SQL parser types
+    # the decimal literals as DECIMAL and would otherwise propagate
+    # decimal(30,6) into the stored columns — blocking parquet min-max
+    # pushdown of the bbox phase and inserting casts into the exact
+    # phase (the values themselves are exact either way; DuckDB runs
+    # the same text in float64 natively)
     docs = (
-        docs.withColumn("_shax", F.expr(_SHAPE_AX))
-        .withColumn("_shay", F.expr(_SHAPE_AY))
+        docs.withColumn("_shax", F.expr(_SHAPE_AX).cast("double"))
+        .withColumn("_shay", F.expr(_SHAPE_AY).cast("double"))
         .withColumn("_shbx", F.expr(_SHAPE_BX.format(ax="_shax")))
         .withColumn("_shby", F.expr(_SHAPE_BY.format(ay="_shay")))
         .withColumn("_shcx", F.expr(_SHAPE_CX.format(ax="_shax")))

@@ -242,6 +242,29 @@ def main() -> None:
         )
         sections.append(("Geo distance sort (LatLonDocValuesField.newDistanceSort)", plan))
 
+    # 14b. LatLonShape: the scalar bbox coarse phase reaches the parquet
+    # scan (the BKD traversal role) and the exact triangle phase is a
+    # higher-order-function expression — zero Python stages
+    if "shape_tris" in index.docs.columns:
+        from lucene_spark.search.shapes import shape_box_condition
+
+        plan = _capture(
+            index.docs.filter(
+                shape_box_condition(A.ShapeBoxQuery("shape", 8.0, 18.0, -45.0, -35.0))
+            ).select("doc_id")
+        )
+        check(
+            "shape bbox coarse phase pushed to scan",
+            plan,
+            r"PushedFilters: \[.*LessThanOrEqual\(shape_minlon",
+        )
+        CHECKS.append(
+            ("shape exact phase stays JVM-side (no Python eval)",
+             "no ArrowEvalPython/BatchEvalPython in plan",
+             re.search(r"(ArrowEvalPython|BatchEvalPython)", plan) is None)
+        )
+        sections.append(("LatLonShape box filter (triangle exact phase)", plan))
+
     # 15. DV-update overlay: merge-on-read join is broadcast (delta is
     # small), base docs scan still prunes columns
     import tempfile
