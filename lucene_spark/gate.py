@@ -1871,6 +1871,38 @@ def queries() -> dict:
 
     Q["ft_intervalor_top10"] = _interval_or
 
+    def _interval_atleast(spark, sf):
+        # Intervals.atLeast(2, table, hash, scan): minimal spans over
+        # pair combinations (MinimumShouldMatchIntervalsSource role)
+        from lucene_spark.search.flexible import at_least
+        from lucene_spark.search.intervals import ITerm
+
+        _, searcher = gate_index(spark, sf)
+        src = at_least(2, ITerm("table"), ITerm("hash"), ITerm("scan"))
+        return _hits_df(spark, searcher.search(A.IntervalQuery(src), k=10))
+
+    Q["ft_atleast_top10"] = _interval_atleast
+
+    def _fnparse(spark, sf):
+        # StandardQueryParser fn: syntax — the parsed tree must execute
+        # identically to the hand-built atLeast above (same oracle)
+        from lucene_spark.search.flexible import parse_interval_fn
+
+        _, searcher = gate_index(spark, sf)
+        q = parse_interval_fn("fn:atleast(2 table hash scan)")
+        return _hits_df(spark, searcher.search(q, k=10))
+
+    Q["ft_fnparse_top10"] = _fnparse
+
+    def _dist_atleast(spark, sf):
+        from lucene_spark.search.flexible import parse_interval_fn
+
+        _, searcher = gate_index(spark, sf)
+        q = parse_interval_fn("fn:atleast(2 table hash scan)")
+        return _hits_df(spark, searcher.search(q, k=10, mode="distributed"))
+
+    Q["ft_dist_atleast_top10"] = _dist_atleast
+
     def _funcscore(spark, sf):
         # FunctionScoreQuery (boostByValue-style expression rescoring):
         # BM25('table') × ln(1 + n_chars), Catalyst-evaluated
@@ -3683,6 +3715,29 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT)
         " GROUP BY doc_id) p JOIN norms n ON n.doc_id = p.doc_id, "
         "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','scan','merge')) ws"
     )
+    # Intervals.atLeast(2, table, hash, scan) = or of the three
+    # unordered pairs (MinimumShouldMatchIntervalsSource combination
+    # spans); unordered pairs = both orientations of the mutual-pair
+    # set, minimalized globally across all pair sources
+    _ALPAIRS = (("table", "hash"), ("table", "scan"), ("hash", "scan"))
+    _ATLEAST_UNION = " UNION ALL ".join(
+        f"SELECT doc_id, pa AS s, pb AS e FROM ({_mutual_pairs(a, b)})"
+        for x, y in _ALPAIRS
+        for a, b in ((x, y), (y, x))
+    )
+    _ATLEAST_SQL = (
+        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s FROM ("
+        " SELECT doc_id, sum(1.0 / (e - s)) AS pf FROM ("
+        f"  SELECT DISTINCT doc_id, s, e FROM ({_ATLEAST_UNION}) u0"
+        "  ) u WHERE NOT EXISTS ("
+        f"   SELECT 1 FROM (SELECT DISTINCT doc_id, s, e FROM ({_ATLEAST_UNION}) v0) v"
+        "   WHERE v.doc_id = u.doc_id AND ((v.s > u.s AND v.e <= u.e) OR (v.s = u.s AND v.e < u.e)))"
+        " GROUP BY doc_id) p JOIN norms n ON n.doc_id = p.doc_id, "
+        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','scan')) ws"
+    )
+    O["ft_atleast_top10"] = topk_sql(_ATLEAST_SQL)
+    O["ft_fnparse_top10"] = O["ft_atleast_top10"]
+    O["ft_dist_atleast_top10"] = O["ft_atleast_top10"]
     # FunctionScoreQuery: BM25 × ln(1 + n_chars), re-ranked
     O["ft_funcscore_top10"] = topk_sql(
         "SELECT t.doc_id, t.s * ln(1 + d.n_chars) AS s FROM tscore t "
