@@ -854,6 +854,10 @@ def queries() -> dict:
         spark,
         _search(spark, sf, A.ShapePolygonQuery("shape", _SHAPE_QPOLY), k=ALL_K),
     )
+    Q["ft_shape_point_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(spark, sf, A.ShapePointQuery("shape", 14.0, -41.0), k=ALL_K),
+    )
     Q["ft_dist_shape_top10"] = lambda spark, sf: _hits_df(
         spark,
         _search(
@@ -2974,6 +2978,10 @@ def oracle_sql() -> dict[str, str]:
     O["ft_shape_poly_ids"] = ids_sql(
         f"SELECT doc_id FROM {_SHP_REL} WHERE "
         f"{_stri_tri((-46.0, 8.0, -38.0, 22.0, -30.0, 6.0))}"
+    )
+    # point (lat 14, lon -41) inside the doc triangle
+    O["ft_shape_point_ids"] = ids_sql(
+        f"SELECT doc_id FROM {_SHP_REL} WHERE {_spin(-41.0, 14.0)}"
     )
     O["ft_dist_shape_top10"] = topk_sql(
         f"SELECT t.doc_id, t.s FROM tscore t JOIN {_SHP_REL} f ON f.doc_id = t.doc_id "

@@ -319,6 +319,31 @@ class ShapePolygonQuery(Query):
 
 
 @dataclass(frozen=True)
+class ShapePointQuery(Query):
+    """LatLonShape.newGeometryQuery with a Point (LatLonShape.java;
+    Point2D role): docs whose indexed geometry contains the query point
+    (closed semantics). Relations: intersects / disjoint. Same two-phase
+    Catalyst plan as ShapeBoxQuery."""
+
+    field: str
+    lat: float
+    lon: float
+    relation: str = "intersects"
+
+
+@dataclass(frozen=True)
+class ShapeLineQuery(Query):
+    """LatLonShape.newLineQuery (LatLonShape.java; Line2D role): docs
+    whose indexed geometry meets the query polyline. Relations:
+    intersects / disjoint (WITHIN/CONTAINS are degenerate for line
+    queries). Same two-phase Catalyst plan as ShapeBoxQuery."""
+
+    field: str
+    points: tuple  # ((lat, lon), ...) polyline, >= 2 points
+    relation: str = "intersects"
+
+
+@dataclass(frozen=True)
 class DocSetQuery(Query):
     """Resolved doc-id set (internal: produced by the Searcher from
     FieldValueQuery after the metadata scan; constant score)."""

@@ -140,6 +140,16 @@ class Searcher:
 
             key = ("shapepoly", q.field, q.points, q.holes, q.relation)
             return key, shape_polygon_condition(q)
+        if isinstance(q, A.ShapePointQuery):
+            from lucene_spark.search.shapes import shape_point_condition
+
+            key = ("shapepoint", q.field, q.lat, q.lon, q.relation)
+            return key, shape_point_condition(q)
+        if isinstance(q, A.ShapeLineQuery):
+            from lucene_spark.search.shapes import shape_line_condition
+
+            key = ("shapeline", q.field, q.points, q.relation)
+            return key, shape_line_condition(q)
         if isinstance(q, A.FieldExistsQuery):
             return ("exists", q.field), F.col(q.field).isNotNull()
         if isinstance(q, A.FieldInSetQuery):
@@ -528,7 +538,7 @@ class Searcher:
             q,
             (A.FieldRangeQuery, A.FieldValueQuery, A.FieldExistsQuery, A.RangeFieldQuery, A.FieldInSetQuery,
              A.MultiRangeQuery, A.GeoBoxQuery, A.GeoDistanceQuery, A.GeoPolygonQuery,
-             A.ShapeBoxQuery, A.ShapePolygonQuery),
+             A.ShapeBoxQuery, A.ShapePolygonQuery, A.ShapePointQuery, A.ShapeLineQuery),
         ):
             # PointRangeQuery / StringField equality = pushed-down
             # predicate on the docs table (parquet min-max pruning =

@@ -571,6 +571,74 @@ def shape_polygon_condition(q) -> Column:
     raise ValueError(f"unsupported shape-polygon relation {q.relation!r} (CONTAINS is box-only)")
 
 
+def shape_point_condition(q) -> Column:
+    """Docs-table predicate for ShapePointQuery (LatLonShape.newPointQuery
+    role): geometries containing/intersecting the query point — one
+    point-in-triangle test per tessellation triangle, closed semantics.
+    Relations: intersects / disjoint."""
+    f = q.field
+    tris = F.col(f"{f}_tris")
+    has = tris.isNotNull() & (F.size(tris) > 0)
+    px, py = float(q.lon), float(q.lat)
+    bbox = (
+        (F.col(f"{f}_minlon") <= px) & (F.col(f"{f}_maxlon") >= px)
+        & (F.col(f"{f}_minlat") <= py) & (F.col(f"{f}_maxlat") >= py)
+    )
+    hit = bbox & F.exists(tris, lambda t: _pin_tri_c(px, py, t))
+    if q.relation == "intersects":
+        return has & hit
+    if q.relation == "disjoint":
+        return has & ~hit
+    raise ValueError(f"unsupported shape-point relation {q.relation!r}")
+
+
+def _seg_seg_const_c(p, r, c, d) -> Column:
+    """Closed segment-segment with one CONSTANT segment (c, d)."""
+    return _seg_seg_closed_c(p[0], p[1], r[0], r[1], c[0], c[1], d[0], d[1])
+
+
+def shape_line_condition(q) -> Column:
+    """Docs-table predicate for ShapeLineQuery (LatLonShape.newLineQuery
+    role): geometries meeting the query polyline. A segment meets a
+    closed triangle iff an endpoint lies inside or it crosses an edge
+    (segments have no interior of their own). Relations: intersects /
+    disjoint (WITHIN/CONTAINS are degenerate for line queries — the
+    reference's javadoc makes the same restriction)."""
+    f = q.field
+    tris = F.col(f"{f}_tris")
+    has = tris.isNotNull() & (F.size(tris) > 0)
+    pts = [(float(lon), float(lat)) for lat, lon in q.points]
+    if len(pts) < 2:
+        raise ValueError("line query needs >= 2 points")
+    segs = list(zip(pts, pts[1:]))
+    all_x = [p[0] for p in pts]
+    all_y = [p[1] for p in pts]
+    bbox_overlap = (
+        (F.col(f"{f}_minlon") <= max(all_x)) & (F.col(f"{f}_maxlon") >= min(all_x))
+        & (F.col(f"{f}_minlat") <= max(all_y)) & (F.col(f"{f}_maxlat") >= min(all_y))
+    )
+
+    def tri_hits_line(t):
+        cond = F.lit(False)
+        for c, d in segs:
+            cond = cond | _pin_tri_c(c[0], c[1], t) | _pin_tri_c(d[0], d[1], t)
+            doc_edges = (
+                ((t["ax"], t["ay"]), (t["bx"], t["by"])),
+                ((t["bx"], t["by"]), (t["cx"], t["cy"])),
+                ((t["cx"], t["cy"]), (t["ax"], t["ay"])),
+            )
+            for p, r in doc_edges:
+                cond = cond | _seg_seg_const_c(p, r, c, d)
+        return cond
+
+    hit = bbox_overlap & F.exists(tris, tri_hits_line)
+    if q.relation == "intersects":
+        return has & hit
+    if q.relation == "disjoint":
+        return has & ~hit
+    raise ValueError(f"unsupported shape-line relation {q.relation!r}")
+
+
 # ---------------------------------------------------------------------------
 # numpy twins (test oracles; same closed semantics, same formulas)
 # ---------------------------------------------------------------------------

@@ -439,3 +439,80 @@ class TestShapePolygonE2E:
         drv = s.search(q, k=50).hits
         dist = s.search(q, k=50, mode="distributed").hits
         assert [(d, round(x, 5)) for d, x in drv] == [(d, round(x, 5)) for d, x in dist]
+
+
+QPOINT = (1.0, -2.0)  # (lat, lon)
+QLINE = ((-8.0, -9.0), (2.0, 1.0), (8.0, -3.0))  # polyline (lat, lon)
+
+
+class TestShapePointLineE2E:
+    def test_point_matches_brute(self, shape_index):
+        index, shapes = shape_index
+        s = Searcher(index)
+        got = {
+            d for d, _ in s.search(A.ShapePointQuery("shape", *QPOINT), k=1000).hits
+        }
+        want = {
+            i
+            for i, tris in shapes.items()
+            if any(point_in_tri_np(QPOINT[1], QPOINT[0], t) for t in tris)
+        }
+        assert got == want
+
+    def test_point_disjoint_complement(self, shape_index):
+        index, shapes = shape_index
+        s = Searcher(index)
+        inter = {d for d, _ in s.search(A.ShapePointQuery("shape", *QPOINT), k=1000).hits}
+        disj = {
+            d
+            for d, _ in s.search(
+                A.ShapePointQuery("shape", *QPOINT, relation="disjoint"), k=1000
+            ).hits
+        }
+        assert inter | disj == set(shapes) and not inter & disj
+
+    def test_line_matches_brute(self, shape_index):
+        index, shapes = shape_index
+        s = Searcher(index)
+        got = {d for d, _ in s.search(A.ShapeLineQuery("shape", QLINE), k=1000).hits}
+        pts = [(lon, lat) for lat, lon in QLINE]
+        segs = list(zip(pts, pts[1:]))
+        want = set()
+        for i, tris in shapes.items():
+            hit = False
+            for t in tris:
+                te = (
+                    (t[0], t[1], t[2], t[3]),
+                    (t[2], t[3], t[4], t[5]),
+                    (t[4], t[5], t[0], t[1]),
+                )
+                for (cx, cy), (dx, dy) in segs:
+                    if point_in_tri_np(cx, cy, t) or point_in_tri_np(dx, dy, t):
+                        hit = True
+                    for e in te:
+                        if _np_seg_seg(*e, cx, cy, dx, dy):
+                            hit = True
+            if hit:
+                want.add(i)
+        assert got == want
+
+    def test_line_distributed_equals_driver(self, shape_index):
+        index, _ = shape_index
+        s = Searcher(index)
+        q = A.BooleanQuery(
+            (
+                (A.Occur.MUST, A.TermQuery("return")),
+                (A.Occur.FILTER, A.ShapeLineQuery("shape", QLINE)),
+            )
+        )
+        drv = s.search(q, k=50).hits
+        dist = s.search(q, k=50, mode="distributed").hits
+        assert [(d, round(x, 5)) for d, x in drv] == [(d, round(x, 5)) for d, x in dist]
+
+    def test_bad_relations_rejected(self, shape_index):
+        index, _ = shape_index
+        s = Searcher(index)
+        with pytest.raises(ValueError):
+            s.search(A.ShapePointQuery("shape", *QPOINT, relation="within"), k=5)
+        with pytest.raises(ValueError):
+            s.search(A.ShapeLineQuery("shape", QLINE, relation="contains"), k=5)
