@@ -2076,6 +2076,23 @@ def queries() -> dict:
 
     Q["sg_infix_top10"] = _suggest_infix
 
+    def _suggest_context(spark, sf):
+        # ContextQuery over ContextSuggestField: contexts = (lang, repo),
+        # exact 'en' at boost 2 plus the PREFIX context 'src1' at 1.5
+        from lucene_spark.search.suggest import context_suggest
+
+        index, _ = gate_index(spark, sf)
+        sugg = index.docs.select(
+            F.col("title").alias("suggestion"),
+            F.col("n_chars").alias("weight"),
+            F.array("lang", "repo").alias("contexts"),
+        )
+        return context_suggest(
+            sugg, "t", [("en", 2.0, True), ("src1", 1.5, False)], k=10
+        )
+
+    Q["sg_context_top10"] = _suggest_context
+
     def _suggest_spell(spark, sf):
         from lucene_spark.search.suggest import spell_suggest
 
@@ -3932,6 +3949,15 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(sc AS REAL) DESC, cls) AS BIGINT) A
         "WHERE len(list_filter(regexp_extract_all(lower(suggestion), '[a-z0-9]+'), "
         "t -> t LIKE 'tab%')) > 0 "
         "ORDER BY weight DESC, suggestion LIMIT 10"
+    )
+    O["sg_context_top10"] = (
+        "WITH ttl AS (SELECT array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') "
+        "AS suggestion, n_chars, lang, source FROM documents) "
+        "SELECT suggestion, n_chars * greatest("
+        "CASE WHEN lang = 'en' THEN 2.0 ELSE 0.0 END, "
+        "CASE WHEN source LIKE 'src1%' THEN 1.5 ELSE 0.0 END) AS score "
+        "FROM ttl WHERE suggestion LIKE 't%' AND (lang = 'en' OR source LIKE 'src1%') "
+        "ORDER BY score DESC, suggestion LIMIT 10"
     )
     O["sg_spell_top5"] = (
         base_ctes() + " SELECT term, levenshtein(term, 'dat')::BIGINT AS dist, df::BIGINT AS df "

@@ -445,3 +445,76 @@ def free_text_suggest(
         .orderBy(F.desc("score"), F.asc("suggestion"))
         .limit(num)
     )
+
+
+def context_suggest(
+    suggestions_df: DataFrame,
+    prefix: str,
+    contexts=None,
+    k: int = 10,
+    text_col: str = "suggestion",
+    weight_col: str = "weight",
+    contexts_col: str = "contexts",
+    match_all: bool = False,
+) -> DataFrame:
+    """Context-filtered completion — the ContextQuery over
+    ContextSuggestField role (lucene/suggest/src/java/.../document/
+    ContextQuery.java:44-130 addContext(context, boost, exact) /
+    addAllContexts; ContextSuggestField.java — each suggestion carries
+    a set of context labels). The inner query is the prefix completion
+    (PrefixCompletionQuery role) on ``text_col``; a suggestion is kept
+    when one of its contexts matches an entry, and its score is
+    ``weight * boost`` of the best matching entry — when several
+    contexts of one suggestion match, the best-scoring path wins, the
+    same dedup TopSuggestDocsCollector applies per doc.
+
+    ``contexts``: {context: boost} for exact contexts, or a list of
+    ``(context, boost, exact)`` triples where ``exact=False`` makes the
+    entry match any stored context with that PREFIX (the reference's
+    non-exact contexts). ``match_all=True`` = addAllContexts(): every
+    suggestion with at least one context passes at boost 1.
+
+    Entirely Catalyst (higher-order F.exists over the contexts array +
+    greatest() over the per-entry boosts): filter and ranking push into
+    the scan, TopK is a TakeOrderedAndProject — no Python in the plan.
+    """
+    text, weight, ctxs = F.col(text_col), F.col(weight_col), F.col(contexts_col)
+    base = suggestions_df.filter(text.startswith(prefix))
+    if match_all:
+        scored = base.filter(ctxs.isNotNull() & (F.size(ctxs) > 0)).withColumn(
+            "score", weight.cast("double")
+        )
+    else:
+        if not contexts:
+            raise ValueError("context_suggest needs contexts or match_all=True")
+        entries = (
+            [(c, float(b), True) for c, b in contexts.items()]
+            if isinstance(contexts, dict)
+            else [(c, float(b), bool(e)) for c, b, e in contexts]
+        )
+        for c, b, _ in entries:
+            if b < 0:
+                raise ValueError(f"context boost must be >= 0, got {b} for {c!r}")
+
+        def _match(ctx, exact):
+            if exact:
+                return F.exists(ctxs, lambda c: c == F.lit(ctx))
+            return F.exists(ctxs, lambda c: c.startswith(ctx))
+
+        conds = [_match(c, e) for c, _, e in entries]
+        any_match = conds[0]
+        for cnd in conds[1:]:
+            any_match = any_match | cnd
+        boosts = [
+            F.when(cnd, F.lit(b)).otherwise(F.lit(0.0))
+            for cnd, (_, b, _e) in zip(conds, entries)
+        ]
+        boost = boosts[0] if len(boosts) == 1 else F.greatest(*boosts)
+        scored = base.filter(any_match).withColumn(
+            "score", weight.cast("double") * boost
+        )
+    return (
+        scored.select(text.alias("suggestion"), "score")
+        .orderBy(F.desc("score"), F.asc("suggestion"))
+        .limit(k)
+    )
