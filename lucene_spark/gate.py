@@ -1582,6 +1582,27 @@ def queries() -> dict:
 
     Q["ft_dist_funcscore_top10"] = _funcscore_dist
 
+    def _boostq(spark, sf):
+        # FunctionScoreQuery.boostByQuery: BM25('table') doubled for
+        # docs that also match 'hash'
+        from lucene_spark.search.functionscore import boost_by_query
+
+        index, searcher = gate_index(spark, sf)
+        out = boost_by_query(
+            searcher, A.TermQuery("table"), A.TermQuery("hash"), 2.0, index.docs, k=10
+        )
+        return out.select("rank", "doc_id", F.round("score", 2).alias("score_r"))
+
+    Q["ft_boostq_top10"] = _boostq
+
+    def _suggest_regex(spark, sf):
+        from lucene_spark.search.suggest import complete_regex
+
+        index, _ = gate_index(spark, sf)
+        return complete_regex(index, "ta[bn].*", k=10)
+
+    Q["sg_regex_top10"] = _suggest_regex
+
     def _highlight(spark, sf):
         # offsets-index highlight probe: snippets sliced from stored
         # text at INDEXED char offsets (UnifiedHighlighter offsets
@@ -4507,6 +4528,17 @@ FROM documents"""
     O["ft_dist_facet_lang"] = O["ft_facet_lang"]
     O["ft_dist_group_top"] = O["ft_group_top"]
     O["ft_dist_funcscore_top10"] = O["ft_funcscore_top10"]
+    # boostByQuery: BM25('table') × 2 for docs also matching 'hash'
+    O["ft_boostq_top10"] = topk_sql(
+        "SELECT t.doc_id, t.s * (CASE WHEN h.doc_id IS NOT NULL THEN 2.0 ELSE 1.0 END) AS s "
+        "FROM tscore t LEFT JOIN (SELECT DISTINCT doc_id FROM tf WHERE term = 'hash') h "
+        "ON h.doc_id = t.doc_id WHERE t.term = 'table'"
+    )
+    O["sg_regex_top10"] = (
+        base_ctes() + " SELECT term, ttf::BIGINT AS weight FROM dfr "
+        "WHERE regexp_matches(term, '^(?:ta[bn].*)$') "
+        "ORDER BY weight DESC, term LIMIT 10"
+    )
     # distributed scored-shape twins: same query, chunked execution —
     # identical oracles prove bit-identical scores on the 100-TB path
     O["ft_dist_term_top10"] = O["ft_term_top10"]

@@ -74,3 +74,43 @@ def boost_by_value(searcher, query, value_col: str, docs_df: DataFrame, k: int =
     (FunctionScoreQuery.java:52-58): relevance × per-doc numeric
     field."""
     return function_score(searcher, query, f"_score * {value_col}", docs_df, k=k)
+
+
+def boost_by_query(
+    searcher, query, boost_query, boost_value: float, docs_df: DataFrame, k: int = 10,
+    mode: str = "driver",
+) -> DataFrame:
+    """FunctionScoreQuery.boostByQuery role (FunctionScoreQuery.java:
+    95-102 → QueryBoostValuesSource: boost = boostValue when the doc
+    ALSO matches ``boost_query``, else 1; multiplied into the wrapped
+    query's score). The boosting match set joins the scored hits as a
+    doc-id relation (left join + conditional multiply — broadcast in
+    driver mode, plain join at cluster scale), then TakeOrderedAndProject
+    re-ranks. Returns (rank, doc_id, score)."""
+    from lucene_spark.search.postprocess import hits_frame
+
+    if boost_value < 0:
+        raise ValueError(f"boost_value must be >= 0, got {boost_value}")
+    hits = (
+        hits_frame(searcher, query, mode)
+        .withColumn("_score", F.col("score").cast("double"))
+        .select("doc_id", "_score")
+    )
+    bset = hits_frame(searcher, boost_query, mode).select("doc_id").withColumn(
+        "_boosted", F.lit(True)
+    )
+    joined = hits.join(F.broadcast(bset) if mode == "driver" else bset, "doc_id", "left")
+    rescored = (
+        joined.withColumn(
+            "score",
+            F.when(F.col("_boosted"), F.col("_score") * F.lit(float(boost_value))).otherwise(
+                F.col("_score")
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return rescored.select(
+        w.cast("long").alias("rank"), F.col("doc_id").cast("long"), "score"
+    )

@@ -40,6 +40,27 @@ def complete_prefix(index, prefix: str, k: int = 10) -> DataFrame:
     )
 
 
+def complete_regex(index, pattern: str, k: int = 10) -> DataFrame:
+    """Top-k completions matching a regular expression, by ttf desc,
+    term asc — the RegexCompletionQuery role (lucene/suggest/src/java/
+    .../document/RegexCompletionQuery.java:30-60: a CompletionQuery
+    whose automaton comes from RegExp instead of a prefix). The
+    anchored rlike predicate runs over the sorted term dictionary —
+    the same pushed-down scan as every multi-term expansion.
+    Returns (term, weight)."""
+    from lucene_spark.index.builder import FIELD_SEP
+
+    return (
+        index.term_stats_df.filter(
+            ~F.col("term").contains(FIELD_SEP)  # primary key space only
+            & F.col("term").rlike(f"^(?:{pattern})$")
+        )
+        .select("term", F.col("ttf").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def infix_suggest(
     suggestions_df: DataFrame,
     fragment: str,
