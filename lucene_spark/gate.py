@@ -1595,6 +1595,18 @@ def queries() -> dict:
 
     Q["ft_boostq_top10"] = _boostq
 
+    def _facet_sample(spark, sf):
+        # RandomSamplingFacetsCollector: lang facet over a deterministic
+        # 25% sample of 'table' matches, amortized by 1/rate
+        from lucene_spark.search.postprocess import facet_counts_sampled
+
+        index, searcher = gate_index(spark, sf)
+        return facet_counts_sampled(
+            searcher, A.TermQuery("table"), index.docs, "lang", 0.25
+        )
+
+    Q["ft_facet_sample"] = _facet_sample
+
     def _suggest_regex(spark, sf):
         from lucene_spark.search.suggest import complete_regex
 
@@ -4533,6 +4545,14 @@ FROM documents"""
         "SELECT t.doc_id, t.s * (CASE WHEN h.doc_id IS NOT NULL THEN 2.0 ELSE 1.0 END) AS s "
         "FROM tscore t LEFT JOIN (SELECT DISTINCT doc_id FROM tf WHERE term = 'hash') h "
         "ON h.doc_id = t.doc_id WHERE t.term = 'table'"
+    )
+    O["ft_facet_sample"] = (
+        base_ctes() + " SELECT d.lang AS lang, count(*)::BIGINT AS cnt, "
+        "CAST(round(count(*) / 0.25) AS BIGINT) AS est "
+        "FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'table') m "
+        "JOIN documents d USING (doc_id) "
+        "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 250000 "
+        "GROUP BY d.lang ORDER BY cnt DESC, lang"
     )
     O["sg_regex_top10"] = (
         base_ctes() + " SELECT term, ttf::BIGINT AS weight FROM dfr "

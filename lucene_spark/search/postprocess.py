@@ -63,6 +63,35 @@ def facet_counts(
     )
 
 
+def facet_counts_sampled(
+    searcher, query, docs_df: DataFrame, facet_col: str, fraction: float,
+    mode: str = "driver",
+) -> DataFrame:
+    """Sampled facet counts — the RandomSamplingFacetsCollector role
+    (lucene/facet RandomSamplingFacetsCollector.java:39-120 sampling
+    collector; :170-215 amortizeFacetCounts scales the sampled counts
+    back by 1/samplingRate). The reference draws its sample with a
+    XORShift stream inside one collector; a distributed engine needs
+    sample membership to be a pure FUNCTION of the doc so every
+    executor, retry, and re-run draws the same docs — the deterministic
+    md5-bucket idiom (pipeline/curation.py sample_deterministic).
+    Returns (facet value, cnt, est): cnt over the sampled matches,
+    est = round(cnt / fraction), the amortized estimate."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    from lucene_spark.pipeline.curation import sample_deterministic
+
+    ids = hits_frame(searcher, query, mode).select("doc_id")
+    sampled = sample_deterministic(ids, fraction)
+    return (
+        _join_hits(docs_df, sampled, mode)
+        .groupBy(facet_col)
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("est", F.round(F.col("cnt") / F.lit(float(fraction))).cast("long"))
+        .orderBy(F.desc("cnt"), F.asc(facet_col))
+    )
+
+
 def sorted_search(
     searcher, query, docs_df: DataFrame, sort_cols, k: int = 10, mode: str = "driver"
 ) -> DataFrame:

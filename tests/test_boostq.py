@@ -71,3 +71,51 @@ class TestRegexCompletion:
     def test_anchored(self, spark, search_index):
         # pattern is fully anchored: 'eturn' must not match 'return'
         assert complete_regex(search_index, "eturn").count() == 0
+
+
+class TestSampledFacets:
+    def test_matches_brute_and_amortizes(self, spark, search_index):
+        import hashlib
+
+        from lucene_spark.search.engine import Searcher
+        from lucene_spark.search.postprocess import facet_counts, facet_counts_sampled
+
+        s = Searcher(search_index)
+        got = facet_counts_sampled(
+            s, A.TermQuery("return"), search_index.docs, "lang", 0.25
+        ).collect()
+        match_ids = {d for d, _ in s.search(A.TermQuery("return"), k=10**6).hits}
+        sampled = {
+            d
+            for d in match_ids
+            if int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 1_000_000 < 250_000
+        }
+        langs = {
+            r["doc_id"]: r["lang"]
+            for r in search_index.docs.select("doc_id", "lang").collect()
+        }
+        want = {}
+        for d in sampled:
+            want[langs[d]] = want.get(langs[d], 0) + 1
+        assert {r["lang"]: r["cnt"] for r in got} == want
+        assert all(r["est"] == round(r["cnt"] / 0.25) for r in got)
+
+    def test_fraction_one_equals_exact(self, spark, search_index):
+        from lucene_spark.search.engine import Searcher
+        from lucene_spark.search.postprocess import facet_counts, facet_counts_sampled
+
+        s = Searcher(search_index)
+        a = facet_counts_sampled(s, A.TermQuery("return"), search_index.docs, "lang", 1.0).collect()
+        b = facet_counts(s, A.TermQuery("return"), search_index.docs, "lang").collect()
+        assert [(r["lang"], r["cnt"], r["est"]) for r in a] == [
+            (r["lang"], r["cnt"], r["cnt"]) for r in b
+        ]
+
+    def test_bad_fraction(self, spark, search_index):
+        from lucene_spark.search.engine import Searcher
+        from lucene_spark.search.postprocess import facet_counts_sampled
+
+        with pytest.raises(ValueError, match="fraction"):
+            facet_counts_sampled(
+                Searcher(search_index), A.TermQuery("a"), search_index.docs, "lang", 0.0
+            )
