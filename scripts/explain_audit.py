@@ -265,6 +265,29 @@ def main() -> None:
         )
         sections.append(("LatLonShape box filter (triangle exact phase)", plan))
 
+    # 14c. IndexSortSortedNumericDocValuesRangeQuery role: a range over
+    # the index-sort field on a SORTED index must push down to the scan
+    # — parquet min-max row-group pruning on the sorted column is the
+    # binary-search-on-sorted-docids optimization (sandbox/search/
+    # IndexSortSortedNumericDocValuesRangeQuery.java:55-90)
+    from lucene_spark.gate import sorted_gate_index
+
+    try:
+        s_index, _ = sorted_gate_index(spark, sf)
+        plan = _capture(
+            s_index.docs.filter(
+                (F.col("n_chars") >= 200) & (F.col("n_chars") <= 400)
+            ).select("doc_id")
+        )
+        check(
+            "range on index-sort field pushed to sorted scan",
+            plan,
+            r"PushedFilters: \[.*GreaterThanOrEqual\(n_chars,200\)",
+        )
+        sections.append(("Index-sort range (IndexSortSortedNumericDVRangeQuery)", plan))
+    except Exception as e:  # noqa: BLE001
+        CHECKS.append(("range on index-sort field pushed to sorted scan", str(e), False))
+
     # 15. DV-update overlay: merge-on-read join is broadcast (delta is
     # small), base docs scan still prunes columns
     import tempfile
