@@ -601,10 +601,12 @@ def _search(spark, sf_dir, query: A.Query, k: int = 10, mode: str = "driver") ->
     return searcher.search(query, k=k, mode=mode)
 
 
-def _sim_search(spark, sf_dir, model: str, query: A.Query, k: int = 10) -> TopDocs:
+def _sim_search(
+    spark, sf_dir, model: str, query: A.Query, k: int = 10, mode: str = "driver"
+) -> TopDocs:
     """Search under a non-default Similarity (IndexSearcher.setSimilarity)."""
     index, _ = gate_index(spark, sf_dir)
-    return Searcher(index, similarity=model).search(query, k=k)
+    return Searcher(index, similarity=model).search(query, k=k, mode=mode)
 
 
 def queries() -> dict:
@@ -2158,6 +2160,37 @@ def queries() -> dict:
         return _hits_df(spark, td)
 
     Q["ft_commonterms_top10"] = _common_terms
+
+    # distributed twins for scored shapes that previously ran
+    # driver-mode only: same semantics, leaf-parallel chunk plan, same
+    # oracles — each one proves the 100-TB path hash-matches
+    Q["ft_dist_shingle_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        shingle_gate_index(spark, sf)[1].search(
+            A.TermQuery("table hash"), k=10, mode="distributed"
+        ),
+    )
+    Q["ft_dist_blended_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _search(spark, sf, A.BlendedTermQuery(("table", "merge")), mode="distributed"),
+    )
+    Q["ft_dist_classic_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _sim_search(spark, sf, "classic", A.TermQuery("table"), mode="distributed"),
+    )
+    Q["ft_dist_lmd_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        _sim_search(spark, sf, "lmdirichlet", A.TermQuery("table"), mode="distributed"),
+    )
+
+    def _common_terms_dist(spark, sf):
+        from lucene_spark.search.commonterms import common_terms_query
+
+        _, searcher = gate_index(spark, sf)
+        q = common_terms_query(searcher.index, ("the", "scan", "dup"), max_term_frequency=0.5)
+        return _hits_df(spark, searcher.search(q, k=10, mode="distributed"))
+
+    Q["ft_dist_commonterms_top10"] = _common_terms_dist
 
     def _percolate(spark, sf):
         from lucene_spark.search.percolate import QueryMonitor
@@ -4585,6 +4618,13 @@ FROM documents"""
         "JOIN norms n ON n.doc_id = p.doc_id, "
         "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','merge')) ws"
     )
+    # distributed twins (same oracles)
+    O["ft_dist_shingle_top10"] = O["ft_shingle_top10"]
+    O["ft_dist_blended_top10"] = O["ft_blended_top10"]
+    O["ft_dist_classic_top10"] = O["ft_classic_top10"]
+    O["ft_dist_lmd_top10"] = O["ft_lmd_top10"]
+    O["ft_dist_commonterms_top10"] = O["ft_commonterms_top10"]
+
     return O
 
 
