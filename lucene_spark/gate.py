@@ -2192,6 +2192,57 @@ def queries() -> dict:
 
     Q["ft_dist_commonterms_top10"] = _common_terms_dist
 
+    def _surround_dist(spark, sf):
+        from lucene_spark.search.surround import parse_surround
+
+        _, searcher = gate_index(spark, sf)
+        return _hits_df(
+            spark, searcher.search(parse_surround("3W(table, hash)"), k=10, mode="distributed")
+        )
+
+    Q["ft_dist_surround_top10"] = _surround_dist
+
+    def _simpleq_dist(spark, sf):
+        from lucene_spark.search.simpleparser import parse_simple
+
+        _, searcher = gate_index(spark, sf)
+        return _hits_df(
+            spark,
+            searcher.search(parse_simple("table + (hash | scan)"), k=10, mode="distributed"),
+        )
+
+    Q["ft_dist_simpleq_top10"] = _simpleq_dist
+
+    def _complexphrase_dist(spark, sf):
+        from lucene_spark.search.complexphrase import parse_complex_phrase
+
+        index, searcher = gate_index(spark, sf)
+        q = parse_complex_phrase(index, "(table merge) v*", slop=2)
+        return _hits_df(spark, searcher.search(q, k=10, mode="distributed"))
+
+    Q["ft_dist_complexphrase_top10"] = _complexphrase_dist
+
+    def _mlt_dist(spark, sf):
+        from lucene_spark.search.mlt import more_like_this_query
+
+        index, searcher = gate_index(spark, sf)
+        q = more_like_this_query(index, 0, corpus_df(spark, sf))
+        return _hits_df(spark, searcher.search(q, k=10, mode="distributed"))
+
+    Q["ft_dist_mlt_top10"] = _mlt_dist
+
+    def _sorted_dist(spark, sf):
+        from lucene_spark.search.postprocess import sorted_search
+
+        index, searcher = gate_index(spark, sf)
+        out = sorted_search(
+            searcher, A.TermQuery("table"), index.docs, [("n_chars", False)], k=10,
+            mode="distributed",
+        )
+        return out.select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
+
+    Q["ft_dist_sorted_top10"] = _sorted_dist
+
     def _percolate(spark, sf):
         from lucene_spark.search.percolate import QueryMonitor
 
@@ -4624,6 +4675,12 @@ FROM documents"""
     O["ft_dist_classic_top10"] = O["ft_classic_top10"]
     O["ft_dist_lmd_top10"] = O["ft_lmd_top10"]
     O["ft_dist_commonterms_top10"] = O["ft_commonterms_top10"]
+
+    O["ft_dist_surround_top10"] = O["ft_surround_top10"]
+    O["ft_dist_simpleq_top10"] = O["ft_simpleq_top10"]
+    O["ft_dist_complexphrase_top10"] = O["ft_complexphrase_top10"]
+    O["ft_dist_mlt_top10"] = O["ft_mlt_top10"]
+    O["ft_dist_sorted_top10"] = O["ft_sorted_top10"]
 
     return O
 
