@@ -2243,6 +2243,63 @@ def queries() -> dict:
 
     Q["ft_dist_sorted_top10"] = _sorted_dist
 
+    # the full pluggable-similarity family through the distributed plan
+    for _m, _key in (
+        ("dfr", "ft_dist_dfr_top10"),
+        ("lmjelinekmercer", "ft_dist_lmjm_top10"),
+        ("dfi", "ft_dist_dfi_top10"),
+        ("ib", "ft_dist_ib_top10"),
+        ("indri", "ft_dist_indri_top10"),
+        ("axiomaticf2exp", "ft_dist_axf2exp_top10"),
+        ("axiomaticf3log", "ft_dist_axf3log_top10"),
+    ):
+        Q[_key] = (
+            lambda spark, sf, _m=_m: _hits_df(
+                spark, _sim_search(spark, sf, _m, A.TermQuery("table"), mode="distributed")
+            )
+        )
+
+    def _sweetspot_dist(spark, sf):
+        from lucene_spark.search.similarity import SweetSpotSim
+
+        sim = SweetSpotSim(ln_min=4, ln_max=32, ln_steep=0.5, tf_base=1.5, tf_min=2.0)
+        return _hits_df(
+            spark, _sim_search(spark, sf, sim, A.TermQuery("table"), mode="distributed")
+        )
+
+    Q["ft_dist_sweetspot_top10"] = _sweetspot_dist
+
+    def _multisim_dist(spark, sf):
+        from lucene_spark.search.similarity import MultiSim
+
+        return _hits_df(
+            spark,
+            _sim_search(
+                spark, sf, MultiSim(["bm25", "classic"]), A.TermQuery("table"),
+                mode="distributed",
+            ),
+        )
+
+    Q["ft_dist_multisim_top10"] = _multisim_dist
+
+    def _perfield_dist(spark, sf):
+        from lucene_spark.search.similarity import PerFieldSim
+
+        q = A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.TermQuery("vector")),
+                (A.Occur.SHOULD, A.TermQuery("vector", field="title")),
+            )
+        )
+        return _hits_df(
+            spark,
+            _sim_search(
+                spark, sf, PerFieldSim("bm25", {"title": "classic"}), q, mode="distributed"
+            ),
+        )
+
+    Q["ft_dist_perfield_top10"] = _perfield_dist
+
     def _percolate(spark, sf):
         from lucene_spark.search.percolate import QueryMonitor
 
@@ -4681,6 +4738,20 @@ FROM documents"""
     O["ft_dist_complexphrase_top10"] = O["ft_complexphrase_top10"]
     O["ft_dist_mlt_top10"] = O["ft_mlt_top10"]
     O["ft_dist_sorted_top10"] = O["ft_sorted_top10"]
+
+    for _src, _dst in (
+        ("ft_dfr_top10", "ft_dist_dfr_top10"),
+        ("ft_lmjm_top10", "ft_dist_lmjm_top10"),
+        ("ft_dfi_top10", "ft_dist_dfi_top10"),
+        ("ft_ib_top10", "ft_dist_ib_top10"),
+        ("ft_indri_top10", "ft_dist_indri_top10"),
+        ("ft_axf2exp_top10", "ft_dist_axf2exp_top10"),
+        ("ft_axf3log_top10", "ft_dist_axf3log_top10"),
+        ("ft_sweetspot_top10", "ft_dist_sweetspot_top10"),
+        ("ft_multisim_top10", "ft_dist_multisim_top10"),
+        ("ft_perfield_top10", "ft_dist_perfield_top10"),
+    ):
+        O[_dst] = O[_src]
 
     return O
 
