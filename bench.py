@@ -25,7 +25,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from lucene_spark.search import ast as A  # noqa: E402
-from lucene_spark.search.intervals import IMaxGaps, IOrdered, ITerm, IUnordered  # noqa: E402
+from lucene_spark.search.intervals import IMaxGaps, IOr, IOrdered, ITerm, IUnordered  # noqa: E402
 
 QUERIES: dict[str, A.Query] = {
     "q_term": A.TermQuery("table"),
@@ -65,6 +65,24 @@ QUERIES: dict[str, A.Query] = {
         (
             (A.Occur.SHOULD, A.TermQuery("table")),
             (A.Occur.SHOULD, A.BoostQuery(A.FeatureQuery("n_chars", "saturation", pivot=256.0), 1.5)),
+        )
+    ),
+    # LatLonShape filter: pushed-down bbox coarse phase + JVM
+    # separating-axis exact phase over the tessellation column
+    "q_shape_filter": A.BooleanQuery(
+        (
+            (A.Occur.MUST, A.TermQuery("table")),
+            (A.Occur.FILTER, A.ShapeBoxQuery("shape", 8.0, 18.0, -45.0, -35.0)),
+        )
+    ),
+    # Intervals.atLeast(2 of 3) via the or-of-unordered rewrite
+    "q_atleast": A.IntervalQuery(
+        IOr(
+            (
+                IUnordered((ITerm("table"), ITerm("hash"))),
+                IUnordered((ITerm("table"), ITerm("scan"))),
+                IUnordered((ITerm("hash"), ITerm("scan"))),
+            )
         )
     ),
 }
