@@ -446,6 +446,47 @@ def dv_gate_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return _CACHE[key]
 
 
+def addindexes_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """Index produced by IndexWriter.addIndexes (CodecReader variant,
+    IndexWriter.java:3137): the corpus is built as TWO independent
+    half-indexes (the upper half 0-based, as an unrelated index would
+    be), then merged with doc-id rebasing and NO re-analysis
+    (index/addindexes.py decodes packed postings back to the inverted
+    relation). The merged doc ids equal the source table's, and the
+    merge re-runs the builder's global aggregation, so the standard
+    BM25/phrase oracles apply verbatim."""
+    key = ("addix", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gateadd_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        import shutil
+
+        from lucene_spark.index.addindexes import add_indexes
+
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True)
+        corpus = corpus_df(spark, sf_dir).drop("title")
+        cut = corpus.count() // 2
+        a, b = idx_dir + "_half_a", idx_dir + "_half_b"
+        IndexBuilder(spark, cfg).build(
+            corpus.filter(F.col("doc_id") < cut), a, assign_ids=False
+        )
+        IndexBuilder(spark, cfg).build(
+            corpus.filter(F.col("doc_id") >= cut).withColumn(
+                "doc_id", F.col("doc_id") - cut
+            ),
+            b,
+            assign_ids=False,
+        )
+        add_indexes(spark, a, [b], out_dir=idx_dir)
+        shutil.rmtree(a, ignore_errors=True)
+        shutil.rmtree(b, ignore_errors=True)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 def sorted_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
     """Index-sorted gate index (IndexWriterConfig.setIndexSort role):
     doc ids assigned by (n_chars DESC, src doc_id ASC), so sorted
@@ -2353,6 +2394,19 @@ def queries() -> dict:
 
     Q["ix_dv_update"] = _dv_update
 
+    def _addindexes_term(spark, sf):
+        _, searcher = addindexes_gate_index(spark, sf)
+        return _hits_df(spark, searcher.search(A.TermQuery("table"), k=10))
+
+    Q["ix_addindexes_top10"] = _addindexes_term
+
+    def _addindexes_phrase(spark, sf):
+        # positions survive the decode → re-pack round trip
+        _, searcher = addindexes_gate_index(spark, sf)
+        return _hits_df(spark, searcher.search(A.PhraseQuery(("table", "hash")), k=10))
+
+    Q["ix_addindexes_phrase_top10"] = _addindexes_phrase
+
     # -- index-table invariants --
     def _term_stats(spark, sf):
         index, _ = gate_index(spark, sf)
@@ -4088,6 +4142,10 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(sc AS REAL) DESC, cls) AS BIGINT) A
         "SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN -doc_id ELSE n_chars END AS n_chars "
         "FROM documents ORDER BY doc_id"
     )
+    # addIndexes merge: doc ids + global stats equal the one-shot build
+    # over the whole corpus, so the standard scored oracles apply
+    O["ix_addindexes_top10"] = O["ft_term_top10"]
+    O["ix_addindexes_phrase_top10"] = O["ft_phrase_top10"]
     O["sg_prefix_top10"] = (
         base_ctes() + " SELECT term, ttf::BIGINT AS weight FROM dfr "
         "WHERE term LIKE 's%' ORDER BY weight DESC, term LIMIT 10"
