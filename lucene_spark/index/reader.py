@@ -421,8 +421,12 @@ class SearchIndex:
         with_positions: bool = False,
         with_offsets: bool = False,
         with_payloads: bool = False,
+        use_cache: bool = True,
     ) -> dict[str, PostingList]:
-        """Decode already-collected chunk rows (no Spark job)."""
+        """Decode already-collected chunk rows (no Spark job).
+        ``use_cache=False`` for PARTIAL row sets (e.g. only a term's
+        spanning rows): the cache is keyed by term alone and must only
+        ever hold full decodes."""
         from lucene_spark.codec.positions import (
             unpack_offsets,
             unpack_payloads,
@@ -432,7 +436,7 @@ class SearchIndex:
         out: dict[str, PostingList] = {}
         for term, rs in by_term.items():
             dkey = (term, with_positions, with_offsets, with_payloads)
-            hit = self._decoded_cache.get(dkey)
+            hit = self._decoded_cache.get(dkey) if use_cache else None
             if hit is not None:
                 self._decoded_cache.move_to_end(dkey)
                 out[term] = hit
@@ -481,9 +485,10 @@ class SearchIndex:
             out[term] = PostingList(
                 term, -1, len(docs), docs, tfs, norms.astype(np.int64), positions, offsets, payloads
             )
-            self._decoded_cache[dkey] = out[term]
-            while len(self._decoded_cache) > MAX_CACHED_TERMS:
-                self._decoded_cache.popitem(last=False)
+            if use_cache:
+                self._decoded_cache[dkey] = out[term]
+                while len(self._decoded_cache) > MAX_CACHED_TERMS:
+                    self._decoded_cache.popitem(last=False)
         return out
 
     @cached_property

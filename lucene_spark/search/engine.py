@@ -846,6 +846,16 @@ class Searcher:
             raise ValueError(
                 "search_sorted_index requires an index built with IndexConfig.index_sort"
             )
+        if "tier" in index.postings.columns:
+            # writer tiers append doc ids AFTER the sorted base, so doc
+            # order is no longer the sort order — early termination
+            # would return wrong docs (the reference likewise rejects
+            # addIndexes/merges that violate the index sort)
+            raise ValueError(
+                "index has writer tiers appended after the sorted build; "
+                "doc order no longer matches the index sort — force_merge "
+                "and rebuild with index_sort, or use search()/match_frame"
+            )
         q, spec, stats, rows = self.prepare(query, collect_rows=True)
         info: dict = {"index_sort": sort_spec}
         if isinstance(spec, NoneSpec) or k <= 0:
@@ -1215,15 +1225,41 @@ class Searcher:
             td = self._search_exhaustive(spec, k if k is not None else 1 << 62, cache)
             return "topdocs", td
         rows_df = index.postings_rows(terms)
-        # hot terms: >1 chunk row or chunk_id > 0
+        # Row classification. A row is CONFINED when all its docs lie in
+        # [chunk_id*dpc, (chunk_id+1)*dpc) — true for every hot-term
+        # doc-range chunk and for every chunk_all tier row. A tier's
+        # SINGLETON chunk-0 row, however, may be a flat-build COLD row
+        # spanning the tier's whole doc range (IndexWriter flattens a
+        # one-shot base to tier=0 by renames, keeping its cold layout),
+        # so keying it to leaf 0 would hide its postings from every
+        # later leaf — wrong for MUST_NOT / FILTER shapes. Those rows
+        # take the driver-collected sliced-per-chunk path instead (each
+        # is df <= docs_per_chunk by construction, the bound the cold
+        # path already relies on); a term can have BOTH kinds and
+        # score_chunk concatenates.
+        tiered = "tier" in index.postings.columns
+        gcols = ["term", "tier"] if tiered else ["term"]
         chunk_counts = (
-            rows_df.groupBy("term")
+            rows_df.groupBy(*gcols)
             .agg(F.count("*").alias("n"), F.max("chunk_id").alias("maxc"))
             .collect()
             if terms
             else []
         )
-        hot_terms = {r["term"] for r in chunk_counts if r["n"] > 1 or r["maxc"] > 0}
+        if tiered:
+            span_keys = {
+                (r["term"], r["tier"]) for r in chunk_counts if r["n"] == 1 and r["maxc"] == 0
+            }
+            hot_terms = {
+                r["term"]
+                for r in chunk_counts
+                if (r["term"], r["tier"]) not in span_keys
+            }
+            mixed_span = sorted({t for (t, _tr) in span_keys if t in hot_terms})
+        else:
+            hot_terms = {r["term"] for r in chunk_counts if r["n"] > 1 or r["maxc"] > 0}
+            span_keys = set()
+            mixed_span = []
         small_terms = [t for t in terms if t not in hot_terms]
         with_pos = _has_phrase(spec)
         with_pay = bool(_payload_terms(spec))
@@ -1237,6 +1273,26 @@ class Searcher:
             if with_pay
             else {}
         )
+        if mixed_span:
+            # spanning rows of terms that ALSO have confined rows:
+            # decode driver-side (cache bypassed — partial row sets)
+            srows = (
+                rows_df.filter(F.col("term").isin(mixed_span) & (F.col("chunk_id") == 0))
+                .orderBy("term", "tier")
+                .collect()
+            )
+            by_term: dict[str, list] = {}
+            for r in srows:
+                if (r["term"], r["tier"]) in span_keys:
+                    by_term.setdefault(r["term"], []).append(r)
+            for t, p in index.postings_from_rows(
+                by_term, with_positions=with_pos, with_payloads=with_pay, use_cache=False
+            ).items():
+                small_arrays[t] = (p.docs, p.tfs, p.norms)
+                if with_pos:
+                    small_positions[t] = p.positions
+                if with_pay and p.payloads is not None:
+                    small_payloads[t] = p.payloads
         if not hot_terms and not preds and not vspecs and not needs_all:
             # all-small-term query: bounded driver evaluation (each
             # small term covers ≤ docs_per_chunk docs by construction)
@@ -1275,7 +1331,18 @@ class Searcher:
         if all_contiguous:
             small_chunks |= set(range((max_doc + dpc - 1) // dpc))
 
-        hot_rows = rows_df.filter(F.col("term").isin(list(hot_terms))) if hot_terms else None
+        if hot_terms:
+            hcond = F.col("term").isin(list(hot_terms))
+            if mixed_span:
+                # their spanning rows went to small_arrays above — keep
+                # them out of the chunk-keyed groups
+                pairs = [f"{t}\x00{tr}" for (t, tr) in span_keys if t in hot_terms]
+                hcond = hcond & ~F.concat_ws(
+                    "\x00", F.col("term"), F.col("tier").cast("string")
+                ).isin(pairs)
+            hot_rows = rows_df.filter(hcond)
+        else:
+            hot_rows = None
 
         # ---- per-chunk auxiliary doc-set rows (marker terms) ----------
         # each is (chunk_id, term='\0...', ds_docs sorted array<long>):
@@ -1398,11 +1465,42 @@ class Searcher:
                     payloads[t] = pay
             for t, (d, tf, nm) in small_arrays.items():
                 i0, i1 = np.searchsorted(d, lo), np.searchsorted(d, hi)
-                arrays[t] = (d[i0:i1], tf[i0:i1], nm[i0:i1])
-                if with_pos and small_positions.get(t) is not None:
-                    positions[t] = small_positions[t][i0:i1]
-                if with_pay and small_payloads.get(t) is not None:
-                    payloads[t] = small_payloads[t][i0:i1]
+                sd, stf, snm = d[i0:i1], tf[i0:i1], nm[i0:i1]
+                spos = (
+                    small_positions[t][i0:i1]
+                    if with_pos and small_positions.get(t) is not None
+                    else None
+                )
+                spay = (
+                    small_payloads[t][i0:i1]
+                    if with_pay and small_payloads.get(t) is not None
+                    else None
+                )
+                prev = arrays.get(t)
+                if prev is not None:
+                    # term has confined rows in this chunk too (mixed
+                    # spanning/hot layout): concatenate in doc order
+                    if not len(sd):
+                        continue
+                    sd = np.concatenate([prev[0], sd])
+                    stf = np.concatenate([prev[1], stf])
+                    snm = np.concatenate([prev[2], snm])
+                    if spos is not None and t in positions:
+                        spos = positions[t] + spos
+                    if spay is not None and t in payloads:
+                        spay = payloads[t] + spay
+                    if len(sd) > 1 and not (np.diff(sd) > 0).all():
+                        order = np.argsort(sd, kind="stable")
+                        sd, stf, snm = sd[order], stf[order], snm[order]
+                        if spos is not None:
+                            spos = [spos[i] for i in order]
+                        if spay is not None:
+                            spay = [spay[i] for i in order]
+                arrays[t] = (sd, stf, snm)
+                if spos is not None:
+                    positions[t] = spos
+                if spay is not None:
+                    payloads[t] = spay
             if all_contiguous:
                 all_docs = np.arange(lo, min(hi, max_doc), dtype=np.int64)
             ctx = ChunkContext(

@@ -155,6 +155,70 @@ class TestTieredCommit:
         assert len(s.search("return", k=5).hits) == 5
 
 
+class TestTier0ColdSpanningRows:
+    """Regression: a flat base flattened to tier=0 keeps its COLD
+    layout — a term's singleton chunk-0 row can span the whole tier-0
+    doc range. The distributed planner must NOT key such a row to leaf
+    0 alone (docs beyond the first chunk would be invisible to later
+    leaves, corrupting MUST_NOT / FILTER shapes); it takes the
+    driver-collected sliced-per-chunk path instead, coexisting with
+    the same term's confined chunk_all rows from later tiers."""
+
+    @pytest.fixture(scope="class")
+    def tiered_ix(self, tmp_path_factory, spark, split_corpus):
+        p1, p2, p3 = split_corpus
+        d = str(tmp_path_factory.mktemp("ts_span") / "w")
+        w = IndexWriter(spark, d, IndexConfig(**CFG))
+        w.add_documents(p1)
+        w.commit(full=True)  # flat: cold rows span chunks 0..1 (80 docs, dpc 64)
+        w.add_documents(p2)
+        w.add_documents(p3)
+        w.commit()  # flat -> tier=0 rename + chunk_all tier=1
+        yield Searcher(SearchIndex(spark, d))
+        shutil.rmtree(d, ignore_errors=True)
+
+    def _span_term(self, spark, searcher):
+        """A term whose tier-0 row is a singleton chunk-0 row with docs
+        beyond chunk 0, and which also appears in tier 1."""
+        from collections import defaultdict
+
+        from lucene_spark.codec.forutil import unpack_postings
+
+        rows = searcher.index.postings.select("term", "chunk_id", "blob", "tier").collect()
+        per = defaultdict(list)
+        for r in rows:
+            per[r["term"]].append(r)
+        dpc = CFG["docs_per_chunk"]
+        for t, rs in sorted(per.items()):
+            t0 = [r for r in rs if r["tier"] == 0]
+            if (
+                len(t0) == 1
+                and t0[0]["chunk_id"] == 0
+                and any(r["tier"] != 0 for r in rs)
+                and unpack_postings(bytes(t0[0]["blob"]))[0].max() >= dpc
+            ):
+                return t
+        pytest.skip("fixture produced no tier-0 spanning term")
+
+    def test_distributed_equals_driver(self, spark, tiered_ix):
+        t = self._span_term(spark, tiered_ix)
+        shapes = [
+            t,
+            f"+return -{t}",  # MUST_NOT over the spanning term
+            f"+{t} +lang:py",  # FILTER via keyword field
+            f'+return +{t}',
+        ]
+        for q in shapes:
+            a = tiered_ix.search(q, k=300).hits
+            b = tiered_ix.search(q, k=300, mode="distributed").hits
+            _same(a, b)
+
+    def test_match_frame_counts(self, spark, tiered_ix):
+        t = self._span_term(spark, tiered_ix)
+        q = f"+return -{t}"
+        assert tiered_ix.match_frame(q).count() == len(tiered_ix.search(q, k=10**6).hits)
+
+
 def test_commit_preserves_analyzer_chain(tmp_path, spark, corpus_df):
     """A writer commit must not lose the manifest's analyzer/field
     chain — readers analyze query terms from it (a porter index whose
