@@ -487,6 +487,45 @@ def addindexes_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex
     return _CACHE[key]
 
 
+def addcopy_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """Like :func:`addindexes_gate_index` but via the Directory-variant
+    tier append (``mode='copy'``, IndexWriter.java:2954): map-only
+    doc-id re-encode, no term shuffle. The cut sits on a chunk
+    boundary, so the rebased ids equal the source table's and the
+    standard oracles apply."""
+    key = ("addcopy", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gateaddc_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        import shutil
+
+        from lucene_spark.index.addindexes import add_indexes
+
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True)
+        corpus = corpus_df(spark, sf_dir).drop("title")
+        cut = (corpus.count() // 2 // 128) * 128
+        a = idx_dir + "_half_a"
+        b = idx_dir + "_half_b"
+        IndexBuilder(spark, cfg).build(
+            corpus.filter(F.col("doc_id") < cut), a, assign_ids=False
+        )
+        IndexBuilder(spark, cfg).build(
+            corpus.filter(F.col("doc_id") >= cut).withColumn(
+                "doc_id", F.col("doc_id") - cut
+            ),
+            b,
+            assign_ids=False,
+        )
+        add_indexes(spark, a, [b], out_dir=idx_dir, mode="copy")
+        shutil.rmtree(a, ignore_errors=True)
+        shutil.rmtree(b, ignore_errors=True)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 def sorted_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
     """Index-sorted gate index (IndexWriterConfig.setIndexSort role):
     doc ids assigned by (n_chars DESC, src doc_id ASC), so sorted
@@ -2407,6 +2446,20 @@ def queries() -> dict:
 
     Q["ix_addindexes_phrase_top10"] = _addindexes_phrase
 
+    def _addcopy_term(spark, sf):
+        # copy variant searched through the DISTRIBUTED path: the tier
+        # union is exactly the 100-TB read shape
+        _, searcher = addcopy_gate_index(spark, sf)
+        return _hits_df(spark, searcher.search(A.TermQuery("table"), k=10, mode="distributed"))
+
+    Q["ix_addcopy_top10"] = _addcopy_term
+
+    def _addcopy_phrase(spark, sf):
+        _, searcher = addcopy_gate_index(spark, sf)
+        return _hits_df(spark, searcher.search(A.PhraseQuery(("table", "hash")), k=10))
+
+    Q["ix_addcopy_phrase_top10"] = _addcopy_phrase
+
     # -- index-table invariants --
     def _term_stats(spark, sf):
         index, _ = gate_index(spark, sf)
@@ -4146,6 +4199,8 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(sc AS REAL) DESC, cls) AS BIGINT) A
     # over the whole corpus, so the standard scored oracles apply
     O["ix_addindexes_top10"] = O["ft_term_top10"]
     O["ix_addindexes_phrase_top10"] = O["ft_phrase_top10"]
+    O["ix_addcopy_top10"] = O["ft_term_top10"]
+    O["ix_addcopy_phrase_top10"] = O["ft_phrase_top10"]
     O["sg_prefix_top10"] = (
         base_ctes() + " SELECT term, ttf::BIGINT AS weight FROM dfr "
         "WHERE term LIKE 's%' ORDER BY weight DESC, term LIMIT 10"

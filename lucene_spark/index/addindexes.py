@@ -65,7 +65,7 @@ def _manifest(index_dir: str) -> dict:
         return json.load(fh)
 
 
-def _validate_input(index_dir: str) -> dict:
+def _validate_input(index_dir: str, allow_tiered: bool = False) -> dict:
     m = _manifest(index_dir)
     for sidecar, remedy in (("deletes", "purge_deletes"), ("dv_updates", "apply_dv_updates")):
         if os.path.exists(os.path.join(index_dir, sidecar)):
@@ -78,13 +78,14 @@ def _validate_input(index_dir: str) -> dict:
             f"{index_dir}: index-sorted indexes cannot be concatenated (doc order would "
             "no longer be the sort order); rebuild the union with index_sort instead"
         )
-    for t in ("postings", "docs"):
-        d = os.path.join(index_dir, t)
-        if os.path.isdir(d) and any(p.startswith("tier=") for p in os.listdir(d)):
-            raise ValueError(
-                f"{index_dir}: tiered writer layout; run IndexWriter.force_merge() "
-                "to the flat layout before add_indexes"
-            )
+    if not allow_tiered:
+        for t in ("postings", "docs"):
+            d = os.path.join(index_dir, t)
+            if os.path.isdir(d) and any(p.startswith("tier=") for p in os.listdir(d)):
+                raise ValueError(
+                    f"{index_dir}: tiered writer layout; run IndexWriter.force_merge() "
+                    "to the flat layout before add_indexes"
+                )
     return m
 
 
@@ -186,23 +187,283 @@ def _rebase_docs(df: DataFrame, doc_base: int) -> DataFrame:
     return df.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base)) if doc_base else df
 
 
-def add_indexes(
-    spark: SparkSession, dest_dir: str, src_dirs: list[str] | tuple[str, ...], out_dir: str | None = None
+def _copy_kernel(doc_base: int, dpc: int):
+    """mapInPandas kernel for the Directory-variant tier append: rebase
+    each packed row by ``doc_base`` re-encoding ONLY the doc-id stream
+    (positions/offsets/payloads blobs carry no doc ids — byte-identical
+    pass-through; impacts are freq/norm-only — carried), and confine
+    every output row to its true doc-range chunk (the chunk_all
+    invariant of writer tiers). ``doc_base`` is a multiple of ``dpc``,
+    so hot-term chunks shift whole; a COLD row spanning several chunks
+    is sliced at chunk boundaries like split.py's straddling case
+    (impacts recomputed only there — block boundaries move)."""
+
+    def kern(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        from lucene_spark.codec.forutil import BLOCK_SIZE, pack_postings, unpack_postings
+        from lucene_spark.codec.impacts import competitive_impacts_flat
+        from lucene_spark.codec.positions import (
+            pack_offsets,
+            pack_payloads,
+            pack_positions,
+            unpack_offsets,
+            unpack_payloads,
+            unpack_positions,
+        )
+
+        for pdf in pdf_iter:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ids, tfs, norms = unpack_postings(bytes(row.blob))
+                ids = ids + doc_base
+                c0, c1 = int(ids[0] // dpc), int(ids[-1] // dpc)
+                if c0 == c1:
+                    d = row._asdict()
+                    blob2, bl2 = pack_postings(
+                        ids, tfs.astype(np.int64), norms.astype(np.int64)
+                    )
+                    d["blob"] = blob2
+                    d["block_last"] = bl2.tolist()
+                    d["chunk_id"] = c0
+                    out.append(d)
+                    continue
+                # spanning cold row: slice at chunk boundaries
+                plists = (
+                    unpack_positions(bytes(row.pos_blob), tfs)
+                    if row.pos_blob is not None
+                    else None
+                )
+                olists = (
+                    unpack_offsets(bytes(row.off_blob), tfs)
+                    if row.off_blob is not None
+                    else None
+                )
+                paylists = (
+                    unpack_payloads(bytes(row.pay_blob), tfs)
+                    if getattr(row, "pay_blob", None) is not None
+                    else None
+                )
+                for c in range(c0, c1 + 1):
+                    i0 = int(np.searchsorted(ids, c * dpc))
+                    i1 = int(np.searchsorted(ids, (c + 1) * dpc))
+                    if i0 == i1:
+                        continue
+                    d = row._asdict()
+                    sl = slice(i0, i1)
+                    t2 = tfs[sl].astype(np.int64)
+                    n2 = norms[sl].astype(np.int64)
+                    blob2, bl2 = pack_postings(ids[sl], t2, n2)
+                    d["blob"] = blob2
+                    d["block_last"] = bl2.tolist()
+                    d["chunk_id"] = c
+                    d["df"] = i1 - i0
+                    d["ttf"] = int(t2.sum())
+                    ib, if_, in_ = competitive_impacts_flat(t2, n2, BLOCK_SIZE)
+                    d["imp_block"], d["imp_freq"], d["imp_norm"] = (
+                        ib.tolist(),
+                        if_.tolist(),
+                        in_.tolist(),
+                    )
+                    if plists is not None:
+                        d["pos_blob"] = pack_positions(plists[sl])
+                    if olists is not None:
+                        d["off_blob"] = pack_offsets(
+                            [st for st, _ in olists[sl]], [en for _, en in olists[sl]]
+                        )
+                    if paylists is not None:
+                        d["pay_blob"] = pack_payloads(paylists[sl])
+                    out.append(d)
+            yield pd.DataFrame(out, columns=list(pdf.columns)) if out else pd.DataFrame(
+                {c: pd.Series(dtype=pdf[c].dtype) for c in pdf.columns}
+            )
+
+    return kern
+
+
+def _copy_into(
+    spark: SparkSession,
+    dest_dir: str,
+    src_dirs,
+    dest_m: dict,
+    doc_bases: list[int],
+    doc_counts: list[int],
+    dpc: int,
+    buckets: int,
+    t0: float,
 ) -> dict:
-    """Merge ``src_dirs`` into ``dest_dir`` (IndexWriter.addIndexes,
-    CodecReader variant — IndexWriter.java:3137). Source doc ids are
-    rebased after the preceding indexes' max doc (SegmentMerger's
-    docBase), dest ids are unchanged. In-place by default (tables are
-    computed into a staging dir, then swapped atomically per table);
-    pass ``out_dir`` to leave dest untouched and write a new index.
+    """The addIndexes(Directory...) tier append. Every Spark job writes
+    into a staging dir first; publication is renames/moves only."""
+    # flatten dest's term-keyed tables to tier=0 (renames, no data job
+    # — the writer's _flatten_to_tier0 move)
+    for t in ("postings", "term_stats"):
+        d = f"{dest_dir}/{t}"
+        if not any(p.startswith("tier=") for p in os.listdir(d)):
+            tmp = d + "._tier0"
+            os.rename(d, tmp)
+            os.makedirs(d)
+            os.rename(tmp, f"{d}/tier=0")
+            spark.catalog.refreshByPath(d)
+    tier0 = max(
+        int(p.split("=")[1])
+        for p in os.listdir(f"{dest_dir}/postings")
+        if p.startswith("tier=")
+    )
+    doc_tables = ["docs", "norms"] + [
+        t for t in ("term_vectors", "vectors") if os.path.exists(f"{dest_dir}/{t}")
+    ]
+    for t in doc_tables[2:]:
+        for d in src_dirs:
+            if not os.path.exists(f"{d}/{t}"):
+                raise ValueError(f"{d}: missing {t} table (dest has one — layouts must match)")
+
+    stage = dest_dir.rstrip("/") + ".addcopy_tmp"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    tiers = []
+    for i, (src, off) in enumerate(zip(src_dirs, doc_bases[1:])):
+        tier = tier0 + 1 + i
+        tiers.append(tier)
+        p = spark.read.parquet(f"{src}/postings")
+        (
+            p.mapInPandas(_copy_kernel(off, dpc), schema=p.schema)
+            .repartition(buckets, "term")
+            .sortWithinPartitions("term", "chunk_id")
+            .write.mode("overwrite")
+            .parquet(f"{stage}/postings_t{tier}")
+        )
+        # the source's term dictionary IS this tier's (df/ttf invariant
+        # under id shifts; the reader sums across tiers)
+        spark.read.parquet(f"{src}/term_stats").write.mode("overwrite").parquet(
+            f"{stage}/term_stats_t{tier}"
+        )
+        for t in doc_tables:
+            _rebase_docs(spark.read.parquet(f"{src}/{t}"), off).write.mode(
+                "overwrite"
+            ).parquet(f"{stage}/{t}_t{tier}")
+
+    # collection stats: additive per field over the INPUT dirs
+    cs = None
+    for d in [dest_dir, *src_dirs]:
+        part = spark.read.parquet(f"{d}/collection_stats")
+        cs = part if cs is None else cs.unionByName(part)
+    (
+        cs.groupBy("field")
+        .agg(
+            F.sum("doc_count").cast("long").alias("doc_count"),
+            F.sum("sum_ttf").cast("long").alias("sum_ttf"),
+            F.sum("sum_df").cast("long").alias("sum_df"),
+        )
+        .select("doc_count", "sum_ttf", "sum_df", "field")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{stage}/collection_stats")
+    )
+
+    # publish: tier dirs by rename, doc-keyed tables by file moves
+    for tier in tiers:
+        os.rename(f"{stage}/postings_t{tier}", f"{dest_dir}/postings/tier={tier}")
+        os.rename(f"{stage}/term_stats_t{tier}", f"{dest_dir}/term_stats/tier={tier}")
+        for t in doc_tables:
+            _append_files(f"{stage}/{t}_t{tier}", f"{dest_dir}/{t}")
+    shutil.rmtree(f"{dest_dir}/collection_stats")
+    os.rename(f"{stage}/collection_stats", f"{dest_dir}/collection_stats")
+    for t in ("docs", "norms", "postings", "term_stats", "term_vectors", "vectors",
+              "collection_stats"):
+        spark.catalog.refreshByPath(f"{dest_dir}/{t}")
+
+    # reversed-dictionary sidecar: regenerate from the tier union
+    if dest_m.get("reverse_dict") and os.path.exists(f"{dest_dir}/term_stats_rev"):
+        (
+            spark.read.parquet(f"{dest_dir}/term_stats")
+            .select("term", F.reverse("term").alias("term_rev"))
+            .distinct()
+            .repartition(buckets, "term_rev")
+            .sortWithinPartitions("term_rev")
+            .write.mode("overwrite")
+            .parquet(f"{stage}/term_stats_rev")
+        )
+        shutil.rmtree(f"{dest_dir}/term_stats_rev")
+        os.rename(f"{stage}/term_stats_rev", f"{dest_dir}/term_stats_rev")
+        spark.catalog.refreshByPath(f"{dest_dir}/term_stats_rev")
+    shutil.rmtree(stage, ignore_errors=True)
+
+    n_docs = sum(doc_counts)
+    metrics = {
+        **dest_m,
+        "docs": int(n_docs),
+        "added_docs": int(n_docs) - doc_counts[0],
+        "doc_bases": doc_bases,
+        "tiers_added": tiers,
+        "mode": "copy",
+        "elapsed_sec": round(time.time() - t0, 3),
+    }
+    with open(f"{dest_dir}/manifest.json", "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    return metrics
+
+
+def _append_files(stage_table: str, dest_table: str) -> None:
+    """Move a staged parquet dir's data files into an existing table
+    dir (the addIndexes(Directory) file-copy step; part names carry
+    task UUIDs so they never collide)."""
+    for f in os.listdir(stage_table):
+        if f.startswith("part-"):
+            os.rename(os.path.join(stage_table, f), os.path.join(dest_table, f))
+
+
+def add_indexes(
+    spark: SparkSession,
+    dest_dir: str,
+    src_dirs: list[str] | tuple[str, ...],
+    out_dir: str | None = None,
+    mode: str = "merge",
+) -> dict:
+    """Merge ``src_dirs`` into ``dest_dir`` (IndexWriter.addIndexes).
+    Source doc ids are rebased after the preceding indexes' max doc
+    (SegmentMerger's docBase), dest ids are unchanged. In-place by
+    default; pass ``out_dir`` to leave dest untouched.
+
+    ``mode="merge"`` (addIndexes(CodecReader...), IndexWriter.java:3137)
+    re-runs the builder's global term-keyed aggregation over decoded
+    postings — one postings-sized shuffle, output table-identical to a
+    one-shot build over the union (globally consistent chunking /
+    impacts / dictionary). ``mode="copy"`` (addIndexes(Directory...),
+    IndexWriter.java:2954) is the file-copy variant: each source
+    becomes a new postings/term_stats TIER with a map-only doc-id
+    re-encode (doc bases chunk-aligned, so only cold rows straddling
+    chunk boundaries re-pack more than the id stream) and doc-keyed
+    tables are appended as files — NO shuffle anywhere, ~the cost of
+    one postings read+write per source, at the price of per-source
+    chunk layout (the reader's tier union) instead of a globally
+    re-chunked dictionary; chunk-aligned rebasing leaves doc-id gaps
+    (supported, like Lucene's deleted-doc gaps).
+
     Returns {"docs": total, "added_docs": n, "doc_bases": [...]}."""
     if isinstance(src_dirs, str):
         src_dirs = [src_dirs]
     if not src_dirs:
         raise ValueError("add_indexes needs at least one source index")
+    if mode not in ("merge", "copy"):
+        raise ValueError(f"mode must be 'merge' or 'copy', got {mode!r}")
     t0 = time.time()
+    if mode == "copy" and out_dir is not None:
+        # Directory variant is in-place by contract; out_dir = copy
+        # dest first (at cluster scale: an object-store prefix copy)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.copytree(dest_dir, out_dir)
+        dest_dir, out_dir = out_dir, None
     all_dirs = [dest_dir, *src_dirs]
-    manifests = [_validate_input(d) for d in all_dirs]
+    manifests = [
+        _validate_input(d, allow_tiered=(mode == "copy" and i == 0))
+        for i, d in enumerate(all_dirs)
+    ]
+    if mode == "copy" and os.path.exists(f"{dest_dir}/commits.json"):
+        raise ValueError(
+            f"{dest_dir}: writer-managed tiered index (commits.json); use "
+            "IndexWriter or force_merge before add_indexes(mode='copy')"
+        )
 
     # chain compatibility: the index's true build chain (manifest wins
     # over the probe config) must be identical everywhere
@@ -249,15 +510,30 @@ def add_indexes(
     )
 
     # docBase per input: cumulative (max doc id + 1) — SegmentMerger's
-    # per-reader docBase table
+    # per-reader docBase table. Copy mode aligns each base UP to a
+    # chunk boundary so hot-term chunks shift whole (doc-id gaps are
+    # fine — the reader supports gappy id spaces)
     doc_bases: list[int] = []
     doc_counts: list[int] = []
     base = 0
     for d in all_dirs:
+        if mode == "copy":
+            base = -(-base // dpc) * dpc
         doc_bases.append(base)
         mx, cnt = spark.read.parquet(f"{d}/norms").agg(F.max("doc_id"), F.count("*")).first()
         doc_counts.append(int(cnt))
         base += int(mx) + 1 if mx is not None else 0
+
+    if mode == "copy":
+        for d, m in zip(all_dirs[1:], manifests[1:]):
+            if int(m["docs_per_chunk"]) != dpc:
+                raise ValueError(
+                    f"{d}: docs_per_chunk={m['docs_per_chunk']} differs from dest's "
+                    f"{dpc}; copy mode reuses the source chunk layout — use mode='merge'"
+                )
+        return _copy_into(
+            spark, dest_dir, src_dirs, dest_m, doc_bases, doc_counts, dpc, buckets, t0
+        )
 
     inverted = None
     for d, off in zip(all_dirs, doc_bases):

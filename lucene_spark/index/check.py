@@ -90,12 +90,17 @@ def check_index(index, raise_on_failure: bool = True) -> dict:
     for c in ("bad_order", "bad_df", "bad_tf", "bad_ttf", "bad_pos", "bad_blocks"):
         report[c] = int(dec[f"sum({c})"])
 
-    # 2. term_stats vs chunk sums
+    # 2. term_stats vs chunk sums — both aggregated per term (a tiered
+    # index keeps one term_stats row AND separate chunk rows per tier;
+    # the per-segment dictionaries must sum to the postings truth)
     chunk_sums = index.postings.groupBy("term").agg(
         F.sum("df").alias("df_sum"), F.sum("ttf").alias("ttf_sum")
     )
+    dict_sums = index.term_stats_df.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("ttf").alias("ttf")
+    )
     report["term_stats_mismatches"] = (
-        index.term_stats_df.join(chunk_sums, "term", "full")
+        dict_sums.join(chunk_sums, "term", "full")
         .filter(
             (F.col("df") != F.col("df_sum"))
             | (F.col("ttf") != F.col("ttf_sum"))

@@ -134,6 +134,93 @@ class TestOutDirAndOffsets:
         assert _table_rows(spark, a, "postings") == _table_rows(spark, gold, "postings")
 
 
+class TestCopyVariant:
+    """mode='copy' (addIndexes(Directory...), IndexWriter.java:2954):
+    tier append with a map-only doc-id re-encode — no term shuffle.
+    With chunk-aligned cuts the merged ids equal the one-shot build's,
+    so search results must match gold exactly in both modes."""
+
+    @pytest.fixture(scope="class")
+    def copy_setup(self, tmp_path_factory, spark):
+        n, c1, c2 = 160, 64, 128  # cuts on chunk boundaries (DPC=32)
+        pdf = make_corpus(n_docs=n, seed=47)
+        df = assign_doc_ids(spark.createDataFrame(pdf).drop("content_sha256"))
+        base = tmp_path_factory.mktemp("ix_copy")
+        cfg = IndexConfig(docs_per_chunk=DPC, term_buckets=2, positions=True)
+        gold = str(base / "gold")
+        IndexBuilder(spark, cfg).build(df, gold, assign_ids=False)
+        parts = []
+        for i, (lo, hi) in enumerate([(0, c1), (c1, c2), (c2, n)]):
+            d = str(base / f"part{i}")
+            IndexBuilder(spark, cfg).build(
+                df.filter(f"doc_id >= {lo} and doc_id < {hi}").withColumn(
+                    "doc_id", F.col("doc_id") - lo
+                ),
+                d,
+                assign_ids=False,
+            )
+            parts.append(d)
+        dest = str(base / "dest")
+        shutil.copytree(parts[0], dest)
+        m1 = add_indexes(spark, dest, [parts[1]], mode="copy")
+        # second add onto the now-tiered dest (tier chaining)
+        m2 = add_indexes(spark, dest, [parts[2]], mode="copy")
+        yield {"gold": gold, "dest": dest, "parts": parts, "m1": m1, "m2": m2,
+               "base": str(base)}
+        shutil.rmtree(str(base), ignore_errors=True)
+
+    def test_metrics_and_layout(self, copy_setup):
+        assert copy_setup["m1"]["doc_bases"] == [0, 64]
+        assert copy_setup["m1"]["tiers_added"] == [1]
+        assert copy_setup["m2"]["doc_bases"] == [0, 128]
+        assert copy_setup["m2"]["tiers_added"] == [2]
+        assert copy_setup["m2"]["docs"] == 160
+
+    @pytest.mark.parametrize("mode", ["driver", "distributed"])
+    def test_search_equals_gold(self, spark, copy_setup, mode):
+        s_m = Searcher(SearchIndex(spark, copy_setup["dest"]))
+        s_g = Searcher(SearchIndex(spark, copy_setup["gold"]))
+        for q in QUERIES:
+            a = s_m.search(q, k=40, mode=mode).hits
+            b = s_g.search(q, k=40, mode=mode).hits
+            assert [(d, round(x, 6)) for d, x in a] == [(d, round(x, 6)) for d, x in b], q
+
+    def test_check_index(self, spark, copy_setup):
+        check_index(SearchIndex(spark, copy_setup["dest"]))
+
+    def test_unaligned_base_leaves_gap(self, spark, copy_setup, tmp_path):
+        """Non-chunk-aligned dest size: the next base rounds UP to a
+        chunk boundary, leaving a doc-id gap; src hits shift by base."""
+        pdf = make_corpus(n_docs=80, seed=48)
+        df = assign_doc_ids(spark.createDataFrame(pdf).drop("content_sha256"))
+        cfg = IndexConfig(docs_per_chunk=DPC, term_buckets=2, positions=True)
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        IndexBuilder(spark, cfg).build(df.filter("doc_id < 50"), a, assign_ids=False)
+        IndexBuilder(spark, cfg).build(
+            df.filter("doc_id >= 50").withColumn("doc_id", F.col("doc_id") - 50),
+            b,
+            assign_ids=False,
+        )
+        sb = Searcher(SearchIndex(spark, b))
+        hits_b = sb.search(A.TermQuery("return"), k=50).hits
+        m = add_indexes(spark, a, [b], mode="copy")
+        assert m["doc_bases"] == [0, 64]  # 50 rounds up to 64
+        sa = Searcher(SearchIndex(spark, a))
+        ids = {d for d, _ in sa.search(A.TermQuery("return"), k=200).hits}
+        # every src hit appears shifted by the aligned base
+        assert {d + 64 for d, _ in hits_b} <= ids
+
+    def test_copy_rejects_writer_managed(self, spark, copy_setup, tmp_path):
+        import json as _json
+
+        d = str(tmp_path / "wm")
+        shutil.copytree(copy_setup["parts"][0], d)
+        with open(f"{d}/commits.json", "w") as fh:
+            _json.dump({"tiers": []}, fh)
+        with pytest.raises(ValueError, match="writer-managed"):
+            add_indexes(spark, d, [copy_setup["parts"][1]], mode="copy")
+
+
 class TestValidation:
     def test_deletes_rejected(self, spark, merged_setup, tmp_path):
         from lucene_spark.index.deletes import delete_docs
