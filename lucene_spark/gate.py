@@ -1508,6 +1508,20 @@ def queries() -> dict:
 
     Q["ft_sorted_top10"] = _sorted
 
+    def _sorted_after(spark, sf):
+        # searchAfter(FieldDoc) paging: strictly after (n_chars=900,
+        # doc 37) in the (n_chars DESC, doc_id ASC) order
+        from lucene_spark.search.postprocess import sorted_search
+
+        index, searcher = gate_index(spark, sf)
+        out = sorted_search(
+            searcher, A.TermQuery("table"), index.docs, [("n_chars", False)],
+            k=10, after=(900, 37),
+        )
+        return out.select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
+
+    Q["ft_sortedafter_top10"] = _sorted_after
+
     def _indexsort(spark, sf):
         # early-terminating sorted search over the INDEX-SORTED index;
         # result mapped back to source doc ids via the stored src_id
@@ -4306,6 +4320,13 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(sc AS REAL) DESC, cls) AS BIGINT) A
     O["ft_sorted_top10"] = (
         base_ctes() + " SELECT d.doc_id, d.n_chars::BIGINT AS n_chars FROM documents d "
         "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
+        "ORDER BY d.n_chars DESC, d.doc_id LIMIT 10"
+    )
+
+    O["ft_sortedafter_top10"] = (
+        base_ctes() + " SELECT d.doc_id, d.n_chars::BIGINT AS n_chars FROM documents d "
+        "WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
+        "AND (d.n_chars < 900 OR (d.n_chars = 900 AND d.doc_id > 37)) "
         "ORDER BY d.n_chars DESC, d.doc_id LIMIT 10"
     )
 

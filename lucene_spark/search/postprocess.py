@@ -93,7 +93,8 @@ def facet_counts_sampled(
 
 
 def sorted_search(
-    searcher, query, docs_df: DataFrame, sort_cols, k: int = 10, mode: str = "driver"
+    searcher, query, docs_df: DataFrame, sort_cols, k: int = 10, mode: str = "driver",
+    after: tuple | None = None,
 ) -> DataFrame:
     """Sort/SortField + TopFieldCollector role (SURVEY §2.3 sorted
     search): matches of ``query`` ordered by doc-table columns instead
@@ -101,10 +102,34 @@ def sorted_search(
     TakeOrderedAndProject (per-partition top-k + merge: the early
     termination the reference gets from index sorting). ``sort_cols``
     is a list of (col, ascending) pairs; doc_id asc is the final
-    tie-break."""
+    tie-break.
+
+    ``after=(sort_values..., doc_id)`` pages like
+    IndexSearcher.searchAfter(FieldDoc, Query, int, Sort)
+    (PagingFieldCollector in TopFieldCollector.java): only rows
+    STRICTLY after the mark in the (sort_cols, doc_id) total order are
+    returned. The mark compiles to one lexicographic predicate pushed
+    into the scan — deep pagination never re-reads earlier pages."""
     ids = hits_frame(searcher, query, mode).select("doc_id")
+    out = _join_hits(docs_df, ids, mode)
+    if after is not None:
+        if len(after) != len(sort_cols) + 1:
+            raise ValueError(
+                f"after must carry one value per sort col plus doc_id "
+                f"({len(sort_cols) + 1}), got {len(after)}"
+            )
+        keys = list(sort_cols) + [("doc_id", True)]
+        strict = None  # OR of "equal on prefix, strictly after on col i"
+        prefix_eq = None
+        for (c, asc), v in zip(keys, after):
+            this = (F.col(c) > F.lit(v)) if asc else (F.col(c) < F.lit(v))
+            branch = this if prefix_eq is None else prefix_eq & this
+            strict = branch if strict is None else strict | branch
+            eq = F.col(c) == F.lit(v)
+            prefix_eq = eq if prefix_eq is None else prefix_eq & eq
+        out = out.filter(strict)
     exprs = [F.asc(c) if asc else F.desc(c) for c, asc in sort_cols] + [F.asc("doc_id")]
-    return _join_hits(docs_df, ids, mode).orderBy(*exprs).limit(k)
+    return out.orderBy(*exprs).limit(k)
 
 
 def group_top_hits(

@@ -134,6 +134,34 @@ class TestFieldRangeAndSorted:
         out = sorted_search(s, A.TermQuery("alpha"), idx.docs, [("size", False)], k=3).collect()
         assert [r["doc_id"] for r in out] == [11, 10, 9]  # largest sizes first
 
+    def test_sorted_search_after_pages(self, mini):
+        """searchAfter(FieldDoc) paging: consecutive pages concatenate
+        to the unpaged prefix, including across sort-value ties."""
+        from lucene_spark.search.postprocess import sorted_search
+
+        idx, s = mini
+        q = A.TermQuery("alpha")
+        cols = [("size", False)]
+        full = sorted_search(s, q, idx.docs, cols, k=12).collect()
+        pages, after = [], None
+        for _ in range(4):
+            page = sorted_search(s, q, idx.docs, cols, k=3, after=after).collect()
+            if not page:
+                break
+            pages.extend(page)
+            last = page[-1]
+            after = (last["size"], last["doc_id"])
+        assert [r["doc_id"] for r in pages] == [r["doc_id"] for r in full]
+
+    def test_sorted_search_after_validates_arity(self, mini):
+        from lucene_spark.search.postprocess import sorted_search
+
+        idx, s = mini
+        with pytest.raises(ValueError, match="one value per sort col"):
+            sorted_search(
+                s, A.TermQuery("alpha"), idx.docs, [("size", False)], k=3, after=(1,)
+            )
+
 
 class TestStoredFields:
     def test_doc_fetch(self, searcher, corpus_pdf):
