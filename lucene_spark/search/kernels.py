@@ -1180,6 +1180,87 @@ def _fast_nterm_shape(src):
     return None
 
 
+def _fast_or_shape(src):
+    """([(slots, in_order, cap), ...], outer_cap) when ``src`` is
+    [maxgaps(g,)] or(...) whose every branch is a fast n-slot shape, a
+    bare term, or an or-of-terms — the Intervals.or / atLeast rewrite
+    family (Intervals.java:127; flexible fn:atLeast lowers to
+    or-of-unordered). Terms may REPEAT across branches (atLeast(2 of 3)
+    shares every term pairwise); distinctness is only required within a
+    branch (checked by :func:`_fast_nterm_shape`). None → tree
+    evaluator."""
+    from lucene_spark.search.intervals import IMaxGaps, IOr, ITerm
+
+    cap = None
+    if isinstance(src, IMaxGaps):
+        cap, src = src.gaps, src.source
+    if not isinstance(src, IOr) or not src.sources:
+        return None
+    branches = []
+    for b in src.sources:
+        if isinstance(b, ITerm):
+            branches.append((((b.term,),), True, None))
+            continue
+        if isinstance(b, IOr) and b.sources and all(isinstance(y, ITerm) for y in b.sources):
+            branches.append(((tuple(y.term for y in b.sources),), True, None))
+            continue
+        d = _fast_nterm_shape(b)
+        if d is None:
+            return None
+        branches.append(d)
+    return branches, cap
+
+
+def _or_flat_freqs(
+    branch_ivs: list[tuple[np.ndarray, np.ndarray, int]], outer_cap, n_cand: int
+) -> np.ndarray:
+    """Union-minimalize branch interval sets and accumulate freqs —
+    the vectorized twin of intervals._minimalize + the per-interval
+    1/(1+gaps) accumulation (DisjunctionIntervalsSource semantics:
+    dedupe identical spans keeping max covered, drop spans properly
+    containing another span of the union). All arrays are composite
+    doc<<32|pos keys, so every comparison is automatically per-doc
+    (doc bits dominate — a later doc's end can never fake containment
+    in an earlier doc)."""
+    parts = [(S, E, c) for S, E, c in branch_ivs if len(S)]
+    freqs = np.zeros(n_cand, dtype=np.float32)
+    if not parts:
+        return freqs
+    S = np.concatenate([p[0] for p in parts])
+    E = np.concatenate([p[1] for p in parts])
+    C = np.concatenate([np.full(len(p[0]), p[2], dtype=np.int64) for p in parts])
+    order = np.lexsort((-C, E, S))
+    S, E, C = S[order], E[order], C[order]
+    # dedupe identical (start, end): first occurrence carries max covered
+    keep = np.ones(len(S), dtype=bool)
+    keep[1:] = (S[1:] != S[:-1]) | (E[1:] != E[:-1])
+    S, E, C = S[keep], E[keep], C[keep]
+    # same start: the shortest end survives (a longer same-start span
+    # properly contains it)
+    keep = np.ones(len(S), dtype=bool)
+    keep[1:] = S[1:] != S[:-1]
+    S, E, C = S[keep], E[keep], C[keep]
+    # (s,e) properly contains a later-starting span iff some later row
+    # has end <= e — suffix-min of ends, excluding self
+    if len(S) > 1:
+        sufmin = np.minimum.accumulate(E[::-1])[::-1]
+        nxt = np.empty(len(S), dtype=np.int64)
+        nxt[:-1] = sufmin[1:]
+        nxt[-1] = np.iinfo(np.int64).max
+        keep = nxt > E
+        S, E, C = S[keep], E[keep], C[keep]
+    width_minus_c = (E & _LOW32) - (S & _LOW32) + 1 - C
+    if outer_cap is not None:
+        ok = width_minus_c <= outer_cap
+        S, width_minus_c = S[ok], width_minus_c[ok]
+    if not len(S):
+        return freqs
+    gaps = np.maximum(width_minus_c, 0).astype(np.float32)
+    one = np.float32(1.0)
+    np.add.at(freqs, (S >> np.int64(32)).astype(np.int64), one / (one + gaps))
+    return freqs
+
+
 def _fast_filtered_shape(src):
     """Descriptor for filtered combinators whose positive operand is a
     fast shape (bare term, or [maxgaps] ordered/unordered of distinct
@@ -1446,6 +1527,30 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
         norms_m = _slot_norms(slots[0], matched)
         scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
         return cand[matched], scores
+    orr = _fast_or_shape(spec.source)
+    if orr is not None:
+        branches, outer_cap = orr
+        branch_ivs = []
+        for slots, in_order, cap in branches:
+            keys = [_slot_keys(s) for s in slots]
+            if _keys_collide(keys):
+                branch_ivs = None  # co-positioned stacked tokens → tree
+                break
+            if len(slots) == 1:
+                K = keys[0]
+                branch_ivs.append((K, K, 1))
+            else:
+                coll = _ordered_flat_intervals if in_order else _unordered_flat_intervals
+                S, E = coll(keys, cap, len(cand))
+                branch_ivs.append((S, E, len(slots)))
+        if branch_ivs is not None:
+            freqs = _or_flat_freqs(branch_ivs, outer_cap, len(cand)).astype(np.float64)
+            matched = freqs > 0
+            if not matched.any():
+                return EMPTY_I, EMPTY_F
+            norms_m = _slot_norms(tuple(spec.terms), matched)
+            scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
+            return cand[matched], scores
     for ci in range(len(cand)):
 
         def pos_of(t: str, _ci=ci):

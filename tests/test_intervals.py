@@ -531,3 +531,132 @@ class TestOrSlotFastPath:
                         f = np.float32(f + one / (one + np.float32(gaps)))
                     want[ci] = f
                 assert np.array_equal(got, want), (trial, Shape.__name__, slop, docs, got, want)
+
+
+class TestOrFastPath:
+    """or(...) whose branches are fast shapes / terms / term-unions —
+    the Intervals.or and fn:atLeast rewrite family — routes through
+    _or_flat_freqs (vectorized union-minimalize) and must be
+    freq-identical to the per-doc tree evaluator, including duplicate
+    spans across branches (atLeast shares every term pairwise),
+    same-start containment, and an outer maxgaps."""
+
+    def test_fuzz_vs_tree(self):
+        import random
+
+        import numpy as np
+
+        from lucene_spark.search.intervals import (
+            IMaxGaps,
+            IOr,
+            IOrdered,
+            ITerm,
+            IUnordered,
+            eval_source,
+        )
+        from lucene_spark.search.kernels import (
+            _fast_or_shape,
+            _or_flat_freqs,
+            _ordered_flat_intervals,
+            _unordered_flat_intervals,
+        )
+
+        one = np.float32(1.0)
+
+        def eval_freq(src, pos_of):
+            f = np.float32(0.0)
+            for s, e, c in eval_source(src, pos_of):
+                gaps = max(0, (e - s + 1) - c)
+                f = np.float32(f + one / (one + np.float32(gaps)))
+            return float(f)
+
+        def fast_freqs(src, docs):
+            orr = _fast_or_shape(src)
+            assert orr is not None, src
+            branches, outer_cap = orr
+            n_docs = len(docs)
+
+            def keys_of(t):
+                parts = [
+                    (np.int64(ci) << 32) | d[t] for ci, d in enumerate(docs) if len(d[t])
+                ]
+                return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+            def slot_keys(slot):
+                ks = [keys_of(t) for t in slot]
+                ks = [k for k in ks if len(k)]
+                if not ks:
+                    return np.empty(0, dtype=np.int64)
+                return ks[0] if len(ks) == 1 else np.unique(np.concatenate(ks))
+
+            branch_ivs = []
+            for slots, in_order, cap in branches:
+                keys = [slot_keys(s) for s in slots]
+                if len(slots) == 1:
+                    K = keys[0]
+                    branch_ivs.append((K, K, 1))
+                else:
+                    coll = _ordered_flat_intervals if in_order else _unordered_flat_intervals
+                    S, E = coll(keys, cap, n_docs)
+                    branch_ivs.append((S, E, len(slots)))
+            return _or_flat_freqs(branch_ivs, outer_cap, n_docs)
+
+        rng = random.Random(99)
+        for trial in range(300):
+            n_docs = rng.randint(1, 8)
+            docs = []
+            for _ in range(n_docs):
+                uni = list(range(24))
+                rng.shuffle(uni)
+                d, i = {}, 0
+                for t in "abcd":
+                    ln = rng.randint(0 if t in "cd" else 1, 6)
+                    d[t] = np.array(sorted(uni[i : i + ln]), dtype=np.int64)
+                    i += ln
+                docs.append(d)
+            g = rng.randint(0, 6)
+            a, b, c, dd = (ITerm(t) for t in "abcd")
+            shapes = [
+                # atLeast(2 of 3) via or-of-unordered, with/without cap
+                IOr((IUnordered((a, b)), IUnordered((a, c)), IUnordered((b, c)))),
+                IMaxGaps(
+                    g,
+                    IOr((IUnordered((a, b)), IUnordered((a, c)), IUnordered((b, c)))),
+                ),
+                # mixed branch kinds: term, term-union, ordered, capped unordered
+                IOr((a, IOrdered((b, c)))),
+                IOr((IOr((a, b)), IMaxGaps(g, IUnordered((c, dd))))),
+                IOr((IMaxGaps(g, IOrdered((a, b, c))), IUnordered((b, dd)))),
+                # duplicate branches → duplicate spans must dedupe
+                IOr((IUnordered((a, b)), IUnordered((a, b)), c)),
+            ]
+            for src in shapes:
+                got = fast_freqs(src, docs)
+                want = np.array(
+                    [eval_freq(src, lambda t, _d=d: _d[t]) for d in docs],
+                    dtype=np.float32,
+                )
+                assert np.array_equal(got, want), (trial, src, docs, got, want)
+
+    def test_engine_or_query_matches_tree(self, spark, search_index, monkeypatch):
+        """End-to-end: the fast path and the (forced) tree path return
+        identical hits for an atLeast-style query over the fixture
+        index."""
+        from lucene_spark.search import ast as A
+        from lucene_spark.search import kernels as K
+        from lucene_spark.search.engine import Searcher
+        from lucene_spark.search.intervals import IOr, IUnordered, ITerm
+
+        s = Searcher(search_index)
+        src = IOr(
+            (
+                IUnordered((ITerm("return"), ITerm("if"))),
+                IUnordered((ITerm("return"), ITerm("int"))),
+                IUnordered((ITerm("if"), ITerm("int"))),
+            )
+        )
+        q = A.IntervalQuery(src)
+        fast = s.search(q, k=50).hits
+        monkeypatch.setattr(K, "_fast_or_shape", lambda _src: None)
+        tree = s.search(q, k=50).hits
+        assert [(d, round(x, 6)) for d, x in fast] == [(d, round(x, 6)) for d, x in tree]
