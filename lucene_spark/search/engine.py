@@ -84,6 +84,7 @@ class Searcher:
         # PredDocSetQuery key → Catalyst Column (distributed mode keeps
         # field predicates lazy; the ids never land on the driver)
         self._pred_conds: dict[tuple, object] = {}
+        self._fieldcond_memo: dict = {}
         # PredValueScoreQuery key → (Catalyst cond, [value Columns])
         # (feature / distance-feature queries, same lazy contract)
         self._val_conds: dict[tuple, tuple] = {}
@@ -112,7 +113,22 @@ class Searcher:
     # ---- query preparation -------------------------------------------------
 
     def _field_cond(self, q):
-        """(key, Catalyst cond) for a metadata-field predicate node."""
+        """(key, Catalyst cond) for a metadata-field predicate node.
+        Memoized on the (frozen, hashable) AST node: building a
+        Catalyst Column is driver-side Py4J traffic, and the shape
+        conditions (per-triangle SAT over the tessellation column) run
+        to hundreds of ms of pure expression construction — a repeated
+        filter must not pay that per query."""
+        hit = self._fieldcond_memo.get(q)
+        if hit is not None:
+            return hit
+        out = self._field_cond_build(q)
+        self._fieldcond_memo[q] = out
+        while len(self._fieldcond_memo) > 256:
+            self._fieldcond_memo.pop(next(iter(self._fieldcond_memo)))
+        return out
+
+    def _field_cond_build(self, q):
         import pyspark.sql.functions as F
 
         if isinstance(q, A.GeoBoxQuery):
