@@ -1199,16 +1199,70 @@ def _fast_or_shape(src):
     branches = []
     for b in src.sources:
         if isinstance(b, ITerm):
-            branches.append((((b.term,),), True, None))
+            branches.append(("plain", (((b.term,),), True, None)))
             continue
         if isinstance(b, IOr) and b.sources and all(isinstance(y, ITerm) for y in b.sources):
-            branches.append(((tuple(y.term for y in b.sources),), True, None))
+            branches.append(("plain", ((tuple(y.term for y in b.sources),), True, None)))
             continue
         d = _fast_nterm_shape(b)
-        if d is None:
-            return None
-        branches.append(d)
+        if d is not None:
+            branches.append(("plain", d))
+            continue
+        fd = _fast_filtered_shape(b)
+        if fd is not None:
+            # filtered combinator branch (notContaining / before / ...):
+            # its interval set comes from the same range-count machinery
+            branches.append(("filtered", fd))
+            continue
+        return None
     return branches, cap
+
+
+def _filtered_intervals_from_keys(ffd, slot_keys, term_keys, n_cand: int):
+    """Filtered-shape intervals (S, E, covered) from a
+    :func:`_fast_filtered_shape` descriptor, or None on stacked-token
+    key collisions (tree evaluator territory). ``slot_keys(slot)`` and
+    ``term_keys(term)`` supply flat composite-key position arrays."""
+    (slots, in_order, cap), kind, rterm, pre, post = ffd
+    keys = [slot_keys(s) for s in slots]
+    if _keys_collide(keys) or (
+        rterm is not None
+        and rterm[0] == "pairs"
+        and _keys_collide([slot_keys(s) for s in rterm[1][0]])
+    ):
+        return None
+    if len(slots) == 1:
+        S = E = keys[0]
+        covered = 1
+    else:
+        coll = _ordered_flat_intervals if in_order else _unordered_flat_intervals
+        S, E = coll(keys, cap, n_cand)
+        covered = len(slots)
+    if len(S):
+        if kind == "endingwithin":
+            # SpanFirst/position-range: exclusive span end <= limit
+            # (pre carries the limit, post the minimum start)
+            keep = ((E & _LOW32) + 1) <= pre
+            if post:
+                keep &= (S & _LOW32) >= post
+        elif rterm[0] == "pairs":
+            rslots, r_order, r_cap = rterm[1]
+            rkeys = [slot_keys(s) for s in rslots]
+            rcoll = _ordered_flat_intervals if r_order else _unordered_flat_intervals
+            Sr, Er = rcoll(rkeys, r_cap, n_cand)
+            if len(Sr):
+                pref = np.maximum.accumulate(Er)
+                idx = np.searchsorted(Sr, S, side="right") - 1
+                valid = idx >= 0
+                exists = np.zeros(len(S), dtype=bool)
+                exists[valid] = pref[idx[valid]] >= E[valid]
+            else:
+                exists = np.zeros(len(S), dtype=bool)
+            keep = exists if kind == "containedby" else ~exists
+        else:
+            keep = _filtered_interval_keep(S, E, term_keys(rterm[1]), kind, pre, post)
+        S, E = S[keep], E[keep]
+    return S, E, covered
 
 
 def _or_flat_freqs(
@@ -1465,53 +1519,17 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
         norms_m = _slot_norms(slots[0], matched)
         scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
         return cand[matched], scores
+    def _term_keys(t):
+        pl = plists.get(t)
+        return _term_flat_keys(doc_arrays[t], pl if pl is not None else [], cand)
+
+    def _ff_branch_ivs(ffd):
+        return _filtered_intervals_from_keys(ffd, _slot_keys, _term_keys, len(cand))
+
     ff = _fast_filtered_shape(spec.source)
-    if ff is not None:
-        (slots, in_order, cap), kind, rterm, pre, post = ff
-        keys = [_slot_keys(s) for s in slots]
-        if _keys_collide(keys) or (
-            rterm is not None
-            and rterm[0] == "pairs"
-            and _keys_collide([_slot_keys(s) for s in rterm[1][0]])
-        ):
-            ff = None  # co-positioned stacked tokens → tree evaluator
-    if ff is not None:
-        (slots, in_order, cap), kind, rterm, pre, post = ff
-        if len(slots) == 1:
-            S = E = keys[0]
-            covered = 1
-        else:
-            coll = _ordered_flat_intervals if in_order else _unordered_flat_intervals
-            S, E = coll(keys, cap, len(cand))
-            covered = len(slots)
-        if len(S):
-            if kind == "endingwithin":
-                # SpanFirst/position-range: exclusive span end <= limit
-                # (pre carries the limit, post the minimum start)
-                keep = ((E & _LOW32) + 1) <= pre
-                if post:
-                    keep &= (S & _LOW32) >= post
-            elif rterm[0] == "pairs":
-                rslots, r_order, r_cap = rterm[1]
-                rkeys = [_slot_keys(s) for s in rslots]
-                rcoll = _ordered_flat_intervals if r_order else _unordered_flat_intervals
-                Sr, Er = rcoll(rkeys, r_cap, len(cand))
-                if len(Sr):
-                    pref = np.maximum.accumulate(Er)
-                    idx = np.searchsorted(Sr, S, side="right") - 1
-                    valid = idx >= 0
-                    exists = np.zeros(len(S), dtype=bool)
-                    exists[valid] = pref[idx[valid]] >= E[valid]
-                else:
-                    exists = np.zeros(len(S), dtype=bool)
-                keep = exists if kind == "containedby" else ~exists
-            else:
-                plc = plists.get(rterm[1])
-                Kc = _term_flat_keys(
-                    doc_arrays[rterm[1]], plc if plc is not None else [], cand
-                )
-                keep = _filtered_interval_keep(S, E, Kc, kind, pre, post)
-            S, E = S[keep], E[keep]
+    ffres = _ff_branch_ivs(ff) if ff is not None else None
+    if ffres is not None:
+        S, E, covered = ffres
         if not len(S):
             return EMPTY_I, EMPTY_F
         gaps = np.maximum((E & _LOW32) - (S & _LOW32) + 1 - covered, 0)
@@ -1524,14 +1542,22 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
         matched = freqs > 0
         if not matched.any():
             return EMPTY_I, EMPTY_F
-        norms_m = _slot_norms(slots[0], matched)
+        norms_m = _slot_norms(ff[0][0][0], matched)
         scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
         return cand[matched], scores
-    orr = _fast_or_shape(spec.source)
+    orr = _fast_or_shape(spec.source) if ff is None else None
     if orr is not None:
         branches, outer_cap = orr
         branch_ivs = []
-        for slots, in_order, cap in branches:
+        for tag, descr in branches:
+            if tag == "filtered":
+                res = _ff_branch_ivs(descr)
+                if res is None:
+                    branch_ivs = None
+                    break
+                branch_ivs.append(res)
+                continue
+            slots, in_order, cap = descr
             keys = [_slot_keys(s) for s in slots]
             if _keys_collide(keys):
                 branch_ivs = None  # co-positioned stacked tokens → tree

@@ -556,6 +556,7 @@ class TestOrFastPath:
         )
         from lucene_spark.search.kernels import (
             _fast_or_shape,
+            _filtered_intervals_from_keys,
             _or_flat_freqs,
             _ordered_flat_intervals,
             _unordered_flat_intervals,
@@ -590,7 +591,13 @@ class TestOrFastPath:
                 return ks[0] if len(ks) == 1 else np.unique(np.concatenate(ks))
 
             branch_ivs = []
-            for slots, in_order, cap in branches:
+            for tag, descr in branches:
+                if tag == "filtered":
+                    res = _filtered_intervals_from_keys(descr, slot_keys, keys_of, n_docs)
+                    assert res is not None
+                    branch_ivs.append(res)
+                    continue
+                slots, in_order, cap = descr
                 keys = [slot_keys(s) for s in slots]
                 if len(slots) == 1:
                     K = keys[0]
@@ -629,6 +636,26 @@ class TestOrFastPath:
                 IOr((IMaxGaps(g, IOrdered((a, b, c))), IUnordered((b, dd)))),
                 # duplicate branches → duplicate spans must dedupe
                 IOr((IUnordered((a, b)), IUnordered((a, b)), c)),
+            ]
+            from lucene_spark.search.intervals import (
+                IBefore,
+                IContainedBy,
+                INotContaining,
+            )
+
+            shapes += [
+                # filtered branches ride the same range-count machinery
+                IOr((INotContaining(IMaxGaps(g, IOrdered((a, b))), c), dd)),
+                IOr((IBefore(IMaxGaps(g, IUnordered((a, b))), c), IOrdered((c, dd)))),
+                IMaxGaps(
+                    g + 1,
+                    IOr(
+                        (
+                            IContainedBy(a, IMaxGaps(g + 2, IOrdered((b, c)))),
+                            IUnordered((a, dd)),
+                        )
+                    ),
+                ),
             ]
             for src in shapes:
                 got = fast_freqs(src, docs)
