@@ -65,6 +65,20 @@ def _manifest(index_dir: str) -> dict:
         return json.load(fh)
 
 
+def _bucket_count(index_dir: str) -> int:
+    """Output-bucket count inferred from the term_stats file layout —
+    for a tiered dest, from the newest tier dir (a plain top-level
+    listdir sees only tier=N subdirectories and would report 0)."""
+    d = os.path.join(index_dir, "term_stats")
+    tiers = sorted(
+        (p for p in os.listdir(d) if p.startswith("tier=")),
+        key=lambda p: int(p.split("=")[1]),
+    )
+    if tiers:
+        d = os.path.join(d, tiers[-1])
+    return max(1, len([f for f in os.listdir(d) if f.endswith(".parquet")]))
+
+
 def _validate_input(index_dir: str, allow_tiered: bool = False) -> dict:
     m = _manifest(index_dir)
     for sidecar, remedy in (("deletes", "purge_deletes"), ("dv_updates", "apply_dv_updates")):
@@ -475,29 +489,49 @@ def add_indexes(
                 f"{d}: analyzer/field chain differs from dest on {diff} — "
                 "addIndexes cannot merge fields analyzed differently"
             )
-    docs_schemas = [sorted(spark.read.parquet(f"{d}/docs").columns) for d in all_dirs]
+    # docs-table schema equality: copy mode moves raw parquet FILES
+    # into the dest dir, so types must match too, not just names
+    docs_schemas = [
+        sorted((f.name, str(f.dataType)) for f in spark.read.parquet(f"{d}/docs").schema.fields)
+        for d in all_dirs
+    ]
     for d, cols in zip(all_dirs[1:], docs_schemas[1:]):
         if cols != docs_schemas[0]:
             raise ValueError(
-                f"{d}: docs-table columns {cols} differ from dest {docs_schemas[0]}"
+                f"{d}: docs-table schema {cols} differs from dest {docs_schemas[0]}"
             )
 
     dest_m = manifests[0]
     dpc = int(dest_m["docs_per_chunk"])
-    buckets = max(
-        1,
-        len([f for f in os.listdir(f"{dest_dir}/term_stats") if f.endswith(".parquet")]),
-    )
+    buckets = _bucket_count(dest_dir)
     # postings feature flags: payloads from the (already equal) chain;
-    # positions/offsets probed from the packed rows themselves
+    # positions/offsets probed per input from one packed row (uniform
+    # per build config) — a dest built without positions cannot absorb
+    # a positioned source and vice versa (the reference's
+    # IllegalArgumentException on IndexOptions mismatches)
     has_pay = bool(chains[0].get("delimited_payloads"))
-    p0 = spark.read.parquet(f"{dest_dir}/postings")
-    probe = p0.select(
-        F.max(F.col("pos_blob").isNotNull().cast("int")).alias("p"),
-        F.max(F.col("off_blob").isNotNull().cast("int")).alias("o"),
-    ).first()
-    has_off = bool(probe["o"])
-    has_pos = bool(probe["p"]) or has_off
+    flags: list[tuple[bool, bool] | None] = []
+    for d in all_dirs:
+        row = (
+            spark.read.parquet(f"{d}/postings")
+            .select("pos_blob", "off_blob")
+            .limit(1)
+            .collect()
+        )
+        flags.append(
+            (row[0]["pos_blob"] is not None, row[0]["off_blob"] is not None) if row else None
+        )
+    present = [f for f in flags if f is not None]
+    if not present:
+        raise ValueError("every input index has an empty postings table")
+    for d, f in zip(all_dirs, flags):
+        if f is not None and f != present[0]:
+            raise ValueError(
+                f"{d}: positions/offsets={f} differs from {all_dirs[0]}'s "
+                f"{flags[0]} — indexes with different IndexOptions cannot merge"
+            )
+    has_pos, has_off = present[0]
+    has_pos = has_pos or has_off
     cfg = IndexConfig(
         docs_per_chunk=dpc,
         term_buckets=buckets,

@@ -1291,16 +1291,18 @@ class Searcher:
         )
         if mixed_span:
             # spanning rows of terms that ALSO have confined rows:
-            # decode driver-side (cache bypassed — partial row sets)
-            srows = (
-                rows_df.filter(F.col("term").isin(mixed_span) & (F.col("chunk_id") == 0))
-                .orderBy("term", "tier")
-                .collect()
-            )
+            # rows come from the per-reader row cache (shared with the
+            # driver path — no extra Spark job on repeat queries);
+            # decode bypasses the cache (partial row sets)
             by_term: dict[str, list] = {}
-            for r in srows:
-                if (r["term"], r["tier"]) in span_keys:
-                    by_term.setdefault(r["term"], []).append(r)
+            for t, rs in index.collect_rows(mixed_span).items():
+                span = [
+                    r
+                    for r in rs
+                    if int(r["chunk_id"]) == 0 and (t, r["tier"]) in span_keys
+                ]
+                if span:
+                    by_term[t] = sorted(span, key=lambda r: r["tier"])
             for t, p in index.postings_from_rows(
                 by_term, with_positions=with_pos, with_payloads=with_pay, use_cache=False
             ).items():

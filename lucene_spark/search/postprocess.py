@@ -122,10 +122,17 @@ def sorted_search(
         strict = None  # OR of "equal on prefix, strictly after on col i"
         prefix_eq = None
         for (c, asc), v in zip(keys, after):
-            this = (F.col(c) > F.lit(v)) if asc else (F.col(c) < F.lit(v))
+            col = F.col(c)
+            # NULL-aware strict ordering matching orderBy's placement
+            # (Spark default: asc = NULLS FIRST, desc = NULLS LAST) —
+            # a plain col<v would silently drop NULL-valued matches
+            if asc:
+                this = col.isNotNull() if v is None else col > F.lit(v)
+            else:
+                this = F.lit(False) if v is None else (col < F.lit(v)) | col.isNull()
             branch = this if prefix_eq is None else prefix_eq & this
             strict = branch if strict is None else strict | branch
-            eq = F.col(c) == F.lit(v)
+            eq = col.isNull() if v is None else col.eqNullSafe(F.lit(v))
             prefix_eq = eq if prefix_eq is None else prefix_eq & eq
         out = out.filter(strict)
     exprs = [F.asc(c) if asc else F.desc(c) for c, asc in sort_cols] + [F.asc("doc_id")]

@@ -17,6 +17,9 @@ children), and matched-doc count (the scorer ``cost`` analog). Phase
 buckets cover the searcher pipeline: prepare (parse → rewrite → spec
 compile, the CREATE_WEIGHT bucket), rows (term dictionary + postings
 point-reads, the BUILD_SCORER bucket), evaluate, and collect (top-k).
+Per-node ``matched`` is SCORER-level (before the live-docs mask,
+exactly like Scorer.cost()); the top-level hits/total_matched apply
+live docs and equal the real search's.
 
 Honesty note: node timings re-evaluate each subtree with the
 exhaustive evaluator, so a parent's total includes re-scoring its
@@ -119,7 +122,7 @@ def profile(searcher, query, k: int = 10) -> dict:
     t_rows = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    docs, scores = evaluate(spec, ctx)
+    docs, scores = searcher._apply_live_docs(*evaluate(spec, ctx))
     t_eval = time.perf_counter() - t0
     t0 = time.perf_counter()
     hits = top_k_from_arrays(docs, scores, k)

@@ -210,6 +210,16 @@ class TestCopyVariant:
         # every src hit appears shifted by the aligned base
         assert {d + 64 for d, _ in hits_b} <= ids
 
+    def test_tier_chaining_keeps_bucket_fanout(self, copy_setup):
+        """Bucket count must come from the newest tier dir on an
+        already-tiered dest — not collapse to 1 because the top-level
+        term_stats dir holds only tier=N subdirs."""
+        import os
+
+        d = f"{copy_setup['dest']}/postings/tier=2"
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 2  # term_buckets=2 preserved on the chained add
+
     def test_copy_rejects_writer_managed(self, spark, copy_setup, tmp_path):
         import json as _json
 
@@ -242,6 +252,20 @@ class TestValidation:
         ).build(df, other, assign_ids=False)
         with pytest.raises(ValueError, match="chain differs"):
             add_indexes(spark, merged_setup["parts"][0], [other])
+
+    def test_positions_mismatch_rejected(self, spark, merged_setup, tmp_path):
+        """A positioned dest cannot absorb a positions-less source (and
+        vice versa) — the IndexOptions-mismatch rejection."""
+        pdf = make_corpus(n_docs=16, seed=6)
+        df = assign_doc_ids(spark.createDataFrame(pdf).drop("content_sha256"))
+        nopos = str(tmp_path / "nopos")
+        IndexBuilder(
+            spark, IndexConfig(docs_per_chunk=DPC, term_buckets=2, positions=False)
+        ).build(df, nopos, assign_ids=False)
+        with pytest.raises(ValueError, match="IndexOptions"):
+            add_indexes(spark, merged_setup["parts"][0], [nopos])
+        with pytest.raises(ValueError, match="IndexOptions"):
+            add_indexes(spark, nopos, [merged_setup["parts"][0]], mode="copy")
 
     def test_index_sort_rejected(self, spark, merged_setup, tmp_path):
         pdf = make_corpus(n_docs=16, seed=3)

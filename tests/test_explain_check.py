@@ -153,6 +153,32 @@ class TestFieldRangeAndSorted:
             after = (last["size"], last["doc_id"])
         assert [r["doc_id"] for r in pages] == [r["doc_id"] for r in full]
 
+    def test_sorted_search_after_with_nulls(self, mini):
+        """NULL sort values page correctly: desc puts NULLs last
+        (Spark default), and pages must still concatenate to the
+        unpaged prefix — including marks taken from NULL rows."""
+        from pyspark.sql import functions as F
+
+        from lucene_spark.search.postprocess import sorted_search
+
+        idx, s = mini
+        docs = idx.docs.withColumn(
+            "size", F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("size"))
+        )
+        q = A.TermQuery("alpha")
+        cols = [("size", False)]
+        full = sorted_search(s, q, docs, cols, k=50).collect()
+        pages, after = [], None
+        for _ in range(8):
+            page = sorted_search(s, q, docs, cols, k=3, after=after).collect()
+            if not page:
+                break
+            pages.extend(page)
+            last = page[-1]
+            after = (last["size"], last["doc_id"])
+        assert [r["doc_id"] for r in pages] == [r["doc_id"] for r in full]
+        assert any(r["size"] is None for r in pages)  # NULL rows paged too
+
     def test_sorted_search_after_validates_arity(self, mini):
         from lucene_spark.search.postprocess import sorted_search
 

@@ -76,3 +76,26 @@ class TestProfileTree:
     def test_match_none(self, searcher):
         p = profile(searcher, A.MatchNoDocsQuery(), k=5)
         assert p["hits"] == [] and p["tree"]["type"] == "NoneSpec"
+
+    def test_live_docs_applied(self, spark, tmp_path, corpus_df):
+        """Top-level hits/total_matched exclude tombstoned docs (they
+        must equal the real search); per-node matched stays
+        scorer-level like Scorer.cost()."""
+        import shutil
+
+        from lucene_spark.index.deletes import delete_docs
+
+        d = str(tmp_path / "ix")
+        IndexBuilder(spark, IndexConfig(docs_per_chunk=64, term_buckets=2)).build(
+            corpus_df.drop("content_sha256"), d
+        )
+        s0 = Searcher(SearchIndex(spark, d))
+        victim = s0.search("return", k=1).hits[0][0]
+        delete_docs(spark, d, [victim])
+        s = Searcher(SearchIndex(spark, d))
+        p = profile(s, "return", k=10)
+        real = s.search("return", k=10)
+        assert p["hits"] == [(int(x), float(y)) for x, y in real.hits]
+        assert victim not in {x for x, _ in p["hits"]}
+        assert p["total_matched"] == real.total_hits
+        shutil.rmtree(d, ignore_errors=True)
