@@ -1724,6 +1724,20 @@ def queries() -> dict:
 
     Q["ft_highlight"] = _highlight
 
+    def _highlight_analysis(spark, sf):
+        # OffsetSource.ANALYSIS twin: the SAME snippet rows re-derived
+        # by re-analyzing the stored text with the index's recorded
+        # analyzer (the UnifiedHighlighter fallback for indexes built
+        # with neither offsets nor term vectors) — checked against the
+        # identical DuckDB oracle as ft_highlight
+        from lucene_spark.search.postprocess import first_match_window
+
+        _, searcher = gate_index(spark, sf)
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return first_match_window(searcher, "table", docs, pre=20, post=40, source="analysis")
+
+    Q["ft_highlight_analysis"] = _highlight_analysis
+
     def _join(spark, sf):
         from lucene_spark.search.joins import join_top_parents
 
@@ -4422,6 +4436,10 @@ SELECT doc_id::BIGINT AS doc_id, n_occ, first_start, last_end,
        || '<b>' || substr(text, (first_start + 1)::INT, 5) || '</b>'
        || substr(text, (first_start + 6)::INT, 40) AS snippet
 FROM occ ORDER BY doc_id"""
+
+    # the ANALYSIS offset source must reproduce the offsets index
+    # byte-for-byte — same oracle
+    O["ft_highlight_analysis"] = O["ft_highlight"]
 
     # -- pipeline operators --
     # exact-substring dedup: dup_tokens = |union of covered positions|

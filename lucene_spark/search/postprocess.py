@@ -397,16 +397,75 @@ def term_occurrences_tv(searcher, terms, doc_ids) -> dict[str, dict[int, tuple]]
     return out
 
 
+def term_occurrences_analysis(
+    searcher, terms, doc_ids, texts: dict[int, str]
+) -> dict[str, dict[int, tuple]]:
+    """term → doc_id → (starts, ends) by RE-ANALYZING the stored text
+    (the UnifiedHighlighter OffsetSource.ANALYSIS fallback,
+    lucene/highlighter/.../uhighlight/FieldOffsetStrategy.java /
+    UnifiedHighlighter.getOffsetSource: when the index was built with
+    neither offsets nor term vectors, highlighting re-runs the
+    analyzer over the stored field text). Runs the index's RECORDED
+    analyzer + char-filter chain (manifest contract — same chain as
+    indexing) over only the k hit texts, so cost is O(k) driver work,
+    never a scan."""
+    from lucene_spark.analysis.tokenizer import tokenize_pos_off_series
+
+    cf = tuple(searcher.index.manifest.get("char_filters") or ())
+    ids = [int(d) for d in doc_ids]
+    ser = pd.Series([texts.get(i, "") or "" for i in ids])
+    toks_s, _poss, st_s, en_s = tokenize_pos_off_series(
+        ser, stem=searcher.index.analyzer, char_filters=cf
+    )
+    tset = set(terms)
+    out: dict[str, dict[int, tuple]] = {}
+    for i, did in enumerate(ids):
+        acc: dict[str, tuple[list, list]] = {}
+        for t, s, e in zip(toks_s.iloc[i], st_s.iloc[i], en_s.iloc[i]):
+            if t in tset:
+                sts, ens = acc.setdefault(t, ([], []))
+                sts.append(int(s))
+                ens.append(int(e))
+        for t, (sts, ens) in acc.items():
+            out.setdefault(t, {})[did] = (sts, ens)
+    return out
+
+
 def first_match_window(
-    searcher, term: str, docs_df: DataFrame, text_col: str = "text", pre: int = 20, post: int = 40
+    searcher,
+    term: str,
+    docs_df: DataFrame,
+    text_col: str = "text",
+    pre: int = 20,
+    post: int = 40,
+    source: str = "offsets",
 ) -> DataFrame:
-    """Deterministic offsets-index highlight probe: for every doc
-    matching ``term``, (doc_id, n_occ, first_start, last_end, snippet)
-    where snippet = pre-context + <b>match</b> + post-context sliced
-    from the stored text at the INDEXED offsets. The simple fixed
-    window makes the output SQL-re-derivable (the gate oracle);
-    :func:`highlight_indexed` is the passage-scored production API."""
-    occ = term_occurrences(searcher, term)
+    """Deterministic highlight probe: for every doc matching ``term``,
+    (doc_id, n_occ, first_start, last_end, snippet) where snippet =
+    pre-context + <b>match</b> + post-context sliced from the stored
+    text at the match offsets. The simple fixed window makes the
+    output SQL-re-derivable (the gate oracle); :func:`highlight_indexed`
+    is the passage-scored production API.
+
+    ``source``: "offsets" reads the INDEXED offsets
+    (OffsetSource.POSTINGS); "analysis" re-analyzes the stored text
+    with the index's recorded analyzer (OffsetSource.ANALYSIS — works
+    on an index built without offsets). Both produce identical rows
+    (the same DuckDB oracle checks each)."""
+    if source == "analysis":
+        pl = searcher.index.collect_postings([term]).get(term)
+        ids = [] if pl is None else [int(d) for d in pl.docs]
+        texts = {
+            r["doc_id"]: r[text_col]
+            for r in docs_df.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", text_col)
+            .collect()
+        }
+        occ = term_occurrences_analysis(searcher, [term], ids, texts).get(term, {})
+    elif source == "offsets":
+        occ = term_occurrences(searcher, term)
+    else:
+        raise ValueError(f"unknown offset source {source!r}")
     spark = docs_df.sparkSession
     rows = [
         (int(d), int(len(st)), int(st[0]), int(en[-1])) for d, (st, en) in occ.items() if len(st)
@@ -451,8 +510,11 @@ def highlight_indexed(
     ``source`` picks the offsets provider — "offsets" (the postings
     offsets index, UnifiedHighlighter.OffsetSource.POSTINGS) or
     "term_vectors" (per-doc vectors with offsets, the
-    FastVectorHighlighter source / OffsetSource.TERM_VECTORS); both
-    produce byte-identical passages (tests/test_postprocess.py
+    FastVectorHighlighter source / OffsetSource.TERM_VECTORS), or
+    "analysis" (re-analyze the stored text with the index's recorded
+    analyzer, OffsetSource.ANALYSIS — the fallback that works on an
+    index built with NEITHER offsets nor term vectors); all three
+    produce byte-identical passages (tests/test_termvectors.py
     parity)."""
     import numpy as np
 
@@ -470,16 +532,18 @@ def highlight_indexed(
         for t, (df, _) in tstats.items()
     }
     hit_ids = [int(d) for d, _ in td.hits]
-    if source == "term_vectors":
-        occ_by_term = term_occurrences_tv(searcher, terms, hit_ids)
-    elif source == "offsets":
-        occ_by_term = {t: term_occurrences(searcher, t) for t in terms}
-    else:
-        raise ValueError(f"unknown offset source {source!r}")
     texts = {
         r["doc_id"]: r[text_col]
         for r in docs_df.filter(F.col("doc_id").isin(hit_ids)).select("doc_id", text_col).collect()
     }
+    if source == "term_vectors":
+        occ_by_term = term_occurrences_tv(searcher, terms, hit_ids)
+    elif source == "offsets":
+        occ_by_term = {t: term_occurrences(searcher, t) for t in terms}
+    elif source == "analysis":
+        occ_by_term = term_occurrences_analysis(searcher, terms, hit_ids, texts)
+    else:
+        raise ValueError(f"unknown offset source {source!r}")
     out = []
     for doc_id, score in td.hits:
         matches = []  # (start, end, term)

@@ -103,9 +103,42 @@ class TestFVHParity:
         for q in ("return", "return AND if", '"return if"'):
             a = highlight_indexed(searcher, q, docs, k=5, source="offsets")
             b = highlight_indexed(searcher, q, docs, k=5, source="term_vectors")
+            c = highlight_indexed(searcher, q, docs, k=5, source="analysis")
             assert a == b, q
+            assert a == c, q
             assert a and all(h["passages"] for h in a)
             assert all("<b>" in p for h in a for p in h["passages"])
+
+    def test_analysis_source_needs_no_offsets(self, spark, corpus_pdf, tmp_path_factory):
+        """OffsetSource.ANALYSIS works on an index built with neither
+        offsets nor term vectors (the UnifiedHighlighter fallback)."""
+        import shutil
+
+        from lucene_spark.index.builder import IndexBuilder, IndexConfig
+        from lucene_spark.index.reader import SearchIndex
+        from lucene_spark.search.engine import Searcher
+        from lucene_spark.search.postprocess import highlight_indexed
+
+        pdf = corpus_pdf.head(60).copy().reset_index(drop=True)
+        pdf["doc_id"] = range(len(pdf))
+        d = str(tmp_path_factory.mktemp("hlana"))
+        IndexBuilder(
+            spark,
+            IndexConfig(docs_per_chunk=128, term_buckets=4, positions=True),
+        ).build(spark.createDataFrame(pdf).drop("content_sha256"), d, assign_ids=False)
+        s = Searcher(SearchIndex(spark, d))
+        docs = spark.createDataFrame(pdf[["doc_id", "content"]]).withColumnRenamed(
+            "content", "text"
+        )
+        hl = highlight_indexed(s, "return AND if", docs, k=5, source="analysis")
+        assert hl and all(h["passages"] for h in hl)
+        assert all("<b>" in p for h in hl for p in h["passages"])
+        # offsets source on the same index must refuse (no offsets table)
+        import pytest
+
+        with pytest.raises(Exception):
+            highlight_indexed(s, "return", docs, k=3, source="offsets")
+        shutil.rmtree(d, ignore_errors=True)
 
     def test_tv_without_offsets_raises(self, spark, corpus_pdf, tmp_path_factory):
         import shutil
