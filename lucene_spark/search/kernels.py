@@ -508,6 +508,10 @@ class ChunkContext:
         # term → per-doc float32 payload arrays (position-aligned; the
         # .pay stream), present only when the query has a PayloadSpec
         self.payloads = payloads or {}
+        # term → (flat positions, offsets[n+1]) memo (see _flat_of):
+        # built lazily the first time a positional kernel touches the
+        # term in this context, shared across slots/branches
+        self.pos_flats: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def score(self, weight, freqs, norms, field: str) -> np.ndarray:
         """Vectorized SimScorer.score over this context's field table
@@ -1114,7 +1118,7 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
     one = np.float32(1.0)
     freqs = np.zeros(len(cand), dtype=np.float64)
     idxs = [np.searchsorted(p[0], cand) for p in parts]
-    keys = [_term_flat_keys(d, pl, cand) for (d, _, _), pl in zip(parts, plists)]
+    keys = [_term_keys_ctx(ctx, t, cand) for t in spec.terms]
     fast_ok = len(set(spec.terms)) == n and not _keys_collide(keys)
     if fast_ok and n == 2:
         # flat vectorized fast path: every candidate in a handful of
@@ -1473,11 +1477,7 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
     norms = np.zeros(len(cand), dtype=np.int64)
     has_norm = np.zeros(len(cand), dtype=bool)
     def _slot_keys(slot):
-        ks = [
-            _term_flat_keys(doc_arrays[t], plists[t], cand)
-            for t in slot
-            if len(doc_arrays[t])
-        ]
+        ks = [_term_keys_ctx(ctx, t, cand) for t in slot if len(doc_arrays[t])]
         ks = [k for k in ks if len(k)]
         if not ks:
             return EMPTY_I
@@ -1520,8 +1520,7 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
         scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
         return cand[matched], scores
     def _term_keys(t):
-        pl = plists.get(t)
-        return _term_flat_keys(doc_arrays[t], pl if pl is not None else [], cand)
+        return _term_keys_ctx(ctx, t, cand)
 
     def _ff_branch_ivs(ffd):
         return _filtered_intervals_from_keys(ffd, _slot_keys, _term_keys, len(cand))
@@ -1651,7 +1650,7 @@ def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.
                 pl = ctx.positions.get(t)
                 if pl is None:
                     raise ValueError(f"no positions for term {t!r}")
-                k = _term_flat_keys(d, pl, cand)
+                k = _term_keys_ctx(ctx, t, cand)
                 if len(k):
                     parts.append(k)
             if not parts:
@@ -1697,7 +1696,7 @@ def _evaluate_multiphrase(spec: MultiPhraseSpec, ctx: ChunkContext) -> tuple[np.
                     pl = ctx.positions.get(t)
                     if pl is None:
                         raise ValueError(f"no positions for term {t!r}")
-                    k = _term_flat_keys(d, pl, cand)
+                    k = _term_keys_ctx(ctx, t, cand)
                     if len(k):
                         parts.append(k)
             keys.append(parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts)))
@@ -1749,17 +1748,17 @@ def _evaluate_phrase(spec: PhraseSpec, ctx: ChunkContext) -> tuple[np.ndarray, n
             raise ValueError(f"no positions available for term {t!r}")
         plists.append(plist)
     if spec.slop == 0:
-        keys = [_term_flat_keys(d, pl, cand) for (d, _, _), pl in zip(parts, plists)]
+        keys = [_term_keys_ctx(ctx, t, cand) for t in spec.terms]
         freqs = _exact_phrase_freqs_keys(keys, len(cand))
     elif len(spec.terms) == 2 and spec.terms[0] != spec.terms[1]:
         # flat vectorized 2-slot sloppy matcher (the dominant shape)
-        A = _term_flat_keys(parts[0][0], plists[0], cand)
-        B = _term_flat_keys(parts[1][0], plists[1], cand)
+        A = _term_keys_ctx(ctx, spec.terms[0], cand)
+        B = _term_keys_ctx(ctx, spec.terms[1], cand)
         freqs = _sloppy2_flat_freqs(A, B, spec.slop, len(cand)).astype(np.float64)
     elif len(set(spec.terms)) == len(spec.terms):
         # n >= 3 distinct terms: lockstep-vectorized PQ (no repeats —
         # initSimple branch), every candidate doc advanced per numpy pass
-        keys = [_term_flat_keys(d, pl, cand) for (d, _, _), pl in zip(parts, plists)]
+        keys = [_term_keys_ctx(ctx, t, cand) for t in spec.terms]
         freqs = _sloppy_flat_freqs_n(keys, spec.slop, len(cand)).astype(np.float64)
     else:
         # repeating terms: per-candidate exact PQ with repeat groups
@@ -1794,6 +1793,86 @@ def _term_flat_keys(d: np.ndarray, plist: list, cand: np.ndarray) -> np.ndarray:
     di = np.repeat(ci, lens)
     pos = np.concatenate([np.asarray(plist[i], dtype=np.int64) for i in sel if len(plist[i])])
     return (di << np.int64(32)) | pos
+
+
+def _flat_of(ctx: "ChunkContext", t: str) -> tuple[np.ndarray, np.ndarray]:
+    """(flat concatenated positions, doc-boundary offsets[n+1]) of one
+    term's position lists — built once per (context, term) and
+    memoized, so positional shapes that touch the same term from
+    several slots/branches (IOr of unordered pairs, repeated-term
+    phrases) never re-flatten it. Offsets come from the tf array (a
+    term's per-doc position-list length IS its tf); the flat array is
+    zero-copy when the per-doc lists are np.split views of one decode
+    buffer (unpack_positions' output shape)."""
+    fo = ctx.pos_flats.get(t)
+    if fo is not None:
+        return fo
+    plist = ctx.positions.get(t) or []
+    tfs = ctx.term(t)[1]
+    offs = np.zeros(len(plist) + 1, dtype=np.int64)
+    if len(plist):
+        np.cumsum(np.asarray(tfs[: len(plist)], dtype=np.int64), out=offs[1:])
+    total = int(offs[-1])
+    if total == 0:
+        fo = (EMPTY_I, offs)
+    else:
+        # zero-copy fast path: unpack_positions returns np.split views
+        # of ONE flat decode buffer — contiguous, in order, offset 0.
+        # Sufficient check without touching every element: first and
+        # last views bound the SAME buffer of EXACTLY ``total`` int64s
+        # (a strict sub-slice can never sum to the full length because
+        # every per-doc list has len == tf >= 1).
+        first, last = plist[0], plist[-1]
+        b = first.base if isinstance(first, np.ndarray) else None
+        if (
+            b is not None
+            and b.dtype == np.int64
+            and len(b) == total
+            and isinstance(last, np.ndarray)
+            and last.base is b
+            and first.__array_interface__["data"][0] == b.__array_interface__["data"][0]
+            and last.__array_interface__["data"][0] + 8 * len(last)
+            == b.__array_interface__["data"][0] + 8 * total
+        ):
+            flat = b
+        else:
+            flat = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in plist if len(p)]
+            )
+        fo = (flat, offs)
+    ctx.pos_flats[t] = fo
+    return fo
+
+
+def _keys_from_flat(
+    d: np.ndarray, flat: np.ndarray, offs: np.ndarray, cand: np.ndarray
+) -> np.ndarray:
+    """_term_flat_keys over the flattened representation: a pure
+    vectorized ragged gather (no per-doc Python), same sorted
+    (cand_index << 32 | position) output."""
+    mask, idx = _membership(d, cand)
+    ci = np.nonzero(mask)[0].astype(np.int64)
+    sel = idx[mask]
+    if not len(sel):
+        return EMPTY_I
+    starts = offs[sel]
+    lens = offs[sel + 1] - starts
+    tot = int(lens.sum())
+    if not tot:
+        return EMPTY_I
+    di = np.repeat(ci, lens)
+    cum = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=cum[1:])
+    within = np.arange(tot, dtype=np.int64) - np.repeat(cum, lens)
+    pos = flat[np.repeat(starts, lens) + within]
+    return (di << np.int64(32)) | pos
+
+
+def _term_keys_ctx(ctx: "ChunkContext", t: str, cand: np.ndarray) -> np.ndarray:
+    """Context-aware _term_flat_keys: memoized flat representation +
+    vectorized gather."""
+    flat, offs = _flat_of(ctx, t)
+    return _keys_from_flat(ctx.term(t)[0], flat, offs, cand)
 
 
 def _exact_phrase_freqs_keys(key_arrays: list[np.ndarray], n_cand: int) -> np.ndarray:
