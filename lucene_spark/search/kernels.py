@@ -2404,6 +2404,8 @@ def _ordered_flat_intervals(
     E_out: list[np.ndarray] = []
     if n_cand == 0 or any(not len(K) for K in key_arrays):
         return EMPTY_I, EMPTY_I
+    if n == 2:
+        return _two_term_flat_intervals(key_arrays[0], key_arrays[1], True, cap)
     K0 = key_arrays[0]
     ci0 = (K0 >> np.int64(32)).astype(np.int64)
     seg_len0 = np.bincount(ci0, minlength=n_cand).astype(np.int64)
@@ -2445,6 +2447,64 @@ def _ordered_flat_intervals(
     return S[order], E[order]
 
 
+_I64_MAX = np.int64(np.iinfo(np.int64).max)
+
+
+def _two_term_flat_intervals(
+    A: np.ndarray, B: np.ndarray, in_order: bool, cap
+) -> tuple[np.ndarray, np.ndarray]:
+    """Closed-form minimal intervals for TWO disjoint sorted key
+    streams (the dominant pair shape) — no lockstep loop, a handful of
+    searchsorted passes. Emits exactly the n-ary machines' set:
+
+    ordered: mutual-nearest crossings (c, b) with c = last A < b and
+    b = first B > c (the lazy-advance rounds of
+    :func:`_ordered_flat_intervals`).
+
+    unordered: A-started windows [a, firstB>=a] kept iff the next A
+    lies beyond the window (else the later start yields a contained
+    interval), plus the symmetric B-started windows — the emissions of
+    :func:`_unordered_flat_intervals`'s sliding window. Streams are
+    collision-checked upstream (A ∩ B = ∅), so >= and > coincide."""
+    if not len(A) or not len(B):
+        return EMPTY_I, EMPTY_I
+    if in_order:
+        i = np.searchsorted(A, B) - 1  # last A < b (disjoint: < == <=)
+        vb = i >= 0
+        c = A[np.maximum(i, 0)]
+        vb &= (c >> 32) == (B >> 32)
+        # b must be the FIRST B after c — later Bs over the same c
+        # would properly contain the first crossing
+        vb &= np.searchsorted(B, c, side="right") == np.arange(len(B))
+        S, E = c[vb], B[vb]
+        # starts strictly increase with b: already per-doc ascending
+    else:
+        ja = np.searchsorted(B, A)  # first B >= a
+        va = ja < len(B)
+        hiA = B[np.minimum(ja, len(B) - 1)]
+        va &= (hiA >> 32) == (A >> 32)
+        nxtA = np.empty(len(A), dtype=np.int64)
+        nxtA[:-1] = A[1:]
+        nxtA[-1] = _I64_MAX
+        va &= nxtA > hiA
+        jb = np.searchsorted(A, B)  # first A >= b
+        vb = jb < len(A)
+        hiB = A[np.minimum(jb, len(A) - 1)]
+        vb &= (hiB >> 32) == (B >> 32)
+        nxtB = np.empty(len(B), dtype=np.int64)
+        nxtB[:-1] = B[1:]
+        nxtB[-1] = _I64_MAX
+        vb &= nxtB > hiB
+        S = np.concatenate([A[va], B[vb]])
+        E = np.concatenate([hiA[va], hiB[vb]])
+        order = np.argsort(S, kind="stable")
+        S, E = S[order], E[order]
+    if cap is not None and len(S):
+        keep = (E & _LOW32) - (S & _LOW32) - 1 <= cap  # gaps = width - 2
+        S, E = S[keep], E[keep]
+    return S, E
+
+
 def _unordered_flat_intervals(
     key_arrays: list[np.ndarray], cap, n_cand: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -2454,6 +2514,8 @@ def _unordered_flat_intervals(
     n = len(key_arrays)
     if n_cand == 0 or any(not len(K) for K in key_arrays):
         return EMPTY_I, EMPTY_I
+    if n == 2:
+        return _two_term_flat_intervals(key_arrays[0], key_arrays[1], False, cap)
     slots = _flat_slots(key_arrays, n_cand)
     pos, ptr, lim, ok_docs = _init_slot_state(slots, n_cand)
     hi = pos.max(axis=1)
