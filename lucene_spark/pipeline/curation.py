@@ -114,7 +114,11 @@ def sample_stratified(
     bucket = _hash_bucket(id_col)
     expr = F.lit(int(default_rate * _BUCKETS))
     for val, rate in rates.items():
-        expr = F.when(F.col(group_col) == val, F.lit(int(rate * _BUCKETS))).otherwise(expr)
+        # None key = the NULL group (equality is NULL-valued against
+        # NULL, so it needs isNull — otherwise NULL-group rows would
+        # silently fall through to default_rate)
+        cond = F.col(group_col).isNull() if val is None else F.col(group_col) == val
+        expr = F.when(cond, F.lit(int(rate * _BUCKETS))).otherwise(expr)
     return df.filter(bucket < expr)
 
 

@@ -68,11 +68,15 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None, max_shingle_df: i
     """Exact Jaccard per doc pair from a (doc_id, shingle) relation.
     candidates=(doc_a < doc_b) restricts the join (LSH verify path);
     None = all pairs sharing >=1 shingle (small corpora only)."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     s = sh
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count("*").alias("c")).filter(F.col("c") > max_shingle_df)
         s = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    # sizes from the SAME (possibly hot-filtered) relation the
+    # intersections come from — restricted Jaccard over the surviving
+    # shingle space, so identical boilerplate-heavy docs still score
+    # 1.0 when their shared hot shingles are dropped from the join
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
     joined = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
@@ -132,7 +136,9 @@ def _mulmod_p61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def _fnv1a64_batch(tokens: np.ndarray) -> np.ndarray:
     """FNV-1a 64-bit over an array of (ASCII-safe) token strings,
     vectorized across tokens: one uint64 sweep per byte position
-    instead of a Python loop per byte. Identical output to _fnv1a64."""
+    instead of a Python loop per byte. Identical output to the scalar
+    per-byte FNV-1a definition (tests/test_pipeline.py asserts the
+    equivalence against a from-definition scalar)."""
     n = len(tokens)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
@@ -202,7 +208,11 @@ def minhash_lsh_pairs(
     cost instead of a quadratic one.
     """
     rows = num_perm // bands
-    sh = shingles(df, n, text_col, id_col).persist()
+    # NOT persisted: the relation is corpus-sized (caching it at 100 TB
+    # is pure write amplification, and a session looping over corpora
+    # would leak one pinned copy per call); the second pass over it
+    # (the verify join) recomputes a map-only tokenize+explode
+    sh = shingles(df, n, text_col, id_col)
     sig = minhash_signatures(sh, num_perm, seed)
     band_expr = f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, array_join(slice(sig, b * {rows} + 1, {rows}), ',') AS key))"
     banded = sig.select("doc_id", F.explode(F.expr(band_expr)).alias("bk")).select(
@@ -279,13 +289,6 @@ def simhash_pairs(
     )
     ham = cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
     return ham.filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
-
-
-def _fnv1a64(s: str) -> np.uint64:
-    h = np.uint64(0xCBF29CE484222325)
-    for c in s.encode():
-        h = np.uint64(h ^ np.uint64(c)) * np.uint64(0x100000001B3)
-    return h
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

@@ -19,15 +19,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _with_unit(df: DataFrame, vec_col: str, out: str) -> DataFrame:
-    """Add L2-normalized double vector + keep zero-vectors NULL."""
-    d = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
-    nrm = F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x))
-    return df.withColumn("_d", d).withColumn(
-        out, F.when(nrm > 0, F.expr("transform(_d, x -> x / sqrt(aggregate(_d, 0D, (a, v) -> a + v * v)))"))
-    ).drop("_d")
-
-
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 

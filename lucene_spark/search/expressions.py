@@ -423,16 +423,22 @@ class JavascriptExpression:
             v = bindings.get(name)
             if v is None:
                 if _BARE_ID.fullmatch(name):
-                    return f"CAST(`{name}` AS DOUBLE)"
+                    return f"COALESCE(CAST(`{name}` AS DOUBLE), CAST(0.0 AS DOUBLE))"
                 raise ValueError(
                     f"invalid reference {name!r}: not in bindings "
                     f"{sorted(bindings)} and not a bare column name"
                 )
             if isinstance(v, JavascriptExpression):
                 return v.sql(bindings, _depth=_depth + 1)
+            # a doc with no value reads as 0.0 at the VARIABLE level
+            # (the DoubleValues binding contract — ExpressionValueSource
+            # evaluates every variable to a double, value-less docs
+            # yield 0; lucene/expressions/.../ExpressionValueSource.java)
+            # so a NULL column never propagates NULL through the
+            # rendered expression (and collection sites never see None)
             if _BARE_ID.fullmatch(str(v)):
-                return f"CAST(`{v}` AS DOUBLE)"
-            return f"CAST(({v}) AS DOUBLE)"
+                return f"COALESCE(CAST(`{v}` AS DOUBLE), CAST(0.0 AS DOUBLE))"
+            return f"COALESCE(CAST(({v}) AS DOUBLE), CAST(0.0 AS DOUBLE))"
 
         return _render(self.ast, bind)
 
@@ -519,7 +525,9 @@ def expression_rescore(
         "doc_id", F.expr(expression.sql(bindings)).cast("double").alias("v")
     ).collect()
     combined = sorted(
-        ((int(r["doc_id"]), float(r["v"])) for r in rows), key=lambda t: (-t[1], t[0])
+        # v can still be NULL at cast domain edges (try_cast truncation)
+        ((int(r["doc_id"]), 0.0 if r["v"] is None else float(r["v"])) for r in rows),
+        key=lambda t: (-t[1], t[0]),
     )
     return TopDocs(
         combined[:top_n], first_pass.total_hits, first_pass.relation, {"mode": "expr-rescore"}

@@ -71,12 +71,13 @@ def at_least(min_should_match: int, *sources):
         return IOr(())  # NoMatchIntervalsSource: yields no intervals
     if m == n:
         return sources[0] if n == 1 else IUnordered(tuple(sources))
+    if m == 1:
+        # linear IOr — no combinatorial blowup, so no source cap
+        return IOr(tuple(sources))
     if n > 8:
         raise ValueError(
             f"atLeast over {n} sources expands to C({n},{m}) subsets; cap is 8"
         )
-    if m == 1:
-        return IOr(tuple(sources))
     return IOr(tuple(IUnordered(c) for c in combinations(sources, m)))
 
 
@@ -129,11 +130,14 @@ def _lex(s: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, toks, index, max_expansions):
+    def __init__(self, toks, index, max_expansions, field: str | None = None):
         self.toks = toks
         self.i = 0
         self.index = index
         self.max_expansions = max_expansions
+        # non-primary tokenized field: bare terms get composite postings
+        # keys and expansions run against that field's dictionary space
+        self.field = field
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -162,20 +166,33 @@ class _Parser:
         if not words:
             raise ValueError("empty text operand")
         if len(words) == 1:
-            return ITerm(words[0])
-        return IMaxGaps(0, IOrdered(tuple(ITerm(w) for w in words)))
+            return ITerm(self._key(words[0]))
+        return IMaxGaps(0, IOrdered(tuple(ITerm(self._key(w)) for w in words)))
 
-    def _expand(self, kind: str, pattern, label: str):
+    def _key(self, t: str) -> str:
+        """Scope a bare term to the parser's field (composite postings
+        key, the span_term(field=...) convention); primary field =
+        no prefix."""
+        if self.field:
+            from lucene_spark.index.builder import FIELD_SEP
+
+            return f"{self.field}{FIELD_SEP}{t}"
+        return t
+
+    def _expand(self, kind: str, pattern, label: str, cap: int | None = None):
         if self.index is None:
             raise ValueError(f"fn:{label} needs an index for term expansion")
+        # per-CALL cap (the fn's optional maxExpansions argument) — a
+        # local bound, never a mutation of the parser-wide default
+        cap = self.max_expansions if cap is None else min(cap, self.max_expansions)
+        # field-scoped expansion runs against the FIELD's key space in
+        # the term dictionary; returned terms are full composite keys
         if kind == "wildcard":
-            terms = self.index.expand_wildcard(pattern)
+            terms = self.index.expand_wildcard(pattern, field=self.field)
         else:
-            terms = self.index.expand_terms(kind, pattern)
-        if len(terms) > self.max_expansions:
-            raise ValueError(
-                f"fn:{label} expands to {len(terms)} terms > {self.max_expansions}"
-            )
+            terms = self.index.expand_terms(kind, pattern, field=self.field)
+        if len(terms) > cap:
+            raise ValueError(f"fn:{label} expands to {len(terms)} terms > {cap}")
         if not terms:
             return IOr(())  # matches nothing
         if len(terms) == 1:
@@ -259,13 +276,11 @@ class _Parser:
                 nums.append(self._number())
             self.take("rp")
             if name == "wildcard":
-                if nums:
-                    self.max_expansions = min(self.max_expansions, nums[0])
-                return self._expand("wildcard", v, "wildcard")
+                return self._expand("wildcard", v, "wildcard", cap=nums[0] if nums else None)
             max_edits = nums[0] if nums else 2
-            if len(nums) > 1:
-                self.max_expansions = min(self.max_expansions, nums[1])
-            return self._expand("fuzzy", (v, max_edits, 0), "fuzzyterm")
+            return self._expand(
+                "fuzzy", (v, max_edits, 0), "fuzzyterm", cap=nums[1] if len(nums) > 1 else None
+            )
         # two-source combinators
         a = self.source()
         b = self.source()
@@ -303,7 +318,13 @@ def parse_interval_fn(
     m = re.match(r"([A-Za-z_][\w.]*)\s*:\s*(fn:.*)$", s, re.S)
     if m and not m.group(1).lower() == "fn":
         field, s = m.group(1), m.group(2)
-    p = _Parser(_lex(s), index, max_expansions)
+    # a non-primary tokenized field scopes the whole tree: bare terms
+    # become composite postings keys and fn:wildcard/fn:fuzzyterm
+    # expand against that field's key space (the span_term(field=...)
+    # convention — IntervalQuery itself stays primary-keyed)
+    primary = index.primary_field if index is not None else "content"
+    scoped = field if field != primary else None
+    p = _Parser(_lex(s), index, max_expansions, scoped)
     src = p.function()
     if p.peek()[0] is not None:
         raise ValueError(f"trailing input after interval function: {p.peek()[1]!r}")

@@ -107,12 +107,19 @@ def _ray_cast_terms(lat_col: str, lon_col: str, points) -> list:
     if pts[0] == pts[-1]:
         pts = pts[:-1]
     for (y1, x1), (y2, x2) in zip(pts, pts[1:] + pts[:1]):
+        if y1 == y2:
+            # horizontal edge: can never straddle the point's latitude —
+            # skip rather than emit a /0 term (NULL under default Spark,
+            # DIVIDE_BY_ZERO error under spark.sql.ansi.enabled; the
+            # shapes.py ray cast skips these the same way)
+            continue
         straddles = (F.lit(float(y1)) > lat) != (F.lit(float(y2)) > lat)
         xcross = F.lit(float(x2 - x1)) * (lat - F.lit(float(y1))) / F.lit(float(y2 - y1)) + F.lit(
             float(x1)
         )
         terms.append(F.when(straddles & (lon < xcross), 1).otherwise(0))
-    return terms
+    # all-horizontal (zero-area) polygon: no ray ever crosses
+    return terms or [F.lit(0)]
 
 
 def polygon_condition(q) -> Column:

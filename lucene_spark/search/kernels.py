@@ -638,6 +638,16 @@ def evaluate(spec, ctx: ChunkContext) -> tuple[np.ndarray, np.ndarray]:
             if not len(docs):
                 return EMPTY_I, EMPTY_F
             vals = np.asarray(spec.vals, dtype=np.float64).reshape(len(docs), -1)
+        if ctx.doc_range is not None:
+            # like DocSetSpec above: a driver-resolved doc set must be
+            # sliced to this chunk's window, or chunk-parallel scans
+            # (distributed / sorted early-termination) emit the same
+            # doc once per chunk
+            lo, hi = ctx.doc_range
+            a, b = np.searchsorted(docs, lo), np.searchsorted(docs, hi)
+            docs, vals = docs[a:b], vals[a:b]
+            if not len(docs):
+                return EMPTY_I, EMPTY_F
         return docs, value_scores(spec.kind, spec.params, spec.boost, vals)
     if isinstance(spec, ConstSpec):
         parts = [ctx.term(t)[0] for t in spec.terms]
@@ -2399,13 +2409,23 @@ def _ordered_flat_intervals(
     arrays, per-doc ascending — the interval-collecting twin of
     :func:`_ordered_flat_freqs` (same chains, same order), for filtered
     combinators that post-process the interval set."""
+    if n_cand == 0 or any(not len(K) for K in key_arrays):
+        return EMPTY_I, EMPTY_I
+    if len(key_arrays) == 2:
+        return _two_term_flat_intervals(key_arrays[0], key_arrays[1], True, cap)
+    return _ordered_flat_intervals_nary(key_arrays, cap, n_cand)
+
+
+def _ordered_flat_intervals_nary(
+    key_arrays: list[np.ndarray], cap, n_cand: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """The n-ary lazy-advance machine (kept directly callable for the
+    pair-kernel equivalence tests)."""
     n = len(key_arrays)
     S_out: list[np.ndarray] = []
     E_out: list[np.ndarray] = []
     if n_cand == 0 or any(not len(K) for K in key_arrays):
         return EMPTY_I, EMPTY_I
-    if n == 2:
-        return _two_term_flat_intervals(key_arrays[0], key_arrays[1], True, cap)
     K0 = key_arrays[0]
     ci0 = (K0 >> np.int64(32)).astype(np.int64)
     seg_len0 = np.bincount(ci0, minlength=n_cand).astype(np.int64)
@@ -2510,12 +2530,25 @@ def _unordered_flat_intervals(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Unordered minimal intervals as flat composite-key (start, end)
     arrays, per-doc ascending — the collecting twin of
-    :func:`_unordered_flat_freqs`."""
+    :func:`_unordered_flat_freqs`. Two streams dispatch to the
+    closed-form pair kernel; n >= 3 runs the lockstep machine
+    (:func:`_unordered_flat_intervals_nary`)."""
+    if n_cand == 0 or any(not len(K) for K in key_arrays):
+        return EMPTY_I, EMPTY_I
+    if len(key_arrays) == 2:
+        return _two_term_flat_intervals(key_arrays[0], key_arrays[1], False, cap)
+    return _unordered_flat_intervals_nary(key_arrays, cap, n_cand)
+
+
+def _unordered_flat_intervals_nary(
+    key_arrays: list[np.ndarray], cap, n_cand: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """The n-ary sliding-window machine (kept directly callable — the
+    pair-kernel equivalence tests run it at n == 2 against the closed
+    form)."""
     n = len(key_arrays)
     if n_cand == 0 or any(not len(K) for K in key_arrays):
         return EMPTY_I, EMPTY_I
-    if n == 2:
-        return _two_term_flat_intervals(key_arrays[0], key_arrays[1], False, cap)
     slots = _flat_slots(key_arrays, n_cand)
     pos, ptr, lim, ok_docs = _init_slot_state(slots, n_cand)
     hi = pos.max(axis=1)

@@ -87,11 +87,12 @@ def infix_suggest(
 
     Returns (suggestion, weight) ordered by weight desc, suggestion asc.
     """
-    frag = fragment.lower().replace("'", "\\'")
-    tok = F.expr(
-        f"exists(regexp_extract_all(lower(`{text_col}`), '{token_pattern}', 0), "
-        f"t -> t LIKE '{frag}%')"
-    )
+    # Column API, not an interpolated SQL string: the fragment rides as
+    # a literal through startswith, so LIKE/regex metacharacters (%, _,
+    # quotes, backslashes) in user input match literally
+    frag = fragment.lower()
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_pattern), F.lit(0))
+    tok = F.exists(toks, lambda t: t.startswith(frag))
     return (
         suggestions_df.filter(tok)
         .select(

@@ -70,7 +70,9 @@ def _boost(e: ET.Element, q: A.Query) -> A.Query:
 def _tokenize(text: str, analyzer: str | None) -> list[str]:
     from lucene_spark.analysis import tokenize
 
-    return list(tokenize(text))
+    # same chain as the rest of the parse (UserQuery passes analyzer to
+    # parse_query) — TermsQuery/SpanOrTerms must tokenize identically
+    return list(tokenize(text, stem=analyzer or False))
 
 
 def parse_xml_query(
@@ -120,7 +122,9 @@ def _boolean(e, field, default_field, analyzer):
     for c in e:
         if c.tag != "Clause":
             continue
-        occ = _OCCURS.get(c.get("occurs", ""))
+        # case-insensitive like BooleanQueryBuilder (canonical spelling
+        # in the reference's XML is camelCase "mustNot")
+        occ = _OCCURS.get(c.get("occurs", "").lower())
         if occ is None:
             raise ValueError(f"invalid occurs value {c.get('occurs')!r}")
         sub = [x for x in c if isinstance(x.tag, str)]

@@ -54,22 +54,39 @@ class StreamingIndexer:
         # per-batch doc ids: deterministic rank within the batch, offset
         # into a per-batch id space (ids need not be contiguous, only
         # unique + stable; 2^33 docs per batch headroom)
-        kcols = [F.col(k) for k in DOC_KEYS if k in batch_df.columns] or [F.col(cfg.field)]
-        w = Window.orderBy(*kcols)
+        keyset = [k for k in DOC_KEYS if k in batch_df.columns]
+        kcols = [F.col(k) for k in keyset] or [F.col(cfg.field)]
+        # a TOTAL deterministic order: rows tied on the doc keys break
+        # on every remaining column, so replays assign identical ids
+        # and rows equal in every column are genuinely interchangeable
+        tie = [
+            F.col(c)
+            for c, t in sorted(batch_df.dtypes)
+            if c not in keyset and not t.startswith(("array", "map", "struct", "binary"))
+        ]
+        w = Window.orderBy(*kcols, *tie)
         base = batch_df.withColumn(
             "doc_id",
             (F.row_number().over(w).cast("long") + F.lit(batch_id * (1 << 33)).cast("long")),
         )
-        tokenized = self._inner.tokenized(base)
-        d = f"{self.index_dir}/segments/seg=s{batch_id}"
-        tokenized.select(
-            "doc_id",
-            *[F.col(k) for k in DOC_KEYS if k in batch_df.columns],
-            *([F.col("lang")] if "lang" in batch_df.columns else []),
-            F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
-        ).write.mode("overwrite").parquet(f"{d}/docs")
-        tokenized.select("doc_id", "dl", "norm").write.mode("overwrite").parquet(f"{d}/norms")
-        self._inner.inverted(tokenized).write.mode("overwrite").parquet(f"{d}/inverted")
+        from pyspark import StorageLevel
+
+        # ONE materialization of the id-assigned tokenized relation:
+        # the three writes below must all see the same doc_id per row
+        # (an uncached plan would re-run the window per write)
+        tokenized = self._inner.tokenized(base).persist(StorageLevel.DISK_ONLY)
+        try:
+            d = f"{self.index_dir}/segments/seg=s{batch_id}"
+            tokenized.select(
+                "doc_id",
+                *[F.col(k) for k in keyset],
+                *([F.col("lang")] if "lang" in batch_df.columns else []),
+                F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
+            ).write.mode("overwrite").parquet(f"{d}/docs")
+            tokenized.select("doc_id", "dl", "norm").write.mode("overwrite").parquet(f"{d}/norms")
+            self._inner.inverted(tokenized).write.mode("overwrite").parquet(f"{d}/inverted")
+        finally:
+            tokenized.unpersist()
 
     def start(self, stream_df: DataFrame, checkpoint_dir: str, trigger_available_now: bool = True):
         """Attach the indexer to a streaming DataFrame of corpus rows.

@@ -11,6 +11,7 @@ import pytest
 from lucene_spark.pipeline.curation import (
     contaminated_ids,
     decontaminate,
+    rebalance_sources,
     sample_deterministic,
     sample_stratified,
 )
@@ -95,6 +96,19 @@ def test_sample_stratified(spark, corpus_pdf):
     # default_rate=0 drops unknown groups entirely
     got2 = sample_stratified(df, {"even": 1.0}, "grp").count()
     assert got2 == sum(1 for d in docs.doc_id if d % 2 == 0)
+
+
+def test_sample_stratified_null_group(spark):
+    """A None key in rates addresses the NULL group (equality against
+    NULL is NULL-valued, so the CASE needs isNull) — NULL-group rows
+    must follow their rate, not fall through to default_rate."""
+    rows = [(d, "a" if d % 2 == 0 else None) for d in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = sample_stratified(df, {"a": 0.0, None: 1.0}, "grp").collect()
+    assert {r["doc_id"] for r in got} == {d for d in range(200) if d % 2 == 1}
+    # and rebalance_sources over a corpus with NULL groups keeps them
+    kept = rebalance_sources(df, "grp", 1.0).count()
+    assert kept == 200
 
 
 def test_rebalance_sources(spark, corpus_pdf):

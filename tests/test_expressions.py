@@ -195,6 +195,26 @@ class TestSearchIntegration:
             assert math.isclose(got_v, v, rel_tol=1e-6)
         assert td.total_hits == first.total_hits
 
+    def test_rescore_null_binding_reads_zero(self, spark, search_index):
+        """A doc with no value for a bound column reads 0.0 at the
+        variable level (the DoubleValues binding contract,
+        ExpressionValueSource.java) — no crash, no NULL propagation."""
+        s = Searcher(search_index)
+        first = s.search(A.TermQuery("return"), k=5)
+        hit_ids = [d for d, _ in first.hits]
+        # docs table with `size` NULL for one of the hit docs
+        docs = search_index.docs.selectExpr(
+            "doc_id",
+            f"CASE WHEN doc_id = {hit_ids[0]} THEN CAST(NULL AS DOUBLE) "
+            "ELSE CAST(length(path) AS DOUBLE) END AS size",
+        )
+        td = expression_rescore(s, first, "_score + ln(1 + size)", docs, top_n=5)
+        assert len(td.hits) == len(first.hits)
+        got = dict(td.hits)
+        fp = dict(first.hits)
+        # NULL size -> size reads 0.0 -> ln(1) = 0 -> value == _score
+        assert math.isclose(got[hit_ids[0]], fp[hit_ids[0]], rel_tol=1e-6)
+
     def test_function_score_accepts_compiled_sql(self, search_index, oracle):
         from lucene_spark.search.functionscore import function_score
 

@@ -220,3 +220,28 @@ class TestEndToEnd:
     def test_wildcard_expansion_cap(self, spark, search_index):
         with pytest.raises(ValueError, match="expands to"):
             parse_interval_fn("fn:wildcard(r* 1)", index=search_index)
+
+    def test_percall_cap_does_not_leak(self, spark, search_index):
+        """A per-fn maxExpansions argument bounds THAT call only — the
+        second wildcard keeps the parser-wide default cap."""
+        q = parse_interval_fn(
+            "fn:or(fn:wildcard(retur* 2) fn:wildcard(ret*))", index=search_index
+        )
+        assert q.source is not None
+
+    def test_atleast_one_of_many_is_linear(self):
+        # m == 1 is a plain IOr — no combinatorial cap applies
+        src = at_least(1, *[ITerm(c) for c in "abcdefghij"])
+        assert isinstance(src, IOr) and len(src.sources) == 10
+
+    def test_field_scoped_terms_and_expansion(self, spark, search_index):
+        """title:fn:... scopes bare terms AND wildcard expansion into
+        the field's composite key space (span_term(field=) convention)."""
+        from lucene_spark.index.builder import FIELD_SEP
+
+        q = parse_interval_fn("somefield:fn:ordered(alpha beta)", index=search_index)
+        terms = sorted({t.term for t in q.source.sources})
+        assert terms == [f"somefield{FIELD_SEP}alpha", f"somefield{FIELD_SEP}beta"]
+        # primary-field prefix leaves terms bare
+        q2 = parse_interval_fn("content:fn:ordered(alpha beta)", index=search_index)
+        assert sorted({t.term for t in q2.source.sources}) == ["alpha", "beta"]

@@ -41,6 +41,30 @@ class TestIndexSort:
         assert lens == sorted(lens, reverse=True)
         assert [r["doc_id"] for r in rows] == list(range(len(rows)))
 
+    def test_valuespec_sliced_per_chunk(self, sorted_ix):
+        """A driver-resolved ValueSpec (FeatureQuery over a docvalues
+        column) must be sliced to each chunk's doc window during the
+        chunk-at-a-time sorted scan — without the slice every chunk
+        re-emits the spec's FULL doc set: duplicated doc ids and
+        out-of-window docs in the early-terminated prefix."""
+        from lucene_spark.search import ast as A
+
+        _, s = sorted_ix
+        q = A.BooleanQuery(
+            (
+                (A.Occur.SHOULD, A.TermQuery("return")),
+                (A.Occur.SHOULD, A.FeatureQuery("n_chars", "saturation", pivot=256.0)),
+            )
+        )
+        td = s.search_sorted_index(q, k=40)
+        ids = [d for d, _ in td.hits]
+        assert len(ids) == len(set(ids)), "duplicated doc ids across chunks"
+        # the sorted scan fills in doc-id order: prefix must be exactly [0..k)
+        assert ids == sorted(ids)
+        full = s.search_sorted_index(q, k=10_000)
+        fids = [d for d, _ in full.hits]
+        assert fids == sorted(set(fids))
+
     def test_early_termination_on_dense_term(self, sorted_ix):
         _, s = sorted_ix
         td = s.search_sorted_index("return", k=5)  # df == N in fixtures

@@ -147,6 +147,22 @@ class TestSuggest:
         # prefix-of-token only: 'eta' is infix of 'beta' but not a token prefix
         assert infix_suggest(sugg, "eta", k=10).count() == 0
 
+    def test_infix_fragment_metachars_are_literal(self, spark):
+        """LIKE/regex metacharacters in the user fragment must match
+        literally — no [a-z0-9]+ token can contain % or _, so these
+        lookups return nothing (they used to wildcard-match)."""
+        from lucene_spark.search.suggest import infix_suggest
+
+        sugg = spark.createDataFrame(
+            [("100th street", 5), ("totally unrelated", 9)],
+            "suggestion string, weight long",
+        )
+        assert infix_suggest(sugg, "100%", k=10).count() == 0
+        assert infix_suggest(sugg, "tot_lly", k=10).count() == 0
+        assert infix_suggest(sugg, "to'tal", k=10).count() == 0
+        # plain fragments still match
+        assert infix_suggest(sugg, "100", k=10).count() == 1
+
 
 class TestMoreLikeThis:
     def test_interesting_terms_vs_brute(self, spark, search_index, corpus_pdf):

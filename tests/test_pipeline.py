@@ -68,6 +68,45 @@ class TestDedup:
         for k in got:
             assert got[k] == pytest.approx(want[k], abs=1e-12)
 
+    def test_fnv1a64_batch_matches_scalar_definition(self):
+        import numpy as np
+
+        from lucene_spark.pipeline.dedup import _fnv1a64_batch
+
+        def scalar(s: str) -> int:
+            h = 0xCBF29CE484222325
+            for c in s.encode():
+                h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h
+
+        toks = np.array(["", "a", "abc", "hello world", "x" * 40, "0 1 2 3 4"])
+        got = _fnv1a64_batch(toks)
+        assert [int(v) for v in got] == [scalar(t) for t in toks]
+
+    def test_hot_shingle_cap_keeps_identical_docs(self, spark):
+        """Restricted Jaccard: sizes come from the SAME hot-filtered
+        shingle space as the intersections, so two identical docs
+        score 1.0 even when their shared shingles are df-capped."""
+        from lucene_spark.pipeline import jaccard_pairs
+
+        hot = " common boilerplate words repeated across every document in this corpus"
+        uniq = [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight",
+            "red green blue cyan magenta yellow black white",
+        ]
+        # three pairs of identical docs; the hot tail's shingles have
+        # df=6 (> cap) and get filtered, each pair's unique shingles
+        # have df=2 and survive
+        rows = [(2 * i + j, u + hot) for i, u in enumerate(uniq) for j in (0, 1)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs(df, threshold=0.9, max_shingle_df=3).collect()
+        }
+        assert set(got) == {(0, 1), (2, 3), (4, 5)}
+        assert all(v == pytest.approx(1.0) for v in got.values())
+
     def test_minhash_lsh_equals_exact(self, spark, docs_df, docs_pdf):
         from lucene_spark.pipeline import minhash_lsh_pairs
 

@@ -14,9 +14,9 @@ import numpy as np
 import pytest
 
 from lucene_spark.search.kernels import (
-    _ordered_flat_intervals,
+    _ordered_flat_intervals_nary,
     _two_term_flat_intervals,
-    _unordered_flat_intervals,
+    _unordered_flat_intervals_nary,
 )
 
 
@@ -88,18 +88,26 @@ def test_pair_kernel_matches_brute(in_order, cap):
 
 
 @pytest.mark.parametrize("in_order", [True, False])
-def test_nary_dispatch_equals_pair_kernel(in_order):
-    """The n-ary machines dispatch to the pair kernel at n == 2 — the
-    public entry points must give the same answer."""
-    rng = np.random.default_rng(7)
-    for _ in range(50):
-        pool = rng.permutation(30)
-        A = {0: sorted(int(p) for p in pool[:5]), 1: sorted(int(p) for p in pool[10:13])}
-        B = {0: sorted(int(p) for p in pool[5:10]), 1: sorted(int(p) for p in pool[13:17])}
+@pytest.mark.parametrize("cap", [None, 0, 3, 9])
+def test_nary_machine_equals_pair_kernel(in_order, cap):
+    """The closed-form pair kernel must emit EXACTLY what the n-ary
+    lockstep machine emits when run with the same two streams — set,
+    order, and gap filtering (the machine bodies stay directly
+    callable for this check; the public entry points dispatch n == 2
+    to the pair kernel)."""
+    rng = np.random.default_rng(7 + (cap or 0))
+    for _ in range(100):
+        n_docs = int(rng.integers(1, 4))
+        A, B = {}, {}
+        for d in range(n_docs):
+            pool = rng.permutation(26)
+            na, nb = int(rng.integers(0, 7)), int(rng.integers(0, 7))
+            A[d] = sorted(int(p) for p in pool[:na])
+            B[d] = sorted(int(p) for p in pool[na : na + nb])
         ka, kb = _keys(A), _keys(B)
-        fn = _ordered_flat_intervals if in_order else _unordered_flat_intervals
-        S1, E1 = fn([ka, kb], 3, 2)
-        S2, E2 = _two_term_flat_intervals(ka, kb, in_order, 3)
+        fn = _ordered_flat_intervals_nary if in_order else _unordered_flat_intervals_nary
+        S1, E1 = fn([ka, kb], cap, n_docs)
+        S2, E2 = _two_term_flat_intervals(ka, kb, in_order, cap)
         assert S1.tolist() == S2.tolist() and E1.tolist() == E2.tolist()
 
 

@@ -62,6 +62,28 @@ class TestParseShapes:
         )
         assert (A.Occur.FILTER, A.TermQuery("b")) in q.clauses
 
+    def test_occurs_case_insensitive(self):
+        # BooleanQueryBuilder matches occurs case-insensitively; the
+        # reference XML's canonical spelling is camelCase "mustNot"
+        q = parse_xml_query(
+            '<BooleanQuery fieldName="content">'
+            '<Clause occurs="MUST"><TermQuery>a</TermQuery></Clause>'
+            '<Clause occurs="mustNot"><TermQuery>b</TermQuery></Clause>'
+            "</BooleanQuery>"
+        )
+        assert (A.Occur.MUST, A.TermQuery("a")) in q.clauses
+        assert (A.Occur.MUST_NOT, A.TermQuery("b")) in q.clauses
+
+    def test_terms_query_uses_analyzer(self):
+        # TermsQuery must tokenize with the SAME chain the rest of the
+        # parse uses — porter-stemmed here, like UserQuery would
+        q = parse_xml_query(
+            '<TermsQuery fieldName="content">running quickly</TermsQuery>',
+            analyzer="porter",
+        )
+        terms = {c[1].term for c in q.clauses}
+        assert terms == {"run", "quickli"}
+
     def test_terms_query_analyzes(self):
         q = parse_xml_query(
             '<TermsQuery fieldName="content" minimumNumberShouldMatch="2">'
