@@ -340,7 +340,15 @@ def _walk(q: A.Query, syn: SynonymMap, field: str) -> A.Query:
             return A.BooleanQuery(tuple((A.Occur.SHOULD, s) for s in subs))
         slots = tuple(_slot_alts((t,), syn) for t in q.terms)
         if all(len(s) == 1 for s in slots):
-            return q
+            new_terms = tuple(s[0] for s in slots)
+            if new_terms == q.terms:
+                return q
+            # replacement rules (a => b, expand=false): the surviving
+            # single alternative may DIFFER from the surface term —
+            # rebuild the phrase over the substituted terms (returning
+            # q unchanged would keep the replaced word and match
+            # nothing the rule intended)
+            return A.PhraseQuery(new_terms, slop=q.slop, field=field)
         return A.MultiPhraseQuery(slots, slop=q.slop, field=field)
     if isinstance(q, A.MultiPhraseQuery) and getattr(q, "field", field) == field:
         return A.MultiPhraseQuery(

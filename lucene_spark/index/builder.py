@@ -262,6 +262,10 @@ def assign_doc_ids(
         .withColumn("doc_id", F.col("_offset") + F.row_number().over(w) - 1)
         .drop("_pid", "_offset")
     )
+    # hand the persisted intermediate to the caller for release after
+    # its job materializes (a session looping over builds would
+    # otherwise accumulate one pinned corpus copy per call)
+    out._assign_ids_persisted = ordered
     return out
 
 
@@ -391,6 +395,11 @@ def chain_manifest_keys(cfg: "IndexConfig", index_dir: str | None = None) -> dic
         "synonyms": [list(g) for g in cfg.synonyms] or None,
         "char_filters": list(cfg.char_filters),
         "delimited_payloads": cfg.delimited_payloads,
+        # IndexOptions: a writer/merger opened on this index must stage
+        # segments with the SAME inverted schema (a positions=True
+        # append onto a positions=False index would mix schemas)
+        "positions": cfg.positions,
+        "offsets": cfg.offsets,
     }
     if index_dir:
         mpath = f"{index_dir}/manifest.json"
@@ -404,6 +413,41 @@ def chain_manifest_keys(cfg: "IndexConfig", index_dir: str | None = None) -> dic
                 if k in cur:
                     base[k] = cur[k]
     return base
+
+
+def write_collection_stats_from_tables(spark, index_dir: str, cfg: "IndexConfig") -> int:
+    """Recompute collection_stats from the final norms/term_stats
+    tables (no postings decode), one row PER FIELD — the build()
+    contract that SearchIndex.stats_for(field) depends on. Used by the
+    incremental paths (IndexWriter commits, resumable merge) whose
+    stats must match a one-shot build over the same corpus."""
+    norms = spark.read.parquet(f"{index_dir}/norms")
+    n_docs, sum_ttf = norms.agg(F.count("*"), F.sum("dl")).first()
+    ts = spark.read.parquet(f"{index_dir}/term_stats")
+    prim_ts = ts.filter(~F.col("term").contains(FIELD_SEP))
+    if _stacker_of(cfg) is not None:
+        # stacked tokens: sum_ttf counts every posting; Σ dl is the
+        # DISCOUNTED total (the statistics split, see IndexBuilder)
+        sum_ttf = prim_ts.agg(F.sum("ttf")).first()[0]
+    sum_df = prim_ts.agg(F.sum("df")).first()[0]
+    rows = [(int(n_docs), int(sum_ttf or 0), int(sum_df or 0), cfg.field)]
+    for xf in cfg.extra_fields:
+        r = (
+            ts.filter(F.col("term").startswith(xf + FIELD_SEP))
+            .agg(F.sum("df"), F.sum("ttf"))
+            .first()
+        )
+        dc = (
+            norms.filter(F.col(f"norm_{xf}").isNotNull()).count()
+            if f"norm_{xf}" in norms.columns
+            else 0
+        )
+        rows.append((int(dc), int(r[1] or 0), int(r[0] or 0), xf))
+    spark.createDataFrame(
+        rows, schema="doc_count long, sum_ttf long, sum_df long, field string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/collection_stats")
+    spark.catalog.refreshByPath(f"{index_dir}/collection_stats")
+    return int(n_docs)
 
 
 def adopt_chain_config(cfg: "IndexConfig", index_dir: str) -> "IndexConfig":
@@ -426,7 +470,15 @@ def adopt_chain_config(cfg: "IndexConfig", index_dir: str) -> "IndexConfig":
     over: dict = {}
     if "analyzer" in m:
         over["analyzer"] = m["analyzer"] or "standard"
-    for k in ("field", "vector_field", "stem_repeat", "shingle_unigrams", "delimited_payloads"):
+    for k in (
+        "field",
+        "vector_field",
+        "stem_repeat",
+        "shingle_unigrams",
+        "delimited_payloads",
+        "positions",
+        "offsets",
+    ):
         if k in m:
             over[k] = m[k]
     for k in ("extra_fields", "index_sort", "char_filters", "common_grams"):
@@ -770,6 +822,7 @@ class IndexBuilder:
                     "term",
                     "doc_id",
                     "norm",
+                    *dlc,  # stacked stages carry the discounted dl through
                     "tf",
                     F.expr("transform(occ, x -> x.pos)").alias("poss"),
                     F.expr("transform(occ, x -> x.st)").alias("sts"),
@@ -1187,6 +1240,9 @@ class IndexBuilder:
         t_done = time.time()
         inverted.unpersist()
         term_stats.unpersist()
+        pers = getattr(base, "_assign_ids_persisted", None)
+        if pers is not None:
+            pers.unpersist()
 
         elapsed = time.time() - t0
         metrics = {

@@ -135,8 +135,14 @@ def check_index(index, raise_on_failure: bool = True) -> dict:
     s = index.stats
     report["doc_count_ok"] = int(agg["n"]) == s.doc_count
     m = index.manifest
+    # every stacked stage splits the stats — same set _stacker_of covers
     stacked = bool(
-        m.get("shingles") or m.get("common_grams") or m.get("ngrams") or m.get("edge_ngrams")
+        m.get("shingles")
+        or m.get("common_grams")
+        or m.get("ngrams")
+        or m.get("edge_ngrams")
+        or m.get("stem_repeat")
+        or m.get("synonyms")
     )
     if stacked:
         from lucene_spark.index.builder import FIELD_SEP

@@ -90,14 +90,36 @@ class ResumableIndexBuilder:
 
         d = self._seg_dir(index_dir, seg)
         tokenized = self._inner.tokenized(seg_corpus).persist()
+        # keep EVERY metadata column (the one-shot build() contract:
+        # docs = stored fields / doc-values store — keyword filters,
+        # numeric ranges, and DV updates on those columns must work
+        # identically on a resumable build)
+        meta_cols = [
+            c
+            for c in corpus_ids.columns
+            if c not in (cfg.field, "doc_id", "content_sha256", cfg.vector_field)
+        ]
         docs = tokenized.select(
             "doc_id",
-            *[F.col(k) for k in DOC_KEYS if k in corpus_ids.columns],
-            *([F.col("lang")] if "lang" in corpus_ids.columns else []),
+            *[F.col(c) for c in meta_cols],
             F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
         )
         norms = tokenized.select("doc_id", "dl", "norm")
         inverted = self._inner.inverted(tokenized)
+        # extra tokenized fields: prefixed inversion union + per-field
+        # norm bytes, exactly like build() (FieldInfos union)
+        from lucene_spark.index.builder import FIELD_SEP
+
+        for xf in cfg.extra_fields:
+            inv_x = self._inner.inverted(
+                self._inner.tokenized(seg_corpus, field=xf), prefix=xf + FIELD_SEP
+            )
+            inverted = inverted.unionByName(inv_x)
+            norms = norms.join(
+                inv_x.groupBy("doc_id").agg(F.max("norm").cast("int").alias(f"norm_{xf}")),
+                "doc_id",
+                "left",
+            )
 
         docs.write.mode("overwrite").parquet(f"{d}/docs")
         norms.write.mode("overwrite").parquet(f"{d}/norms")
@@ -165,24 +187,9 @@ class ResumableIndexBuilder:
         for t in ("docs", "norms", "postings", "term_stats", "collection_stats"):
             self.spark.catalog.refreshByPath(f"{index_dir}/{t}")
 
-        norms_f = self.spark.read.parquet(f"{index_dir}/norms")
-        n_docs, sum_ttf = norms_f.agg(F.count("*"), F.sum("dl")).first()
-        ts_f = self.spark.read.parquet(f"{index_dir}/term_stats")
-        from lucene_spark.index.builder import _stacker_of
+        from lucene_spark.index.builder import write_collection_stats_from_tables
 
-        if _stacker_of(cfg) is not None:
-            # stacked tokens: statistics split (see IndexBuilder);
-            # primary field only (prefixed terms = extra fields)
-            from lucene_spark.index.builder import FIELD_SEP
-
-            sum_ttf = (
-                ts_f.filter(~F.col("term").contains(FIELD_SEP)).agg(F.sum("ttf")).first()[0]
-            )
-        sum_df = ts_f.agg(F.sum("df")).first()[0]
-        self.spark.createDataFrame(
-            [(int(n_docs), int(sum_ttf or 0), int(sum_df or 0), cfg.field)],
-            schema="doc_count long, sum_ttf long, sum_df long, field string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/collection_stats")
+        n_docs = write_collection_stats_from_tables(self.spark, index_dir, cfg)
         return {"merged_segments": segs, "docs": int(n_docs), "merge_sec": round(time.time() - t0, 3)}
 
     # ---- end-to-end -------------------------------------------------------
@@ -195,6 +202,9 @@ class ResumableIndexBuilder:
         seg_recs = [self.build_segment(base, index_dir, s) for s in range(self.n_segments)]
         merge_rec = self.merge(index_dir)
         base.unpersist()
+        pers = getattr(base, "_assign_ids_persisted", None)
+        if pers is not None:
+            pers.unpersist()
         elapsed = time.time() - t0
         stats_row = self.spark.read.parquet(f"{index_dir}/collection_stats").first()
         from lucene_spark.index.builder import chain_manifest_keys

@@ -123,8 +123,26 @@ def apply_dv_updates(spark: SparkSession, index_dir: str) -> list[str]:
     base = spark.read.parquet(f"{index_dir}/docs")
     merged = overlay_docs(spark, index_dir, base)
     tmp = f"{index_dir}/docs_dvtmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(f"{index_dir}/docs")
-    os.rename(tmp, f"{index_dir}/docs")
+    docs_dir = f"{index_dir}/docs"
+    tiers = sorted(
+        p for p in os.listdir(docs_dir) if p.startswith("tier=") and not p.startswith("tier=_")
+    )
+    if tiers:
+        # tiered (hive-partitioned) writer layout: rewrite PER TIER so
+        # the partition dirs survive — a flat rewrite would leave the
+        # next commit's tier=K beside bare part files and break
+        # partition discovery for every later reader open
+        merged.write.mode("overwrite").partitionBy("tier").parquet(tmp)
+        shutil.rmtree(docs_dir)
+        os.makedirs(docs_dir)
+        for p in os.listdir(tmp):
+            if p.startswith("tier="):
+                os.rename(os.path.join(tmp, p), os.path.join(docs_dir, p))
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(docs_dir)
+        os.rename(tmp, docs_dir)
+    spark.catalog.refreshByPath(docs_dir)
     shutil.rmtree(_updates_root(index_dir))
     return fields

@@ -225,16 +225,9 @@ class SearchIndex:
 
         return load_deleted(self.spark, self.index_dir)
 
-    @cached_property
+    @property
     def _manifest(self) -> dict:
-        import json
-        import os
-
-        path = os.path.join(self.index_dir, "manifest.json")
-        if os.path.exists(path):
-            with open(path) as fh:
-                return json.load(fh)
-        return {}
+        return self.manifest  # single cached load (one source of truth)
 
     @cached_property
     def primary_field(self) -> str:

@@ -129,8 +129,27 @@ class IndexWriter:
             *[F.col(c) for c in meta_cols],
             F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
         ).write.mode("overwrite").parquet(f"{d}/docs")
-        tokenized.select("doc_id", "dl", "norm").write.mode("overwrite").parquet(f"{d}/norms")
-        self._inner.inverted(tokenized).write.mode("overwrite").parquet(f"{d}/inverted")
+        # extra tokenized fields union into the same inverted relation
+        # under their prefixed key space, and the segment norms carry
+        # the per-field norm byte — the one-shot build() contract
+        # (FieldInfos union; CombinedFieldQuery needs every field's
+        # norm), so appended docs stay searchable on every field
+        from lucene_spark.index.builder import FIELD_SEP
+
+        inverted = self._inner.inverted(tokenized)
+        norms_df = tokenized.select("doc_id", "dl", "norm")
+        for xf in cfg.extra_fields:
+            inv_x = self._inner.inverted(
+                self._inner.tokenized(with_ids, field=xf), prefix=xf + FIELD_SEP
+            )
+            inverted = inverted.unionByName(inv_x)
+            norms_df = norms_df.join(
+                inv_x.groupBy("doc_id").agg(F.max("norm").cast("int").alias(f"norm_{xf}")),
+                "doc_id",
+                "left",
+            )
+        norms_df.write.mode("overwrite").parquet(f"{d}/norms")
+        inverted.write.mode("overwrite").parquet(f"{d}/inverted")
         n = self.spark.read.parquet(f"{d}/norms").count()
         return {"segment": f"w{gen}", "n_docs": int(n), "first_doc_id": base}
 
@@ -202,6 +221,28 @@ class IndexWriter:
 
         commits = self._load_commits()
         committed = {s for t in commits["tiers"] for s in t["segments"]}
+        if not commits["tiers"] and os.path.exists(f"{self.index_dir}/postings"):
+            # flat tables without a commit record (one-shot / resumable /
+            # streaming-merged build): the flat tables ARE the last
+            # commit point, backed by every segment whose docs precede
+            # the flat max doc id — the same coverage heuristic
+            # _tiered_commit applies. Without this guard a rollback on a
+            # fresh resumable build would delete the intermediates
+            # behind the live index.
+            flat_max = (
+                self.spark.read.parquet(f"{self.index_dir}/norms")
+                .agg(F.max("doc_id"))
+                .first()[0]
+            )
+            if flat_max is not None:
+                for s in self._staged_segments():
+                    mn = (
+                        self.spark.read.parquet(f"{self.index_dir}/segments/seg={s}/norms")
+                        .agg(F.min("doc_id"))
+                        .first()[0]
+                    )
+                    if mn is not None and int(mn) <= int(flat_max):
+                        committed.add(s)
         removed = []
         for s in self._staged_segments():
             if s not in committed:
@@ -356,28 +397,9 @@ class IndexWriter:
     def _write_collection_stats(self) -> int:
         """Recompute collection stats over ALL tiers (aggregation scan
         of norms + term_stats — no shuffle, no postings decode)."""
-        cfg = self.config
-        norms = self.spark.read.parquet(f"{self.index_dir}/norms")
-        n_docs, sum_ttf = norms.agg(F.count("*"), F.sum("dl")).first()
-        ts = self.spark.read.parquet(f"{self.index_dir}/term_stats")
-        from lucene_spark.index.builder import _stacker_of
+        from lucene_spark.index.builder import write_collection_stats_from_tables
 
-        if _stacker_of(cfg) is not None:
-            # stacked tokens: sum_ttf counts every posting; Σ dl is the
-            # DISCOUNTED total (the builder's statistics split).
-            # Primary field only — prefixed terms belong to extra fields
-            from lucene_spark.index.builder import FIELD_SEP
-
-            sum_ttf = (
-                ts.filter(~F.col("term").contains(FIELD_SEP)).agg(F.sum("ttf")).first()[0]
-            )
-        sum_df = ts.agg(F.sum("df")).first()[0]
-        self.spark.createDataFrame(
-            [(int(n_docs), int(sum_ttf or 0), int(sum_df or 0), cfg.field)],
-            schema="doc_count long, sum_ttf long, sum_df long, field string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{self.index_dir}/collection_stats")
-        self.spark.catalog.refreshByPath(f"{self.index_dir}/collection_stats")
-        return int(n_docs)
+        return write_collection_stats_from_tables(self.spark, self.index_dir, self.config)
 
     def _tiered_commit(self) -> dict:
         """Pack ONLY the not-yet-committed segments into a new tier —
