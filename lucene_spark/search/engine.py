@@ -913,6 +913,12 @@ class Searcher:
         for ds in _collect_docsets(spec):
             d = np.asarray(ds.docs, dtype=np.int64)
             chunk_ids |= set(np.unique(d // dpc).tolist())
+        for vs in _collect_eager_valspecs(spec):
+            # feature/distance-feature clauses: docs scored ONLY by the
+            # value source still need their chunks visited, or the scan
+            # would skip them entirely
+            d = np.asarray(vs.docs, dtype=np.int64)
+            chunk_ids |= set(np.unique(d // dpc).tolist())
         if needs_all:
             all_ids = index.all_doc_ids()
             chunk_ids |= set(range(math.ceil(max_doc / dpc))) if contiguous else set(
@@ -1147,14 +1153,30 @@ class Searcher:
         instead of decoding any postings. mode="distributed" counts
         over the chunked match relation (one long per chunk reaches the
         driver — the cluster shape for non-selective queries)."""
+        # analyze EXACTLY like prepare() (same parser flags, stem /
+        # stem_repeat / code-chain / fieldize rewrites) and take the
+        # shortcut only if the ANALYZED query is still a plain term —
+        # a count() that analyzes differently from search() would
+        # disagree with it (e.g. stem_repeat rewrites a term to a
+        # SynonymQuery; the cased "code" chain must not pre-lowercase)
+        from lucene_spark.analysis.tokenizer import _expander
+
         an = self.index.analyzer
+        one_to_n = _expander(an) is not None
         q0 = (
-            parse_query(query, analyzer=an if an in ("whitespace", "keyword") else None)
+            parse_query(
+                query,
+                preserve_case=one_to_n,
+                rewrite_tree=not one_to_n,
+                analyzer=an if an in ("whitespace", "keyword") else None,
+            )
             if isinstance(query, str)
-            else A.rewrite(query)
+            else (query if one_to_n else A.rewrite(query))
         )
-        if self.index.analyzer not in ("standard", None):
+        if an not in ("standard", None):
             q0 = self._stem_query(q0)
+        if self.index.stem_repeat:
+            q0 = self._stem_repeat_query(q0)
         if len(self.index.text_fields) > 1:
             q0 = self._fieldize(q0)  # composite-key the df point-read too
         if not len(self.index.deleted_ids):
@@ -1332,7 +1354,7 @@ class Searcher:
         cache_b = cache
         sim_b = self.sim
         kk = k
-        manifest = _read_manifest(index)
+        manifest = index.manifest
         dpc = int(manifest.get("docs_per_chunk", 1 << 17))
         max_doc, _, contiguous = index.doc_id_bounds
         all_contiguous = needs_all and contiguous
@@ -1700,6 +1722,29 @@ def _collect_valspecs(spec) -> list:
     return []
 
 
+def _collect_eager_valspecs(spec) -> list:
+    """All EAGER ValueSpec nodes (feature / distance-feature scores
+    with driver-resolved (docs, vals) — the sorted-scan / driver-mode
+    form, as opposed to the key-addressed lazy form the distributed
+    plan ships per chunk)."""
+    from lucene_spark.search.kernels import DisMaxSpec, ValueSpec
+
+    if isinstance(spec, ValueSpec):
+        return [spec] if spec.key is None and spec.docs is not None else []
+    if isinstance(spec, BoolSpec):
+        return [
+            d
+            for g in (spec.musts, spec.shoulds, spec.filters, spec.nots)
+            for s in g
+            for d in _collect_eager_valspecs(s)
+        ]
+    if isinstance(spec, DisMaxSpec):
+        return [d for s in spec.subs for d in _collect_eager_valspecs(s)]
+    if isinstance(spec, tuple) and spec and spec[0] == "const":
+        return _collect_eager_valspecs(spec[1])
+    return []
+
+
 def _collect_docsets(spec) -> list:
     from lucene_spark.search.kernels import DisMaxSpec, DocSetSpec
 
@@ -1731,14 +1776,3 @@ def _needs_all_docs(spec) -> bool:
     if isinstance(spec, tuple) and spec and spec[0] == "const":
         return _needs_all_docs(spec[1])
     return False
-
-
-def _read_manifest(index: SearchIndex) -> dict:
-    import json
-    import os
-
-    path = os.path.join(index.index_dir, "manifest.json")
-    if os.path.exists(path):
-        with open(path) as fh:
-            return json.load(fh)
-    return {}

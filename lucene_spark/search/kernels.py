@@ -427,6 +427,13 @@ def compile_query(
                     nots.append(spec)
         if not musts and not filters and not shoulds:
             return NoneSpec()
+        if q.minimum_should_match > len(shoulds):
+            # Boolean2ScorerSupplier: optional.size() < minShouldMatch
+            # → no scorer (BooleanWeight.java/Boolean2ScorerSupplier
+            # .java:220-230). SHOULD clauses whose terms are absent
+            # were dropped above; fewer survivors than msm can never
+            # satisfy it — even when MUST/FILTER clauses match.
+            return NoneSpec()
         return BoolSpec(tuple(musts), tuple(shoulds), tuple(filters), tuple(nots), q.minimum_should_match)
     raise TypeError(f"cannot compile {type(q)}")
 
@@ -1127,7 +1134,6 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
     n = len(spec.terms)
     one = np.float32(1.0)
     freqs = np.zeros(len(cand), dtype=np.float64)
-    idxs = [np.searchsorted(p[0], cand) for p in parts]
     keys = [_term_keys_ctx(ctx, t, cand) for t in spec.terms]
     fast_ok = len(set(spec.terms)) == n and not _keys_collide(keys)
     if fast_ok and n == 2:
@@ -1145,6 +1151,7 @@ def _evaluate_spannear(spec: SpanNearSpec, ctx: ChunkContext) -> tuple[np.ndarra
         # repeated terms or co-positioned stacked tokens: per-candidate
         # tree path; gaps clamp at 0 (zero-width windows from posInc-0
         # stacks contribute 1/(1+0), the interval-evaluator convention)
+        idxs = [np.searchsorted(p[0], cand) for p in parts]
         for ci in range(len(cand)):
             pls = [np.asarray(plists[j][idxs[j][ci]], dtype=np.int64) for j in range(n)]
             f = np.float32(0.0)
@@ -2682,8 +2689,6 @@ def top_k_from_arrays(docs: np.ndarray, scores: np.ndarray, k: int) -> list[tupl
     if n == 0:
         return []
     if n > k:
-        # argpartition on (-score, doc) — emulate lexicographic by two-key sort of top slice
-        part = np.argpartition(-scores, k - 1)[: max(k * 4, k)]  # safety margin for ties
         # exact: sort all candidates whose score >= kth partition score
         kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
         cand_idx = np.nonzero(scores >= kth)[0]

@@ -222,7 +222,7 @@ def wand_top_k(
                 b = tb[j]
                 if b >= 0 and b not in scored_blocks[si]:
                     need[si].add(int(b))
-        new_docs, new_scores, new_counts = _score_union(sources, need)
+        new_docs, new_scores, new_counts = _score_union(sources, need, scored_blocks)
         for si in range(len(sources)):
             scored_blocks[si] |= need[si]
         if msm > 1 and len(new_docs):
@@ -255,8 +255,15 @@ def wand_top_k(
                 heap_scores = np.array([s for _, s in top], dtype=np.float32)
             if len(heap_docs) >= k:
                 kth = np.partition(heap_scores, len(heap_scores) - k)[len(heap_scores) - k]
-                # minCompetitiveScore = Math.nextUp(kth) (TopScoreDocCollector.java:335-355)
-                min_competitive = float(np.nextafter(np.float32(kth), np.float32(np.inf)))
+                # the reference prunes at Math.nextUp(kth)
+                # (TopScoreDocCollector.java:335-355) — sound there
+                # because docs are scored in docID order, so a later
+                # equal-scoring doc always loses the doc-asc tie-break.
+                # THIS scorer visits intervals in upper-bound order, so
+                # an unvisited interval can still hold an equal-scoring
+                # SMALLER doc id that wins the tie-break — prune
+                # strictly below kth to stay exactly ≡ exhaustive.
+                min_competitive = float(kth)
     result = top_k_from_arrays(heap_docs, heap_scores, k)
     info = {
         "pruned_intervals": int(pruned_intervals),
@@ -355,7 +362,7 @@ def conjunction_top_k(
 
 
 def _score_union(
-    sources: list[PostingSource], need: list[set]
+    sources: list[PostingSource], need: list[set], scored: list[set] | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Disjunction-sum over the decoded blocks of each source →
     (docs, scores, per-doc match counts).
@@ -365,7 +372,12 @@ def _score_union(
     emitted, with its FULL score across all sources. To complete
     scores, other sources' covering blocks are pulled in, iterating to
     a fixpoint (a pulled block may introduce docs needing further
-    blocks at its edges)."""
+    blocks at its edges). Blocks in ``scored`` were fully emitted by an
+    EARLIER call (inductively: every doc of a scored block already left
+    with its full score — its covering blocks in every other source
+    were pulled then), so the fixpoint never re-pulls them; re-emitting
+    their docs would double-count hits after a heap trim dropped them."""
+    scored = scored if scored is not None else [set() for _ in sources]
     if not any(need):
         e = np.empty(0, dtype=np.int64)
         return e, np.empty(0, dtype=np.float32), e
@@ -384,7 +396,7 @@ def _score_union(
             # only blocks that actually contain one of `docs` matter;
             # searchsorted gives the candidate block, membership is
             # settled by the final scoring pass either way.
-            new = set(int(b) for b in covering) - need[si]
+            new = set(int(b) for b in covering) - need[si] - scored[si]
             if new:
                 # a candidate block is only *required* if one of `docs`
                 # is really inside it — bulk-decode the candidates

@@ -31,6 +31,33 @@ class TestMinimumShouldMatch:
                 want.add(d)
         assert got == want
 
+    def test_msm_exceeding_surviving_shoulds_matches_nothing(self, search_index):
+        """Boolean2ScorerSupplier: optional.size() < minShouldMatch →
+        no scorer. SHOULD terms absent from the index drop at compile;
+        if fewer survive than msm the whole query (MUSTs included)
+        matches nothing — it must NOT degrade to the MUST matches."""
+        s = Searcher(search_index)
+        q = A.BooleanQuery(
+            (
+                (A.Occur.MUST, A.TermQuery("return")),
+                (A.Occur.SHOULD, A.TermQuery("zzqqxnotaterm")),
+                (A.Occur.SHOULD, A.TermQuery("qqzzalsonotaterm")),
+            ),
+            minimum_should_match=2,
+        )
+        td = s.search(q, k=100)
+        assert td.hits == [] and td.total_hits == 0
+        # one surviving SHOULD out of two absent, msm=1: MUST ∩ SHOULD
+        q1 = A.BooleanQuery(
+            (
+                (A.Occur.MUST, A.TermQuery("return")),
+                (A.Occur.SHOULD, A.TermQuery("zzqqxnotaterm")),
+                (A.Occur.SHOULD, A.TermQuery("class")),
+            ),
+            minimum_should_match=1,
+        )
+        assert s.search(q1, k=10).hits
+
     def test_msm_equals_and_when_all(self, search_index):
         s = Searcher(search_index)
         terms = ("return", "class")

@@ -65,6 +65,19 @@ class TestIndexSort:
         fids = [d for d, _ in full.hits]
         assert fids == sorted(set(fids))
 
+    def test_feature_only_query_visits_value_chunks(self, sorted_ix):
+        """A clause scored ONLY by a value source (FeatureQuery) must
+        contribute its docs' chunks to the sorted scan — previously
+        ordered_chunks stayed empty and the query returned 0 hits."""
+        from lucene_spark.search import ast as A
+
+        _, s = sorted_ix
+        q = A.FeatureQuery("n_chars", "saturation", pivot=256.0)
+        td = s.search_sorted_index(q, k=7)
+        assert len(td.hits) == 7
+        ids = [d for d, _ in td.hits]
+        assert ids == sorted(ids) and len(set(ids)) == 7
+
     def test_early_termination_on_dense_term(self, sorted_ix):
         _, s = sorted_ix
         td = s.search_sorted_index("return", k=5)  # df == N in fixtures

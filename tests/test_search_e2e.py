@@ -130,6 +130,50 @@ class TestWand:
         assert_rank_identical(wand_hits, exh.hits, f"wand-vs-exhaustive k={k}")
         assert_rank_identical(wand_hits, oracle.top_k(q, k), f"wand-vs-oracle k={k}")
 
+    def test_tie_heavy_trimmed_wand_equals_exhaustive(self, spark, tmp_path_factory):
+        """Exact-score ties across doc ids (duplicated docs) + heap
+        trims + low threshold: WAND must keep the exhaustive doc-asc
+        tie-break (prune strictly BELOW kth — interval order is not
+        doc order, so nextUp pruning could drop an equal-scoring
+        smaller id) and hits_seen must never double-count docs
+        re-pulled after a trim."""
+        import shutil
+
+        import pandas as pd
+
+        from lucene_spark.index.builder import IndexBuilder, IndexConfig
+        from lucene_spark.index.reader import SearchIndex
+        from lucene_spark.search.engine import Searcher as S
+
+        texts = [
+            "alpha beta gamma delta",
+            "alpha epsilon zeta eta",
+            "beta theta iota kappa",
+            "alpha beta lam mu",
+        ]
+        rows = []
+        for i in range(600):
+            rows.append((i, "r", f"p{i}", "c", "en", texts[i % 4]))
+        pdf = pd.DataFrame(rows, columns=["doc_id", "repo", "path", "commit", "lang", "content"])
+        d = str(tmp_path_factory.mktemp("wandtie"))
+        IndexBuilder(
+            spark, IndexConfig(docs_per_chunk=128, term_buckets=2, positions=False)
+        ).build(spark.createDataFrame(pdf), d, assign_ids=False)
+        s = S(SearchIndex(spark, d), total_hits_threshold=10)
+        q = A.BooleanQuery(
+            ((A.Occur.SHOULD, A.TermQuery("alpha")), (A.Occur.SHOULD, A.TermQuery("beta")))
+        )
+        for k in (1, 5, 17, 40):
+            td = s.search(q, k=k)
+            _, spec, stats, _ = s.prepare(q)
+            exh = s._search_exhaustive(spec, k, stats.cache())
+            assert td.hits == exh.hits, f"k={k}"
+            if td.relation == "EQUAL_TO":
+                assert td.total_hits == exh.total_hits, f"k={k}"
+            else:
+                assert td.total_hits <= exh.total_hits, f"k={k}"
+        shutil.rmtree(d, ignore_errors=True)
+
     def test_pruning_engages(self, searcher):
         td = searcher.search(parse_query("return OR if"), k=3)
         info = td.info
