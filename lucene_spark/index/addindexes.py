@@ -485,6 +485,13 @@ def add_indexes(
     for d, ch in zip(all_dirs[1:], chains[1:]):
         if ch != chains[0]:
             diff = sorted(k for k in ch if ch[k] != chains[0].get(k))
+            if set(diff) <= {"positions", "offsets"}:
+                # postings-feature mismatch, not an analysis mismatch —
+                # the reference's IllegalArgumentException vocabulary
+                raise ValueError(
+                    f"{d}: IndexOptions differ from dest on {diff} — "
+                    "indexes with different IndexOptions cannot merge"
+                )
             raise ValueError(
                 f"{d}: analyzer/field chain differs from dest on {diff} — "
                 "addIndexes cannot merge fields analyzed differently"
