@@ -608,12 +608,30 @@ def _rewrite_boolean(q: BooleanQuery) -> Query:
         out.append((occ, sub))
     clauses = out
 
-    # dedup FILTER / MUST_NOT / SHOULD (BooleanQuery.java:292-330)
+    # dedup FILTER / MUST_NOT always; SHOULD dedups ONLY when
+    # msm <= 1 and duplicates merge by SUMMING boosts
+    # (BooleanQuery.java:292-330: with msm > 1 each duplicate SHOULD
+    # counts separately toward the minimum, so they must survive)
+    merge_should = q.minimum_should_match <= 1
+    sh_boost: dict[Query, float] = {}
+    if merge_should:
+        for occ, sub in clauses:
+            if occ is Occur.SHOULD:
+                base, b = (sub.query, sub.boost) if isinstance(sub, BoostQuery) else (sub, 1.0)
+                sh_boost[base] = sh_boost.get(base, 0.0) + b
     seen: set[tuple[Occur, Query]] = set()
     deduped: list[tuple[Occur, Query]] = []
     for occ, sub in clauses:
+        if occ is Occur.SHOULD and merge_should:
+            base = sub.query if isinstance(sub, BoostQuery) else sub
+            if (occ, base) in seen:
+                continue
+            seen.add((occ, base))
+            b = sh_boost[base]
+            deduped.append((occ, base if b == 1.0 else BoostQuery(base, b)))
+            continue
         key = (occ, sub)
-        if occ in (Occur.FILTER, Occur.MUST_NOT, Occur.SHOULD) and key in seen:
+        if occ in (Occur.FILTER, Occur.MUST_NOT) and key in seen:
             continue
         seen.add(key)
         deduped.append((occ, sub))

@@ -235,10 +235,13 @@ def automaton_freq(tok_stream, dfa_steps: dict, accepts, any_sym) -> int:
     ONE doc's merged (position, symbol) stream of QUERY-TERM tokens,
     sorted by position. Maintains per-position path-count multisets of
     DFA states (PosState never deduplicates — :370-390), steps ANY
-    through every integer position between consecutive query-term
-    tokens (:268-292 — holes and non-query tokens alike), seeds state 0
-    at every token (:320-329), and counts an accept arrival only on
-    term steps and seeds (:313-316, 325-328 — never on ANY advances).
+    through the HOLE positions between consecutive query-term tokens
+    (:268-292; at a token position the expanded det table's term step
+    already subsumes the ANY alternative — the reference keeps ANY as
+    a separate symbol and supplies it once via its sweep, so freq
+    matches), seeds state 0 at every token (:320-329), and counts an
+    accept arrival only on term steps and seeds (:313-316, 325-328 —
+    never on ANY advances).
 
     ``tok_stream``: iterable of (pos, sym) sorted by pos (ties in any
     order — same-position stacked tokens all step from the same source
@@ -251,17 +254,22 @@ def automaton_freq(tok_stream, dfa_steps: dict, accepts, any_sym) -> int:
     last_pos = None
     for pos, sym in tok_stream:
         if any_sym is not None and last_pos is not None and last_pos < pos:
-            q = last_pos
+            # sweep ANY over the HOLE positions only (last_pos+1..pos-1).
+            # The token at last_pos already stepped R[last_pos] via its
+            # term symbol, and the determinized steps subsume ANY-edges
+            # (finish() expands ANY over every symbol before
+            # determinization) — re-stepping R[last_pos] via any_sym
+            # would double-count each such path.
+            q = last_pos + 1
             while q < pos:
                 src = R.get(q)
-                if not src and q > last_pos:
+                if not src:
                     break  # petered out (:275-279)
-                if src:
-                    nxt = R[q + 1]
-                    for s, c in src.items():
-                        d = dfa_steps.get((s, any_sym))
-                        if d is not None:
-                            nxt[d] += c
+                nxt = R[q + 1]
+                for s, c in src.items():
+                    d = dfa_steps.get((s, any_sym))
+                    if d is not None:
+                        nxt[d] += c
                 q += 1
         src = R.get(pos)
         if src:

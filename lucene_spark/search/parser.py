@@ -190,6 +190,12 @@ class _Parser:
             )
         elif kind == "lparen":
             q = self.parse_or()
+            if isinstance(q, tuple):
+                # a lone modifier clause in a group ("(-foo)", "(+a)")
+                # surfaces as (occur, query) — wrap as a one-clause
+                # boolean so postfix operators (boost) and rewrite see
+                # a Query node, never a raw tuple
+                q = BooleanQuery((q,))
             if self.peek() == "rparen":
                 self.next()
         elif kind == "phrase":

@@ -79,7 +79,12 @@ def trigger_terms(q: A.Query) -> set[str] | None:
         if best is not None:
             return best
         shoulds = [sq for occ, sq in q.clauses if occ == A.Occur.SHOULD]
-        if shoulds:
+        # the SHOULD union is only a SOUND filter when at least one
+        # SHOULD must match: no positive conjuncts (pure disjunction)
+        # or minimum_should_match >= 1. With trigger-less MUSTs and
+        # optional SHOULDs, a doc can match on the MUSTs alone while
+        # containing no SHOULD term — scan-all (None) is required.
+        if shoulds and (not musts or q.minimum_should_match >= 1):
             out = set()
             for sq in shoulds:
                 t = trigger_terms(sq)
@@ -87,7 +92,7 @@ def trigger_terms(q: A.Query) -> set[str] | None:
                     return None
                 out |= t
             return out
-        return None  # pure negation / empty
+        return None  # pure negation / empty / unfilterable conjunction
     return None  # MatchAll, multi-term expansions, field queries, ...
 
 

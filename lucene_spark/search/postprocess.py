@@ -372,6 +372,28 @@ def term_occurrences(searcher, term: str) -> dict[int, tuple]:
     return {int(d): pl.offsets[i] for i, d in enumerate(pl.docs)}
 
 
+def term_occurrences_for_docs(searcher, terms, doc_ids) -> dict[str, dict[int, tuple]]:
+    """term → doc_id → (starts, ends) restricted to ``doc_ids`` — ONE
+    batched postings read for all terms, keeping only the hit docs'
+    offset arrays driver-side (:func:`term_occurrences` materializes
+    every matching doc's offsets, which is O(matches) on a common term
+    — fine for the all-docs probe, wrong for top-k highlighting)."""
+    import numpy as np
+
+    pls = searcher.index.collect_postings(list(terms), with_offsets=True)
+    ids = np.asarray(sorted({int(d) for d in doc_ids}), dtype=np.int64)
+    out: dict[str, dict[int, tuple]] = {}
+    for t, pl in pls.items():
+        if not len(pl.docs):
+            continue
+        j = np.searchsorted(pl.docs, ids)
+        jc = np.minimum(j, len(pl.docs) - 1)
+        ok = (j < len(pl.docs)) & (pl.docs[jc] == ids)
+        for d, i in zip(ids[ok], jc[ok]):
+            out.setdefault(t, {})[int(d)] = pl.offsets[int(i)]
+    return out
+
+
 def term_occurrences_tv(searcher, terms, doc_ids) -> dict[str, dict[int, tuple]]:
     """term → doc_id → (starts, ends) from the TERM VECTORS table (the
     FastVectorHighlighter source, lucene/highlighter/.../vectorhighlight/
@@ -468,12 +490,20 @@ def first_match_window(
         raise ValueError(f"unknown offset source {source!r}")
     spark = docs_df.sparkSession
     rows = [
-        (int(d), int(len(st)), int(st[0]), int(en[-1])) for d, (st, en) in occ.items() if len(st)
+        (int(d), int(len(st)), int(st[0]), int(en[0]), int(en[-1]))
+        for d, (st, en) in occ.items()
+        if len(st)
     ]
-    hits = spark.createDataFrame(rows, "doc_id bigint, n_occ bigint, first_start bigint, last_end bigint")
+    hits = spark.createDataFrame(
+        rows,
+        "doc_id bigint, n_occ bigint, first_start bigint, first_end bigint, last_end bigint",
+    )
     t = F.col(text_col)
     s = F.col("first_start")
-    end1 = s + F.length(F.lit(term))
+    # bold exactly the INDEXED span (on a stemmed/split-token index the
+    # surface token is longer than the query term — the end offset is
+    # authoritative, not len(term))
+    end1 = F.col("first_end")
     snippet = F.concat(
         F.substring(t, F.greatest(F.lit(1), s + 1 - pre).cast("int"), F.least(s, F.lit(pre)).cast("int")),
         F.lit("<b>"),
@@ -539,7 +569,7 @@ def highlight_indexed(
     if source == "term_vectors":
         occ_by_term = term_occurrences_tv(searcher, terms, hit_ids)
     elif source == "offsets":
-        occ_by_term = {t: term_occurrences(searcher, t) for t in terms}
+        occ_by_term = term_occurrences_for_docs(searcher, terms, hit_ids)
     elif source == "analysis":
         occ_by_term = term_occurrences_analysis(searcher, terms, hit_ids, texts)
     else:
@@ -590,7 +620,7 @@ def _make_snippet(text: str, terms: set[str], window: int = 6, max_passages: int
         return ""
     passages, used_end = [], -1
     for m in marks:
-        if m <= used_end:
+        if m < used_end:  # hi is exclusive: a mark AT used_end was not rendered
             continue
         lo, hi = max(0, m - window), min(len(toks), m + window + 1)
         frag = " ".join(

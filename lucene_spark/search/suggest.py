@@ -29,11 +29,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _primary_terms_df(index) -> DataFrame:
+    """The term dictionary as every suggester must see it: PRIMARY key
+    space only (extra tokenized fields live under composite
+    field+SEP+term keys — leaking them would suggest raw composite
+    strings), and per-tier rows of a tiered-writer index summed (the
+    reader's term_stats() does the same grouping; ungrouped rows would
+    duplicate suggestions with split weights)."""
+    from lucene_spark.index.builder import FIELD_SEP
+
+    t = index.term_stats_df.filter(~F.col("term").contains(FIELD_SEP))
+    if "tier" in t.columns:
+        t = t.groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("ttf").alias("ttf")
+        )
+    return t
+
+
 def complete_prefix(index, prefix: str, k: int = 10) -> DataFrame:
     """Top-k completions of ``prefix`` by ttf desc, term asc.
     Returns (term, weight)."""
     return (
-        index.term_stats_df.filter(F.col("term").startswith(prefix))
+        _primary_terms_df(index).filter(F.col("term").startswith(prefix))
         .select("term", F.col("ttf").cast("long").alias("weight"))
         .orderBy(F.desc("weight"), F.asc("term"))
         .limit(k)
@@ -48,13 +65,8 @@ def complete_regex(index, pattern: str, k: int = 10) -> DataFrame:
     anchored rlike predicate runs over the sorted term dictionary —
     the same pushed-down scan as every multi-term expansion.
     Returns (term, weight)."""
-    from lucene_spark.index.builder import FIELD_SEP
-
     return (
-        index.term_stats_df.filter(
-            ~F.col("term").contains(FIELD_SEP)  # primary key space only
-            & F.col("term").rlike(f"^(?:{pattern})$")
-        )
+        _primary_terms_df(index).filter(F.col("term").rlike(f"^(?:{pattern})$"))
         .select("term", F.col("ttf").cast("long").alias("weight"))
         .orderBy(F.desc("weight"), F.asc("term"))
         .limit(k)
@@ -108,7 +120,7 @@ def spell_suggest(index, term: str, k: int = 5, max_edits: int = 2) -> DataFrame
     """Top-k corrections for ``term``: candidates with
     0 < levenshtein <= max_edits, ordered by (distance asc, df desc,
     term asc). Returns (term, dist, df)."""
-    t = index.term_stats_df
+    t = _primary_terms_df(index)
     dist = F.levenshtein(F.col("term"), F.lit(term))
     return (
         t.filter(
@@ -150,7 +162,7 @@ def fuzzy_suggest(
     calls — a pure whole-stage-codegen scan of the (pruned) term
     dictionary, TakeOrderedAndProject for the cut."""
     t = typed
-    stats = index.term_stats_df
+    stats = _primary_terms_df(index)
     if len(t) < min_fuzzy_length:
         cand = stats.filter(F.col("term").startswith(t))
     else:
@@ -227,7 +239,7 @@ def word_breaks(
     parts_df = spark.createDataFrame(
         rows, "cand_id long, part_idx long, part string, n_parts long, changes long"
     )
-    stats = index.term_stats_df.select("term", F.col("df").cast("long").alias("df"))
+    stats = _primary_terms_df(index).select("term", F.col("df").cast("long").alias("df"))
     agg_freq = F.max("df") if sort == "max" else F.sum("df")
     # prune the term dictionary to the candidate parts (semi join
     # against the tiny broadcast parts set), then broadcast the pruned

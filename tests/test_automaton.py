@@ -30,10 +30,15 @@ from lucene_spark.search.similarity import BM25Stats, idf, score_freqs
 
 def brute_freq(toks, term_sym, table, accepts, any_sym):
     """Independent from-definition path count: a match starts at a
-    query-term token seeding state 0, extends one position at a time
-    branching on the term arc (if the position's token is that query
-    term) and the ANY arc; accept arrivals count on term arcs and
-    seeds, never on ANY."""
+    query-term token seeding state 0 and extends one position at a
+    time. At a query-term position the expanded det table's term step
+    SUBSUMES the ANY arc (finish() expands ANY over the alphabet, det
+    merges the alternatives into one state), so branching ANY there
+    too would double-count — the ANY arc applies only at HOLES
+    (non-query tokens), exactly the reference's observable freq
+    (TermAutomatonScorer keeps ANY as a separate symbol, so its term
+    step excludes ANY and its sweep supplies it once). Accept arrivals
+    count on term arcs and seeds, never on ANY."""
     freq = 0
     n = len(toks)
 
@@ -48,7 +53,7 @@ def brute_freq(toks, term_sym, table, accepts, any_sym):
                 if d in accepts:
                     freq += 1
                 extend(pos + 1, d)
-        if any_sym is not None:
+        elif any_sym is not None:
             d = table.get((state, any_sym))
             if d is not None:
                 extend(pos + 1, d)
