@@ -108,7 +108,10 @@ def combined_field_search(searcher, terms, fields: dict[str, float], k: int = 10
             if nb is not None:
                 v = np.float32(v + np.float32(fields[f]) * np.float32(NORM_LENGTH_TABLE[int(nb) & 0xFF]))
         norm_value[i] = float(v)
-    nb = int_to_byte4_np(np.rint(norm_value).astype(np.int64))
+    # Math.round = floor(x + 0.5) (half-UP), not np.rint's half-to-even
+    # (MultiNormsLeafSimScorer combined-norm contract — a weighted
+    # length sum of exactly *.5 must round up like the reference)
+    nb = int_to_byte4_np(np.floor(norm_value + 0.5).astype(np.int64))
 
     scores = score_freqs(weight, freqs, nb.astype(np.int64), pseudo.cache())
     order = sorted(range(len(docs)), key=lambda i: (-scores[i], docs[i]))[:k]

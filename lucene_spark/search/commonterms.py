@@ -38,7 +38,16 @@ def common_terms_query(
     current df stats (CommonTermsQuery.buildQuery)."""
     stats = index.term_stats(list(terms))
     n_docs = index.stats.doc_count
-    cutoff = max_term_frequency if max_term_frequency >= 1.0 else max_term_frequency * n_docs
+    import math
+
+    # fractional cutoffs take Math.ceil in the reference
+    # (CommonTermsQuery.java buildQuery: docFreq > Math.ceil(maxTermFrequency
+    # * maxDoc)) — a df landing exactly on the ceiling stays LOW-frequency
+    cutoff = (
+        max_term_frequency
+        if max_term_frequency >= 1.0
+        else math.ceil(max_term_frequency * n_docs)
+    )
     low = tuple(t for t in terms if stats.get(t, (0, 0))[0] <= cutoff)
     high = tuple(t for t in terms if stats.get(t, (0, 0))[0] > cutoff)
     lowq = (

@@ -47,6 +47,11 @@ def _expand_atom(index, atom: str, max_expansions: int) -> list[str]:
     if m:
         base, ed = m.group(1), m.group(2)
         edits = int(ed) if ed else 2
+        if edits > 2:
+            # FuzzyQuery rejects maxEdits > LevenshteinAutomata
+            # .MAXIMUM_SUPPORTED_DISTANCE (2) — silently expanding a
+            # wider edit budget would diverge from the reference
+            raise ValueError(f"fuzzy edit distance {edits} > 2 (FuzzyQuery maximum)")
         return index.expand_terms("fuzzy", (base, edits, 0), limit=max_expansions)
     if "*" in atom or "?" in atom:
         return index.expand_wildcard(atom, limit=max_expansions)

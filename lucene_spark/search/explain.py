@@ -30,6 +30,21 @@ from lucene_spark.search.kernels import (
 )
 
 
+def _wnum(w) -> float:
+    """A spec weight as a displayable number: scalar weights pass
+    through; tuple weights (SimilarityBase models carry per-term
+    (boost, params...) tuples) display their summed boosts."""
+    if isinstance(w, (tuple, list)):
+        out = 0.0
+        for x in w:
+            out += _wnum(x[0] if isinstance(x, (tuple, list)) and x else x)
+        return out
+    try:
+        return float(w)
+    except (TypeError, ValueError):
+        return 0.0
+
+
 def _node(match: bool, value: float, description: str, details: list | None = None) -> dict:
     return {
         "match": bool(match),
@@ -62,7 +77,7 @@ def explain_spec(spec, ctx: ChunkContext, doc: int) -> dict:
         if matched:
             freq, nb = int(tfs[i]), int(norms[i])
             details = [
-                _node(True, spec.weight, "weight = boost * idf (BM25Similarity.java:236)"),
+                _node(True, _wnum(spec.weight), "weight = boost * idf (BM25Similarity.java:236)"),
                 _node(True, freq, "freq, occurrences of term within document"),
                 _node(True, int(NORM_LENGTH_TABLE[nb]), f"dl, length of field (norm byte {nb})"),
                 _node(True, float(ctx.cache_for(spec.field)[nb]), "1 / (k1 * ((1 - b) + b * dl / avgdl))"),
@@ -80,7 +95,7 @@ def explain_spec(spec, ctx: ChunkContext, doc: int) -> dict:
             "(FeatureField / DistanceFeatureQuery per-doc value score)",
         )
     if isinstance(spec, PhraseSpec):
-        return _node(matched, v, f'phrase "{" ".join(spec.terms)}"~{spec.slop}, summed-idf weight {spec.weight:.6g}')
+        return _node(matched, v, f'phrase "{" ".join(spec.terms)}"~{spec.slop}, summed-idf weight {_wnum(spec.weight):.6g}')
     if isinstance(spec, MultiPhraseSpec):
         return _node(matched, v, "MultiPhraseQuery")
     if isinstance(spec, DisMaxSpec):

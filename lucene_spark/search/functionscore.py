@@ -69,11 +69,14 @@ def function_score(
     )
 
 
-def boost_by_value(searcher, query, value_col: str, docs_df: DataFrame, k: int = 10) -> DataFrame:
+def boost_by_value(
+    searcher, query, value_col: str, docs_df: DataFrame, k: int = 10, mode: str = "driver"
+) -> DataFrame:
     """FunctionScoreQuery.boostByValue role
     (FunctionScoreQuery.java:52-58): relevance × per-doc numeric
-    field."""
-    return function_score(searcher, query, f"_score * {value_col}", docs_df, k=k)
+    field. ``mode`` passes through to :func:`function_score`
+    ("distributed" keeps the match set off the driver)."""
+    return function_score(searcher, query, f"_score * {value_col}", docs_df, k=k, mode=mode)
 
 
 def boost_by_query(

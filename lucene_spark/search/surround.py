@@ -39,10 +39,10 @@ _TOK = re.compile(
     (?P<lparen>\()
   | (?P<rparen>\))
   | (?P<comma>,)
-  | (?P<and>AND\b)
-  | (?P<or>OR\b)
-  | (?P<not>NOT\b)
-  | (?P<dist>(?P<dn>\d*)(?P<dk>[WN])\b)
+  | (?P<and>(?i:AND)\b)
+  | (?P<or>(?i:OR)\b)
+  | (?P<not>(?i:NOT)\b)
+  | (?P<dist>(?P<dn>\d*)(?P<dk>[WNwn])\b)
   | (?P<term>[^\s(),]+)
 )""",
     re.VERBOSE,
@@ -60,7 +60,7 @@ def _lex(s: str) -> list[tuple[str, object]]:
             raise ValueError(f"cannot lex surround query at {s[pos:]!r}")
         pos = m.end()
         if m.group("dist"):
-            out.append(("dist", (int(m.group("dn") or 1), m.group("dk"))))
+            out.append(("dist", (int(m.group("dn") or 1), m.group("dk").upper())))
         elif m.group("term"):
             out.append(("term", m.group("term")))
         else:

@@ -57,23 +57,27 @@ from lucene_spark.pipeline.dedup import (
 
 def _signature_udf(n: int, num_perm: int, seed: int):
     """text → MinHash signature (array<long>), fully self-contained so
-    it runs statelessly per stream row (no groupBy): tokenize → word
-    n-gram shingles → FNV-1a64 → min over Mersenne-61 permutations."""
-    import re
+    it runs statelessly per stream row (no groupBy): tokenize (the
+    engine's StandardAnalyzer-equivalent — IDENTICAL to the batch
+    pipeline's shingles(), so stream and batch verdicts agree on the
+    same text) → word n-gram shingles → FNV-1a64 → min over
+    Mersenne-61 permutations. Docs with fewer than ``n`` tokens yield
+    a NULL signature: they can never be near-dup candidates (the batch
+    path's size(tokens) >= n filter) — a shared sentinel would flag
+    every pair of short docs as identical."""
+    from lucene_spark.analysis.tokenizer import tokenize_series
 
     a, b = _minhash_params(num_perm, seed)
-    tok_re = re.compile(r"[^a-z0-9]+")
 
     @pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
         au = a.astype(np.uint64)[None, :]
         bu = b.astype(np.uint64)[None, :]
         out = []
-        for t in texts:
-            toks = [w for w in tok_re.split((t or "").lower()) if w]
+        for toks in tokenize_series(texts):
             sh = [" ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))]
             if not sh:
-                out.append(np.full(num_perm, _MERSENNE_P - 1, dtype=np.int64))
+                out.append(None)
                 continue
             hs = _fnv1a64_batch(np.array(sorted(set(sh))))
             x = (hs % np.uint64(_MERSENNE_P))[:, None]
@@ -131,6 +135,10 @@ def stream_minhash_neardup(
     )
     banded = (
         stream_df.select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig"))
+        # NULL sig = doc too short to shingle: never a candidate (and
+        # never state) — it yields no output rows, like the batch
+        # path's size(tokens) >= n filter drops it from pairing
+        .filter(F.col("sig").isNotNull())
         .select("doc_id", "sig", F.explode(F.expr(band_expr)).alias("bk"))
         .select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     )
@@ -150,7 +158,9 @@ def stream_minhash_neardup(
         else:
             docs_st, sigs_st = [], []
         rows_out = []
-        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        # an iterator is always truthy — materialize before testing
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if len(batch):
             batch = batch.sort_values("doc_id")
             for doc, sig in zip(batch["doc_id"], batch["sig"]):

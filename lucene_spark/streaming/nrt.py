@@ -77,14 +77,40 @@ class StreamingIndexer:
         tokenized = self._inner.tokenized(base).persist(StorageLevel.DISK_ONLY)
         try:
             d = f"{self.index_dir}/segments/seg=s{batch_id}"
+            # EVERY metadata column rides along (same docs-table
+            # contract as the batch build_segment — doc values /
+            # keyword filters must work on streamed docs too)
+            meta_cols = [
+                c
+                for c in batch_df.columns
+                if c not in (cfg.field, "doc_id", "content_sha256", cfg.vector_field)
+            ]
             tokenized.select(
                 "doc_id",
-                *[F.col(k) for k in keyset],
-                *([F.col("lang")] if "lang" in batch_df.columns else []),
+                *[F.col(c) for c in meta_cols],
                 F.sha2(F.col(cfg.field), 256).alias("content_sha256"),
             ).write.mode("overwrite").parquet(f"{d}/docs")
-            tokenized.select("doc_id", "dl", "norm").write.mode("overwrite").parquet(f"{d}/norms")
-            self._inner.inverted(tokenized).write.mode("overwrite").parquet(f"{d}/inverted")
+            # extra tokenized fields: prefixed inversion union +
+            # per-field norm bytes, matching build_segment — streamed
+            # segments must merge schema-identically with batch ones
+            from lucene_spark.index.builder import FIELD_SEP
+
+            inverted = self._inner.inverted(tokenized)
+            norms_df = tokenized.select("doc_id", "dl", "norm")
+            for xf in cfg.extra_fields:
+                inv_x = self._inner.inverted(
+                    self._inner.tokenized(base, field=xf), prefix=xf + FIELD_SEP
+                )
+                inverted = inverted.unionByName(inv_x)
+                norms_df = norms_df.join(
+                    inv_x.groupBy("doc_id").agg(
+                        F.max("norm").cast("int").alias(f"norm_{xf}")
+                    ),
+                    "doc_id",
+                    "left",
+                )
+            norms_df.write.mode("overwrite").parquet(f"{d}/norms")
+            inverted.write.mode("overwrite").parquet(f"{d}/inverted")
         finally:
             tokenized.unpersist()
 
