@@ -173,11 +173,13 @@ def common_grams_stream(
     ends: list[int] | None = None,
 ):
     """CommonGramsFilter (CommonGramsFilter.java:37-60): every unigram
-    passes through; each adjacent pair where either word is in
+    passes through; each CONSECUTIVE-TOKEN pair where either word is in
     ``common_words`` additionally emits "first_second" (GRAM_TYPE,
-    '_' separator) stacked at the FIRST word's position. Pairs only
-    form across consecutive positions (a hole breaks adjacency, like
-    the reference's posInc handling)."""
+    '_' separator) stacked at the FIRST word's position (gramToken:
+    posInc=0, posLen=2). Pairs form between stream-adjacent tokens
+    regardless of position holes — the reference buffers the previous
+    term and never consults posInc for pair formation ("We build
+    n-grams before and after stopwords", incrementToken:107-115)."""
     common = set(common_words)
     with_offsets = starts is not None
     out_t: list[str] = []
@@ -193,11 +195,7 @@ def common_grams_stream(
         if with_offsets:
             out_s.append(starts[i])
             out_e.append(ends[i])
-        if (
-            i + 1 < n
-            and positions[i + 1] == p + 1
-            and (t in common or tokens[i + 1] in common)
-        ):
+        if i + 1 < n and (t in common or tokens[i + 1] in common):
             out_t.append(f"{t}_{tokens[i + 1]}")
             out_p.append(p)
             out_ov.append(True)

@@ -279,7 +279,7 @@ class SearchIndex:
         wildcard (*suffix) rides the reversed-dictionary sidecar
         (pruned startswith) instead of the full regexp scan; everything
         else goes through the wildcard→regexp automaton route."""
-        from lucene_spark.testing.oracle import wildcard_to_regex
+        from lucene_spark.search.textmatch import wildcard_to_regex
 
         if pattern.startswith("*") and len(pattern) > 1 and not any(
             c in "*?" for c in pattern[1:]

@@ -127,11 +127,14 @@ def apply_bpe(
     from pyspark.sql.functions import pandas_udf
 
     ranks = {tuple(m): i for i, m in enumerate(merges)}
+    # closure-level cache: serialized once, lives for the WORKER
+    # PROCESS lifetime — a cache inside the UDF body would rebuild per
+    # Arrow batch, re-running the greedy merge loop for every distinct
+    # token seen in earlier batches
+    cache: dict[str, list[str]] = {}
 
     @pandas_udf("array<string>")
     def _encode(tokens: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
-
         def enc(toks):
             out = []
             for t in toks:

@@ -185,7 +185,15 @@ def decode_mp4(b: bytes):
             continue
         for t2, lo2, hi2 in walk(lo, hi):
             if t2 == b"mvhd" and hi2 - lo2 >= 20:
-                timescale, duration = struct.unpack(">II", b[lo2 + 12 : lo2 + 20])
+                # version byte decides the layout: v0 packs 32-bit
+                # times (timescale@12, duration@16), v1 packs 64-bit
+                # creation/modification (timescale@20, duration@24 as
+                # uint64) — ISO/IEC 14496-12 §8.2.2
+                if b[lo2] == 1 and hi2 - lo2 >= 32:
+                    timescale = struct.unpack(">I", b[lo2 + 20 : lo2 + 24])[0]
+                    duration = struct.unpack(">Q", b[lo2 + 24 : lo2 + 32])[0]
+                else:
+                    timescale, duration = struct.unpack(">II", b[lo2 + 12 : lo2 + 20])
             elif t2 == b"trak":
                 for t3, lo3, hi3 in walk(lo2, hi2):
                     if t3 == b"tkhd" and hi3 - lo3 >= 84:

@@ -527,7 +527,7 @@ class Searcher:
                 import numpy as np
 
                 from lucene_spark.index.builder import FIELD_SEP
-                from lucene_spark.testing.oracle import levenshtein
+                from lucene_spark.search.textmatch import levenshtein
 
                 scored = []
                 for t in terms:

@@ -115,7 +115,7 @@ def _matches(q: A.Query, toks: list[str], tset: set[str]) -> bool:
     if isinstance(q, A.PrefixQuery):
         return any(t.startswith(q.prefix) for t in tset)
     if isinstance(q, A.WildcardQuery):
-        from lucene_spark.testing.oracle import wildcard_to_regex
+        from lucene_spark.search.textmatch import wildcard_to_regex
 
         rx = _re.compile(wildcard_to_regex(q.pattern))
         return any(rx.fullmatch(t) for t in tset)
@@ -132,7 +132,7 @@ def _matches(q: A.Query, toks: list[str], tset: set[str]) -> bool:
             return True
         return False
     if isinstance(q, A.FuzzyQuery):
-        from lucene_spark.testing.oracle import levenshtein
+        from lucene_spark.search.textmatch import levenshtein
 
         return any(levenshtein(t, q.term, q.max_edits) <= q.max_edits for t in tset)
     if isinstance(q, A.PhraseQuery):

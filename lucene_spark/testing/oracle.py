@@ -33,30 +33,9 @@ from lucene_spark.search import ast as A
 from lucene_spark.search.similarity import BM25Stats, idf, score_freqs
 
 
-def wildcard_to_regex(pattern: str) -> str:
-    out = []
-    for ch in pattern:
-        if ch == "*":
-            out.append(".*")
-        elif ch == "?":
-            out.append(".")
-        else:
-            out.append(re.escape(ch))
-    return "".join(out)
-
-
-def levenshtein(a: str, b: str, bound: int) -> int:
-    if abs(len(a) - len(b)) > bound:
-        return bound + 1
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        if min(cur) > bound:
-            return bound + 1
-        prev = cur
-    return prev[-1]
+# wildcard/levenshtein live in the PRODUCT package (search.textmatch);
+# re-exported here for the test suites that import them from the oracle
+from lucene_spark.search.textmatch import levenshtein, wildcard_to_regex  # noqa: F401
 
 
 class OracleIndex:

@@ -43,7 +43,10 @@ def prepare(sf_dir: str, replicas: int) -> str:
 
     from lucene_spark.session import get_spark
 
-    out = f"/tmp/lucene_spark_scaling/corpus_r{replicas}"
+    # cache key carries the INPUT directory too, or a rerun with a
+    # different --sf-dir would silently reuse the stale corpus
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/lucene_spark_scaling/corpus_{tag}_r{replicas}"
     if os.path.exists(f"{out}/_SUCCESS"):
         return out
     spark = get_spark("scaling_prep", master="local[32]")
@@ -211,10 +214,10 @@ def main() -> None:
             r = json.loads(line[-1].removeprefix("WORKER_RESULT "))
             r["trials_sec"] = results.get(cores, {}).get("trials_sec", []) + [r["build_sec"]]
             if cores not in results or r["build_sec"] < results[cores]["build_sec"]:
-                r["trials_sec"] = sorted(set(r["trials_sec"] + results.get(cores, {}).get("trials_sec", [])))
+                r["trials_sec"] = sorted(r["trials_sec"] + results.get(cores, {}).get("trials_sec", []))
                 results[cores] = r
             else:
-                results[cores]["trials_sec"] = sorted(set(results[cores]["trials_sec"] + [r["build_sec"]]))
+                results[cores]["trials_sec"] = sorted(results[cores]["trials_sec"] + [r["build_sec"]])
             print(f"trial {trial} local[{cores}]: {r['build_sec']}s", file=sys.stderr)
 
     lo, hi = min(levels), max(levels)

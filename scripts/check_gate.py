@@ -3,9 +3,10 @@
 Runs every __spark_entry__.queries() entry at the given sf_dir, runs
 the paired oracle_sql() in DuckDB over the same parquet tables, and
 compares row count, column names, and an order-insensitive value hash
-(columns sorted by name, rows sorted, values stringified). Also asserts
-float columns sit far from their rounding boundaries so the 2dp
-round is stable between float32 (engine) and float64 (SQL).
+(columns sorted by name, rows sorted, values stringified). Score
+columns are rounded to 2dp on BOTH sides by the gate queries
+themselves; a float32-vs-float64 straddle of a rounding boundary
+would surface here as a value-hash mismatch.
 
 Usage: python scripts/check_gate.py [sf_dir]
 """
@@ -97,15 +98,6 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
                     status.append(f"spark-only={d}")
                 for d in sorted(oset - sset)[:3]:
                     status.append(f"oracle-only={d}")
-        # rounding-margin check on float columns of the oracle result
-        for ci, c in enumerate(ocols):
-            for r in orows:
-                v = r[ci]
-                if isinstance(v, float) and not float(v).is_integer():
-                    # v is already rounded to 2dp; recover margin from the
-                    # unrounded values is impossible here — margin is
-                    # checked in tests/test_gate via raw scores instead.
-                    break
         mark = "OK" if ok else "FAIL"
         if not ok:
             failures.append(name)

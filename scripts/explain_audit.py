@@ -38,6 +38,14 @@ def check(name: str, plan: str, pattern: str) -> None:
     CHECKS.append((name, pattern, ok))
 
 
+def check_absent(name: str, plan: str, pattern: str) -> None:
+    """PASS iff ``pattern`` matches NOWHERE in the plan — for
+    properties like column pruning, where a some-line-lacks-it
+    negative lookahead would pass as soon as ANY other scan exists."""
+    ok = re.search(pattern, plan) is None
+    CHECKS.append((name, f"ABSENT: {pattern}", ok))
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -56,7 +64,7 @@ def main() -> None:
     )
     plan = _capture(p)
     check("postings term filter pushed to scan", plan, r"PushedFilters: \[.*[Ii]n\(term")
-    check("postings column pruning (no pos_blob)", plan, r"ReadSchema: (?!.*pos_blob)")
+    check_absent("postings column pruning (no pos_blob)", plan, r"ReadSchema:.*pos_blob")
     sections.append(("Postings point read (query hot path)", plan))
 
     # 2. term dictionary prefix scan

@@ -158,9 +158,15 @@ class TestCommonGramsGoldens:
         assert self._run(["the", "quick", "the"]) == (
             ["the", "the_quick", "quick", "quick_the", "the"], [1, 0, 1, 0, 1])
 
-    def test_hole_breaks_adjacency(self):
+    def test_pairs_form_across_holes(self):
+        # the reference buffers the previous term and never consults
+        # posInc for pair formation ("We build n-grams before and
+        # after stopwords", CommonGramsFilter.incrementToken) — a
+        # position hole between stream-adjacent tokens still grams
         toks, poss, ov = common_grams_stream(["fox", "the"], [0, 2], self.COMMON)
-        assert toks == ["fox", "the"]
+        assert toks == ["fox", "fox_the", "the"]
+        assert poss == [0, 0, 2]
+        assert ov == [False, True, False]
 
 
 class TestShingledIndex:
