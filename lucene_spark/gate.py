@@ -972,7 +972,7 @@ def queries() -> dict:
         _search(
             spark,
             sf,
-            A.FuzzyQuery("tale", max_edits=2, rewrite="blended_freq"),
+            A.FuzzyQuery("tale", max_edits=2, rewrite="blended_freq", transpositions=False),
             mode="distributed",
         ),
     )
@@ -980,7 +980,7 @@ def queries() -> dict:
     # (TopTermsBlendedFreqScoringRewrite): per-term boost by edit
     # distance, df blended to the max over the expansion set
     Q["ft_fuzzyscored_top10"] = lambda spark, sf: _hits_df(
-        spark, _search(spark, sf, A.FuzzyQuery("tale", max_edits=2, rewrite="blended_freq"))
+        spark, _search(spark, sf, A.FuzzyQuery("tale", max_edits=2, rewrite="blended_freq", transpositions=False))
     )
     # FeatureField.newSaturationQuery as a SHOULD clause next to BM25
     # (the reference javadoc's pagerank-boost pattern); weight=1.5
@@ -1573,7 +1573,14 @@ def queries() -> dict:
         spark, _search(spark, sf, A.WildcardQuery("*ow"), k=ALL_K)
     )
     Q["ft_fuzzy_ids"] = lambda spark, sf: _ids_df(
-        spark, _search(spark, sf, A.FuzzyQuery("tabl", max_edits=1), k=ALL_K)
+        spark, _search(spark, sf, A.FuzzyQuery("tabl", max_edits=1, transpositions=False), k=ALL_K)
+    )
+    # FuzzyQuery under the REFERENCE DEFAULT metric (transpositions=
+    # true, FuzzyQuery.java:57): one adjacent swap is ONE edit —
+    # "tabel"~1 matches "table" (OSA 1, classic 2). The oracle spells
+    # out OSA<=1 = classic<=1 OR exactly-one-adjacent-swap.
+    Q["ft_fuzzytrans_ids"] = lambda spark, sf: _ids_df(
+        spark, _search(spark, sf, A.FuzzyQuery("tabel", max_edits=1), k=ALL_K)
     )
     Q["ft_range_ids"] = lambda spark, sf: _ids_df(
         spark, _search(spark, sf, A.TermRangeQuery("scan", "table"), k=ALL_K)
@@ -3551,29 +3558,27 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT)
     )
 
     # Intervals.notContaining(ordered(table,hash), merge): minimal
-    # ordered pairs with no merge position inside [pa, pb]; weight sums
-    # idf over ALL source terms incl. the subtrahend (IntervalQuery
-    # scores through every term of the source tree)
+    # ordered pairs with no merge position inside [pa, pb]. Reference
+    # IntervalQuery scoring: saturation — s = pf/(pf + 1), no
+    # similarity, no norms (IntervalQuery.java:41-58,
+    # IntervalScoreFunction.saturationFunction(1))
     O["ft_notcontaining_top10"] = topk_sql(
-        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "SELECT p.doc_id, p.pf / (p.pf + 1) AS s "
         "FROM (SELECT doc_id, sum(1.0 / (pb - pa)) AS pf "
         f"      FROM ({_mutual_pairs('table', 'hash')}) mp "
         "      WHERE NOT EXISTS (SELECT 1 FROM post po WHERE po.doc_id = mp.doc_id "
         "            AND po.term = 'merge' AND po.pos >= mp.pa AND po.pos <= mp.pb) "
-        "      GROUP BY doc_id) p "
-        "JOIN norms n ON n.doc_id = p.doc_id, "
-        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','merge')) ws"
+        "      GROUP BY doc_id) p"
     )
     # Intervals.before(merge, table): merge positions strictly before
-    # the latest table position; each contributes 1/(1+0) -> pf = count
+    # the latest table position; each contributes 1/(1+0) -> pf =
+    # count; saturation score pf/(pf + 1)
     O["ft_before_top10"] = topk_sql(
-        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "SELECT p.doc_id, p.pf / (p.pf + 1.0) AS s "
         "FROM (SELECT po.doc_id, count(*)::BIGINT AS pf FROM post po "
         "      JOIN (SELECT doc_id, max(pos) AS mx FROM post WHERE term = 'table' "
         "            GROUP BY doc_id) t ON t.doc_id = po.doc_id "
-        "      WHERE po.term = 'merge' AND po.pos < t.mx GROUP BY po.doc_id) p "
-        "JOIN norms n ON n.doc_id = p.doc_id, "
-        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('merge','table')) ws"
+        "      WHERE po.term = 'merge' AND po.pos < t.mx GROUP BY po.doc_id) p"
     )
 
     # SpanOr over two terms: every occurrence is a one-position minimal
@@ -3918,7 +3923,9 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT)
     O["ft_group_top"] = (
         base_ctes() + ", q AS (SELECT doc_id, s FROM tscore WHERE term = 'table'), "
         "g AS (SELECT d.lang, q.doc_id, q.s, "
-        "row_number() OVER (PARTITION BY d.lang ORDER BY q.s DESC, q.doc_id) AS grank "
+        # rank at float32 like the engine (CAST collapses f64-only
+        # ties so the doc_id tie-break agrees — same rule as topk_sql)
+        "row_number() OVER (PARTITION BY d.lang ORDER BY CAST(q.s AS REAL) DESC, q.doc_id) AS grank "
         "FROM q JOIN documents d USING (doc_id)) "
         "SELECT lang, grank::BIGINT AS grank, doc_id, round(s, 2) AS score_r "
         "FROM g WHERE grank <= 2 ORDER BY lang, grank"
@@ -4020,20 +4027,19 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT)
     # Intervals.containedBy('merge', ordered(table, hash)): each merge
     # occurrence inside a minimal pair contributes 1/(1+0) → pf = count
     O["ft_within_top10"] = topk_sql(
-        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s FROM ("
+        "SELECT p.doc_id, p.pf / (p.pf + 1.0) AS s FROM ("
         " SELECT doc_id, count(*)::BIGINT AS pf FROM ("
         f"  SELECT DISTINCT po.doc_id, po.pos FROM post po JOIN ({_mutual_pairs('table', 'hash')}) mp"
         "   ON po.doc_id = mp.doc_id AND po.pos >= mp.pa AND po.pos <= mp.pb"
         "   WHERE po.term = 'merge') z"
-        " GROUP BY doc_id) p JOIN norms n ON n.doc_id = p.doc_id, "
-        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','merge')) ws"
+        " GROUP BY doc_id) p"
     )
     # Intervals.or(ordered(table,hash), ordered(scan,merge)): union of
     # both minimal-pair sets, re-minimalized across sources (drop any
     # pair properly containing another); freq term = 1/(1 + gaps) =
     # 1/(e - s) for 2-term pairs
     O["ft_intervalor_top10"] = topk_sql(
-        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s FROM ("
+        "SELECT p.doc_id, p.pf / (p.pf + 1) AS s FROM ("
         " SELECT doc_id, sum(1.0 / (e - s)) AS pf FROM ("
         "  SELECT DISTINCT doc_id, s, e FROM ("
         f"   SELECT doc_id, pa AS s, pb AS e FROM ({_mutual_pairs('table', 'hash')})"
@@ -4043,8 +4049,7 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT)
         f"    SELECT doc_id, pa AS s, pb AS e FROM ({_mutual_pairs('table', 'hash')})"
         f"    UNION ALL SELECT doc_id, pa, pb FROM ({_mutual_pairs('scan', 'merge')})) v"
         "   WHERE v.doc_id = u.doc_id AND ((v.s > u.s AND v.e <= u.e) OR (v.s = u.s AND v.e < u.e)))"
-        " GROUP BY doc_id) p JOIN norms n ON n.doc_id = p.doc_id, "
-        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','scan','merge')) ws"
+        " GROUP BY doc_id) p"
     )
     # Intervals.atLeast(2, table, hash, scan) = or of the three
     # unordered pairs (MinimumShouldMatchIntervalsSource combination
@@ -4057,14 +4062,13 @@ SELECT CAST(row_number() OVER (ORDER BY CAST(s AS REAL) DESC, doc_id) AS BIGINT)
         for a, b in ((x, y), (y, x))
     )
     _ATLEAST_SQL = (
-        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s FROM ("
+        "SELECT p.doc_id, p.pf / (p.pf + 1) AS s FROM ("
         " SELECT doc_id, sum(1.0 / (e - s)) AS pf FROM ("
         f"  SELECT DISTINCT doc_id, s, e FROM ({_ATLEAST_UNION}) u0"
         "  ) u WHERE NOT EXISTS ("
         f"   SELECT 1 FROM (SELECT DISTINCT doc_id, s, e FROM ({_ATLEAST_UNION}) v0) v"
         "   WHERE v.doc_id = u.doc_id AND ((v.s > u.s AND v.e <= u.e) OR (v.s = u.s AND v.e < u.e)))"
-        " GROUP BY doc_id) p JOIN norms n ON n.doc_id = p.doc_id, "
-        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','scan')) ws"
+        " GROUP BY doc_id) p"
     )
     O["ft_atleast_top10"] = topk_sql(_ATLEAST_SQL)
     O["ft_fnparse_top10"] = O["ft_atleast_top10"]
@@ -4376,6 +4380,17 @@ FROM scored ORDER BY CAST(s AS REAL) DESC, doc_id LIMIT 5"""
     )
     O["ft_wildcard_ids"] = ids_sql("SELECT doc_id FROM tf WHERE regexp_full_match(term, '.*ow')")
     O["ft_fuzzy_ids"] = ids_sql("SELECT doc_id FROM tf WHERE levenshtein(term, 'tabl') <= 1")
+    # OSA <= 1: classic <= 1, or an exact single adjacent swap
+    # (equal length, classic 2, prefixes/tails equal around swapped i)
+    O["ft_fuzzytrans_ids"] = ids_sql(
+        "SELECT doc_id FROM tf WHERE levenshtein(term, 'tabel') <= 1 "
+        "OR (length(term) = 5 AND levenshtein(term, 'tabel') = 2 AND EXISTS ("
+        "  SELECT 1 FROM range(1, 5) r(i) "
+        "  WHERE substr(term, 1, i::INT - 1) = substr('tabel', 1, i::INT - 1) "
+        "    AND substr(term, i::INT, 1) = substr('tabel', i::INT + 1, 1) "
+        "    AND substr(term, i::INT + 1, 1) = substr('tabel', i::INT, 1) "
+        "    AND substr(term, i::INT + 2) = substr('tabel', i::INT + 2)))"
+    )
     O["ft_range_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term >= 'scan' AND term <= 'table'")
     O["ft_termset_ids"] = ids_sql("SELECT doc_id FROM tf WHERE term IN ('dup','vector','zzznosuch')")
     O["ft_regexp_ids"] = ids_sql("SELECT doc_id FROM tf WHERE regexp_full_match(term, 'sc.n|h.sh')")
@@ -4563,7 +4578,14 @@ inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
         "WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5 ORDER BY doc_a, doc_b"
     )
     O["dd_jaccard"] = _jacc
-    O["dd_minhash"] = _jacc  # LSH+verify must equal exact all-pairs at this sim gap
+    # LSH+verify equals exact all-pairs ON THIS FIXTURE: banding is
+    # deterministic (seeded permutations, no RNG at query time), and
+    # the fixture's near-dup pairs sit at jaccard ~0.98 where the
+    # 32-band miss probability is ~1e-22 — a pair near the 0.5
+    # threshold would have a real (~13%) but FIXED miss chance; if the
+    # fixture ever adds near-threshold pairs, expect to re-derive this
+    # equality rather than assume it
+    O["dd_minhash"] = _jacc
     # connected components over the same pair set: cluster = min doc id
     # reachable (recursive transitive closure; small at gate scale)
     O["dd_clusters"] = (
@@ -4865,15 +4887,13 @@ FROM documents"""
     # notContaining(maxgaps(4, ordered(table,hash)), merge): the
     # notcontaining oracle with the gap cap applied
     O["ft_dist_interval_top10"] = topk_sql(
-        "SELECT p.doc_id, ws.w - ws.w / (1 + p.pf * " + _INV + ") AS s "
+        "SELECT p.doc_id, p.pf / (p.pf + 1) AS s "
         "FROM (SELECT doc_id, sum(1.0 / (pb - pa)) AS pf "
         f"      FROM ({_mutual_pairs('table', 'hash')}) mp "
         "      WHERE pb - pa - 1 <= 4 "
         "      AND NOT EXISTS (SELECT 1 FROM post po WHERE po.doc_id = mp.doc_id "
         "            AND po.term = 'merge' AND po.pos >= mp.pa AND po.pos <= mp.pb) "
-        "      GROUP BY doc_id) p "
-        "JOIN norms n ON n.doc_id = p.doc_id, "
-        "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash','merge')) ws"
+        "      GROUP BY doc_id) p"
     )
     # distributed twins (same oracles)
     O["ft_dist_shingle_top10"] = O["ft_shingle_top10"]

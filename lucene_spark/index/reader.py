@@ -330,11 +330,20 @@ class SearchIndex:
         elif kind == "regexp":
             cond = bare.rlike(f"^(?:{arg})$")
         elif kind == "fuzzy":
-            term, max_edits, prefix_len = arg
-            cond = F.levenshtein(bare, F.lit(term)) <= max_edits
+            if len(arg) == 4:
+                term, max_edits, prefix_len, transpositions = arg
+            else:
+                term, max_edits, prefix_len = arg
+                transpositions = False
+            # JVM pre-filter: classic Levenshtein bounds the OSA metric
+            # (osa <= classic <= 2*osa), so transpositions=True scans
+            # classic <= 2k pushed-down and exact-checks OSA below
+            classic_bound = 2 * max_edits if transpositions else max_edits
+            cond = F.levenshtein(bare, F.lit(term)) <= classic_bound
             if prefix_len:
                 cond = cond & bare.startswith(term[:prefix_len])
             # cheap length pre-filter keeps the levenshtein scan tight
+            # (the OSA metric also never beats the length difference)
             cond = cond & (F.length(bare) >= len(term) - max_edits) & (
                 F.length(bare) <= len(term) + max_edits
             )
@@ -349,10 +358,32 @@ class SearchIndex:
                 cond = cond & c
         else:
             raise ValueError(kind)
-        out = [
-            r["term"]
-            for r in t.filter(cond).select("term").distinct().orderBy("term").limit(limit).collect()
-        ]
+        if kind == "fuzzy" and len(arg) == 4 and arg[3]:
+            # transpositions: exact OSA check over the (classic <= 2k)
+            # pre-filtered candidates. The superset is small — bounded
+            # by the length +/-k window and prefix — but collect a
+            # padded slice so the post-filter can still fill ``limit``
+            from lucene_spark.search.textmatch import osa_distance
+
+            term, max_edits = arg[0], arg[1]
+            cand = [
+                r["term"]
+                for r in t.filter(cond)
+                .select("term")
+                .distinct()
+                .orderBy("term")
+                .limit(max(8192, 4 * limit))
+                .collect()
+            ]
+            pl = len(keyprefix)
+            out = [
+                c for c in cand if osa_distance(c[pl:], term, max_edits) <= max_edits
+            ][:limit]
+        else:
+            out = [
+                r["term"]
+                for r in t.filter(cond).select("term").distinct().orderBy("term").limit(limit).collect()
+            ]
         self._expand_cache[ckey] = out
         while len(self._expand_cache) > 1024:
             self._expand_cache.popitem(last=False)

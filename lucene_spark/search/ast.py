@@ -117,6 +117,10 @@ class FuzzyQuery(Query):
     field: str = "content"
     rewrite: str = "constant"
     max_expansions: int = 50  # FuzzyQuery.java:56 defaultMaxExpansions
+    # FuzzyQuery.java:57 defaultTranspositions = true: edit distance is
+    # optimal-string-alignment (adjacent transposition = ONE edit);
+    # False = classic Levenshtein (the SQL-oracle-friendly subset)
+    transpositions: bool = True
 
 
 @dataclass(frozen=True)
@@ -462,12 +466,22 @@ class IntervalQuery(Query):
     :mod:`lucene_spark.search.intervals` sources (ITerm / IOrdered /
     IUnordered / IOr / IMaxGaps / IContaining / IContainedBy).
     Matches docs where the source yields >= 1 minimal interval;
-    freq = Σ 1/(1 + gaps) per emitted interval (SpanScorer sloppy
-    accumulation), BM25-scored with the summed-idf weight.
+    freq = Σ 1/(1 + gaps) per emitted interval (the reference
+    IntervalScorer accumulation, 1/max(length - minExtent + 1, 1)).
+
+    ``score_mode``: "saturation" (the DEFAULT and the reference
+    contract — IntervalQuery.java:41-58: score = boost *
+    freq/(freq + pivot), bounded to [0, boost), NO similarity/idf/
+    norms; IntervalScoreFunction.saturationFunction) or "span" (the
+    SpanScorer convention — BM25 over the sloppy freq with the
+    summed-idf weight — used by the span/surround/complex-phrase
+    surfaces, whose reference modules score through a Similarity).
     Primary field only (documented subset)."""
 
     source: object
     field: str = "content"
+    score_mode: str = "saturation"
+    pivot: float = 1.0
 
 
 @dataclass(frozen=True)

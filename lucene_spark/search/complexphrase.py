@@ -47,6 +47,9 @@ def _expand_atom(index, atom: str, max_expansions: int) -> list[str]:
     if m:
         base, ed = m.group(1), m.group(2)
         edits = int(ed) if ed else 2
+        # classic Levenshtein expansion (documented subset — the plain
+        # FuzzyQuery path implements the reference transpositions
+        # metric; this parser keeps the SQL-oracle-matched classic)
         if edits > 2:
             # FuzzyQuery rejects maxEdits > LevenshteinAutomata
             # .MAXIMUM_SUPPORTED_DISTANCE (2) — silently expanding a
@@ -84,9 +87,9 @@ def parse_complex_phrase(
         return A.MatchNoDocsQuery("empty complex phrase")
     if len(slots) == 1:
         src = IOr(tuple(ITerm(t) for t in slots[0])) if len(slots[0]) > 1 else ITerm(slots[0][0])
-        return A.IntervalQuery(src)
+        return A.IntervalQuery(src, score_mode="span")
     ops = tuple(
         IOr(tuple(ITerm(t) for t in s)) if len(s) > 1 else ITerm(s[0]) for s in slots
     )
     inner = IOrdered(ops) if in_order else IUnordered(ops)
-    return A.IntervalQuery(IMaxGaps(slop, inner))
+    return A.IntervalQuery(IMaxGaps(slop, inner), score_mode="span")

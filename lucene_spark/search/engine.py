@@ -408,7 +408,10 @@ class Searcher:
             from lucene_spark.search.intervals import map_terms
 
             return A.IntervalQuery(
-                map_terms(q.source, lambda t: (mex(t) or [t])[0]), q.field
+                map_terms(q.source, lambda t: (mex(t) or [t])[0]),
+                q.field,
+                q.score_mode,
+                q.pivot,
             )
         if isinstance(q, A.SynonymQuery):
             ts = flat(q.terms)
@@ -517,7 +520,11 @@ class Searcher:
             terms = self.index.expand_terms("regexp", q.pattern, field=q.field)
             return self._mtq_rewrite(terms, q)
         if isinstance(q, A.FuzzyQuery):
-            terms = self.index.expand_terms("fuzzy", (q.term, q.max_edits, q.prefix_length), field=q.field)
+            terms = self.index.expand_terms(
+                "fuzzy",
+                (q.term, q.max_edits, q.prefix_length, q.transpositions),
+                field=q.field,
+            )
             if q.rewrite == "blended_freq":
                 # TopTermsBlendedFreqScoringRewrite (the REFERENCE's
                 # default, FuzzyQuery.java:59-62): top max_expansions
@@ -527,12 +534,13 @@ class Searcher:
                 import numpy as np
 
                 from lucene_spark.index.builder import FIELD_SEP
-                from lucene_spark.search.textmatch import levenshtein
+                from lucene_spark.search.textmatch import levenshtein, osa_distance
 
+                dist = osa_distance if q.transpositions else levenshtein
                 scored = []
                 for t in terms:
                     bare = t.split(FIELD_SEP)[-1]
-                    ed = levenshtein(bare, q.term, q.max_edits)
+                    ed = dist(bare, q.term, q.max_edits)
                     b = 1.0 if ed == 0 else 1.0 - ed / min(len(bare), len(q.term))
                     scored.append((t, float(np.float32(b))))
                 scored.sort(key=lambda x: (-x[1], x[0]))

@@ -30,7 +30,12 @@ EARTH_MEAN_RADIUS_M = 6371008.7714
 
 def haversine_meters(lat_col, lon_col, lat: float, lon: float) -> Column:
     """Haversine distance (meters) from each row's point to (lat, lon),
-    float64 Catalyst trig (SloppyMath.haversinMeters role)."""
+    float64 Catalyst trig (SloppyMath.haversinMeters role). Documented
+    deviation: the reference uses SloppyMath's table-driven approximate
+    trig (relative error ~1e-7, ≤ ~40 cm); this is the EXACT formula —
+    a point within that error band of a distance-query radius can
+    classify differently than Lucene (same note as expressions.py's
+    haversin)."""
     lat1 = F.radians(F.lit(float(lat)))
     lon1 = F.radians(F.lit(float(lon)))
     lat2 = F.radians(F.col(lat_col) if isinstance(lat_col, str) else lat_col)

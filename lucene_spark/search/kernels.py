@@ -154,6 +154,12 @@ class IntervalSpec:
     terms: tuple[str, ...]
     weight: float
     field: str = ""
+    # "saturation" (reference IntervalQuery: score = weight *
+    # freq/(freq+pivot), weight = BOOST, no similarity/norms) or
+    # "span" (SpanScorer convention: BM25 over the sloppy freq,
+    # weight = the similarity multi-weight)
+    score_mode: str = "span"
+    pivot: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -323,8 +329,14 @@ def compile_query(
         if not present:
             return NoneSpec()
         fld, st = _stats_of(present[0])
+        if getattr(q, "score_mode", "saturation") == "saturation":
+            # reference IntervalQuery: weight IS the boost; no
+            # similarity weight, no norms (IntervalQuery.java:41-58)
+            return IntervalSpec(
+                q.source, terms, float(b32), fld, score_mode="saturation", pivot=q.pivot
+            )
         w = sim.for_field(fld).multi_weight(st, [term_df[t] for t in present], [ttf_of(t, 0) for t in present], float(b32))
-        return IntervalSpec(q.source, terms, w, fld)
+        return IntervalSpec(q.source, terms, w, fld, score_mode="span")
     if isinstance(q, A.MultiPhraseQuery):
         slots = tuple(tuple(t for t in slot if term_df.get(t)) for slot in q.positions)
         if any(not s for s in slots):
@@ -1469,6 +1481,17 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
     width; clamped like SloppyPhraseMatcher clamps negative slop)."""
     from lucene_spark.search.intervals import candidate_docs, eval_source
 
+    def _score(freq_arr: np.ndarray, norm_arr: np.ndarray) -> np.ndarray:
+        if spec.score_mode == "saturation":
+            # IntervalScoreFunction.SaturationFunction: weight *
+            # (1 - pivot/(freq + pivot)) in float32, norm-free
+            f = freq_arr.astype(np.float32)
+            p = np.float32(spec.pivot)
+            return (np.float32(spec.weight) * (np.float32(1.0) - p / (f + p))).astype(
+                np.float32
+            )
+        return ctx.score(spec.weight, freq_arr, norm_arr, spec.field)
+
     parts = {t: ctx.term(t) for t in spec.terms}
     doc_arrays = {t: p[0] for t, p in parts.items()}
     cand = candidate_docs(spec.source, doc_arrays)
@@ -1534,7 +1557,7 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
         if not matched.any():
             return EMPTY_I, EMPTY_F
         norms_m = _slot_norms(slots[0], matched)
-        scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
+        scores = _score(freqs[matched], norms_m)
         return cand[matched], scores
     def _term_keys(t):
         return _term_keys_ctx(ctx, t, cand)
@@ -1559,7 +1582,7 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
         if not matched.any():
             return EMPTY_I, EMPTY_F
         norms_m = _slot_norms(ff[0][0][0], matched)
-        scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
+        scores = _score(freqs[matched], norms_m)
         return cand[matched], scores
     orr = _fast_or_shape(spec.source) if ff is None else None
     if orr is not None:
@@ -1591,7 +1614,7 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
             if not matched.any():
                 return EMPTY_I, EMPTY_F
             norms_m = _slot_norms(tuple(spec.terms), matched)
-            scores = ctx.score(spec.weight, freqs[matched], norms_m, spec.field)
+            scores = _score(freqs[matched], norms_m)
             return cand[matched], scores
     for ci in range(len(cand)):
 
@@ -1614,7 +1637,7 @@ def _evaluate_interval(spec: IntervalSpec, ctx: ChunkContext) -> tuple[np.ndarra
     matched = freqs > 0
     if not matched.any():
         return EMPTY_I, EMPTY_F
-    scores = ctx.score(spec.weight, freqs[matched], norms[matched], spec.field)
+    scores = _score(freqs[matched], norms[matched])
     return cand[matched], scores
 
 

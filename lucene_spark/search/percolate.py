@@ -132,9 +132,10 @@ def _matches(q: A.Query, toks: list[str], tset: set[str]) -> bool:
             return True
         return False
     if isinstance(q, A.FuzzyQuery):
-        from lucene_spark.search.textmatch import levenshtein
+        from lucene_spark.search.textmatch import levenshtein, osa_distance
 
-        return any(levenshtein(t, q.term, q.max_edits) <= q.max_edits for t in tset)
+        dist = osa_distance if q.transpositions else levenshtein
+        return any(dist(t, q.term, q.max_edits) <= q.max_edits for t in tset)
     if isinstance(q, A.PhraseQuery):
         if any(t not in tset for t in q.terms):
             return False

@@ -177,4 +177,4 @@ def span_field_mask(source, field: str):
 def span_query(source) -> A.IntervalQuery:
     """Wrap a span/interval source as an engine query (IntervalQuery;
     SpanScorer-convention freq accumulation)."""
-    return A.IntervalQuery(source)
+    return A.IntervalQuery(source, score_mode="span")

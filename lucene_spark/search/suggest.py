@@ -119,7 +119,11 @@ def infix_suggest(
 def spell_suggest(index, term: str, k: int = 5, max_edits: int = 2) -> DataFrame:
     """Top-k corrections for ``term``: candidates with
     0 < levenshtein <= max_edits, ordered by (distance asc, df desc,
-    term asc). Returns (term, dist, df)."""
+    term asc). Returns (term, dist, df). Documented deviation: CLASSIC
+    Levenshtein (JVM builtin, SQL-oracle-matched); the reference
+    DirectSpellChecker defaults to the transposition-primitive metric
+    — FuzzyQuery (the QUERY path) implements it, see
+    search/textmatch.osa_distance."""
     t = _primary_terms_df(index)
     dist = F.levenshtein(F.col("term"), F.lit(term))
     return (
@@ -154,7 +158,11 @@ def fuzzy_suggest(
     Documented subset: the reference additionally unions the exact
     automaton so exact completions can never be starved by the edit
     budget — with weight ranking over a term dictionary the exact
-    completions already satisfy the prefix-distance test (distance 0).
+    completions already satisfy the prefix-distance test (distance 0);
+    and distances here are CLASSIC Levenshtein (JVM builtin,
+    SQL-oracle-matched) where the reference's automata count adjacent
+    transpositions as one edit (the query path's FuzzyQuery does
+    implement that metric).
 
     Plan shape: the only candidate prefixes of a term that can sit
     within ``max_edits`` of ``typed`` have length |typed| ± max_edits,

@@ -166,12 +166,12 @@ class _P:
             n, kind = self.next()[1]
             right = _as_source(self.q_primary())
             src = _dist_source(n, kind, (src, right))
-        return A.IntervalQuery(src)
+        return A.IntervalQuery(src, score_mode="span")
 
     def q_primary(self):
         k = self.peek()
         if k == "dist":
-            return A.IntervalQuery(self.src_dist())
+            return A.IntervalQuery(self.src_dist(), score_mode="span")
         if k == "lparen":
             self.next()
             q = self.q_or()

@@ -25,6 +25,37 @@ def wildcard_to_regex(pattern: str) -> str:
     return "".join(out)
 
 
+def osa_distance(a: str, b: str, bound: int) -> int:
+    """Optimal-string-alignment (restricted Damerau-Levenshtein)
+    distance with transposition of adjacent characters as a PRIMITIVE
+    edit — the metric FuzzyQuery uses by default (FuzzyQuery.java:57
+    defaultTranspositions=true; LevenshteinAutomata's transposition
+    tables). Returns bound+1 once the distance provably exceeds
+    ``bound``. osa(a,b) <= levenshtein(a,b) <= 2*osa(a,b) — callers
+    pre-filter candidates with classic distance <= 2*bound."""
+    if abs(len(a) - len(b)) > bound:
+        return bound + 1
+    prev2: list[int] | None = None
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            if (
+                prev2 is not None
+                and i > 1
+                and j > 1
+                and ca == b[j - 2]
+                and a[i - 2] == cb
+            ):
+                d = min(d, prev2[j - 2] + 1)
+            cur.append(d)
+        if min(cur) > bound:
+            return bound + 1
+        prev2, prev = prev, cur
+    return prev[-1] if prev[-1] <= bound else bound + 1
+
+
 def levenshtein(a: str, b: str, bound: int) -> int:
     """Banded edit distance with early exit: returns bound+1 as soon as
     the distance provably exceeds ``bound`` (the LevenshteinAutomata

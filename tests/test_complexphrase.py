@@ -67,7 +67,9 @@ class TestEngine:
             ),
         )
         got = search_index.search(q, k=10**6)
-        want = search_index.search(A.IntervalQuery(want_src), k=10**6)
+        # the parser emits span-convention scoring (ComplexPhrase
+        # rewrites to SpanNearQuery in the reference)
+        want = search_index.search(A.IntervalQuery(want_src, score_mode="span"), k=10**6)
         assert got.hits == want.hits and got.hits
 
     def test_matches_are_real_adjacencies(self, search_index, corpus_pdf):

@@ -268,11 +268,11 @@ class TestIntervalQueryEndToEnd:
                 docs.append(i)
                 freqs.append(float(f))
                 norms.append(int_to_byte4(len(toks)))
-        scores = score_freqs(
-            w,
-            np.array(freqs, dtype=np.float32),
-            np.array(norms, dtype=np.int64),
-            oracle.cache,
+        # reference IntervalQuery scoring: boost * f/(f+1) in float32
+        # (saturation, no similarity, no norms — IntervalQuery.java:41-58)
+        f32 = np.array(freqs, dtype=np.float32)
+        scores = (np.float32(1.0) - np.float32(1.0) / (f32 + np.float32(1.0))).astype(
+            np.float32
         )
         want = sorted(zip(docs, scores), key=lambda t: (-t[1], t[0]))[:10]
         assert [d for d, _ in got] == [d for d, _ in want]

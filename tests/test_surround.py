@@ -15,28 +15,30 @@ from lucene_spark.search.surround import parse_surround
 class TestGrammar:
     def test_prefix_distance_ops(self):
         q = parse_surround("3W(table, hash)")
-        assert q == A.IntervalQuery(IMaxGaps(2, IOrdered((ITerm("table"), ITerm("hash")))))
+        assert q == A.IntervalQuery(IMaxGaps(2, IOrdered((ITerm("table"), ITerm("hash")))), score_mode="span")
         q = parse_surround("N(a, b)")
-        assert q == A.IntervalQuery(IMaxGaps(0, IUnordered((ITerm("a"), ITerm("b")))))
+        assert q == A.IntervalQuery(IMaxGaps(0, IUnordered((ITerm("a"), ITerm("b")))), score_mode="span")
 
     def test_infix_distance(self):
         q = parse_surround("table 3W hash")
-        assert q == A.IntervalQuery(IMaxGaps(2, IOrdered((ITerm("table"), ITerm("hash")))))
+        assert q == A.IntervalQuery(IMaxGaps(2, IOrdered((ITerm("table"), ITerm("hash")))), score_mode="span")
         # left-associative chain
         q = parse_surround("a 2W b 5N c")
         inner = IMaxGaps(1, IOrdered((ITerm("a"), ITerm("b"))))
-        assert q == A.IntervalQuery(IMaxGaps(4, IUnordered((inner, ITerm("c")))))
+        assert q == A.IntervalQuery(IMaxGaps(4, IUnordered((inner, ITerm("c")))), score_mode="span")
 
     def test_or_inside_distance(self):
         q = parse_surround("2W(table OR merge, hash)")
         assert q == A.IntervalQuery(
-            IMaxGaps(1, IOrdered((IOr((ITerm("table"), ITerm("merge"))), ITerm("hash"))))
+            IMaxGaps(1, IOrdered((IOr((ITerm("table"), ITerm("merge"))), ITerm("hash")))),
+            score_mode="span",
         )
 
     def test_nested_distance(self):
         q = parse_surround("4N(W(a, b), c)")
         assert q == A.IntervalQuery(
-            IMaxGaps(3, IUnordered((IMaxGaps(0, IOrdered((ITerm("a"), ITerm("b")))), ITerm("c"))))
+            IMaxGaps(3, IUnordered((IMaxGaps(0, IOrdered((ITerm("a"), ITerm("b")))), ITerm("c")))),
+            score_mode="span",
         )
 
     def test_boolean_level(self):
@@ -44,7 +46,7 @@ class TestGrammar:
         q = parse_surround("3W(a, b) NOT c")
         assert q == A.BooleanQuery(
             (
-                (A.Occur.MUST, A.IntervalQuery(IMaxGaps(2, IOrdered((ITerm("a"), ITerm("b")))))),
+                (A.Occur.MUST, A.IntervalQuery(IMaxGaps(2, IOrdered((ITerm("a"), ITerm("b")))), score_mode="span")),
                 (A.Occur.MUST_NOT, A.TermQuery("c")),
             )
         )
@@ -53,7 +55,7 @@ class TestGrammar:
 
     def test_case_and_default_distance(self):
         assert parse_surround("W(A, B)") == A.IntervalQuery(
-            IMaxGaps(0, IOrdered((ITerm("a"), ITerm("b"))))
+            IMaxGaps(0, IOrdered((ITerm("a"), ITerm("b")))), score_mode="span"
         )
 
     def test_prefix_term_outside_distance(self):
