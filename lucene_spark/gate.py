@@ -810,10 +810,10 @@ def queries() -> dict:
     # TermAutomatonQuery (sandbox): "table hash" | "table ANY hash" —
     # an automaton that does NOT rewrite to a phrase (ANY arc). freq
     # follows TermAutomatonScorer.countMatches' observable counts:
-    # adjacency arrivals + ONE arrival per dist-2 span (the gap token
-    # is consumed as ANY exactly once whether or not it is itself a
-    # query term — the expanded det term step subsumes the ANY
-    # alternative, so the hole sweep never re-steps token positions)
+    # adjacency arrivals + dist-2 span arrivals, where a dist-2 span
+    # whose gap token is itself a query term arrives TWICE (the sweep
+    # starts AT lastPos, so token positions get both the det term step
+    # and a separate any-symbol step; PosState.add never dedups)
     Q["ft_automaton_top10"] = lambda spark, sf: _hits_df(
         spark, gate_index(spark, sf)[1].search(A.TermAutomatonQuery(_taq_gap_dfa()), k=10)
     )
@@ -2977,11 +2977,12 @@ def oracle_sql() -> dict[str, str]:
     )
     O["ft_dist_payload_sum_top10"] = O["ft_payload_sum_top10"]
     # TermAutomatonQuery "table (hash | ANY hash)": countMatches path
-    # counting = adjacency arrivals + ONE arrival per dist-2 span
-    # (the gap token — query term or not — is consumed as ANY exactly
-    # once; the expanded det term step subsumes the ANY alternative,
-    # matching the reference's observable freq); weight = summed idfs
-    # of the automaton's present terms
+    # counting = adjacencies + dist-2 spans + dist-2 spans AGAIN when
+    # the gap token is a query term (TermAutomatonScorer's ANY sweep
+    # starts AT lastPos, so the gap token is consumed BOTH via the
+    # expanded det term step and via a separate any-symbol step, and
+    # PosState.add never dedups — two distinct accept arrivals);
+    # weight = summed idfs of the automaton's present terms
     O["ft_automaton_top10"] = topk_sql(
         "SELECT f.doc_id, ws.w - ws.w / (1 + f.tf * " + _INV + ") AS s "
         "FROM (SELECT x.doc_id, sum(x.c)::BIGINT AS tf FROM ("
@@ -2990,7 +2991,12 @@ def oracle_sql() -> dict[str, str]:
         "    WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id "
         "  UNION ALL SELECT a.doc_id, count(*)::BIGINT FROM post a "
         "    JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 2 "
-        "    WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id"
+        "    WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id "
+        "  UNION ALL SELECT a.doc_id, count(*)::BIGINT FROM post a "
+        "    JOIN post m ON a.doc_id = m.doc_id AND m.pos = a.pos + 1 "
+        "    JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 2 "
+        "    WHERE a.term = 'table' AND m.term IN ('table','hash') AND b.term = 'hash' "
+        "    GROUP BY a.doc_id"
         ") x GROUP BY x.doc_id) f "
         "JOIN norms n USING (doc_id), "
         "(SELECT sum(w) AS w FROM idfw WHERE term IN ('table','hash')) ws"

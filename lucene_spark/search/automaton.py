@@ -234,14 +234,16 @@ def automaton_freq(tok_stream, dfa_steps: dict, accepts, any_sym) -> int:
     """The TermAutomatonScorer.countMatches state walk (:222-345) over
     ONE doc's merged (position, symbol) stream of QUERY-TERM tokens,
     sorted by position. Maintains per-position path-count multisets of
-    DFA states (PosState never deduplicates — :370-390), steps ANY
-    through the HOLE positions between consecutive query-term tokens
-    (:268-292; at a token position the expanded det table's term step
-    already subsumes the ANY alternative — the reference keeps ANY as
-    a separate symbol and supplies it once via its sweep, so freq
-    matches), seeds state 0 at every token (:320-329), and counts an
-    accept arrival only on term steps and seeds (:313-316, 325-328 —
-    never on ANY advances).
+    DFA states (PosState never deduplicates — :370-390), sweeps ANY
+    from the PREVIOUS token position through the holes (:266-292 —
+    ``startLastPos`` guard: the first iteration runs even with
+    count==0, so the states at last_pos are ANY-stepped IN ADDITION to
+    the term step they already took; a dist-2 span whose gap token is
+    itself a query term therefore arrives twice, once via the expanded
+    det term step and once via the separate any-symbol step, and
+    PosState.add keeps both), seeds state 0 at every token (:320-329),
+    and counts an accept arrival only on term steps and seeds
+    (:313-316, 325-328 — never on ANY advances).
 
     ``tok_stream``: iterable of (pos, sym) sorted by pos (ties in any
     order — same-position stacked tokens all step from the same source
@@ -254,17 +256,20 @@ def automaton_freq(tok_stream, dfa_steps: dict, accepts, any_sym) -> int:
     last_pos = None
     for pos, sym in tok_stream:
         if any_sym is not None and last_pos is not None and last_pos < pos:
-            # sweep ANY over the HOLE positions only (last_pos+1..pos-1).
-            # The token at last_pos already stepped R[last_pos] via its
-            # term symbol, and the determinized steps subsume ANY-edges
-            # (finish() expands ANY over every symbol before
-            # determinization) — re-stepping R[last_pos] via any_sym
-            # would double-count each such path.
-            q = last_pos + 1
+            # sweep ANY from last_pos (inclusive) up to pos-1 — the
+            # reference starts AT lastPos (:268 `int startLastPos =
+            # lastPos; while (lastPos < pos)`) so the source states of
+            # the previous token get an any-symbol step IN ADDITION to
+            # the term step they already took; the petered-out break
+            # (:275-279) fires only past the first iteration.
+            q = last_pos
             while q < pos:
                 src = R.get(q)
                 if not src:
-                    break  # petered out (:275-279)
+                    if q > last_pos:
+                        break  # petered out (:275-279)
+                    q += 1
+                    continue  # first iteration runs even with count==0
                 nxt = R[q + 1]
                 for s, c in src.items():
                     d = dfa_steps.get((s, any_sym))

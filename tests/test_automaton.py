@@ -31,14 +31,14 @@ from lucene_spark.search.similarity import BM25Stats, idf, score_freqs
 def brute_freq(toks, term_sym, table, accepts, any_sym):
     """Independent from-definition path count: a match starts at a
     query-term token seeding state 0 and extends one position at a
-    time. At a query-term position the expanded det table's term step
-    SUBSUMES the ANY arc (finish() expands ANY over the alphabet, det
-    merges the alternatives into one state), so branching ANY there
-    too would double-count — the ANY arc applies only at HOLES
-    (non-query tokens), exactly the reference's observable freq
-    (TermAutomatonScorer keeps ANY as a separate symbol, so its term
-    step excludes ANY and its sweep supplies it once). Accept arrivals
-    count on term arcs and seeds, never on ANY."""
+    time. At EVERY position a live path branches BOTH ways: the term
+    step (when the token is a query term) AND the any-symbol step —
+    the reference's ANY sweep starts AT lastPos (TermAutomatonScorer
+    countMatches :268 startLastPos), so the states a token stepped via
+    its term symbol are ALSO any-stepped when the next token arrives,
+    and PosState.add never dedups; a dist-2 span whose gap token is a
+    query term therefore yields two distinct accept arrivals. Accept
+    arrivals count on term arcs and seeds, never on ANY."""
     freq = 0
     n = len(toks)
 
@@ -53,7 +53,7 @@ def brute_freq(toks, term_sym, table, accepts, any_sym):
                 if d in accepts:
                     freq += 1
                 extend(pos + 1, d)
-        elif any_sym is not None:
+        if any_sym is not None:
             d = table.get((state, any_sym))
             if d is not None:
                 extend(pos + 1, d)
@@ -119,13 +119,15 @@ class TestBuilderContracts:
             b.finish()
 
     def test_any_expansion_merges_into_term_step(self):
-        # after finish(), step on 'b' from s1 must subsume the ANY arc
-        # (finish() expands ANY over the whole alphabet, det merges)
+        # after finish(), step on 'b' from s1 subsumes the ANY arc
+        # (finish() expands ANY over the whole alphabet, det merges) —
+        # AND the scorer's sweep supplies a separate any-symbol step
+        # from the same source states, so the dist-2 span whose gap is
+        # the query term 'b' arrives twice: "a b"(adj) + "a ? b" with
+        # ?=b via det term step + "a ? b" via the any-symbol sweep.
         dfa = _phrase_any_dfa()
         got, want = _run(dfa, ["a", "b", "b"])
-        # "a b"(adj) + "a b b"(gap via ANY consuming first b) + "a ? b"
-        # where ?=b consumed as ANY at pos1... brute counts paths
-        assert got == want
+        assert got == want == 3
 
 
 class TestRewriteParity:
@@ -172,9 +174,10 @@ class TestCountMatchesVsBrute:
         dfa = _phrase_any_dfa()
         for toks, expect in [
             (["a", "b"], 1),  # adjacent
-            (["a", "x", "b"], 1),  # via ANY
-            (["a", "b", "b"], None),  # computed by brute
-            (["a", "a", "b"], None),
+            (["a", "x", "b"], 1),  # via ANY (hole gap: one path only)
+            (["a", "b", "b"], 3),  # adj + term-gap dist-2 counted twice
+            (["a", "a", "b"], 3),  # dist-2 twice (gap 'a') + adj "a b"
+            (["a", "x", "b", "b"], None),  # brute-checked mixed shape
             (["b", "a"], 0),
             (["a", "x", "x", "b"], 0),  # gap 2 exceeds single ANY
         ]:
