@@ -359,26 +359,37 @@ class SearchIndex:
         else:
             raise ValueError(kind)
         if kind == "fuzzy" and len(arg) == 4 and arg[3]:
-            # transpositions: exact OSA check over the (classic <= 2k)
-            # pre-filtered candidates. The superset is small — bounded
-            # by the length +/-k window and prefix — but collect a
-            # padded slice so the post-filter can still fill ``limit``
-            from lucene_spark.search.textmatch import osa_distance
+            # transpositions: exact OSA check pushed INTO the scan as an
+            # Arrow-batched predicate over the (classic <= 2k) JVM
+            # pre-filtered candidates, so ``limit`` applies to TRUE OSA
+            # matches — a driver-side post-filter over a capped slice
+            # would silently drop matches sorting late in dictionary
+            # order whenever the pre-filter pool exceeds the cap
+            from pyspark.sql.functions import pandas_udf
 
             term, max_edits = arg[0], arg[1]
-            cand = [
+            pl = len(keyprefix)
+
+            @pandas_udf("boolean")
+            def _osa_ok(s):
+                import pandas as pd
+
+                from lucene_spark.search.textmatch import osa_distance
+
+                return pd.Series(
+                    [osa_distance(x[pl:], term, max_edits) <= max_edits for x in s]
+                )
+
+            out = [
                 r["term"]
                 for r in t.filter(cond)
+                .filter(_osa_ok(F.col("term")))
                 .select("term")
                 .distinct()
                 .orderBy("term")
-                .limit(max(8192, 4 * limit))
+                .limit(limit)
                 .collect()
             ]
-            pl = len(keyprefix)
-            out = [
-                c for c in cand if osa_distance(c[pl:], term, max_edits) <= max_edits
-            ][:limit]
         else:
             out = [
                 r["term"]
