@@ -1858,24 +1858,27 @@ def _flat_of(ctx: "ChunkContext", t: str) -> tuple[np.ndarray, np.ndarray]:
     else:
         # zero-copy fast path: unpack_positions returns np.split views
         # of ONE flat decode buffer — contiguous, in order, offset 0.
-        # Sufficient check without touching every element: first and
-        # last views bound the SAME buffer of EXACTLY ``total`` int64s
-        # (a strict sub-slice can never sum to the full length because
-        # every per-doc list has len == tf >= 1).
-        first, last = plist[0], plist[-1]
+        # Verify EVERY view sits at its cumulative offset of that
+        # buffer with its tf-implied length (first/last bounds alone
+        # cannot rule out overlapping or out-of-order middle views);
+        # O(n_docs) attribute reads, memoized per (context, term).
+        first = plist[0]
         b = first.base if isinstance(first, np.ndarray) else None
-        if (
-            b is not None
-            and b.dtype == np.int64
-            and len(b) == total
-            and isinstance(last, np.ndarray)
-            and last.base is b
-            and first.__array_interface__["data"][0] == b.__array_interface__["data"][0]
-            and last.__array_interface__["data"][0] + 8 * len(last)
-            == b.__array_interface__["data"][0] + 8 * total
-        ):
-            flat = b
-        else:
+        flat = None
+        if b is not None and b.dtype == np.int64 and len(b) == total:
+            base_ptr = b.__array_interface__["data"][0]
+            for i, p in enumerate(plist):
+                if not (
+                    isinstance(p, np.ndarray)
+                    and p.base is b
+                    and len(p) == int(offs[i + 1] - offs[i])
+                    and p.__array_interface__["data"][0]
+                    == base_ptr + 8 * int(offs[i])
+                ):
+                    break
+            else:
+                flat = b
+        if flat is None:
             flat = np.concatenate(
                 [np.asarray(p, dtype=np.int64) for p in plist if len(p)]
             )

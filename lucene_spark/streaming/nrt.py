@@ -58,12 +58,22 @@ class StreamingIndexer:
         kcols = [F.col(k) for k in keyset] or [F.col(cfg.field)]
         # a TOTAL deterministic order: rows tied on the doc keys break
         # on every remaining column, so replays assign identical ids
-        # and rows equal in every column are genuinely interchangeable
-        tie = [
-            F.col(c)
-            for c, t in sorted(batch_df.dtypes)
-            if c not in keyset and not t.startswith(("array", "map", "struct", "binary"))
-        ]
+        # and rows equal in every column are genuinely interchangeable.
+        # Complex columns (array/map/struct/binary) are not directly
+        # orderable-by-value across all types, so they participate via
+        # a deterministic digest — without it two rows equal on every
+        # scalar but differing in a complex column could swap ids
+        # across a window re-execution
+        tie = []
+        for c, t in sorted(batch_df.dtypes):
+            if c in keyset:
+                continue
+            if t.startswith(("array", "map", "struct")):
+                tie.append(F.xxhash64(F.to_json(F.col(c))))
+            elif t == "binary":
+                tie.append(F.xxhash64(F.col(c)))
+            else:
+                tie.append(F.col(c))
         w = Window.orderBy(*kcols, *tie)
         base = batch_df.withColumn(
             "doc_id",

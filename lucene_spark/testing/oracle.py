@@ -33,9 +33,34 @@ from lucene_spark.search import ast as A
 from lucene_spark.search.similarity import BM25Stats, idf, score_freqs
 
 
-# wildcard/levenshtein live in the PRODUCT package (search.textmatch);
-# re-exported here for the test suites that import them from the oracle
-from lucene_spark.search.textmatch import levenshtein, wildcard_to_regex  # noqa: F401
+# from-definition copies, deliberately INDEPENDENT of the product
+# package (search.textmatch): an oracle that imports the engine's own
+# primitives would corrupt both sides of a comparison identically
+
+
+def levenshtein(a: str, b: str, k: int) -> int:
+    """Unbanded textbook edit distance, clamped to k+1 past the budget
+    (the product's banded variant has the same observable contract)."""
+    D = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        nd = [i]
+        for j, cb in enumerate(b, 1):
+            nd.append(min(D[j] + 1, nd[j - 1] + 1, D[j - 1] + (ca != cb)))
+        D = nd
+    return D[-1] if D[-1] <= k else k + 1
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """'*' -> '.*', '?' -> '.', everything else literal."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
 
 
 class OracleIndex:
