@@ -15,6 +15,15 @@ Scale notes (100 TB, 10^9+ docs):
 - hot shingles (boilerplate lines) are dropped by ``max_shingle_df``
   before the join — the same skew-salting idea as the index builder's
   hot-term chunking.
+- LSH band buckets are size-capped (``max_bucket``): a degenerate
+  bucket — mass-duplicated boilerplate, common in web crawls — would
+  otherwise emit O(|bucket|^2) candidate rows before distinct. The cap
+  is not silent: ``return_stats=True`` yields the oversized-bucket
+  relation (kept/dropped member counts) alongside the pairs. Run
+  ``exact_duplicates`` FIRST — byte-identical mass duplicates collapse
+  there for one shuffle, and the cap then only touches the residual
+  near-identical template mass, where sampled recall is the honest
+  trade (every kept pair is still exact-verified).
 """
 
 from __future__ import annotations
@@ -188,6 +197,52 @@ def minhash_signatures(
     return grouped.select("doc_id", _sig("hashes").alias("sig"))
 
 
+def band_bucket_cap(
+    banded: DataFrame,
+    max_bucket: int | None,
+    id_col: str = "doc_id",
+    on: tuple[str, str] = ("band", "key"),
+) -> tuple[DataFrame, DataFrame]:
+    """Bound LSH band-bucket size before the candidate self-join.
+
+    A degenerate bucket of size S (mass-duplicated boilerplate) emits
+    O(S^2) candidate rows before ``distinct`` — the one unbounded term
+    in the banded-LSH cost model. Members of a bucket over
+    ``max_bucket`` are deterministically hash-thinned to an expected
+    ``max_bucket`` survivors (keep iff xxhash64(id, band, key) ≡ 0 mod
+    ceil(S/max_bucket)); the window count shuffles on the same
+    (band, key) the join needs. Returns (capped relation, stats
+    relation of oversized buckets: band, key, size, kept, dropped) —
+    the stats side makes the cap non-silent: callers quantify dropped
+    candidate mass with one small aggregation. With max_bucket=None
+    both sides pass through unfiltered (stats is empty).
+    """
+    if max_bucket is None:
+        empty = banded.select(
+            *[F.col(c) for c in on],
+            F.lit(0).cast("long").alias("size"),
+            F.lit(0).cast("long").alias("kept"),
+            F.lit(0).cast("long").alias("dropped"),
+        ).limit(0)
+        return banded, empty
+    w = Window.partitionBy(*on)
+    sz = F.count("*").over(w)
+    thin = F.greatest(F.ceil(sz / F.lit(max_bucket)).cast("long"), F.lit(1).cast("long"))
+    keep = F.pmod(F.xxhash64(F.col(id_col), *[F.col(c) for c in on]), thin) == 0
+    marked = banded.withColumn("_bsz", sz).withColumn("_keep", keep)
+    capped = marked.filter("_keep").drop("_bsz", "_keep")
+    stats = (
+        marked.filter(F.col("_bsz") > max_bucket)
+        .groupBy(*on)
+        .agg(
+            F.first("_bsz").alias("size"),
+            F.sum(F.col("_keep").cast("long")).alias("kept"),
+        )
+        .withColumn("dropped", F.col("size") - F.col("kept"))
+    )
+    return capped, stats
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -197,6 +252,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 7,
+    max_bucket: int | None = 10_000,
+    return_stats: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
@@ -206,6 +263,11 @@ def minhash_lsh_pairs(
     pair at similarity 0.9 is (1 - 0.9^4)^32 ≈ 3e-7 — the verified
     output matches exact all-pairs Jaccard in practice, at a bucket-join
     cost instead of a quadratic one.
+
+    ``max_bucket`` bounds each band bucket (see :func:`band_bucket_cap`
+    — run :func:`exact_duplicates` first so only near-identical
+    template mass hits the cap); ``return_stats=True`` additionally
+    returns the oversized-bucket stats relation.
     """
     rows = num_perm // bands
     # NOT persisted: the relation is corpus-sized (caching it at 100 TB
@@ -218,6 +280,7 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(F.expr(band_expr)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    banded, stats = band_bucket_cap(banded, max_bucket)
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
     cand = (
@@ -227,7 +290,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     out = _pair_jaccard(sh, cand, None).filter(F.col("jaccard") >= threshold)
-    return out
+    return (out, stats) if return_stats else out
 
 
 def simhash_pairs(

@@ -92,6 +92,8 @@ def embedding_near_dup(
     band_bits: int = 4,
     seed: int = 11,
     mode: str = "auto",
+    max_bucket: int | None = 10_000,
+    return_stats: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
     cosine(a, b) >= threshold. Returns (doc_a, doc_b, sim), float64.
@@ -112,16 +114,27 @@ def embedding_near_dup(
       behind a pre-filter.
 
     ``auto`` picks lsh for threshold >= 0.8, exact below.
+
+    ``max_bucket`` bounds each sign-LSH band bucket (lsh mode only):
+    a degenerate bucket — mass-duplicated embeddings — would emit
+    O(|bucket|^2) candidates before distinct. Oversized buckets are
+    deterministically hash-thinned (see dedup.band_bucket_cap);
+    ``return_stats=True`` adds the oversized-bucket stats relation so
+    the dropped candidate mass is quantifiable, never silent.
     """
+    from lucene_spark.pipeline.dedup import band_bucket_cap
+
     if mode == "auto":
         mode = "lsh" if threshold >= 0.8 else "exact"
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")).withColumn(
         "_cd", F.expr("transform(_cv, x -> CAST(x AS DOUBLE))")
     )
+    stats = None
     if mode == "lsh":
         dim = len(corpus.select(vec_col).first()[0])
         sig = _band_signatures_udf(hyperplanes(dim, n_bits, seed), band_bits)
         bands = c.select("vec_id", F.posexplode(sig(F.col("_cv"))).alias("band", "key"))
+        bands, stats = band_bucket_cap(bands, max_bucket, id_col="vec_id")
         cand = (
             bands.alias("a")
             .join(bands.alias("b"), ["band", "key"])
@@ -144,7 +157,14 @@ def embedding_near_dup(
         _dot(F.col("_ad"), F.col("_bd"))
         / (F.sqrt(_dot(F.col("_ad"), F.col("_ad"))) * F.sqrt(_dot(F.col("_bd"), F.col("_bd")))),
     )
-    return sim.filter(F.col("sim") >= threshold).select("doc_a", "doc_b", "sim")
+    out = sim.filter(F.col("sim") >= threshold).select("doc_a", "doc_b", "sim")
+    if return_stats:
+        if stats is None:  # exact mode: no buckets, empty stats shape
+            stats = out.sparkSession.createDataFrame(
+                [], "band int, key long, size long, kept long, dropped long"
+            )
+        return out, stats
+    return out
 
 
 def _band_signatures_udf(planes: np.ndarray, band_bits: int):
