@@ -191,6 +191,21 @@ def main() -> None:
         spark.read.parquet(bulk_path), idx_dir + "_bulk", assign_ids=False
     )
     bulk_sec = time.time() - t0
+    # distributed query against the BULK index: terms here are genuinely
+    # hot (multi-chunk), so this measures the real applyInPandas leaf
+    # path (scan → chunk shuffle → kernel → merged top-k in one action),
+    # not the all-small driver fallback the sf-corpus number reflects
+    bulk_searcher = Searcher(SearchIndex(spark, idx_dir + "_bulk"))
+    q_hot = A.BooleanQuery(
+        ((A.Occur.MUST, A.TermQuery("table")), (A.Occur.MUST, A.TermQuery("hash")))
+    )
+    bulk_searcher.search(q_hot, k=10, mode="distributed")  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        bulk_searcher.search(q_hot, k=10, mode="distributed")
+        times.append(time.time() - t0)
+    lat["q_and_distributed_bulk"] = round(statistics.median(times), 4)
     shutil.rmtree(idx_dir + "_bulk", ignore_errors=True)
 
     # training-data pipeline operators at the same sf (wall sec per op,

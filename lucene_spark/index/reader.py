@@ -61,6 +61,15 @@ class SearchIndex:
         # keyword/range field filters → sorted doc-id tuples (the
         # LRUQueryCache's actual job in Lucene: cached filter doc sets)
         self._docset_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        # distributed-mode per-term caches: (df, ttf) stats and the
+        # chunk layout [(tier, n_rows, max_chunk_id), ...]. Both are
+        # immutable for the reader's lifetime (DirectoryReader
+        # contract), so repeat queries skip the two per-query driver
+        # jobs the distributed path otherwise pays (stats lookup +
+        # layout group-by) — the TermStates/per-leaf-TermsEnum caching
+        # role of the reference's per-reader state
+        self._tstats_cache: "OrderedDict[str, tuple | None]" = OrderedDict()
+        self._layout_cache: "OrderedDict[str, list]" = OrderedDict()
 
     def field_doc_set(self, key: tuple, cond) -> tuple:
         """doc ids matching a docs-table predicate, cached per reader.
@@ -263,16 +272,58 @@ class SearchIndex:
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """term → (df, ttf); point lookups pushed to the parquet scan.
         Aggregated across tiers (a tiered-writer index keeps one
-        term_stats row per (term, tier) — per-segment term dicts)."""
+        term_stats row per (term, tier) — per-segment term dicts).
+        Cached per reader (absent terms cache a negative entry), so
+        repeat queries in distributed mode cost zero stats jobs."""
         if not terms:
             return {}
-        rows = (
-            self.term_stats_df.filter(F.col("term").isin(list(terms)))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
-            .collect()
-        )
-        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+        cache = self._tstats_cache
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            rows = (
+                self.term_stats_df.filter(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+                .collect()
+            )
+            fetched: dict[str, tuple | None] = {t: None for t in missing}
+            for r in rows:
+                fetched[r["term"]] = (int(r["df"]), int(r["ttf"]))
+            cache.update(fetched)
+            while len(cache) > MAX_CACHED_TERMS:
+                cache.popitem(last=False)
+        return {t: cache[t] for t in terms if cache.get(t) is not None}
+
+    def chunk_layout(self, terms: list[str]) -> list[tuple]:
+        """Per-(term, tier) posting-row layout: (term, tier, n_rows,
+        max_chunk_id) — the hot/confined-vs-spanning classification
+        input of the distributed planner, cached per reader so repeat
+        queries skip the layout group-by job. ``tier`` is None on
+        non-tiered indexes."""
+        tiered = "tier" in self.postings.columns
+        cache = self._layout_cache
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            gcols = ["term", "tier"] if tiered else ["term"]
+            rows = (
+                self.postings_rows(missing)
+                .groupBy(*gcols)
+                .agg(F.count("*").alias("n"), F.max("chunk_id").alias("maxc"))
+                .collect()
+            )
+            fetched: dict[str, list] = {t: [] for t in missing}
+            for r in rows:
+                fetched[r["term"]].append(
+                    (r["tier"] if tiered else None, int(r["n"]), int(r["maxc"]))
+                )
+            cache.update(fetched)
+            while len(cache) > MAX_CACHED_TERMS:
+                cache.popitem(last=False)
+        out = []
+        for t in terms:
+            for tier, n, maxc in cache.get(t, ()):
+                out.append((t, tier, n, maxc))
+        return out
 
     def expand_wildcard(self, pattern: str, limit: int = MAX_EXPANSION, field: str | None = None) -> list[str]:
         """Wildcard expansion with path selection: a pure leading

@@ -1221,14 +1221,23 @@ class Searcher:
         kind, payload = self._distributed_plan(spec, k, cache)
         if kind == "topdocs":
             return payload
-        result = payload.persist()
-        # global merge: TakeOrderedAndProject (TopDocs.merge role)
-        top_rows = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-        total = (
-            result.groupBy("chunk_id").agg(F.max("n_matched").alias("m")).agg(F.sum("m")).first()[0]
+        # ONE action: the global merge is a TakeOrderedAndProject
+        # (TopDocs.merge role) and the total rides an Observation over
+        # the per-chunk COUNT rows (doc_id NULL, score NULL, n_matched
+        # = chunk match count — null scores sort after every real hit
+        # under DESC NULLS LAST, so they never displace top-k rows).
+        # No persist, no second aggregation job per query.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        top_rows = (
+            payload.observe(obs, F.sum("n_matched").alias("total"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
         )
-        result.unpersist()
-        hits = [(r["doc_id"], r["score"]) for r in top_rows]
+        hits = [(r["doc_id"], r["score"]) for r in top_rows if r["doc_id"] is not None]
+        total = obs.get.get("total")
         return TopDocs(hits, int(total or 0), "EQUAL_TO", {"mode": "distributed"})
 
     def match_frame(self, query: str | A.Query):
@@ -1284,26 +1293,19 @@ class Searcher:
         # path already relies on); a term can have BOTH kinds and
         # score_chunk concatenates.
         tiered = "tier" in index.postings.columns
-        gcols = ["term", "tier"] if tiered else ["term"]
-        chunk_counts = (
-            rows_df.groupBy(*gcols)
-            .agg(F.count("*").alias("n"), F.max("chunk_id").alias("maxc"))
-            .collect()
-            if terms
-            else []
-        )
+        # (term, tier, n_rows, max_chunk_id) from the per-reader layout
+        # cache — zero Spark jobs on repeat terms
+        chunk_counts = index.chunk_layout(terms) if terms else []
         if tiered:
             span_keys = {
-                (r["term"], r["tier"]) for r in chunk_counts if r["n"] == 1 and r["maxc"] == 0
+                (t, tier) for (t, tier, n, maxc) in chunk_counts if n == 1 and maxc == 0
             }
             hot_terms = {
-                r["term"]
-                for r in chunk_counts
-                if (r["term"], r["tier"]) not in span_keys
+                t for (t, tier, _n, _maxc) in chunk_counts if (t, tier) not in span_keys
             }
             mixed_span = sorted({t for (t, _tr) in span_keys if t in hot_terms})
         else:
-            hot_terms = {r["term"] for r in chunk_counts if r["n"] > 1 or r["maxc"] > 0}
+            hot_terms = {t for (t, _tier, n, maxc) in chunk_counts if n > 1 or maxc > 0}
             span_keys = set()
             mixed_span = []
         small_terms = [t for t in terms if t not in hot_terms]
@@ -1578,14 +1580,17 @@ class Searcher:
                     }
                 )
             top = top_k_from_arrays(docs, scores, kk)
-            if not top:
+            if not len(docs):
                 return pd.DataFrame({"chunk_id": [], "doc_id": [], "score": [], "n_matched": []})
+            # top rows carry n_matched=0; ONE trailing count row (null
+            # doc_id/score) carries the chunk's match count so the
+            # driver total is a plain sum during the top-k action
             return pd.DataFrame(
                 {
                     "chunk_id": chunk_id,
-                    "doc_id": [d for d, _ in top],
-                    "score": [s for _, s in top],
-                    "n_matched": len(docs),
+                    "doc_id": [d for d, _ in top] + [None],
+                    "score": [s for _, s in top] + [None],
+                    "n_matched": [0] * len(top) + [len(docs)],
                 }
             )
 
