@@ -62,6 +62,22 @@ _JOINER = rf"(?:(?<={_L})[{_L_JOIN}](?={_L})|(?<={_N})[{_N_JOIN}](?={_N}))"
 
 _TOKEN_RE = re.compile(rf"{_RUN}(?:{_JOINER}{_RUN})*|[{_CJK}]")
 
+# ---- the "cjk" analyzer's tokenizer stage ---------------------------------
+# Contiguous CJK text (kana + kanji + CJK punctuation + fullwidth forms)
+# becomes ONE raw token (chunked at 255 so length filters never drop a
+# run) which the 1:N expander segments through the kuromoji-role
+# Viterbi lattice (analysis/cjk.py); non-CJK text keeps the standard
+# grammar with the whole CJK range excluded from the letter class
+# (katakana is a standard-ALetter run otherwise and would glue to
+# adjacent latin).
+_CJK_FULL = "　-〿぀-ヿ一-鿿㐀-䶿豈-﫿＀-￯"
+_L_NOCJK = rf"[^\W\d_{_ENL}{_CJK_FULL}]"
+_RUN_NOCJK = rf"[{_ENL}]*(?:{_L_NOCJK}|{_N})(?:{_L_NOCJK}|{_N}|[{_ENL}])*"
+_JOINER_NOCJK = rf"(?:(?<={_L_NOCJK})[{_L_JOIN}](?={_L_NOCJK})|(?<={_N})[{_N_JOIN}](?={_N}))"
+_CJK_TOKEN_RE = re.compile(
+    rf"[{_CJK_FULL}]{{1,255}}|{_RUN_NOCJK}(?:{_JOINER_NOCJK}{_RUN_NOCJK})*"
+)
+
 
 def _raw_tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
@@ -124,10 +140,41 @@ def code_parts_spans(token: str) -> list[tuple[str, int, int]]:
     ]
 
 
+def _cjk_user_words(stem: str) -> tuple:
+    """Parse the "cjk" analyzer's optional user dictionary out of the
+    analyzer name ("cjk:word1,word2" — the UserDictionary role carried
+    through the string-typed analyzer plumbing and the manifest)."""
+    if len(stem) > 4 and stem[3] == ":":
+        return tuple(sorted(set(w for w in stem[4:].split(",") if w)))
+    return ()
+
+
 def _expander(stem):
-    """token → list-of-parts analyzers (1:N chains, currently "code");
-    None for every 1:1 chain handled by :func:`_emitter`."""
-    return code_parts if stem == "code" else None
+    """token → list-of-parts analyzers (1:N chains: "code" case-part
+    splitting, "cjk[:userdict]" Viterbi segmentation); None for every
+    1:1 chain handled by :func:`_emitter`."""
+    if stem == "code":
+        return code_parts
+    if isinstance(stem, str) and stem.startswith("cjk"):
+        from lucene_spark.analysis.cjk import cjk_parts
+
+        uw = _cjk_user_words(stem)
+        return lambda t: cjk_parts(t, uw)
+    return None
+
+
+def _expander_spans(stem):
+    """Offsets variant of :func:`_expander`: token → [(part,
+    rel_start, rel_end)] — used by the offsets-tracking tokenize
+    path."""
+    if stem == "code":
+        return code_parts_spans
+    if isinstance(stem, str) and stem.startswith("cjk"):
+        from lucene_spark.analysis.cjk import cjk_parts_spans
+
+        uw = _cjk_user_words(stem)
+        return lambda t: cjk_parts_spans(t, uw)
+    return None
 
 
 # WhitespaceTokenizer (lucene/analysis/common .../core/
@@ -155,6 +202,8 @@ def _tokenizer_of(stem, max_token_length: int = MAX_TOKEN_LENGTH):
         return _WS_RE, False, max_token_length
     if stem == "keyword":
         return _KW_RE, False, _NO_MAX
+    if isinstance(stem, str) and stem.startswith("cjk"):
+        return _CJK_TOKEN_RE, True, max_token_length
     return _TOKEN_RE, True, max_token_length
 
 
@@ -262,6 +311,7 @@ def tokenize_pos_off_series(
     move offsets — both filters are offset-preserving)."""
     tok_re, lower, max_token_length = _tokenizer_of(stem, max_token_length)
     ex = _expander(stem)
+    ex_spans = _expander_spans(stem)
     em = None if ex is not None else _emitter(stem)
     toks_out, pos_out, st_out, en_out = [], [], [], []
     for text in _apply_char_filters(texts, char_filters):
@@ -273,7 +323,7 @@ def tokenize_pos_off_series(
                 if len(t) > max_token_length:
                     pos += 1
                     continue
-                spans = code_parts_spans(t)
+                spans = ex_spans(t)
                 if not spans:
                     pos += 1
                     continue

@@ -336,6 +336,78 @@ def ascii_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Sea
     return _CACHE[key]
 
 
+def cjk_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """kuromoji-role "cjk" analyzer gate — bijection construction:
+    every standard token of the corpus translates a→ア … z→ハ with a
+    trailing 間 marker, and the translated words concatenate into
+    ≤250-char unspaced runs. The marker makes the word code
+    prefix-free (間 is outside the katakana alphabet), so the Viterbi
+    lattice (user dictionary = the translated vocabulary,
+    UserDictionary role) recovers EXACTLY the original token
+    boundaries → the token stream bijects to the standard stream and
+    the tscore/post oracles apply verbatim (the code/ascii gate
+    pattern). Reference: JapaneseTokenizer.java:60-120,
+    dict/UserDictionary.java."""
+    key = ("cjk", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    from pyspark.sql.functions import pandas_udf
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gatecjk_{ENGINE_VERSION}/{name}"
+
+    @pandas_udf("string")
+    def _cjkify(texts):
+        import pandas as pd
+
+        from lucene_spark.analysis import tokenize
+
+        out = []
+        for t in texts:
+            words = [w.translate(_CJK_TR) + "間" for w in tokenize(t or "")]
+            lines: list[str] = []
+            cur: list[str] = []
+            ln = 0
+            for w in words:
+                if ln + len(w) > 250 and cur:
+                    lines.append("".join(cur))
+                    cur, ln = [], 0
+                cur.append(w)
+                ln += len(w)
+            if cur:
+                lines.append("".join(cur))
+            out.append(" ".join(lines))
+        return pd.Series(out)
+
+    base = corpus_df(spark, sf_dir).drop("title")
+    toks_col = F.expr("regexp_extract_all(lower(content), '[a-z0-9]+', 0)")
+    vocab = sorted(
+        {
+            r["w"].translate(_CJK_TR) + "間"
+            for r in base.select(F.explode(toks_col).alias("w")).distinct().collect()
+        }
+    )
+    analyzer = "cjk:" + ",".join(vocab)
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(
+            docs_per_chunk=128, term_buckets=4, positions=True, analyzer=analyzer
+        )
+        corpus = base.withColumn("content", _cjkify(F.col("content")))
+        IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
+_CJK_TR = str.maketrans(
+    "abcdefghijklmnopqrstuvwxyz", "アイウエオカキクケコサシスセソタチツテトナニヌネノハ"
+)
+
+
+def _cjk_term(word: str) -> str:
+    return word.translate(_CJK_TR) + "間"
+
+
 def html_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
     """html_strip char filter over tag-wrapped text: tags blank to
     spaces and the trailing &nbsp; decodes to a non-token char, so the
@@ -827,6 +899,20 @@ def queries() -> dict:
     # the standard stream (query-side analysis through the same chain)
     Q["ft_ascii_top10"] = lambda spark, sf: _hits_df(
         spark, ascii_gate_index(spark, sf)[1].search("táblé", k=10)
+    )
+    # kuromoji-role segmentation: the translated corpus (see
+    # cjk_gate_index) bijects to the standard stream, so BM25 over the
+    # segmented index equals the standard oracle; the phrase gate
+    # additionally proves segmented POSITIONS (adjacency survives the
+    # lattice cuts)
+    Q["ft_cjk_top10"] = lambda spark, sf: _hits_df(
+        spark, cjk_gate_index(spark, sf)[1].search(A.TermQuery(_cjk_term("table")), k=10)
+    )
+    Q["ft_cjk_phrase_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        cjk_gate_index(spark, sf)[1].search(
+            A.PhraseQuery((_cjk_term("table"), _cjk_term("hash"))), k=10
+        ),
     )
     # html_strip char filter: tag-wrapped corpus tokenizes identically
     Q["ft_html_top10"] = lambda spark, sf: _hits_df(
@@ -2907,6 +2993,9 @@ def oracle_sql() -> dict[str, str]:
     # folding/char-filter bijections: token stream identical to the raw
     # corpus, so the standard tscore oracle applies verbatim
     O["ft_ascii_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    # cjk gate: token-stream bijection (see cjk_gate_index) → the
+    # standard term/phrase oracles apply verbatim
+    O["ft_cjk_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     O["ft_html_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     # edge-ngram (1..4): tf('tab') = tokens with len>=3 and prefix
     # 'tab'; norms = unigram dl; avgdl = Σ min(len(token),4) / n
@@ -3491,6 +3580,7 @@ def oracle_sql() -> dict[str, str]:
     # the code-analyzer phrase gate splices "tableHash" → [table, hash]:
     # identical positional semantics to the standard exact phrase
     O["ft_codephrase_top10"] = O["ft_phrase_top10"]
+    O["ft_cjk_phrase_top10"] = O["ft_phrase_top10"]
     # 2-term sloppy phrase ("table hash"~3): the reference pq traversal
     # (SloppyPhraseMatcher.java:162-205) reduces, for two distinct
     # terms, to an alternating cross-list successor chain over the
