@@ -2712,6 +2712,29 @@ def _pipeline_queries() -> dict:
         )
 
     Q["dd_semdedup_full"] = _semdedup_full
+    # HNSW graph ANN (per-shard small-world graphs, parquet sidecar,
+    # parallel leaf search + merge — pipeline/hnsw.py). Graph-path
+    # recall is ef-dependent → rows-only; the ef>=shard-size
+    # parameterization scans shards exhaustively → full oracle (the
+    # lsh n_bits=0 / ivf full-probe twin pattern).
+    def _hnsw_graph(spark, sf):
+        from lucene_spark.pipeline.hnsw import build_hnsw
+
+        d = f"/tmp/lucene_spark_gatehnsw_{ENGINE_VERSION}/{os.path.basename(os.path.normpath(sf))}"
+        if not os.path.exists(f"{d}/_SUCCESS"):
+            build_hnsw(_emb(spark, sf), d, n_shards=4, m=8, ef_construction=64)
+        return spark.read.parquet(d)
+
+    def _hnsw_q(spark, sf, ef):
+        from lucene_spark.pipeline.hnsw import hnsw_cosine_topk
+
+        return hnsw_cosine_topk(_hnsw_graph(spark, sf), _ann_queries(spark, sf), k=5, ef=ef).select(
+            "query_id", "rank", F.col("vec_id").cast("long"), F.round("sim", 4).alias("sim_r")
+        )
+
+    Q["ann_hnsw_top5"] = lambda spark, sf: _hnsw_q(spark, sf, 64)
+    Q["ann_hnsw_full_top5"] = lambda spark, sf: _hnsw_q(spark, sf, 10**6)
+
     # IVF-Flat ANN: probe-dependent recall → rows-only check (no oracle)
     Q["ann_ivf_top5"] = lambda spark, sf: similarity.ivf_cosine_topk(
         _emb(spark, sf), _ann_queries(spark, sf), k=5, n_centroids=8, n_probe=3
@@ -4752,6 +4775,7 @@ QUALIFY rank <= 5 ORDER BY query_id, rank"""
     # scanned) provably equal brute force — same oracle
     O["ann_lsh_full_top5"] = O["ann_cosine_top5"]
     O["ann_ivf_full_top5"] = O["ann_cosine_top5"]
+    O["ann_hnsw_full_top5"] = O["ann_cosine_top5"]
     # SemDeDup pinned-centroid twin: centroid = e0 → centroid_sim =
     # v[0]/|v|, one cluster; keep-low order = (csim ASC, vec_id ASC);
     # is_dup(b) = some EARLIER a with cosine(a, b) >= 0.45

@@ -1,0 +1,270 @@
+"""HNSW graph ANN — the reference's per-leaf vector-graph role.
+
+Hierarchical Navigable Small World graphs (Malkov & Yashunin 2016,
+"Efficient and robust approximate nearest neighbor search using
+Hierarchical Navigable Small World graphs"), the algorithm behind the
+reference's codec-level vector index (lucene/core/src/java/org/apache/
+lucene/util/hnsw/HnswGraphBuilder.java:37-90 — level assignment
+ml=1/ln(M), diversity-checked neighbor selection; HnswGraphSearcher.java
+— best-first layer descent; lucene/core/.../codecs/lucene94/
+Lucene94HnswVectorsFormat.java — per-segment graph storage).
+
+Spark shape (the per-leaf contract re-expressed):
+- vectors shard by hash(vec_id) % n_shards; EACH SHARD builds its own
+  graph inside one applyInPandas group — the reference's per-segment
+  graph, so build parallelism = shards and no shard ever sees another
+  shard's vectors;
+- the graph persists as a parquet SIDECAR relation (shard, idx,
+  vec_id, vec, level, per-level neighbor lists) — build once, search
+  many (the codec file role);
+- a query searches EVERY shard's graph (parallel leaf search) and the
+  per-shard top-k merge is a window rank (TopDocs.merge role).
+
+Determinism: insertion order is vec_id order within a shard and node
+levels derive from a splitmix hash of (vec_id, seed) — the graph is a
+pure function of (vectors, parameters), independent of partitioning.
+
+``ef >= shard size`` degenerates to an exhaustive scan of the shard
+(documented fast-path in the same kernel) — the full-recall
+parameterization is therefore provably equal to brute force, the
+oracle-twin pattern of lsh_cosine_topk(n_bits=0) / ivf full-probe.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _level_of(vec_id: int, seed: int, m_l: float) -> int:
+    """Deterministic HnswGraphBuilder.getRandomGraphLevel role:
+    floor(-ln(U) * mL) with U from a splitmix64 of (vec_id, seed)."""
+    x = (vec_id * 0x9E3779B97F4A7C15 + seed * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    u = (x >> 11) / float(1 << 53)  # uniform in [0, 1)
+    u = max(u, 1e-300)
+    return int(-math.log(u) * m_l)
+
+
+def _select_diverse(cands: list, vecs: np.ndarray, m: int) -> list:
+    """Neighbor selection with the diversity check
+    (HnswGraphBuilder.diversityCheck role / paper Algorithm 4): accept
+    a candidate only if it is closer to the inserted node than to any
+    already-selected neighbor. ``cands``: [(sim_to_q, idx)] sorted
+    descending."""
+    out: list[int] = []
+    for s, c in cands:
+        if len(out) >= m:
+            break
+        ok = True
+        for kept in out:
+            if float(vecs[c] @ vecs[kept]) > s:
+                ok = False
+                break
+        if ok:
+            out.append(c)
+    if not out and cands:  # never strand a node
+        out.append(cands[0][1])
+    return out
+
+
+def _search_layer(q: np.ndarray, eps: list, ef: int, nbrs: dict, vecs: np.ndarray):
+    """Best-first expansion at one level (HnswGraphSearcher.searchLevel
+    role). Returns [(sim, idx)] of up to ef closest, descending."""
+    visited = set(eps)
+    res: list[tuple[float, int]] = []  # min-heap on sim
+    cand: list[tuple[float, int]] = []  # max-heap via negated sim
+    for e in eps:
+        s = float(vecs[e] @ q)
+        heapq.heappush(res, (s, e))
+        heapq.heappush(cand, (-s, e))
+    while len(res) > ef:
+        heapq.heappop(res)
+    while cand:
+        negs, c = heapq.heappop(cand)
+        if len(res) >= ef and -negs < res[0][0]:
+            break
+        for nb in nbrs.get(c, ()):
+            if nb in visited:
+                continue
+            visited.add(nb)
+            s = float(vecs[nb] @ q)
+            if len(res) < ef or s > res[0][0]:
+                heapq.heappush(res, (s, nb))
+                heapq.heappush(cand, (-s, nb))
+                while len(res) > ef:
+                    heapq.heappop(res)
+    return sorted(res, reverse=True)
+
+
+def _build_graph(vec_ids: np.ndarray, vecs: np.ndarray, m: int, ef_c: int, seed: int):
+    """One shard's graph (HnswGraphBuilder.build role): insert in
+    vec_id order; per level, candidates from a layer search seeded at
+    the current entry, diversity-selected to M (2M at level 0), links
+    bidirectional with the same pruning on overflow."""
+    n = len(vec_ids)
+    m_l = 1.0 / math.log(m)
+    levels = [_level_of(int(v), seed, m_l) for v in vec_ids]
+    # nbrs[level][idx] -> list[int]
+    nbrs: list[dict[int, list[int]]] = [dict() for _ in range(max(levels) + 1)]
+    entry, top = 0, levels[0]
+    max0 = 2 * m
+    for i in range(1, n):
+        q = vecs[i]
+        l = levels[i]
+        eps = [entry]
+        for lev in range(top, l, -1):
+            eps = [_search_layer(q, eps, 1, nbrs[lev], vecs)[0][1]]
+        for lev in range(min(l, top), -1, -1):
+            w = _search_layer(q, eps, ef_c, nbrs[lev], vecs)
+            cap = max0 if lev == 0 else m
+            sel = _select_diverse(w, vecs, m)
+            nbrs[lev][i] = list(sel)
+            for s in sel:
+                lst = nbrs[lev].setdefault(s, [])
+                lst.append(i)
+                if len(lst) > cap:
+                    # re-select with the diversity heuristic
+                    cands = sorted(
+                        ((float(vecs[x] @ vecs[s]), x) for x in lst), reverse=True
+                    )
+                    nbrs[lev][s] = _select_diverse(cands, vecs, cap)
+            eps = [idx for _s, idx in w]
+        if l > top:
+            entry, top = i, l
+    return levels, nbrs
+
+
+def build_hnsw(
+    corpus: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    m: int = 8,
+    ef_construction: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> None:
+    """Build the sharded graph sidecar: one applyInPandas group per
+    shard, rows (shard, idx, vec_id, vec normalized, level, nbrs
+    array<array<int>> indexed by level). Cosine reduces to dot on the
+    stored normalized vectors. Vectors persist as float64 so the
+    full-recall parameterization is bit-stable against the float64
+    brute oracle; the reference stores float32 (Lucene94
+    VectorsFormat) — at production scale flip the schema to
+    array<float> and give back the 2x bytes for ~1e-7 score noise."""
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("_v")
+    ).withColumn("shard", F.pmod(F.xxhash64("vec_id"), F.lit(n_shards)).cast("int"))
+
+    def _one_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        vec_ids = pdf["vec_id"].to_numpy()
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        levels, nbrs = _build_graph(vec_ids, vecs, m, ef_construction, seed)
+        rows = {
+            "shard": int(key[0]),
+            "idx": range(len(vec_ids)),
+            "vec_id": vec_ids,
+            "vec": [v for v in vecs],
+            "level": levels,
+            "nbrs": [
+                [list(nbrs[lev].get(i, [])) for lev in range(levels[i] + 1)]
+                for i in range(len(vec_ids))
+            ],
+        }
+        return pd.DataFrame(rows)
+
+    (
+        c.groupBy("shard")
+        .applyInPandas(
+            _one_shard,
+            schema="shard int, idx int, vec_id long, vec array<double>, "
+            "level int, nbrs array<array<int>>",
+        )
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def hnsw_cosine_topk(
+    spark_or_df,
+    queries: DataFrame,
+    k: int = 5,
+    ef: int = 64,
+    graph_dir: str | None = None,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search every shard's graph in parallel and merge
+    (TopDocs.merge role): (query_id, rank, vec_id, sim), self-match
+    excluded, rank ties broken by vec_id — the brute/lsh/ivf output
+    contract. ``ef >= shard size`` scans the shard exhaustively
+    (documented degenerate branch — the provably-exact oracle twin).
+    Pass either the sidecar DataFrame or ``graph_dir``."""
+    if graph_dir is not None:
+        g = spark_or_df.read.parquet(graph_dir)
+    else:
+        g = spark_or_df
+    spark = g.sparkSession
+    qrows = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"), F.col(vec_col).alias("_qv")
+    ).collect()
+    qids = [int(r["query_id"]) for r in qrows]
+    qm = np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in qrows])
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    def _search_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        vec_ids = pdf["vec_id"].to_numpy()
+        levels = pdf["level"].to_numpy()
+        n = len(vec_ids)
+        out_q, out_v, out_s = [], [], []
+        if ef >= n:
+            # exhaustive shard scan — exact by construction
+            sims = qm @ vecs.T  # (n_queries, n)
+            for qi, qid in enumerate(qids):
+                for j in range(n):
+                    out_q.append(qid)
+                    out_v.append(int(vec_ids[j]))
+                    out_s.append(float(sims[qi, j]))
+        else:
+            top = int(levels.max())
+            nbrs_by_level: list[dict[int, list[int]]] = [dict() for _ in range(top + 1)]
+            for i, lists in enumerate(pdf["nbrs"]):
+                for lev, lst in enumerate(lists):
+                    nbrs_by_level[lev][i] = [int(x) for x in lst]
+            entry = int(np.flatnonzero(levels == top)[0])
+            for qi, qid in enumerate(qids):
+                q = qm[qi]
+                eps = [entry]
+                for lev in range(top, 0, -1):
+                    eps = [_search_layer(q, eps, 1, nbrs_by_level[lev], vecs)[0][1]]
+                res = _search_layer(q, eps, ef, nbrs_by_level[0], vecs)
+                for s, i in res[: k + 1]:  # +1 allows the self-match drop
+                    out_q.append(qid)
+                    out_v.append(int(vec_ids[i]))
+                    out_s.append(float(s))
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
+
+    hits = g.groupBy("shard").applyInPandas(
+        _search_shard, schema="query_id long, vec_id long, sim double"
+    )
+    hits = hits.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long"), "vec_id", "sim")
+    )
