@@ -70,6 +70,7 @@ class SearchIndex:
         # role of the reference's per-reader state
         self._tstats_cache: "OrderedDict[str, tuple | None]" = OrderedDict()
         self._layout_cache: "OrderedDict[str, list]" = OrderedDict()
+        self._term_grams: DataFrame | None = None
 
     def field_doc_set(self, key: tuple, cond) -> tuple:
         """doc ids matching a docs-table predicate, cached per reader.
@@ -325,6 +326,59 @@ class SearchIndex:
                 out.append((t, tier, n, maxc))
         return out
 
+    def term_grams_df(self) -> DataFrame:
+        """Lazy (term, gram) DISTINCT-bigram relation over the term
+        dictionary, persisted per reader — the relational port of the
+        reference's Levenshtein-automaton candidate pruning
+        (CORE/util/automaton/LevenshteinAutomata.java:33-60: enumerate
+        only terms the automaton can accept, never the whole
+        dictionary). Pruning bound (distinct q-gram lemma): one
+        classic edit touches <= n gram positions and one OSA edit
+        <= n+1, so a term within e edits of t shares at least
+        |distinct_grams(t)| - e*n (classic) / - e*(n+1) (OSA) of t's
+        distinct bigrams. Built with one shuffle-free projection and
+        cached; a production build would write it as an index-time
+        sidecar next to term_stats_rev."""
+        if self._term_grams is None:
+            g = (
+                self.term_stats_df.select("term")
+                .distinct()
+                .filter(F.length("term") >= 2)
+                .select(
+                    "term",
+                    F.explode(
+                        F.array_distinct(
+                            F.expr(
+                                "transform(sequence(1, length(term) - 1), "
+                                "i -> substring(term, i, 2))"
+                            )
+                        )
+                    ).alias("gram"),
+                )
+            )
+            self._term_grams = g.persist()
+        return self._term_grams
+
+    def fuzzy_candidates(self, full_term: str, max_edits: int, transpositions: bool):
+        """Candidate term relation for a fuzzy expansion, or None when
+        the gram bound cannot prune (short terms / high edit budgets).
+        The returned single-column (term) DataFrame semi-joins into
+        the dictionary scan, replacing the full-dictionary levenshtein
+        pass with a pushed-down gram IN-join + count filter."""
+        qgrams = sorted({full_term[i : i + 2] for i in range(len(full_term) - 1)})
+        per_edit = 3 if transpositions else 2
+        thresh = len(qgrams) - max_edits * per_edit
+        if thresh <= 0:
+            return None
+        return (
+            self.term_grams_df()
+            .filter(F.col("gram").isin(qgrams))
+            .groupBy("term")
+            .agg(F.count("*").alias("_shared"))
+            .filter(F.col("_shared") >= thresh)
+            .select("term")
+        )
+
     def expand_wildcard(self, pattern: str, limit: int = MAX_EXPANSION, field: str | None = None) -> list[str]:
         """Wildcard expansion with path selection: a pure leading
         wildcard (*suffix) rides the reversed-dictionary sidecar
@@ -398,6 +452,13 @@ class SearchIndex:
             cond = cond & (F.length(bare) >= len(term) - max_edits) & (
                 F.length(bare) <= len(term) + max_edits
             )
+            # n-gram candidate pruning (LevenshteinAutomata role): when
+            # the distinct-bigram bound prunes, the scan semi-joins a
+            # gram-IN candidate set instead of levenshtein-scanning the
+            # whole dictionary — the 10^8-term path
+            cand = self.fuzzy_candidates(keyprefix + term, max_edits, transpositions)
+            if cand is not None:
+                t = t.join(cand, "term", "left_semi")
         elif kind == "range":
             lower, upper, incl_lo, incl_hi = arg
             cond = F.lit(True)

@@ -84,6 +84,21 @@ def main() -> None:
     check("leading wildcard StartsWith(term_rev) pushed", plan, r"PushedFilters: \[.*StartsWith\(term_rev")
     sections.append(("Reversed-dictionary suffix expansion (leading wildcard)", plan))
 
+    # 2c. fuzzy expansion candidate pruning: the gram sidecar joins in
+    # with the query's bigrams pushed down (In(gram, ...)) and the
+    # dictionary scan is a LeftSemi against that candidate set — no
+    # full-dictionary levenshtein pass (LevenshteinAutomata role)
+    cand = index.fuzzy_candidates("table", 1, False)
+    fz = index.term_stats_df.join(cand, "term", "left_semi").select("term")
+    plan = _capture(fz)
+    check(
+        "fuzzy gram filter pushed to sidecar scan",
+        plan,
+        r"gram#\d+ IN \(|PushedFilters: \[.*[Ii]n\(gram",
+    )
+    check("fuzzy candidates semi-join the dictionary", plan, r"LeftSemi")
+    sections.append(("Fuzzy expansion: gram-pruned candidate set", plan))
+
     # 3. norms doc-range read
     n = index.norms.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
     plan = _capture(n)

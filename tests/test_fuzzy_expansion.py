@@ -52,3 +52,55 @@ class TestFuzzyTranspositionsExpansion:
         # drops late-sorting matches
         pool = big_dict_index.expand_terms("fuzzy", ("aaaa", 4, 0), limit=10**6)
         assert len(pool) > 8192
+
+
+class TestGramPruning:
+    def test_gram_bound_soundness_property(self):
+        # the distinct-bigram lemma behind fuzzy_candidates: one
+        # classic edit touches <=2 gram positions, one OSA edit <=3,
+        # so a true match can never fall below the shared threshold.
+        # Alphabet 'ab' maximizes repeated-gram pathologies.
+        import random
+
+        from lucene_spark.search.textmatch import levenshtein, osa_distance
+
+        rng = random.Random(7)
+        for _ in range(4000):
+            t = "".join(rng.choice("ab") for _ in range(rng.randint(2, 9)))
+            c = "".join(rng.choice("ab") for _ in range(rng.randint(1, 9)))
+            gt = {t[i : i + 2] for i in range(len(t) - 1)}
+            gc = {c[i : i + 2] for i in range(len(c) - 1)}
+            shared = len(gt & gc)
+            for e in (1, 2):
+                if levenshtein(t, c, e) <= e:
+                    assert shared >= len(gt) - 2 * e, (t, c, e)
+                if osa_distance(t, c, e) <= e:
+                    assert shared >= len(gt) - 3 * e, (t, c, e)
+
+    def test_pruned_expansion_equals_brute(self, big_dict_index):
+        # 'abcd' k=1: threshold = 3 - 2 = 1 > 0 -> the pruning path IS
+        # exercised; result must equal a from-definition scan of the
+        # same dictionary
+        from lucene_spark.search.textmatch import levenshtein
+
+        assert big_dict_index.fuzzy_candidates("abcd", 1, False) is not None
+        got = big_dict_index.expand_terms("fuzzy", ("abcd", 1, 0), limit=10**6)
+        vocab = [
+            r["term"]
+            for r in big_dict_index.term_stats_df.select("term").distinct().collect()
+        ]
+        want = sorted(t for t in vocab if levenshtein("abcd", t, 1) <= 1)
+        assert got == want and len(want) > 0
+
+    def test_pruned_osa_expansion_equals_brute(self, big_dict_index):
+        from lucene_spark.search.textmatch import osa_distance
+
+        # 'bcdef': 4 distinct grams, OSA k=1 threshold = 4 - 3 = 1 > 0
+        assert big_dict_index.fuzzy_candidates("bcdef", 1, True) is not None
+        got = big_dict_index.expand_terms("fuzzy", ("bcdef", 1, 0, True), limit=10**6)
+        vocab = [
+            r["term"]
+            for r in big_dict_index.term_stats_df.select("term").distinct().collect()
+        ]
+        want = sorted(t for t in vocab if osa_distance("bcdef", t, 1) <= 1)
+        assert got == want and len(want) > 0
