@@ -353,18 +353,69 @@ def is_cjk_run(token: str) -> bool:
     return bool(token) and _CJK_RUN_RE.fullmatch(token) is not None
 
 
-def cjk_parts(token: str, user_words: tuple = ()) -> list[str]:
+def cjk_parts(token: str, user_words: tuple = (), mode: str = "normal") -> list[str]:
     """Analyzer 1:N expander hook (the "code" analyzer protocol): a
-    CJK run segments through the lattice (NORMAL mode, punctuation
-    dropped); any other token lowercases through unchanged."""
+    CJK run segments through the lattice (punctuation dropped); any
+    other token lowercases through unchanged. ``mode="search"`` is the
+    JapaneseAnalyzer default — long compounds split via the length
+    penalties (compound synonyms are added by the index-time STACKED
+    stage, not here; the expander stream is linear)."""
     if not is_cjk_run(token):
         return [token.lower()]
-    return [surf for surf, _s, _e, _pi, _pl in segment(token, user_words=user_words)]
+    return [
+        surf for surf, _s, _e, _pi, _pl in segment(token, mode=mode, user_words=user_words)
+    ]
 
 
-def cjk_parts_spans(token: str, user_words: tuple = ()) -> list[tuple[str, int, int]]:
+def cjk_parts_spans(
+    token: str, user_words: tuple = (), mode: str = "normal"
+) -> list[tuple[str, int, int]]:
     """Offsets variant of :func:`cjk_parts` — (part, rel_start,
     rel_end) into the raw token (the code_parts_spans protocol)."""
     if not is_cjk_run(token):
         return [(token.lower(), 0, len(token))]
-    return [(surf, s, e) for surf, s, e, _pi, _pl in segment(token, user_words=user_words)]
+    return [
+        (surf, s, e)
+        for surf, s, e, _pi, _pl in segment(token, mode=mode, user_words=user_words)
+    ]
+
+
+def compound_stream(toks, poss, user_words: tuple = (), starts=None, ends=None):
+    """Index-time SEARCH-mode compound synonyms as a STACKED stage
+    (the discardCompoundToken=false stream flattened — the same
+    index-time approximation as SynonymGraphFilter+FlattenGraphFilter,
+    which squashes posLength): the longest dictionary surface covering
+    >=2 consecutive position-contiguous tokens stacks at the FIRST
+    sub-token's position with overlap=True (norm-discounted). Returns
+    (tokens, positions, overlaps[, starts, ends]) — the _stacker_of
+    contract."""
+    _, surfaces = _prefix_dict(user_words)
+    out_t, out_p, out_o = [], [], []
+    out_s: list | None = [] if starts is not None else None
+    out_e: list | None = [] if starts is not None else None
+    n = len(toks)
+    for i in range(n):
+        out_t.append(toks[i])
+        out_p.append(poss[i])
+        out_o.append(False)
+        if out_s is not None:
+            out_s.append(starts[i])
+            out_e.append(ends[i])
+        acc = toks[i]
+        best = None
+        j = i + 1
+        while j < n and poss[j] == poss[j - 1] + 1:
+            acc += toks[j]
+            if acc in surfaces:
+                best = (acc, j)
+            j += 1
+        if best is not None:
+            out_t.append(best[0])
+            out_p.append(poss[i])
+            out_o.append(True)
+            if out_s is not None:
+                out_s.append(starts[i])
+                out_e.append(ends[best[1]])
+    if out_s is not None:
+        return out_t, out_p, out_o, out_s, out_e
+    return out_t, out_p, out_o

@@ -141,25 +141,32 @@ def code_parts_spans(token: str) -> list[tuple[str, int, int]]:
 
 
 def _cjk_user_words(stem: str) -> tuple:
-    """Parse the "cjk" analyzer's optional user dictionary out of the
-    analyzer name ("cjk:word1,word2" — the UserDictionary role carried
-    through the string-typed analyzer plumbing and the manifest)."""
-    if len(stem) > 4 and stem[3] == ":":
-        return tuple(sorted(set(w for w in stem[4:].split(",") if w)))
+    """Parse the "cjk"/"cjk_search" analyzer's optional user
+    dictionary out of the analyzer name ("cjk:word1,word2" — the
+    UserDictionary role carried through the string-typed analyzer
+    plumbing and the manifest)."""
+    head, _sep, tail = stem.partition(":")
+    if tail:
+        return tuple(sorted(set(w for w in tail.split(",") if w)))
     return ()
+
+
+def _cjk_mode(stem: str) -> str:
+    return "search" if stem.partition(":")[0] == "cjk_search" else "normal"
 
 
 def _expander(stem):
     """token → list-of-parts analyzers (1:N chains: "code" case-part
-    splitting, "cjk[:userdict]" Viterbi segmentation); None for every
-    1:1 chain handled by :func:`_emitter`."""
+    splitting, "cjk[:userdict]" / "cjk_search[:userdict]" Viterbi
+    segmentation); None for every 1:1 chain handled by
+    :func:`_emitter`."""
     if stem == "code":
         return code_parts
     if isinstance(stem, str) and stem.startswith("cjk"):
         from lucene_spark.analysis.cjk import cjk_parts
 
-        uw = _cjk_user_words(stem)
-        return lambda t: cjk_parts(t, uw)
+        uw, mode = _cjk_user_words(stem), _cjk_mode(stem)
+        return lambda t: cjk_parts(t, uw, mode)
     return None
 
 
@@ -172,8 +179,8 @@ def _expander_spans(stem):
     if isinstance(stem, str) and stem.startswith("cjk"):
         from lucene_spark.analysis.cjk import cjk_parts_spans
 
-        uw = _cjk_user_words(stem)
-        return lambda t: cjk_parts_spans(t, uw)
+        uw, mode = _cjk_user_words(stem), _cjk_mode(stem)
+        return lambda t: cjk_parts_spans(t, uw, mode)
     return None
 
 

@@ -498,6 +498,9 @@ def _stacker_of(cfg):
     when neither is configured. Takes (tokens, positions[, starts,
     ends]) lists, returns (tokens, positions, overlaps[, starts,
     ends]) — ``overlaps`` flags posInc-0 tokens for norm discounting."""
+    cjk_search = (
+        isinstance(cfg.analyzer, str) and cfg.analyzer.startswith("cjk_search")
+    ) or None
     n_stages = sum(
         1
         for x in (
@@ -507,6 +510,7 @@ def _stacker_of(cfg):
             cfg.edge_ngrams,
             cfg.stem_repeat or None,
             tuple(cfg.synonyms) or None,
+            cjk_search,
         )
         if x is not None
     )
@@ -515,8 +519,23 @@ def _stacker_of(cfg):
     if n_stages > 1:
         raise ValueError(
             "shingles / common_grams / ngrams / edge_ngrams / stem_repeat "
-            "/ synonyms are mutually exclusive stages"
+            "/ synonyms / cjk_search are mutually exclusive stages"
         )
+    if cjk_search:
+        # JapaneseAnalyzer's default SEARCH mode with
+        # discardCompoundToken=false: dictionary compounds covering
+        # consecutive segmented parts stack posInc-0 at the first
+        # part's position (the SynonymGraph+FlattenGraph index-time
+        # approximation — posLength squashes)
+        from lucene_spark.analysis.cjk import compound_stream
+        from lucene_spark.analysis.tokenizer import _cjk_user_words
+
+        uw = _cjk_user_words(cfg.analyzer)
+
+        def cjk_stack(toks, poss, sts=None, ens=None):
+            return compound_stream(toks, poss, uw, starts=sts, ends=ens)
+
+        return cjk_stack
     from lucene_spark.analysis.shingles import (
         build_synonym_map,
         common_grams_stream,

@@ -169,3 +169,87 @@ class TestEndToEnd:
         s = Searcher(cjk_index)
         hits = {d for d, _ in s.search(A.TermQuery("麻薬の密売"), k=10).hits}
         assert 0 in hits and 4 in hits  # SHOULD of the three parts
+
+
+@pytest.fixture(scope="module")
+def cjk_search_index(spark, tmp_path_factory):
+    from lucene_spark.index.builder import IndexBuilder, IndexConfig
+    from lucene_spark.index.reader import SearchIndex
+
+    rows = [
+        (0, "シニアソフトウェアエンジニアは本を密売する"),
+        (1, "ソフトウェアの麻薬"),
+        (2, "エンジニアはない"),
+    ]
+    df = spark.createDataFrame(
+        [(i, "org/r", f"p{i}", "c", "ja", t) for i, t in rows],
+        "doc_id long, repo string, path string, commit string, lang string, content string",
+    )
+    d = str(tmp_path_factory.mktemp("cjksearch"))
+    IndexBuilder(
+        spark, IndexConfig(docs_per_chunk=4, term_buckets=2, analyzer="cjk_search")
+    ).build(df, d, assign_ids=False)
+    return SearchIndex(spark, d)
+
+
+class TestSearchModeIndex:
+    def test_compound_and_parts_both_match(self, cjk_search_index):
+        from lucene_spark.search import ast as A
+        from lucene_spark.search.engine import Searcher
+
+        s = Searcher(cjk_search_index)
+        # SEARCH mode split the compound into parts...
+        assert {d for d, _ in s.search(A.TermQuery("ソフトウェア"), k=10).hits} == {0, 1}
+        assert {d for d, _ in s.search(A.TermQuery("エンジニア"), k=10).hits} == {0, 2}
+        # a compound QUERY analyzes through the same SEARCH-mode chain
+        # (QueryBuilder contract): parts → SHOULD boolean, so part docs
+        # match too — but the all-parts doc ranks first
+        td = s.search(A.TermQuery("シニアソフトウェアエンジニア"), k=10)
+        assert {d for d, _ in td.hits} == {0, 1, 2}
+        assert td.hits[0][0] == 0
+
+    def test_compound_token_stacked_in_postings(self, cjk_search_index):
+        # the dictionary compound IS a posting (df=1, doc 0), stacked
+        # at the FIRST part's position — the flattened-graph layout
+        stats = cjk_search_index.term_stats(["シニアソフトウェアエンジニア", "シニア"])
+        assert stats["シニアソフトウェアエンジニア"][0] == 1
+        assert stats["シニア"][0] == 1
+        post = cjk_search_index.collect_postings(
+            ["シニアソフトウェアエンジニア", "シニア"], with_positions=True
+        )
+        comp = post["シニアソフトウェアエンジニア"]
+        part = post["シニア"]
+        assert list(comp.docs) == [0] == list(part.docs)
+        assert list(comp.positions[0]) == list(part.positions[0])  # posInc 0
+
+    def test_norms_discount_compound_overlaps(self, cjk_search_index, spark):
+        # dl counts the linear parts only (discountOverlaps): doc 1 is
+        # ソフトウェア/の/麻薬 -> dl 3 even though no compound stacked;
+        # doc 0's stacked compound must NOT inflate its dl
+        from lucene_spark.analysis.cjk import segment
+
+        norms = {
+            r["doc_id"]: r["dl"]
+            for r in cjk_search_index.norms.select("doc_id", "dl").collect()
+        }
+        parts0 = [
+            t
+            for t, *_ in segment("シニアソフトウェアエンジニアは本を密売する", mode="search")
+        ]
+        assert norms[0] == len(parts0)
+        assert norms[1] == 3
+
+    def test_compound_stream_contract(self):
+        from lucene_spark.analysis.cjk import compound_stream
+
+        toks = ["シニア", "ソフトウェア", "エンジニア", "は"]
+        poss = [0, 1, 2, 3]
+        t, p, o = compound_stream(toks, poss)
+        assert t == [
+            "シニア", "シニアソフトウェアエンジニア", "ソフトウェア", "エンジニア", "は",
+        ]
+        assert p == [0, 0, 1, 2, 3]
+        assert o == [False, True, False, False, False]
+        # position gap (dropped punct) breaks the compound span
+        t2, _p2, o2 = compound_stream(["シニア", "ソフトウェア"], [0, 2])
+        assert t2 == ["シニア", "ソフトウェア"] and not any(o2)
