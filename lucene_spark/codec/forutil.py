@@ -204,8 +204,46 @@ def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray | None
     return bytes(out), block_last
 
 
+def _unpack_blocks_by_width(
+    buf: np.ndarray, by_w: dict, nb: int
+) -> np.ndarray:
+    """Batched FOR-block bit-unpack: ``by_w`` maps width → [(row,
+    byte_pos)] into ``buf`` (uint8 view of the blob); returns an
+    (nb, BLOCK_SIZE) int64 matrix with each listed row filled. ONE
+    numpy unpack per distinct width (chunked to bound the 64-bit
+    staging buffer at ~4 MB) instead of one per block — per-call numpy
+    overhead was the decode bottleneck on dense terms (hundreds of
+    thousands of 128-int blocks per query at web-corpus df)."""
+    out = np.zeros((nb, BLOCK_SIZE), dtype=np.int64)
+    for w, items in by_w.items():
+        if w == 0:
+            continue  # rows stay zero
+        nbytes = (BLOCK_SIZE * w + 7) // 8
+        rows = np.fromiter((r for r, _ in items), dtype=np.int64, count=len(items))
+        poss = np.fromiter((p for _, p in items), dtype=np.int64, count=len(items))
+        ch = max(1, (1 << 22) // (BLOCK_SIZE * 8))
+        for i in range(0, len(items), ch):
+            rr = rows[i : i + ch]
+            pp = poss[i : i + ch]
+            seg = buf[pp[:, None] + np.arange(nbytes)]
+            bits = np.unpackbits(seg, axis=1, count=BLOCK_SIZE * w).reshape(
+                len(rr), BLOCK_SIZE, w
+            )
+            stage = np.zeros((len(rr), BLOCK_SIZE, 64), dtype=np.uint8)
+            stage[:, :, 64 - w :] = bits
+            out[rr] = (
+                np.packbits(stage.reshape(-1, 64), axis=1)
+                .view(">u8")
+                .reshape(len(rr), BLOCK_SIZE)
+                .astype(np.int64)
+            )
+    return out
+
+
 def unpack_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode ``pack_postings`` output → (doc_ids int64, tfs int32, norms uint8)."""
+    from collections import defaultdict
+
     n, pos = _read_varint(blob, 0)
     if n == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32), np.empty(0, dtype=np.uint8))
@@ -213,14 +251,19 @@ def unpack_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs = np.empty(n, dtype=np.int64)
     norms = np.empty(n, dtype=np.int64)
     n_full = n // BLOCK_SIZE
-    for b in range(n_full):
-        lo = b * BLOCK_SIZE
-        for dest in (deltas, tfs, norms):
-            w = blob[pos]
-            pos += 1
-            nbytes = (BLOCK_SIZE * w + 7) // 8
-            dest[lo : lo + BLOCK_SIZE] = _unpack_bits(blob[pos : pos + nbytes], BLOCK_SIZE, w)
-            pos += nbytes
+    if n_full:
+        by_w: list[dict] = [defaultdict(list) for _ in range(3)]
+        for b in range(n_full):
+            for s in range(3):
+                w = blob[pos]
+                pos += 1
+                by_w[s][w].append((b, pos))
+                pos += (BLOCK_SIZE * w + 7) // 8
+        buf = np.frombuffer(blob, dtype=np.uint8)
+        hi = n_full * BLOCK_SIZE
+        deltas[:hi] = _unpack_blocks_by_width(buf, by_w[0], n_full).ravel()
+        tfs[:hi] = _unpack_blocks_by_width(buf, by_w[1], n_full).ravel()
+        norms[:hi] = _unpack_blocks_by_width(buf, by_w[2], n_full).ravel()
     for i in range(n_full * BLOCK_SIZE, n):
         v, pos = _read_varint(blob, pos)
         deltas[i] = v >> 1
@@ -245,26 +288,37 @@ def decode_blocks(blob: bytes, blocks: list[int], block_last: np.ndarray) -> tup
     provides the absolute doc-id base for each block so deltas can be
     rebased without decoding precursors.
     """
+    from collections import defaultdict
+
     n, pos = _read_varint(blob, 0)
     n_full = n // BLOCK_SIZE
     wanted = set(int(b) for b in blocks)
     out_docs, out_tfs, out_norms = [], [], []
-    for b in range(n_full):
-        if b in wanted:
-            arrs = []
-            for _ in range(3):
+    order = sorted(b for b in wanted if b < n_full)
+    if order:
+        brow = {b: i for i, b in enumerate(order)}
+        by_w: list[dict] = [defaultdict(list) for _ in range(3)]
+        for b in range(n_full):
+            take = b in wanted
+            for s in range(3):
                 w = blob[pos]
                 pos += 1
-                nbytes = (BLOCK_SIZE * w + 7) // 8
-                arrs.append(_unpack_bits(blob[pos : pos + nbytes], BLOCK_SIZE, w).astype(np.int64))
-                pos += nbytes
-            deltas, tfs, norms = arrs
-            base = int(block_last[b - 1]) if b > 0 else -1
-            docs = base + np.cumsum(deltas)
-            out_docs.append(docs)
-            out_tfs.append(tfs)
-            out_norms.append(norms)
-        else:
+                if take:
+                    by_w[s][w].append((brow[b], pos))
+                pos += (BLOCK_SIZE * w + 7) // 8
+        buf = np.frombuffer(blob, dtype=np.uint8)
+        nb = len(order)
+        dmat = _unpack_blocks_by_width(buf, by_w[0], nb)
+        tmat = _unpack_blocks_by_width(buf, by_w[1], nb)
+        nmat = _unpack_blocks_by_width(buf, by_w[2], nb)
+        ob = np.asarray(order, dtype=np.int64)
+        bases = np.where(ob > 0, block_last[np.maximum(ob - 1, 0)], -1)
+        docs_mat = bases[:, None] + np.cumsum(dmat, axis=1)
+        out_docs.append(docs_mat.ravel())
+        out_tfs.append(tmat.ravel())
+        out_norms.append(nmat.ravel())
+    else:
+        for b in range(n_full):
             for _ in range(3):  # skip: header walk only
                 w = blob[pos]
                 pos += 1 + (BLOCK_SIZE * w + 7) // 8
