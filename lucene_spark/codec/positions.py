@@ -91,6 +91,22 @@ def unpack_offsets(blob: bytes, tfs: np.ndarray) -> list[tuple[np.ndarray, np.nd
     return list(zip(np.split(flat_s, bounds), np.split(flat_e, bounds)))
 
 
+class PositionLists(list):
+    """Per-doc position views over ONE flat decode buffer, with the
+    buffer carried explicitly (``flat``, len == Σtf). The positional
+    kernels' zero-copy fast path consumes ``flat`` directly instead of
+    re-proving contiguity per query — the invariant is established
+    HERE, where the views are created, and any derived shape (slices,
+    tier concatenations) degrades to a plain list and takes the copy
+    path."""
+
+    __slots__ = ("flat",)
+
+    def __init__(self, views, flat):
+        super().__init__(views)
+        self.flat = flat
+
+
 def unpack_positions(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     """Inverse using the tf array for doc boundaries (vectorized:
     one varint sweep + segmented cumsum)."""
@@ -107,7 +123,7 @@ def unpack_positions(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     base[nz] = cs[nz] - deltas[nz]
     np.maximum.accumulate(base, out=base)
     flat = cs - base
-    return np.split(flat, starts[1:] if len(starts) > 1 else [])
+    return PositionLists(np.split(flat, starts[1:] if len(starts) > 1 else []), flat)
 
 
 def pack_payloads(pay_lists: list) -> bytes:

@@ -1856,29 +1856,20 @@ def _flat_of(ctx: "ChunkContext", t: str) -> tuple[np.ndarray, np.ndarray]:
     if total == 0:
         fo = (EMPTY_I, offs)
     else:
-        # zero-copy fast path: unpack_positions returns np.split views
-        # of ONE flat decode buffer — contiguous, in order, offset 0.
-        # Verify EVERY view sits at its cumulative offset of that
-        # buffer with its tf-implied length (first/last bounds alone
-        # cannot rule out overlapping or out-of-order middle views);
-        # O(n_docs) attribute reads, memoized per (context, term).
-        first = plist[0]
-        b = first.base if isinstance(first, np.ndarray) else None
-        flat = None
-        if b is not None and b.dtype == np.int64 and len(b) == total:
-            base_ptr = b.__array_interface__["data"][0]
-            for i, p in enumerate(plist):
-                if not (
-                    isinstance(p, np.ndarray)
-                    and p.base is b
-                    and len(p) == int(offs[i + 1] - offs[i])
-                    and p.__array_interface__["data"][0]
-                    == base_ptr + 8 * int(offs[i])
-                ):
-                    break
-            else:
-                flat = b
-        if flat is None:
+        # zero-copy fast path: unpack_positions carries its flat decode
+        # buffer on the returned PositionLists — the contiguity
+        # invariant is established at creation, not re-proved here.
+        # O(1) sanity: the stashed buffer must be the views' base and
+        # cover exactly ``total`` entries (derived shapes — slices,
+        # tier concatenations — are plain lists and take the copy path)
+        flat = getattr(plist, "flat", None)
+        if not (
+            flat is not None
+            and len(flat) == total
+            and len(plist)
+            and isinstance(plist[0], np.ndarray)
+            and plist[0].base is flat
+        ):
             flat = np.concatenate(
                 [np.asarray(p, dtype=np.int64) for p in plist if len(p)]
             )
