@@ -197,6 +197,48 @@ def build_hnsw(
     )
 
 
+def _search_layer_filtered(
+    q: np.ndarray, eps: list, ef: int, nbrs: dict, vecs: np.ndarray,
+    acc: np.ndarray, limit: int,
+):
+    """Filtered level-0 expansion (KnnVectorQuery.searchLeaf contract:
+    the walk TRAVERSES every node but only COLLECTS accepted ones, and
+    stops early when more than ``limit`` nodes have been scored —
+    signalled so the caller falls back to exact search over the
+    accepted set). Returns ([(sim, idx)] desc, exceeded_limit)."""
+    visited = set(eps)
+    res: list[tuple[float, int]] = []
+    cand: list[tuple[float, int]] = []
+    scored = 0
+    for e in eps:
+        s = float(vecs[e] @ q)
+        scored += 1
+        heapq.heappush(cand, (-s, e))
+        if acc[e]:
+            heapq.heappush(res, (s, e))
+    while len(res) > ef:
+        heapq.heappop(res)
+    while cand:
+        negs, c = heapq.heappop(cand)
+        if len(res) >= ef and -negs < res[0][0]:
+            break
+        for nb in nbrs.get(c, ()):
+            if nb in visited:
+                continue
+            visited.add(nb)
+            s = float(vecs[nb] @ q)
+            scored += 1
+            if scored > limit:
+                return sorted(res, reverse=True), True
+            if len(res) < ef or s > res[0][0]:
+                heapq.heappush(cand, (-s, nb))
+                if acc[nb]:
+                    heapq.heappush(res, (s, nb))
+                    while len(res) > ef:
+                        heapq.heappop(res)
+    return sorted(res, reverse=True), False
+
+
 def hnsw_cosine_topk(
     spark_or_df,
     queries: DataFrame,
@@ -205,18 +247,40 @@ def hnsw_cosine_topk(
     graph_dir: str | None = None,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    accept: DataFrame | None = None,
 ) -> DataFrame:
     """Search every shard's graph in parallel and merge
     (TopDocs.merge role): (query_id, rank, vec_id, sim), self-match
     excluded, rank ties broken by vec_id — the brute/lsh/ivf output
     contract. ``ef >= shard size`` scans the shard exhaustively
     (documented degenerate branch — the provably-exact oracle twin).
-    Pass either the sidecar DataFrame or ``graph_dir``."""
+    Pass either the sidecar DataFrame or ``graph_dir``.
+
+    ``accept``: optional single-column (vec_id) relation — the
+    pre-filter/acceptDocs contract of the reference's filtered KNN
+    (KnnVectorQuery.searchLeaf:120-150): per shard, <= k accepted →
+    exact search over the accepted set; otherwise graph search
+    collecting only accepted nodes with visitedLimit = accepted
+    cardinality, falling back to exact when the walk scores more nodes
+    than that. The flag joins relationally (left join on the sidecar),
+    so the filter never collects to the driver."""
     if graph_dir is not None:
         g = spark_or_df.read.parquet(graph_dir)
     else:
         g = spark_or_df
     spark = g.sparkSession
+    filtered = accept is not None
+    if filtered:
+        acc_df = (
+            accept.select(F.col(accept.columns[0]).cast("long").alias("vec_id"))
+            .distinct()
+            .withColumn("_acc", F.lit(True))
+        )
+        g = g.join(acc_df, "vec_id", "left").withColumn(
+            "_acc", F.coalesce(F.col("_acc"), F.lit(False))
+        )
+    else:
+        g = g.withColumn("_acc", F.lit(True))
     qrows = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"), F.col(vec_col).alias("_qv")
     ).collect()
@@ -229,16 +293,26 @@ def hnsw_cosine_topk(
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
         vec_ids = pdf["vec_id"].to_numpy()
         levels = pdf["level"].to_numpy()
+        acc = pdf["_acc"].to_numpy().astype(bool)
         n = len(vec_ids)
+        card = int(acc.sum())
         out_q, out_v, out_s = [], [], []
-        if ef >= n:
-            # exhaustive shard scan — exact by construction
-            sims = qm @ vecs.T  # (n_queries, n)
+        if card == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+
+        def exact(qi, qid):
+            idxs = np.flatnonzero(acc)
+            sims = vecs[idxs] @ qm[qi]
+            for j, s in zip(idxs, sims):
+                out_q.append(qid)
+                out_v.append(int(vec_ids[j]))
+                out_s.append(float(s))
+
+        if ef >= n or card <= k:
+            # exhaustive over the accepted set — exact by construction
+            # (the <=k short-circuit of searchLeaf:136-140)
             for qi, qid in enumerate(qids):
-                for j in range(n):
-                    out_q.append(qid)
-                    out_v.append(int(vec_ids[j]))
-                    out_s.append(float(sims[qi, j]))
+                exact(qi, qid)
         else:
             top = int(levels.max())
             nbrs_by_level: list[dict[int, list[int]]] = [dict() for _ in range(top + 1)]
@@ -251,7 +325,16 @@ def hnsw_cosine_topk(
                 eps = [entry]
                 for lev in range(top, 0, -1):
                     eps = [_search_layer(q, eps, 1, nbrs_by_level[lev], vecs)[0][1]]
-                res = _search_layer(q, eps, ef, nbrs_by_level[0], vecs)
+                if not filtered:
+                    res = _search_layer(q, eps, ef, nbrs_by_level[0], vecs)
+                    exceeded = False
+                else:
+                    res, exceeded = _search_layer_filtered(
+                        q, eps, ef, nbrs_by_level[0], vecs, acc, card
+                    )
+                if exceeded:
+                    exact(qi, qid)  # visited-limit fallback (:146-150)
+                    continue
                 for s, i in res[: k + 1]:  # +1 allows the self-match drop
                     out_q.append(qid)
                     out_v.append(int(vec_ids[i]))

@@ -115,3 +115,93 @@ class TestHnsw:
                         seen.add(nb)
                         stack.append(nb)
             assert len(seen) == len(adj)
+
+
+class TestFilteredHnsw:
+    """The pre-filter/acceptDocs contract (KnnVectorQuery.searchLeaf):
+    <=k accepted per shard -> exact; else filtered graph walk with
+    visitedLimit = accepted cardinality and exact fallback."""
+
+    def _brute_filtered(self, emb_df, accept_ids, k):
+        from pyspark.sql import functions as F
+
+        from lucene_spark.pipeline.similarity import brute_cosine_topk
+
+        sub = emb_df.filter(F.col("vec_id").isin(list(accept_ids)))
+        return {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+            for r in brute_cosine_topk(sub, _queries(emb_df), k=k).collect()
+        }
+
+    def test_filtered_full_param_equals_brute(self, spark, emb_df, graph_df):
+        from lucene_spark.pipeline.hnsw import hnsw_cosine_topk
+
+        accept_ids = set(range(0, 600, 3))
+        acc = spark.createDataFrame([(i,) for i in accept_ids], "vec_id long")
+        got = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+            for r in hnsw_cosine_topk(
+                graph_df, _queries(emb_df), k=5, ef=10**6, accept=acc
+            ).collect()
+        }
+        want = self._brute_filtered(emb_df, accept_ids, 5)
+        # brute runs on the filtered corpus, so queries outside the
+        # accept set never self-exclude there; compare on vec_ids
+        assert {k_: v[0] for k_, v in got.items()} == {
+            k_: v[0] for k_, v in want.items()
+        }
+
+    def test_highly_selective_filter_is_exact(self, spark, emb_df, graph_df):
+        # <= k accepted per shard -> the short-circuit exact path; must
+        # equal brute-filtered even at tiny ef
+        from lucene_spark.pipeline.hnsw import hnsw_cosine_topk
+
+        accept_ids = {11, 47, 101, 203, 305, 407, 509, 599}
+        acc = spark.createDataFrame([(i,) for i in accept_ids], "vec_id long")
+        got = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in hnsw_cosine_topk(
+                graph_df, _queries(emb_df), k=5, ef=8, accept=acc
+            ).collect()
+        }
+        want = {
+            k_: v[0] for k_, v in self._brute_filtered(emb_df, accept_ids, 5).items()
+        }
+        assert got == want
+
+    def test_visited_limit_fallback_is_exact(self, spark, emb_df, graph_df):
+        # card just above k per shard: the walk scores more nodes than
+        # the limit -> exact fallback; results must equal brute-filtered
+        from lucene_spark.pipeline.hnsw import hnsw_cosine_topk
+
+        accept_ids = set(range(0, 600, 17))  # ~36 total, ~9/shard > k=5
+        acc = spark.createDataFrame([(i,) for i in accept_ids], "vec_id long")
+        got = {
+            (r["query_id"], r["rank"]): r["vec_id"]
+            for r in hnsw_cosine_topk(
+                graph_df, _queries(emb_df), k=5, ef=16, accept=acc
+            ).collect()
+        }
+        want = {
+            k_: v[0] for k_, v in self._brute_filtered(emb_df, accept_ids, 5).items()
+        }
+        assert got == want
+
+    def test_moderate_filter_graph_recall(self, spark, emb_df, graph_df):
+        from lucene_spark.pipeline.hnsw import hnsw_cosine_topk
+
+        accept_ids = set(range(0, 600, 2))  # half the corpus
+        acc = spark.createDataFrame([(i,) for i in accept_ids], "vec_id long")
+        got = hnsw_cosine_topk(
+            graph_df, _queries(emb_df), k=10, ef=64, accept=acc
+        ).collect()
+        by_q: dict = {}
+        for r in got:
+            assert r["vec_id"] in accept_ids  # filter honored
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        want = self._brute_filtered(emb_df, accept_ids, 10)
+        truth: dict = {}
+        for (q, _rk), (v, _s) in want.items():
+            truth.setdefault(q, set()).add(v)
+        recalls = [len(by_q.get(q, set()) & vs) / len(vs) for q, vs in truth.items()]
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
