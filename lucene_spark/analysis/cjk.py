@@ -353,6 +353,57 @@ def is_cjk_run(token: str) -> bool:
     return bool(token) and _CJK_RUN_RE.fullmatch(token) is not None
 
 
+@lru_cache(maxsize=64)
+def make_segmenter(user_words: tuple = (), mode: str = "normal"):
+    """Resolve the dictionary ONCE and return ``token → parts`` with a
+    persistent per-closure run memo — the analyzer hot path. Keying a
+    global per-run lru_cache on the user_words tuple would re-hash the
+    whole vocabulary per token (tuples do not cache their hash); this
+    factory pays that hash once per tokenize batch and the memo hits
+    on plain string keys."""
+    _prefix_dict(user_words)  # warm the dictionary cache
+    memo: dict[str, list[str]] = {}
+
+    def seg(token: str) -> list[str]:
+        if not is_cjk_run(token):
+            return [token.lower()]
+        got = memo.get(token)
+        if got is None:
+            got = memo[token] = [
+                surf for surf, _s, _e, _pos in _viterbi(token, mode, user_words)
+                if not (_pos == "punct")
+            ]
+            if len(memo) > 100_000:
+                memo.clear()
+        return got
+
+    return seg
+
+
+@lru_cache(maxsize=64)
+def make_segmenter_spans(user_words: tuple = (), mode: str = "normal"):
+    """Offsets variant of :func:`make_segmenter` — token → [(part,
+    rel_start, rel_end)] with the same closure-resolved dictionary."""
+    _prefix_dict(user_words)
+    memo: dict[str, list] = {}
+
+    def seg(token: str) -> list:
+        if not is_cjk_run(token):
+            return [(token.lower(), 0, len(token))]
+        got = memo.get(token)
+        if got is None:
+            got = memo[token] = [
+                (surf, s, e)
+                for surf, s, e, _pos in _viterbi(token, mode, user_words)
+                if not (_pos == "punct")
+            ]
+            if len(memo) > 100_000:
+                memo.clear()
+        return got
+
+    return seg
+
+
 def cjk_parts(token: str, user_words: tuple = (), mode: str = "normal") -> list[str]:
     """Analyzer 1:N expander hook (the "code" analyzer protocol): a
     CJK run segments through the lattice (punctuation dropped); any
@@ -380,7 +431,13 @@ def cjk_parts_spans(
     ]
 
 
-def compound_stream(toks, poss, user_words: tuple = (), starts=None, ends=None):
+def compound_surfaces(user_words: tuple = ()) -> set:
+    """The dictionary surface set for :func:`compound_stream` —
+    resolve once per analyzer (the per-row tuple hash is avoidable)."""
+    return _prefix_dict(user_words)[1]
+
+
+def compound_stream(toks, poss, user_words: tuple = (), starts=None, ends=None, surfaces=None):
     """Index-time SEARCH-mode compound synonyms as a STACKED stage
     (the discardCompoundToken=false stream flattened — the same
     index-time approximation as SynonymGraphFilter+FlattenGraphFilter,
@@ -389,7 +446,8 @@ def compound_stream(toks, poss, user_words: tuple = (), starts=None, ends=None):
     sub-token's position with overlap=True (norm-discounted). Returns
     (tokens, positions, overlaps[, starts, ends]) — the _stacker_of
     contract."""
-    _, surfaces = _prefix_dict(user_words)
+    if surfaces is None:
+        _, surfaces = _prefix_dict(user_words)
     out_t, out_p, out_o = [], [], []
     out_s: list | None = [] if starts is not None else None
     out_e: list | None = [] if starts is not None else None

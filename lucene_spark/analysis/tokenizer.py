@@ -140,11 +140,17 @@ def code_parts_spans(token: str) -> list[tuple[str, int, int]]:
     ]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def _cjk_user_words(stem: str) -> tuple:
     """Parse the "cjk"/"cjk_search" analyzer's optional user
     dictionary out of the analyzer name ("cjk:word1,word2" — the
     UserDictionary role carried through the string-typed analyzer
-    plumbing and the manifest)."""
+    plumbing and the manifest). lru-cached per analyzer string (str
+    hashes cache natively) — a large gate-style user dictionary parses
+    once per process, not once per Arrow batch."""
     head, _sep, tail = stem.partition(":")
     if tail:
         return tuple(sorted(set(w for w in tail.split(",") if w)))
@@ -163,10 +169,9 @@ def _expander(stem):
     if stem == "code":
         return code_parts
     if isinstance(stem, str) and stem.startswith("cjk"):
-        from lucene_spark.analysis.cjk import cjk_parts
+        from lucene_spark.analysis.cjk import make_segmenter
 
-        uw, mode = _cjk_user_words(stem), _cjk_mode(stem)
-        return lambda t: cjk_parts(t, uw, mode)
+        return make_segmenter(_cjk_user_words(stem), _cjk_mode(stem))
     return None
 
 
@@ -177,10 +182,9 @@ def _expander_spans(stem):
     if stem == "code":
         return code_parts_spans
     if isinstance(stem, str) and stem.startswith("cjk"):
-        from lucene_spark.analysis.cjk import cjk_parts_spans
+        from lucene_spark.analysis.cjk import make_segmenter_spans
 
-        uw, mode = _cjk_user_words(stem), _cjk_mode(stem)
-        return lambda t: cjk_parts_spans(t, uw, mode)
+        return make_segmenter_spans(_cjk_user_words(stem), _cjk_mode(stem))
     return None
 
 

@@ -379,20 +379,66 @@ def cjk_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searc
             out.append(" ".join(lines))
         return pd.Series(out)
 
-    base = corpus_df(spark, sf_dir).drop("title")
-    toks_col = F.expr("regexp_extract_all(lower(content), '[a-z0-9]+', 0)")
-    vocab = sorted(
-        {
-            r["w"].translate(_CJK_TR) + "間"
-            for r in base.select(F.explode(toks_col).alias("w")).distinct().collect()
-        }
-    )
-    analyzer = "cjk:" + ",".join(vocab)
     if not os.path.exists(f"{idx_dir}/manifest.json"):
+        base = corpus_df(spark, sf_dir).drop("title")
+
+        # vocabulary through the ENGINE tokenizer (the same stream
+        # _cjkify translates — an SQL-regexp vocab could disagree on
+        # joiner/ExtendNumLet tokens and leave dictionary holes)
+        @pandas_udf("array<string>")
+        def _tok(texts):
+            import pandas as pd
+
+            from lucene_spark.analysis import tokenize
+
+            return pd.Series([tokenize(t or "") for t in texts])
+
+        vocab = sorted(
+            {
+                r["w"].translate(_CJK_TR) + "間"
+                for r in base.select(
+                    F.explode(_tok(F.col("content"))).alias("w")
+                ).distinct().collect()
+            }
+        )
+        analyzer = "cjk:" + ",".join(vocab)
         cfg = IndexConfig(
             docs_per_chunk=128, term_buckets=4, positions=True, analyzer=analyzer
         )
         corpus = base.withColumn("content", _cjkify(F.col("content")))
+        # bijection guard: the segmented stream must recover EXACTLY
+        # the standard token counts per doc (the prefix-free marker
+        # makes this hold by construction; fail LOUDLY if the corpus
+        # ever grows token shapes that break the translation instead
+        # of letting scores drift from the oracle)
+        from lucene_spark.analysis.cjk import make_segmenter
+
+        seg = make_segmenter(tuple(vocab))
+
+        @pandas_udf("boolean")
+        def _bijects(orig, cjk):
+            import pandas as pd
+
+            from lucene_spark.analysis import tokenize
+
+            out = []
+            for o, c in zip(orig, cjk):
+                want = [w.translate(_CJK_TR) + "間" for w in tokenize(o or "")]
+                got = [p for tok in (c or "").split(" ") for p in seg(tok)]
+                out.append(got == want)
+            return pd.Series(out)
+
+        chk = (
+            base.select("doc_id", F.col("content").alias("_orig"))
+            .join(corpus.select("doc_id", "content"), "doc_id")
+            .filter(~_bijects(F.col("_orig"), F.col("content")))
+            .count()
+        )
+        if chk:
+            raise AssertionError(
+                f"cjk gate bijection broken for {chk} docs — the corpus grew "
+                "token shapes the katakana translation does not cover"
+            )
         IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
     index = SearchIndex(spark, idx_dir)
     _CACHE[key] = (index, Searcher(index))
@@ -400,7 +446,14 @@ def cjk_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searc
 
 
 _CJK_TR = str.maketrans(
-    "abcdefghijklmnopqrstuvwxyz", "アイウエオカキクケコサシスセソタチツテトナニヌネノハ"
+    # a-z → katakana; 0-9 → fullwidth digits (still one CJK run);
+    # '_' / "'" (ExtendNumLet / joiner chars the engine keeps inside
+    # tokens) → kanji so such tokens stay single runs too. The 間
+    # marker is outside this alphabet, keeping the word code
+    # prefix-free; the build-time bijection check fails loudly on any
+    # future token shape this table does not cover.
+    "abcdefghijklmnopqrstuvwxyz0123456789_'",
+    "アイウエオカキクケコサシスセソタチツテトナニヌネノハ０１２３４５６７８９下之",
 )
 
 

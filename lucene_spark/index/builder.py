@@ -527,13 +527,14 @@ def _stacker_of(cfg):
         # consecutive segmented parts stack posInc-0 at the first
         # part's position (the SynonymGraph+FlattenGraph index-time
         # approximation — posLength squashes)
-        from lucene_spark.analysis.cjk import compound_stream
+        from lucene_spark.analysis.cjk import compound_stream, compound_surfaces
         from lucene_spark.analysis.tokenizer import _cjk_user_words
 
         uw = _cjk_user_words(cfg.analyzer)
+        surf = compound_surfaces(uw)  # resolved once, not per row
 
         def cjk_stack(toks, poss, sts=None, ens=None):
-            return compound_stream(toks, poss, uw, starts=sts, ends=ens)
+            return compound_stream(toks, poss, starts=sts, ends=ens, surfaces=surf)
 
         return cjk_stack
     from lucene_spark.analysis.shingles import (

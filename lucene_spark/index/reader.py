@@ -291,9 +291,18 @@ class SearchIndex:
             for r in rows:
                 fetched[r["term"]] = (int(r["df"]), int(r["ttf"]))
             cache.update(fetched)
-            while len(cache) > MAX_CACHED_TERMS:
-                cache.popitem(last=False)
-        return {t: cache[t] for t in terms if cache.get(t) is not None}
+        # snapshot THIS call's answers BEFORE trimming: a query can
+        # carry more terms than the cap (stacked multi-clause
+        # expansions), and eviction racing the read would silently
+        # score the evicted terms as absent
+        out: dict[str, tuple[int, int]] = {}
+        for t in terms:
+            v = cache.get(t)
+            if v is not None:
+                out[t] = v
+        while len(cache) > MAX_CACHED_TERMS:
+            cache.popitem(last=False)
+        return out
 
     def chunk_layout(self, terms: list[str]) -> list[tuple]:
         """Per-(term, tier) posting-row layout: (term, tier, n_rows,
@@ -318,12 +327,14 @@ class SearchIndex:
                     (r["tier"] if tiered else None, int(r["n"]), int(r["maxc"]))
                 )
             cache.update(fetched)
-            while len(cache) > MAX_CACHED_TERMS:
-                cache.popitem(last=False)
+        # snapshot before trimming (same race as term_stats — eviction
+        # of this call's entries would misclassify hot terms)
         out = []
         for t in terms:
             for tier, n, maxc in cache.get(t, ()):
                 out.append((t, tier, n, maxc))
+        while len(cache) > MAX_CACHED_TERMS:
+            cache.popitem(last=False)
         return out
 
     def term_grams_df(self) -> DataFrame:

@@ -208,9 +208,11 @@ def band_bucket_cap(
     A degenerate bucket of size S (mass-duplicated boilerplate) emits
     O(S^2) candidate rows before ``distinct`` — the one unbounded term
     in the banded-LSH cost model. Members of a bucket over
-    ``max_bucket`` are deterministically hash-thinned to an expected
-    ``max_bucket`` survivors (keep iff xxhash64(id, band, key) ≡ 0 mod
-    ceil(S/max_bucket)); the window count shuffles on the same
+    ``max_bucket`` are deterministically hash-thinned (keep iff
+    xxhash64(id, band, key) ≡ 0 mod ceil(S/max_bucket)) to an expected
+    S/ceil(S/max_bucket) survivors — between max_bucket/2 and
+    max_bucket, dipping toward the low end just past each multiple of
+    max_bucket; the window count shuffles on the same
     (band, key) the join needs. Returns (capped relation, stats
     relation of oversized buckets: band, key, size, kept, dropped) —
     the stats side makes the cap non-silent: callers quantify dropped

@@ -19,7 +19,7 @@ then:
    term (worst-case WAND/conjunction input).
 
 Usage: python scripts/skew_drill.py [--replicas 1600] [--sf-dir ...]
-Prints one JSON line and appends BENCH/SKEW_RUN.md.
+Prints one JSON line and (re)writes BENCH/SKEW_RUN.md with this run.
 """
 
 from __future__ import annotations
