@@ -253,3 +253,88 @@ class TestSearchModeIndex:
         # position gap (dropped punct) breaks the compound span
         t2, _p2, o2 = compound_stream(["シニア", "ソフトウェア"], [0, 2])
         assert t2 == ["シニア", "ソフトウェア"] and not any(o2)
+
+
+class TestViterbiVsBrute:
+    def test_fuzz_lattice_vs_exhaustive_dp(self):
+        """From-definition oracle: enumerate EVERY segmentation of a
+        short run with the same arc set (dictionary matches + unknown
+        arcs per the invoke/group rules) and the same cost model; the
+        lattice must return a minimum-cost path (and the same token
+        stream under the deterministic tie-break)."""
+        import itertools
+        import random
+
+        from lucene_spark.analysis.cjk import (
+            _CLASS_DEF,
+            _UNK_COST,
+            _UNK_POS,
+            _conn,
+            _prefix_dict,
+            _search_penalty,
+            _viterbi,
+            char_class,
+        )
+
+        rng = random.Random(41)
+        chars = "麻薬の密売は根本学部長数ないばシニアソフト"
+
+        def arcs_at(run, i, mode):
+            by_first, _ = _prefix_dict(())
+            out = []
+            matched = False
+            for surf, pos, cost in by_first.get(run[i], ()):
+                if run.startswith(surf, i):
+                    out.append((surf, pos, cost + _search_penalty(surf, mode)))
+                    matched = True
+            cls = char_class(run[i])
+            invoke, group, max_len = _CLASS_DEF[cls]
+            if not matched or invoke:
+                base, per = _UNK_COST[cls]
+                if group:
+                    j = i + 1
+                    while j < len(run) and char_class(run[j]) == cls:
+                        j += 1
+                    surf = run[i:j]
+                    out.append((surf, _UNK_POS[cls], base + per * len(surf) + _search_penalty(surf, mode)))
+                else:
+                    for ln in range(1, max_len + 1):
+                        if i + ln > len(run) or any(char_class(c) != cls for c in run[i : i + ln]):
+                            break
+                        surf = run[i : i + ln]
+                        out.append((surf, _UNK_POS[cls], base + per * ln + _search_penalty(surf, mode)))
+            return out
+
+        def brute(run, mode):
+            best = None
+
+            def rec(i, prev_pos, cost, path):
+                nonlocal best
+                if i == len(run):
+                    key = (cost, tuple(-len(s) for s, _ in path), tuple(s for s, _ in path))
+                    if best is None or key < best[0]:
+                        best = (key, list(path))
+                    return
+                for surf, pos, c in arcs_at(run, i, mode):
+                    path.append((surf, pos))
+                    rec(i + len(surf), pos, cost + c + _conn(prev_pos, pos), path)
+                    path.pop()
+
+            rec(0, "BOS", 0, [])
+            return best
+
+        for trial in range(300):
+            n = rng.randint(1, 7)
+            run = "".join(rng.choice(chars) for _ in range(n))
+            mode = rng.choice(["normal", "search"])
+            got = _viterbi(run, mode, ())
+            got_cost = None  # recompute the lattice path's cost
+            cost, prev = 0, "BOS"
+            for surf, s, e, pos in got:
+                aa = {a[0]: a for a in arcs_at(run, s, mode)}
+                assert surf in aa, (run, surf)
+                cost += aa[surf][2] + _conn(prev, aa[surf][1])
+                prev = aa[surf][1]
+            want = brute(run, mode)
+            assert want is not None
+            assert cost == want[0][0], (run, mode, cost, want[0][0])

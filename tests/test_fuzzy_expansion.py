@@ -104,3 +104,19 @@ class TestGramPruning:
         ]
         want = sorted(t for t in vocab if osa_distance("bcdef", t, 1) <= 1)
         assert got == want and len(want) > 0
+
+
+class TestReaderCacheWorkingSet:
+    def test_term_stats_oversized_call_not_self_evicting(self, search_index):
+        # a single call carrying more terms than MAX_CACHED_TERMS must
+        # still return every present term — the LRU trim runs AFTER the
+        # call's answers are snapshotted (regression: the first-listed
+        # term used to be evicted before the read and scored as absent)
+        terms = ["return"] + [f"zzmissing{i}" for i in range(5000)]
+        out = search_index.term_stats(terms)
+        assert "return" in out and out["return"][0] > 0
+
+    def test_chunk_layout_oversized_call_not_self_evicting(self, search_index):
+        terms = ["return"] + [f"zzmissing{i}" for i in range(5000)]
+        got = search_index.chunk_layout(terms)
+        assert any(t == "return" for t, *_ in got)
