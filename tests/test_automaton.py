@@ -22,6 +22,7 @@ from lucene_spark.search import ast as A
 from lucene_spark.search.automaton import (
     TermAutomatonBuilder,
     automaton_freq,
+    token_stream_to_automaton,
     try_rewrite,
 )
 from lucene_spark.search.engine import Searcher
@@ -399,3 +400,89 @@ class TestTokenStreamToAutomaton:
 
         with pytest.raises(ValueError, match="holes"):
             token_stream_to_automaton([("a", 1, 1), ("b", 2, 1)])
+
+
+class TestReferenceGoldens:
+    """Engine-level mirrors of the reference's public
+    TestTermAutomatonQuery cases (match SETS, the reference's
+    totalHits assertions): testBasicSlop (:144-178),
+    testPosLengthAtQueryTimeMock (:185-234), testAnyFromTokenStream
+    (:345-380)."""
+
+    def _index(self, spark, tmp_path_factory, texts):
+        from lucene_spark.index.builder import IndexBuilder, IndexConfig
+        from lucene_spark.index.reader import SearchIndex
+
+        df = spark.createDataFrame(
+            [(i, "o/r", f"p{i}", "c", "en", t) for i, t in enumerate(texts)],
+            "doc_id long, repo string, path string, commit string, lang string, content string",
+        )
+        d = str(tmp_path_factory.mktemp("taq"))
+        IndexBuilder(spark, IndexConfig(docs_per_chunk=4, term_buckets=2)).build(
+            df, d, assign_ids=False
+        )
+        return SearchIndex(spark, d)
+
+    def test_basic_slop(self, spark, tmp_path_factory):
+        from lucene_spark.search.engine import Searcher
+
+        ix = self._index(
+            spark,
+            tmp_path_factory,
+            ["here comes the sun", "here comes sun", "here comes the other sun"],
+        )
+        b = TermAutomatonBuilder()
+        s1, s2, s3 = b.create_state(), b.create_state(), b.create_state()
+        b.add_transition(0, s1, "comes")
+        b.add_any_transition(s1, s2)
+        b.set_accept(s3)
+        b.add_transition(s1, s3, "sun")
+        b.add_transition(s2, s3, "sun")
+        td = Searcher(ix).search(A.TermAutomatonQuery(b.finish()), k=10)
+        assert {d for d, _ in td.hits} == {0, 1} and td.total_hits == 2
+
+    def test_pos_length_at_query_time(self, spark, tmp_path_factory):
+        from lucene_spark.search.engine import Searcher
+
+        ix = self._index(
+            spark,
+            tmp_path_factory,
+            [
+                "speedy wifi network",
+                "speedy wi fi network",
+                "fast wifi network",
+                "fast wi fi network",
+                "slow wi fi network",
+            ],
+        )
+        b = TermAutomatonBuilder()
+        s1, s2, s3, s4 = (b.create_state() for _ in range(4))
+        b.add_transition(0, s1, "fast")
+        b.add_transition(0, s1, "speedy")
+        b.add_transition(s1, s2, "wi")
+        b.add_transition(s1, s3, "wifi")
+        b.add_transition(s2, s3, "fi")
+        b.add_transition(s3, s4, "network")
+        b.set_accept(s4)
+        td = Searcher(ix).search(A.TermAutomatonQuery(b.finish()), k=10)
+        assert {d for d, _ in td.hits} == {0, 1, 2, 3} and td.total_hits == 4
+
+    def test_any_from_token_stream(self, spark, tmp_path_factory):
+        from lucene_spark.search.engine import Searcher
+
+        ix = self._index(
+            spark,
+            tmp_path_factory,
+            [
+                "here comes the sun",
+                "here comes the moon",
+                "here comes sun",
+                "here comes the other sun",
+            ],
+        )
+        # CannedTokenStream: comes(1,1) comes(0,2) *(1,1) sun(1,1) moon(0,1)
+        dfa = token_stream_to_automaton(
+            [("comes", 1, 1), ("comes", 0, 2), ("*", 1, 1), ("sun", 1, 1), ("moon", 0, 1)]
+        )
+        td = Searcher(ix).search(A.TermAutomatonQuery(dfa), k=10)
+        assert {d for d, _ in td.hits} == {0, 1, 2} and td.total_hits == 3
