@@ -410,12 +410,9 @@ def cjk_parts(token: str, user_words: tuple = (), mode: str = "normal") -> list[
     other token lowercases through unchanged. ``mode="search"`` is the
     JapaneseAnalyzer default — long compounds split via the length
     penalties (compound synonyms are added by the index-time STACKED
-    stage, not here; the expander stream is linear)."""
-    if not is_cjk_run(token):
-        return [token.lower()]
-    return [
-        surf for surf, _s, _e, _pi, _pl in segment(token, mode=mode, user_words=user_words)
-    ]
+    stage, not here; the expander stream is linear). Thin wrapper over
+    :func:`make_segmenter` (shared memo)."""
+    return make_segmenter(user_words, mode)(token)
 
 
 def cjk_parts_spans(
@@ -423,12 +420,7 @@ def cjk_parts_spans(
 ) -> list[tuple[str, int, int]]:
     """Offsets variant of :func:`cjk_parts` — (part, rel_start,
     rel_end) into the raw token (the code_parts_spans protocol)."""
-    if not is_cjk_run(token):
-        return [(token.lower(), 0, len(token))]
-    return [
-        (surf, s, e)
-        for surf, s, e, _pi, _pl in segment(token, mode=mode, user_words=user_words)
-    ]
+    return make_segmenter_spans(user_words, mode)(token)
 
 
 def compound_surfaces(user_words: tuple = ()) -> set:

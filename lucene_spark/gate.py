@@ -336,6 +336,15 @@ def ascii_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Sea
     return _CACHE[key]
 
 
+def _cjk_words(text: str) -> list:
+    """One doc's engine token stream under the katakana translation +
+    marker — shared by the corpus transform, the vocabulary
+    derivation, and the build-time bijection check."""
+    from lucene_spark.analysis import tokenize
+
+    return [w.translate(_CJK_TR) + "間" for w in tokenize(text or "")]
+
+
 def cjk_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
     """kuromoji-role "cjk" analyzer gate — bijection construction:
     every standard token of the corpus translates a→ア … z→ハ with a
@@ -360,11 +369,9 @@ def cjk_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searc
     def _cjkify(texts):
         import pandas as pd
 
-        from lucene_spark.analysis import tokenize
-
         out = []
         for t in texts:
-            words = [w.translate(_CJK_TR) + "間" for w in tokenize(t or "")]
+            words = _cjk_words(t)
             lines: list[str] = []
             cur: list[str] = []
             ln = 0
@@ -389,13 +396,11 @@ def cjk_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searc
         def _tok(texts):
             import pandas as pd
 
-            from lucene_spark.analysis import tokenize
-
-            return pd.Series([tokenize(t or "") for t in texts])
+            return pd.Series([_cjk_words(t) for t in texts])
 
         vocab = sorted(
             {
-                r["w"].translate(_CJK_TR) + "間"
+                r["w"]
                 for r in base.select(
                     F.explode(_tok(F.col("content"))).alias("w")
                 ).distinct().collect()
@@ -419,11 +424,9 @@ def cjk_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searc
         def _bijects(orig, cjk):
             import pandas as pd
 
-            from lucene_spark.analysis import tokenize
-
             out = []
             for o, c in zip(orig, cjk):
-                want = [w.translate(_CJK_TR) + "間" for w in tokenize(o or "")]
+                want = _cjk_words(o)
                 got = [p for tok in (c or "").split(" ") for p in seg(tok)]
                 out.append(got == want)
             return pd.Series(out)

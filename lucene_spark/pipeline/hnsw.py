@@ -299,9 +299,10 @@ def hnsw_cosine_topk(
         out_q, out_v, out_s = [], [], []
         if card == 0:
             return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+        acc_idxs = np.flatnonzero(acc)
 
         def exact(qi, qid):
-            idxs = np.flatnonzero(acc)
+            idxs = acc_idxs
             sims = vecs[idxs] @ qm[qi]
             for j, s in zip(idxs, sims):
                 out_q.append(qid)
