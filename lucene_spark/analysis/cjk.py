@@ -454,7 +454,17 @@ def compound_stream(toks, poss, user_words: tuple = (), starts=None, ends=None, 
         acc = toks[i]
         best = None
         j = i + 1
-        while j < n and poss[j] == poss[j - 1] + 1:
+        # contiguity needs BOTH adjacent positions and (when offsets
+        # are known) adjacent offsets: discarded punctuation leaves no
+        # position gap, but the reference's single lattice arc spans
+        # raw text — it would never stack a compound across the dropped
+        # character (ソフト・ウェア must NOT yield ソフトウェア), so
+        # mirror segment()'s acc_end check here
+        while (
+            j < n
+            and poss[j] == poss[j - 1] + 1
+            and (starts is None or starts[j] == ends[j - 1])
+        ):
             acc += toks[j]
             if acc in surfaces:
                 best = (acc, j)

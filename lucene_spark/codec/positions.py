@@ -126,6 +126,49 @@ def unpack_positions(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     return PositionLists(np.split(flat, starts[1:] if len(starts) > 1 else []), flat)
 
 
+def repack_position_lists(views) -> "PositionLists":
+    """One flat buffer + np.split views from arbitrary per-doc arrays.
+
+    Used wherever decode-time assembly (doc reorder, derived row sets)
+    would otherwise hand the kernels a PLAIN list: that list loses the
+    flat carrier, and the positional kernels' _flat_of then re-copies
+    every per-doc array on EVERY query — the round-4 positional p50
+    regression (2-8x, BENCH_r04 vs r03) was exactly this, the flatten
+    cost moving from one cached decode into the per-query hot path."""
+    views = list(views)
+    if not views:
+        return PositionLists([], np.empty(0, dtype=np.int64))
+    flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in views])
+    lens = np.fromiter((len(v) for v in views), dtype=np.int64, count=len(views))
+    return PositionLists(np.split(flat, np.cumsum(lens)[:-1]), flat)
+
+
+def concat_position_lists(parts: list) -> "PositionLists":
+    """Concatenate per-segment position lists (multi-row terms: one row
+    per chunk/tier) preserving the flat carrier: O(parts) buffer
+    concats when every part is a PositionLists, instead of an O(n_docs)
+    per-view copy in the query path."""
+    if len(parts) == 1 and isinstance(parts[0], PositionLists):
+        return parts[0]
+    flats = []
+    n_views = 0
+    lens_parts = []
+    for p in parts:
+        n_views += len(p)
+        lens_parts.append(np.fromiter((len(v) for v in p), dtype=np.int64, count=len(p)))
+        if isinstance(p, PositionLists):
+            flats.append(p.flat)
+        else:
+            flats.extend(np.asarray(v, dtype=np.int64) for v in p)
+    if n_views == 0:
+        return PositionLists([], np.empty(0, dtype=np.int64))
+    flat = np.concatenate(flats) if flats else np.empty(0, dtype=np.int64)
+    # views re-split from the MERGED flat (not the parts' own buffers)
+    # so the kernels' plist[0].base-is-flat check holds
+    lens = np.concatenate(lens_parts)
+    return PositionLists(np.split(flat, np.cumsum(lens)[:-1]), flat)
+
+
 def pack_payloads(pay_lists: list) -> bytes:
     """Per-occurrence payload stream (the .pay file role,
     Lucene90PostingsFormat PAY_EXTENSION; payloads written per position

@@ -72,6 +72,29 @@ class SearchIndex:
         self._layout_cache: "OrderedDict[str, list]" = OrderedDict()
         self._term_grams: DataFrame | None = None
 
+    def close(self) -> None:
+        """Release executor-storage held by this reader (the
+        IndexReader.close role). Idempotent; the reader stays usable —
+        the gram relation just rebuilds (and re-persists) on next use.
+        Sessions that open many readers should close them, or the
+        per-reader persisted (term, gram) relations accumulate until
+        executor storage evicts them."""
+        if self._term_grams is not None:
+            self._term_grams.unpersist()
+            self._term_grams = None
+
+    def __del__(self):  # best-effort backstop; close() is the contract
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __enter__(self) -> "SearchIndex":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def field_doc_set(self, key: tuple, cond) -> tuple:
         """doc ids matching a docs-table predicate, cached per reader.
         ``key`` identifies the predicate; ``cond`` is the Catalyst
@@ -348,8 +371,9 @@ class SearchIndex:
         <= n+1, so a term within e edits of t shares at least
         |distinct_grams(t)| - e*n (classic) / - e*(n+1) (OSA) of t's
         distinct bigrams. Built with one shuffle-free projection and
-        cached; a production build would write it as an index-time
-        sidecar next to term_stats_rev."""
+        persisted for the reader's lifetime — release via close() (the
+        reader is a context manager); a production build would write it
+        as an index-time sidecar next to term_stats_rev."""
         if self._term_grams is None:
             g = (
                 self.term_stats_df.select("term")
@@ -586,6 +610,8 @@ class SearchIndex:
         spanning rows): the cache is keyed by term alone and must only
         ever hold full decodes."""
         from lucene_spark.codec.positions import (
+            concat_position_lists,
+            repack_position_lists,
             unpack_offsets,
             unpack_payloads,
             unpack_positions,
@@ -605,11 +631,15 @@ class SearchIndex:
             norms = np.concatenate([p[2] for p in parts])
             positions = None
             if with_positions:
-                positions = []
+                pparts = []
                 for r, p in zip(rs, parts):
                     if r["pos_blob"] is None:
                         raise ValueError(f"index has no positions for term {term!r} (built with positions=False)")
-                    positions.extend(unpack_positions(bytes(r["pos_blob"]), p[1]))
+                    pparts.append(unpack_positions(bytes(r["pos_blob"]), p[1]))
+                # keep the flat decode buffer attached (PositionLists):
+                # the positional kernels' zero-copy fast path reads it,
+                # and this decode is cached across queries
+                positions = concat_position_lists(pparts)
             offsets = None
             if with_offsets:
                 offsets = []
@@ -635,7 +665,7 @@ class SearchIndex:
                 order = np.argsort(docs, kind="stable")
                 docs, tfs, norms = docs[order], tfs[order], norms[order]
                 if positions is not None:
-                    positions = [positions[i] for i in order]
+                    positions = repack_position_lists(positions[i] for i in order)
                 if offsets is not None:
                     offsets = [offsets[i] for i in order]
                 if payloads is not None:

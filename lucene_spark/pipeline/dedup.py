@@ -15,7 +15,8 @@ Scale notes (100 TB, 10^9+ docs):
 - hot shingles (boilerplate lines) are dropped by ``max_shingle_df``
   before the join — the same skew-salting idea as the index builder's
   hot-term chunking.
-- LSH band buckets are size-capped (``max_bucket``): a degenerate
+- LSH band buckets can be size-capped (``max_bucket``, opt-in —
+  default None keeps the verified output exact): a degenerate
   bucket — mass-duplicated boilerplate, common in web crawls — would
   otherwise emit O(|bucket|^2) candidate rows before distinct. The cap
   is not silent: ``return_stats=True`` yields the oversized-bucket
@@ -254,7 +255,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 7,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
     return_stats: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
@@ -266,10 +267,14 @@ def minhash_lsh_pairs(
     output matches exact all-pairs Jaccard in practice, at a bucket-join
     cost instead of a quadratic one.
 
-    ``max_bucket`` bounds each band bucket (see :func:`band_bucket_cap`
-    — run :func:`exact_duplicates` first so only near-identical
-    template mass hits the cap); ``return_stats=True`` additionally
-    returns the oversized-bucket stats relation.
+    ``max_bucket`` (default None = no capping, so the exactness claim
+    above holds unconditionally) opts into bounding each band bucket
+    (see :func:`band_bucket_cap`): a degenerate bucket — mass-duplicated
+    boilerplate — emits O(|bucket|^2) candidates, so the 100-TB recipe
+    is exact_duplicates first, then a cap (e.g. 10_000) with
+    ``return_stats=True`` so the dropped candidate mass is quantified,
+    never silent. Capping deliberately trades recall inside oversized
+    buckets for a bounded join.
     """
     rows = num_perm // bands
     # NOT persisted: the relation is corpus-sized (caching it at 100 TB

@@ -60,17 +60,13 @@ def _select_diverse(cands: list, vecs: np.ndarray, m: int) -> list:
     (HnswGraphBuilder.diversityCheck role / paper Algorithm 4): accept
     a candidate only if it is closer to the inserted node than to any
     already-selected neighbor. ``cands``: [(sim_to_q, idx)] sorted
-    descending."""
+    descending. The check against the kept set is one gemv per
+    candidate (vecs[out] @ vecs[c]) instead of a scalar inner loop."""
     out: list[int] = []
     for s, c in cands:
         if len(out) >= m:
             break
-        ok = True
-        for kept in out:
-            if float(vecs[c] @ vecs[kept]) > s:
-                ok = False
-                break
-        if ok:
+        if not out or float(np.max(vecs[out] @ vecs[c])) <= s:
             out.append(c)
     if not out and cands:  # never strand a node
         out.append(cands[0][1])
@@ -79,25 +75,35 @@ def _select_diverse(cands: list, vecs: np.ndarray, m: int) -> list:
 
 def _search_layer(q: np.ndarray, eps: list, ef: int, nbrs: dict, vecs: np.ndarray):
     """Best-first expansion at one level (HnswGraphSearcher.searchLevel
-    role). Returns [(sim, idx)] of up to ef closest, descending."""
+    role). Returns [(sim, idx)] of up to ef closest, descending.
+
+    All unvisited neighbors of a popped node are scored in ONE gemv
+    (vecs[new] @ q) — the round-4 verdict's build-throughput item: the
+    per-insertion cost is dominated by these distance evaluations, and
+    batching them moves the arithmetic from the interpreter into BLAS.
+    (BLAS gemv may sum in a different order than per-row dots, so the
+    graph can differ in float ties from the scalar version — still a
+    pure function of (vectors, parameters), which is the determinism
+    contract; exactness contracts live on the full-ef branch.)"""
     visited = set(eps)
-    res: list[tuple[float, int]] = []  # min-heap on sim
-    cand: list[tuple[float, int]] = []  # max-heap via negated sim
-    for e in eps:
-        s = float(vecs[e] @ q)
-        heapq.heappush(res, (s, e))
-        heapq.heappush(cand, (-s, e))
+    sims0 = vecs[eps] @ q if eps else np.empty(0)
+    res: list[tuple[float, int]] = [(float(s), e) for s, e in zip(sims0, eps)]
+    heapq.heapify(res)
+    cand: list[tuple[float, int]] = [(-float(s), e) for s, e in zip(sims0, eps)]
+    heapq.heapify(cand)
     while len(res) > ef:
         heapq.heappop(res)
     while cand:
         negs, c = heapq.heappop(cand)
         if len(res) >= ef and -negs < res[0][0]:
             break
-        for nb in nbrs.get(c, ()):
-            if nb in visited:
-                continue
-            visited.add(nb)
-            s = float(vecs[nb] @ q)
+        new = [nb for nb in nbrs.get(c, ()) if nb not in visited]
+        if not new:
+            continue
+        visited.update(new)
+        sims = vecs[new] @ q
+        for s, nb in zip(sims, new):
+            s = float(s)
             if len(res) < ef or s > res[0][0]:
                 heapq.heappush(res, (s, nb))
                 heapq.heappush(cand, (-s, nb))
@@ -127,16 +133,19 @@ def _build_graph(vec_ids: np.ndarray, vecs: np.ndarray, m: int, ef_c: int, seed:
         for lev in range(min(l, top), -1, -1):
             w = _search_layer(q, eps, ef_c, nbrs[lev], vecs)
             cap = max0 if lev == 0 else m
-            sel = _select_diverse(w, vecs, m)
+            # forward list gets the full level cap too (2M at level 0),
+            # matching HnswGraphBuilder's maxConn0 for both directions
+            sel = _select_diverse(w, vecs, cap)
             nbrs[lev][i] = list(sel)
             for s in sel:
                 lst = nbrs[lev].setdefault(s, [])
                 lst.append(i)
                 if len(lst) > cap:
-                    # re-select with the diversity heuristic
-                    cands = sorted(
-                        ((float(vecs[x] @ vecs[s]), x) for x in lst), reverse=True
-                    )
+                    # re-select with the diversity heuristic (one gemv
+                    # for the sims; tuple sort keeps the tie order of
+                    # the scalar version: sim desc, then idx desc)
+                    sims = vecs[lst] @ vecs[s]
+                    cands = sorted(zip(sims.tolist(), lst), reverse=True)
                     nbrs[lev][s] = _select_diverse(cands, vecs, cap)
             eps = [idx for _s, idx in w]
         if l > top:
@@ -222,20 +231,27 @@ def _search_layer_filtered(
         negs, c = heapq.heappop(cand)
         if len(res) >= ef and -negs < res[0][0]:
             break
-        for nb in nbrs.get(c, ()):
-            if nb in visited:
-                continue
-            visited.add(nb)
-            s = float(vecs[nb] @ q)
-            scored += 1
-            if scored > limit:
-                return sorted(res, reverse=True), True
+        new = [nb for nb in nbrs.get(c, ()) if nb not in visited]
+        if not new:
+            continue
+        visited.update(new)
+        # one gemv per popped node; the visitedLimit contract is kept
+        # exactly: only the first (limit - scored) neighbors count
+        # before the over-limit return, as in the scalar version
+        exceeded = scored + len(new) > limit
+        use = new[: limit - scored] if exceeded else new
+        sims = vecs[use] @ q if use else ()
+        scored += len(new)
+        for s, nb in zip(sims, use):
+            s = float(s)
             if len(res) < ef or s > res[0][0]:
                 heapq.heappush(cand, (-s, nb))
                 if acc[nb]:
                     heapq.heappush(res, (s, nb))
                     while len(res) > ef:
                         heapq.heappop(res)
+        if exceeded:
+            return sorted(res, reverse=True), True
     return sorted(res, reverse=True), False
 
 

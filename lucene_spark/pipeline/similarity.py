@@ -92,7 +92,7 @@ def embedding_near_dup(
     band_bits: int = 4,
     seed: int = 11,
     mode: str = "auto",
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
     return_stats: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
@@ -115,12 +115,14 @@ def embedding_near_dup(
 
     ``auto`` picks lsh for threshold >= 0.8, exact below.
 
-    ``max_bucket`` bounds each sign-LSH band bucket (lsh mode only):
-    a degenerate bucket — mass-duplicated embeddings — would emit
-    O(|bucket|^2) candidates before distinct. Oversized buckets are
-    deterministically hash-thinned (see dedup.band_bucket_cap);
-    ``return_stats=True`` adds the oversized-bucket stats relation so
-    the dropped candidate mass is quantifiable, never silent.
+    ``max_bucket`` (default None = no capping — every candidate the
+    bands generate is verified) opts into bounding each sign-LSH band
+    bucket (lsh mode only): a degenerate bucket — mass-duplicated
+    embeddings — would emit O(|bucket|^2) candidates before distinct,
+    so at 100-TB scale pass a cap (e.g. 10_000) and
+    ``return_stats=True``; oversized buckets are deterministically
+    hash-thinned (see dedup.band_bucket_cap) and the stats relation
+    quantifies the dropped candidate mass, never silent.
     """
     from lucene_spark.pipeline.dedup import band_bucket_cap
 

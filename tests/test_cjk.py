@@ -254,6 +254,27 @@ class TestSearchModeIndex:
         t2, _p2, o2 = compound_stream(["シニア", "ソフトウェア"], [0, 2])
         assert t2 == ["シニア", "ソフトウェア"] and not any(o2)
 
+    def test_compound_stream_offset_gap_blocks_stack(self):
+        """Dropped punctuation leaves NO position gap (the punct token
+        never consumed a position) but DOES leave an offset gap — the
+        reference's single lattice arc spans raw text, so ソフト・ウェア
+        must not stack ソフトウェア. Mirrors segment()'s acc_end check."""
+        from lucene_spark.analysis.cjk import compound_stream
+
+        toks, poss = ["ソフト", "ウェア"], [0, 1]
+        # offset-adjacent: the compound stacks
+        t, p, o, s, e = compound_stream(toks, poss, starts=[0, 3], ends=[3, 6])
+        assert t == ["ソフト", "ソフトウェア", "ウェア"]
+        assert (p, o) == ([0, 0, 1], [False, True, False])
+        assert (s, e) == ([0, 0, 3], [3, 6, 6])
+        # offset gap (・ dropped between them): no stack
+        t2, _p2, o2, _s2, _e2 = compound_stream(toks, poss, starts=[0, 4], ends=[3, 7])
+        assert t2 == toks and not any(o2)
+        # no offsets available: position contiguity alone decides
+        # (documented legacy shape of the offsets-free call)
+        t3, _p3, o3 = compound_stream(toks, poss)
+        assert t3 == ["ソフト", "ソフトウェア", "ウェア"] and o3[1]
+
 
 class TestViterbiVsBrute:
     def test_fuzz_lattice_vs_exhaustive_dp(self):
