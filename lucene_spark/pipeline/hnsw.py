@@ -62,15 +62,51 @@ def _select_diverse(cands: list, vecs: np.ndarray, m: int) -> list:
     already-selected neighbor. ``cands``: [(sim_to_q, idx)] sorted
     descending. The check against the kept set is one gemv per
     candidate (vecs[out] @ vecs[c]) instead of a scalar inner loop."""
-    out: list[int] = []
-    for s, c in cands:
-        if len(out) >= m:
+    if not cands:
+        return []
+    idxs = [c for _s, c in cands]
+    if len(cands) == 1:
+        return idxs
+    # ONE gemm for every candidate-pair similarity, then a pure-scalar
+    # greedy pass over the small (<= ef_c squared) matrix — per-pair
+    # numpy calls here were the build-throughput hotspot (1.5M np.max
+    # invocations per 6k-vector shard before this)
+    cc = vecs[idxs] @ vecs[idxs].T
+    kept: list[int] = []
+    for i, (s, _c) in enumerate(cands):
+        if len(kept) >= m:
             break
-        if not out or float(np.max(vecs[out] @ vecs[c])) <= s:
-            out.append(c)
-    if not out and cands:  # never strand a node
-        out.append(cands[0][1])
-    return out
+        row = cc[i]
+        for j in kept:
+            if row[j] > s:
+                break
+        else:
+            kept.append(i)
+    if not kept:  # never strand a node
+        kept.append(0)
+    return [idxs[i] for i in kept]
+
+
+def _select_diverse_pre(sims: np.ndarray, cc: np.ndarray, m: int) -> list:
+    """:func:`_select_diverse` with the candidate-pair sims PREcomputed
+    (``cc[i, j]`` = sim(cand_i, cand_j)) — the bulk build batches them
+    in one matmul per block, so this is a pure-scalar greedy pass.
+    Returns LOCAL candidate indices, in acceptance order."""
+    kept: list[int] = []
+    n = len(sims)
+    for i in range(n):
+        if len(kept) >= m:
+            break
+        s = sims[i]
+        row = cc[i]
+        for j in kept:
+            if row[j] > s:
+                break
+        else:
+            kept.append(i)
+    if not kept and n:
+        kept.append(0)
+    return kept
 
 
 def _search_layer(q: np.ndarray, eps: list, ef: int, nbrs: dict, vecs: np.ndarray):
@@ -112,11 +148,91 @@ def _search_layer(q: np.ndarray, eps: list, ef: int, nbrs: dict, vecs: np.ndarra
     return sorted(res, reverse=True)
 
 
+# shards at or below this size build with exact per-level candidate
+# lists (blocked gemm): O(n^2/block) BLAS flops, ~10x the incremental
+# walk's throughput at fixture scale, and the candidates are exact
+# nearest (the incremental walk only approximates them), so recall can
+# only improve. Above it, the incremental insertion walk (O(n log n)
+# distance evals) takes over — the 100-TB shape is MORE shards, not
+# bigger ones, so the bulk path is the one production exercises.
+BULK_BUILD_MAX = 100_000
+
+
+def _link_level_bulk(
+    members: np.ndarray, vecs: np.ndarray, lev_nbrs: dict, cap: int, ef_c: int
+) -> None:
+    """Link one level's member set from EXACT top-ef_c candidate lists:
+    blocked gemm for all pairwise sims, vectorized top-ef_c selection
+    (argpartition + stable argsort per block), then the SAME diversity
+    selection and bidirectional overflow pruning as the incremental
+    path. Deterministic: pure function of (members, vecs, caps)."""
+    k = len(members)
+    if k == 0:
+        return
+    if k == 1:
+        lev_nbrs[int(members[0])] = []
+        return
+    # float32 for candidate SELECTION only (2x the gemm and the
+    # argpartition bandwidth): the stored vectors and the search-time
+    # scores stay float64, so the exactness contracts (full-ef ==
+    # brute) are untouched; the graph remains a pure deterministic
+    # function of (vectors, parameters)
+    sub = vecs[members].astype(np.float32)
+    cand_n = min(ef_c, k - 1)
+    # block size bounds the (block x k) sim matrix to ~16 MB float32
+    block = max(1, (4 << 20) // k)
+    sel_of: dict[int, list[int]] = {}
+    for b0 in range(0, k, block):
+        s_mat = sub[b0 : b0 + block] @ sub.T
+        rows = s_mat.shape[0]
+        s_mat[np.arange(rows), b0 + np.arange(rows)] = -np.inf  # self
+        if cand_n < k - 1:
+            part = np.argpartition(-s_mat, cand_n, axis=1)[:, :cand_n]
+        else:
+            part = np.argsort(-s_mat, kind="stable", axis=1)[:, : k - 1]
+        psims = np.take_along_axis(s_mat, part, axis=1)
+        order = np.argsort(-psims, kind="stable", axis=1)
+        part = np.take_along_axis(part, order, axis=1)
+        psims = np.take_along_axis(psims, order, axis=1)
+        # candidate-pair sims for the diversity check, ONE batched
+        # matmul for the whole block (rows x cand_n x cand_n)
+        p_vecs = sub[part]
+        cc_all = p_vecs @ p_vecs.transpose(0, 2, 1)
+        for bi in range(rows):
+            kept = _select_diverse_pre(psims[bi], cc_all[bi], cap)
+            sel_of[int(members[b0 + bi])] = [int(members[j]) for j in part[bi][kept]]
+    # bidirectional links, then ONE overflow re-selection pass per
+    # over-cap node (the bulk construction prunes with the full
+    # backlink set in hand — deterministic in member order)
+    for i in (int(x) for x in members):
+        lst = lev_nbrs.setdefault(i, [])
+        for s in sel_of[i]:
+            if s not in lst:
+                lst.append(s)
+            back = lev_nbrs.setdefault(s, [])
+            if i not in back:
+                back.append(i)
+    for i in (int(x) for x in members):
+        lst = lev_nbrs[i]
+        if len(lst) > cap:
+            sims = vecs[lst] @ vecs[i]
+            cands = sorted(zip(sims.tolist(), lst), reverse=True)
+            lev_nbrs[i] = _select_diverse(cands, vecs, cap)
+
+
 def _build_graph(vec_ids: np.ndarray, vecs: np.ndarray, m: int, ef_c: int, seed: int):
-    """One shard's graph (HnswGraphBuilder.build role): insert in
-    vec_id order; per level, candidates from a layer search seeded at
-    the current entry, diversity-selected to M (2M at level 0), links
-    bidirectional with the same pruning on overflow."""
+    """One shard's graph (HnswGraphBuilder.build role): per level,
+    M-diverse near-neighbor links (2M at level 0), bidirectional with
+    overflow pruning. Two constructions, same contract:
+
+    - n <= BULK_BUILD_MAX: exact candidate lists per level via blocked
+      gemm (:func:`_link_level_bulk`) — the vectorized path;
+    - larger shards: insert in vec_id order with candidates from a
+      layer search seeded at the current entry (the reference's
+      insertion walk, HnswGraphBuilder.build).
+
+    Both are pure functions of (vectors, parameters); search
+    (:func:`_search_layer` descent) is identical over either graph."""
     n = len(vec_ids)
     m_l = 1.0 / math.log(m)
     levels = [_level_of(int(v), seed, m_l) for v in vec_ids]
@@ -124,6 +240,13 @@ def _build_graph(vec_ids: np.ndarray, vecs: np.ndarray, m: int, ef_c: int, seed:
     nbrs: list[dict[int, list[int]]] = [dict() for _ in range(max(levels) + 1)]
     entry, top = 0, levels[0]
     max0 = 2 * m
+    if n <= BULK_BUILD_MAX:
+        lv = np.asarray(levels)
+        for lev in range(len(nbrs)):
+            _link_level_bulk(
+                np.flatnonzero(lv >= lev), vecs, nbrs[lev], max0 if lev == 0 else m, ef_c
+            )
+        return levels, nbrs
     for i in range(1, n):
         q = vecs[i]
         l = levels[i]
