@@ -111,10 +111,18 @@ class IndexWriter:
         cfg = self.config
         gen = self._next_gen()
         base = self._base_doc_id()
-        kcols = [F.col(k) for k in DOC_KEYS if k in df.columns] or [F.col(cfg.field)]
-        with_ids = df.withColumn(
-            "doc_id", F.row_number().over(Window.orderBy(*kcols)).cast("long") + F.lit(base - 1)
-        )
+        # scale-safe id assignment (the builder's partition-offset
+        # pattern: range partition + per-partition counts -> offsets +
+        # local ranks), shifted by the segment base — a global
+        # Window.orderBy here would funnel the whole batch through one
+        # partition, fine for NRT-sized adds but a bottleneck for a
+        # large add_documents batch
+        from lucene_spark.index.builder import assign_doc_ids
+
+        keys = tuple(k for k in DOC_KEYS if k in df.columns) or (cfg.field,)
+        ided = assign_doc_ids(df, keys=keys)
+        pers = getattr(ided, "_assign_ids_persisted", None)
+        with_ids = ided.withColumn("doc_id", (F.col("doc_id") + F.lit(base)).cast("long"))
         d = f"{self.index_dir}/segments/seg=w{gen}"
         tokenized = self._inner.tokenized(with_ids)
         # keep EVERY metadata column (the one-shot builder contract:
@@ -150,6 +158,8 @@ class IndexWriter:
             )
         norms_df.write.mode("overwrite").parquet(f"{d}/norms")
         inverted.write.mode("overwrite").parquet(f"{d}/inverted")
+        if pers is not None:
+            pers.unpersist()
         n = self.spark.read.parquet(f"{d}/norms").count()
         return {"segment": f"w{gen}", "n_docs": int(n), "first_doc_id": base}
 

@@ -99,3 +99,32 @@ class TestIndexWriter:
         w.delete_documents([victim])
         s2 = Searcher(SearchIndex(spark, w.index_dir))
         assert victim not in [d for d, _ in s2.search("return", k=1000).hits]
+
+
+class TestScaleSafeIdAssignment:
+    """Round-4 verdict #3 minor: add_documents used a global
+    Window.orderBy (one partition per batch). It now reuses the
+    builder's partition-offset pattern — ids must be bit-identical to
+    the old global-rank semantics, with no single-partition exchange
+    in the staged-segment lineage."""
+
+    def test_id_parity_with_global_rank(self, spark, corpus_df, wdir):
+        corpus = corpus_df.drop("content_sha256")
+        w = IndexWriter(spark, wdir, IndexConfig(**CFG))
+        w.add_documents(corpus.limit(60))
+        w.add_documents(corpus.subtract(corpus.limit(60)))
+        staged = spark.read.parquet(f"{wdir}/segments/seg=w0/docs")
+        pdf = staged.select("doc_id", "repo", "path", "commit").toPandas()
+        expect = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        assert expect["doc_id"].tolist() == list(range(len(expect)))
+        staged2 = spark.read.parquet(f"{wdir}/segments/seg=w1/docs")
+        lo = staged2.agg({"doc_id": "min"}).first()[0]
+        assert lo == 60  # second segment continues at the base
+
+    def test_no_single_partition_exchange(self, spark, corpus_df):
+        from lucene_spark.index.builder import assign_doc_ids
+
+        ided = assign_doc_ids(corpus_df.drop("content_sha256"))
+        plan = ided._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+        getattr(ided, "_assign_ids_persisted").unpersist()
