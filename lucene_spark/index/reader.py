@@ -42,6 +42,43 @@ class PostingList:
 MAX_CACHED_TERMS = 4096  # LRUQueryCache.java:86 role (per-reader cache)
 
 
+class ChunkDecodeCache:
+    """Per-reader LRU of fully-decoded posting chunks, keyed
+    (term, chunk_ordinal) and bounded by TOTAL CACHED POSTINGS (not
+    entry count — one 8M-df hot term would blow a count bound). The
+    page-cache/LRUQueryCache role for the WAND/conjunction kernels:
+    Lucene re-reads hot .doc pages from the OS cache; the relational
+    engine's analog is keeping the bit-unpacked (docs, tfs, norms)
+    triples of recently-touched chunks. Driver-mode only — the
+    distributed kernels decode inside executors where the chunk rows
+    are already partition-local."""
+
+    def __init__(self, max_postings: int = 32_000_000):
+        from collections import OrderedDict
+
+        self._od: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._total = 0
+        self.max_postings = max_postings
+
+    def get(self, key: tuple):
+        got = self._od.get(key)
+        if got is not None:
+            self._od.move_to_end(key)
+        return got
+
+    def put(self, key: tuple, val: tuple) -> None:
+        if key in self._od:
+            return
+        n = len(val[0])
+        if n > self.max_postings:
+            return  # a single over-budget chunk would just thrash
+        self._od[key] = val
+        self._total += n
+        while self._total > self.max_postings and self._od:
+            _k, v = self._od.popitem(last=False)
+            self._total -= len(v[0])
+
+
 class SearchIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -71,6 +108,9 @@ class SearchIndex:
         self._tstats_cache: "OrderedDict[str, tuple | None]" = OrderedDict()
         self._layout_cache: "OrderedDict[str, list]" = OrderedDict()
         self._term_grams: DataFrame | None = None
+        # fully-decoded chunk triples for the WAND/conjunction kernels
+        # (page-cache role; postings-bounded LRU)
+        self._chunk_decode_cache = ChunkDecodeCache()
 
     def close(self) -> None:
         """Release executor-storage held by this reader (the

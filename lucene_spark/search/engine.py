@@ -733,7 +733,14 @@ class Searcher:
             # PerFieldSimilarityWrapper: block-max bounds and scoring
             # use the term's field's model (for_field is identity for
             # plain similarities)
-            PostingSource(ts.weight, _c(ts), by_term[ts.term], sim=self.sim.for_field(ts.field))
+            PostingSource(
+                ts.weight,
+                _c(ts),
+                by_term[ts.term],
+                sim=self.sim.for_field(ts.field),
+                term=ts.term,
+                decode_cache=self.index._chunk_decode_cache,
+            )
             for ts in term_specs
             if ts.term in by_term
         ]

@@ -47,6 +47,8 @@ class PostingSource:
         cache: np.ndarray,
         chunks: list[tuple[bytes, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]],
         sim=None,
+        term: str | None = None,
+        decode_cache=None,
     ):
         """chunks: list of (blob, block_last, imp_block, imp_freq, imp_norm, df)
         in ascending doc-range order (chunk rows from the index). ``sim``
@@ -84,6 +86,11 @@ class PostingSource:
         self.block_ub = np.array(ubs, dtype=np.float32)
         self.owner = owner
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        # (term, chunk ordinal)-keyed FULL-chunk decode LRU shared
+        # across queries (reader.ChunkDecodeCache); keys are stable
+        # because collect_rows is reader-cached with a fixed row order
+        self.term = term
+        self.decode_cache = decode_cache
 
     def block_ranges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(start_doc, end_doc, ub) per block; start = prev end + 1."""
@@ -130,6 +137,44 @@ class PostingSource:
         tfs = np.concatenate([p[1] for p in parts])
         norms = np.concatenate([p[2] for p in parts])
         return docs, self.sim.score(self.weight, tfs, norms, self.cache)
+
+    def decoded_blocks_arrays(
+        self, block_indices: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docs, tfs, norms) of the given blocks, concatenated in
+        ascending doc order, UNSCORED and with chunk-granular assembly
+        (no per-block cache entries). The conjunction's dense-hot-side
+        path: when the candidate set touches most of a 62k-block hot
+        term, per-block slicing/caching dominated the walk (measured
+        ~0.8 s/query on the 8M-doc skew drill) and scoring belongs
+        AFTER the intersection, not on every decoded doc.
+        ``block_indices`` must be ascending (np.unique output)."""
+        if not len(block_indices):
+            e = np.empty(0, dtype=np.int64)
+            return e, e, np.empty(0, dtype=np.int64)
+        need: dict[int, list[int]] = {}
+        for b in block_indices:
+            ci, lb = self.owner[int(b)]
+            need.setdefault(ci, []).append(lb)
+        dparts, tparts, nparts = [], [], []
+        for ci in sorted(need):
+            blob, block_last, _ib, _if, _in, df = self.chunks[ci]
+            lbs = sorted(need[ci])
+            full = len(lbs) == (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+            key = (self.term, ci) if (full and self.decode_cache is not None and self.term is not None) else None
+            got = self.decode_cache.get(key) if key is not None else None
+            if got is None:
+                got = decode_blocks(blob, lbs, np.asarray(block_last, dtype=np.int64))
+                if key is not None:
+                    self.decode_cache.put(key, got)
+            d, t, nm = got
+            dparts.append(d)
+            tparts.append(t)
+            nparts.append(nm)
+        return np.concatenate(dparts), np.concatenate(tparts), np.concatenate(nparts)
+
+    def score_at(self, tfs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        return self.sim.score(self.weight, tfs, norms, self.cache)
 
 
 def wand_top_k(
@@ -301,8 +346,8 @@ def conjunction_top_k(
     just the blocks containing a candidate, the same skip-data bound."""
     sources = sorted(sources, key=lambda s: sum(c[5] for c in s.chunks))
     lead = sources[0]
-    cand, lead_scores = lead.decoded_blocks_scored(np.arange(len(lead.block_end)))
-    acc = lead_scores.astype(np.float64)
+    cand, lead_tf, lead_nm = lead.decoded_blocks_arrays(np.arange(len(lead.block_end)))
+    acc = lead.score_at(lead_tf, lead_nm).astype(np.float64)
     blocks_decoded = len(lead.block_end)
     blocks_skipped = 0
     timed_out = False
@@ -328,11 +373,20 @@ def conjunction_top_k(
         if not len(need):
             cand = cand[:0]
             break
-        d, sc = s.decoded_blocks_scored(need)
+        d, tf, nm = s.decoded_blocks_arrays(need)
         idx = np.searchsorted(d, cand)
         idxc = np.minimum(idx, max(len(d) - 1, 0))
         m = (idx < len(d)) & (d[idxc] == cand) if len(d) else np.zeros(len(cand), dtype=bool)
-        cand, acc = cand[m], acc[m] + sc[idxc[m]].astype(np.float64)
+        cand = cand[m]
+        sel = idxc[m]
+        if len(sel) * 2 > len(d):
+            # dense intersection: score the decoded run once and gather
+            # (one float32 gather beats two int64 gathers + a sparse
+            # score at >50% survival)
+            acc = acc[m] + s.score_at(tf, nm)[sel].astype(np.float64)
+        else:
+            # sparse intersection: score ONLY the survivors
+            acc = acc[m] + s.score_at(tf[sel], nm[sel]).astype(np.float64)
     for s in should_sources or ():
         if not len(cand):
             break
@@ -343,11 +397,15 @@ def conjunction_top_k(
             continue
         blocks_decoded += len(need)
         blocks_skipped += len(s.block_end) - len(need)
-        d, sc = s.decoded_blocks_scored(need)
+        d, tf, nm = s.decoded_blocks_arrays(need)
         idx = np.searchsorted(d, cand)
         idxc = np.minimum(idx, max(len(d) - 1, 0))
         m = (idx < len(d)) & (d[idxc] == cand) if len(d) else np.zeros(len(cand), dtype=bool)
-        acc[m] += sc[idxc[m]].astype(np.float64)
+        sel = idxc[m]
+        if len(sel) * 2 > len(d):
+            acc[m] += s.score_at(tf, nm)[sel].astype(np.float64)
+        else:
+            acc[m] += s.score_at(tf[sel], nm[sel]).astype(np.float64)
     if deleted is not None and len(deleted) and len(cand):
         live = ~np.isin(cand, deleted, assume_unique=False)
         cand, acc = cand[live], acc[live]
