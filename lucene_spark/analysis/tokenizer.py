@@ -78,6 +78,16 @@ _CJK_TOKEN_RE = re.compile(
     rf"[{_CJK_FULL}]{{1,255}}|{_RUN_NOCJK}(?:{_JOINER_NOCJK}{_RUN_NOCJK})*"
 )
 
+# ---- the "ko" analyzer's tokenizer stage ----------------------------------
+# A whitespace-free chunk CONTAINING hangul/hanja becomes one raw token
+# (nori's lattice walks whole chunks: digits, latin and punctuation
+# inside the chunk are split/dropped by the Viterbi arcs — 44사이즈,
+# 것!, 도로ㆍ지반); anything else keeps the standard grammar.
+_KO_CLASS = "가-힣ᄀ-ᇿ㄰-㆏一-鿿㐀-䶿豈-﫿"
+_KO_TOKEN_RE = re.compile(
+    rf"[^\s]{{0,64}}[{_KO_CLASS}][^\s]{{0,190}}|{_RUN_NOCJK}(?:{_JOINER_NOCJK}{_RUN_NOCJK})*"
+)
+
 
 def _raw_tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
@@ -161,6 +171,14 @@ def _cjk_mode(stem: str) -> str:
     return "search" if stem.partition(":")[0] == "cjk_search" else "normal"
 
 
+def _ko_decompound(stem: str) -> str:
+    """"ko" → discard (the reference's DEFAULT_DECOMPOUND); "ko_none"
+    keeps compounds whole. MIXED emits overlapping synonyms and is a
+    stacked-stage concern (the cjk_search pattern), not a linear
+    expander mode."""
+    return "none" if stem.partition(":")[0] == "ko_none" else "discard"
+
+
 def _expander(stem):
     """token → list-of-parts analyzers (1:N chains: "code" case-part
     splitting, "cjk[:userdict]" / "cjk_search[:userdict]" Viterbi
@@ -172,6 +190,10 @@ def _expander(stem):
         from lucene_spark.analysis.cjk import make_segmenter
 
         return make_segmenter(_cjk_user_words(stem), _cjk_mode(stem))
+    if isinstance(stem, str) and stem.partition(":")[0] in ("ko", "ko_none"):
+        from lucene_spark.analysis.korean import make_segmenter_ko
+
+        return make_segmenter_ko(_cjk_user_words(stem), _ko_decompound(stem))
     return None
 
 
@@ -185,6 +207,10 @@ def _expander_spans(stem):
         from lucene_spark.analysis.cjk import make_segmenter_spans
 
         return make_segmenter_spans(_cjk_user_words(stem), _cjk_mode(stem))
+    if isinstance(stem, str) and stem.partition(":")[0] in ("ko", "ko_none"):
+        from lucene_spark.analysis.korean import make_segmenter_ko_spans
+
+        return make_segmenter_ko_spans(_cjk_user_words(stem), _ko_decompound(stem))
     return None
 
 
@@ -215,6 +241,8 @@ def _tokenizer_of(stem, max_token_length: int = MAX_TOKEN_LENGTH):
         return _KW_RE, False, _NO_MAX
     if isinstance(stem, str) and stem.startswith("cjk"):
         return _CJK_TOKEN_RE, True, max_token_length
+    if isinstance(stem, str) and stem.partition(":")[0] in ("ko", "ko_none"):
+        return _KO_TOKEN_RE, True, max_token_length
     return _TOKEN_RE, True, max_token_length
 
 

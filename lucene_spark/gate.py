@@ -464,6 +464,122 @@ def _cjk_term(word: str) -> str:
     return word.translate(_CJK_TR) + "間"
 
 
+_KO_TR = str.maketrans(
+    # a-z + 0-9 + _' → distinct hangul syllables; the 힣 marker is
+    # outside this alphabet, keeping the word code prefix-free (the
+    # _CJK_TR pattern). Digits must map to HANGUL (not stay digits) or
+    # the lattice would cut SN arcs mid-word and break the bijection.
+    "abcdefghijklmnopqrstuvwxyz0123456789_'",
+    "가나다라마바사아자차카타파하거너더러머버서어저처커터퍼허고노도로모보소오조초",
+)
+
+
+def _ko_term(word: str) -> str:
+    return word.translate(_KO_TR) + "힣"
+
+
+def _ko_words(text: str) -> list[str]:
+    from lucene_spark.analysis import tokenize
+
+    return [w.translate(_KO_TR) + "힣" for w in tokenize(text or "")]
+
+
+def ko_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """nori-role "ko" analyzer gate — the cjk_gate_index bijection
+    construction on the Korean lattice: every standard token
+    translates to a prefix-free hangul word (marker 힣), words
+    concatenate into ≤250-char unspaced runs, and the Viterbi lattice
+    with the translated vocabulary as the user dictionary
+    (dict/UserDictionary.java role) recovers EXACTLY the original
+    token boundaries — so BM25/phrase over the segmented index equals
+    the standard-analyzer oracles verbatim. Reference:
+    KoreanTokenizer.java:61-70, TestKoreanTokenizer.java goldens
+    (segmentation parity is pinned separately in tests/test_korean.py;
+    this gate proves the ANALYZER INTEGRATION — tokenizer stage,
+    expander hook, positions — against the DuckDB oracle)."""
+    key = ("ko", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    from pyspark.sql.functions import pandas_udf
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gateko_{ENGINE_VERSION}/{name}"
+
+    @pandas_udf("string")
+    def _koify(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            words = _ko_words(t)
+            lines: list[str] = []
+            cur: list[str] = []
+            ln = 0
+            for w in words:
+                if ln + len(w) > 250 and cur:
+                    lines.append("".join(cur))
+                    cur, ln = [], 0
+                cur.append(w)
+                ln += len(w)
+            if cur:
+                lines.append("".join(cur))
+            out.append(" ".join(lines))
+        return pd.Series(out)
+
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        base = corpus_df(spark, sf_dir).drop("title")
+
+        @pandas_udf("array<string>")
+        def _tok(texts):
+            import pandas as pd
+
+            return pd.Series([_ko_words(t) for t in texts])
+
+        vocab = sorted(
+            {
+                r["w"]
+                for r in base.select(
+                    F.explode(_tok(F.col("content"))).alias("w")
+                ).distinct().collect()
+            }
+        )
+        analyzer = "ko:" + ",".join(vocab)
+        cfg = IndexConfig(
+            docs_per_chunk=128, term_buckets=4, positions=True, analyzer=analyzer
+        )
+        corpus = base.withColumn("content", _koify(F.col("content")))
+        from lucene_spark.analysis.korean import make_segmenter_ko
+
+        seg = make_segmenter_ko(tuple(vocab))
+
+        @pandas_udf("boolean")
+        def _bijects(orig, ko):
+            import pandas as pd
+
+            out = []
+            for o, c in zip(orig, ko):
+                want = _ko_words(o)
+                got = [p for tok in (c or "").split(" ") for p in seg(tok)]
+                out.append(got == want)
+            return pd.Series(out)
+
+        chk = (
+            base.select("doc_id", F.col("content").alias("_orig"))
+            .join(corpus.select("doc_id", "content"), "doc_id")
+            .filter(~_bijects(F.col("_orig"), F.col("content")))
+            .count()
+        )
+        if chk:
+            raise AssertionError(
+                f"ko gate bijection broken for {chk} docs — the corpus grew "
+                "token shapes the hangul translation does not cover"
+            )
+        IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 def html_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
     """html_strip char filter over tag-wrapped text: tags blank to
     spaces and the trailing &nbsp; decodes to a non-token char, so the
@@ -968,6 +1084,18 @@ def queries() -> dict:
         spark,
         cjk_gate_index(spark, sf)[1].search(
             A.PhraseQuery((_cjk_term("table"), _cjk_term("hash"))), k=10
+        ),
+    )
+    # nori-role segmentation: hangul-translated corpus bijects to the
+    # standard stream (see ko_gate_index); the phrase gate proves
+    # segmented POSITIONS through the Korean lattice
+    Q["ft_ko_top10"] = lambda spark, sf: _hits_df(
+        spark, ko_gate_index(spark, sf)[1].search(A.TermQuery(_ko_term("table")), k=10)
+    )
+    Q["ft_ko_phrase_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        ko_gate_index(spark, sf)[1].search(
+            A.PhraseQuery((_ko_term("table"), _ko_term("hash"))), k=10
         ),
     )
     # html_strip char filter: tag-wrapped corpus tokenizes identically
@@ -3075,6 +3203,9 @@ def oracle_sql() -> dict[str, str]:
     # cjk gate: token-stream bijection (see cjk_gate_index) → the
     # standard term/phrase oracles apply verbatim
     O["ft_cjk_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    # ko gate: token-stream bijection (see ko_gate_index) → the
+    # standard term/phrase oracles apply verbatim
+    O["ft_ko_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     O["ft_html_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     # edge-ngram (1..4): tf('tab') = tokens with len>=3 and prefix
     # 'tab'; norms = unigram dl; avgdl = Σ min(len(token),4) / n
@@ -3660,6 +3791,7 @@ def oracle_sql() -> dict[str, str]:
     # identical positional semantics to the standard exact phrase
     O["ft_codephrase_top10"] = O["ft_phrase_top10"]
     O["ft_cjk_phrase_top10"] = O["ft_phrase_top10"]
+    O["ft_ko_phrase_top10"] = O["ft_phrase_top10"]
     # 2-term sloppy phrase ("table hash"~3): the reference pq traversal
     # (SloppyPhraseMatcher.java:162-205) reduces, for two distinct
     # terms, to an alternating cross-list successor chain over the
