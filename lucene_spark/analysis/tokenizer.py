@@ -273,6 +273,13 @@ def _emitter(stem):
         from lucene_spark.analysis.folding import fold_ascii
 
         return lambda t: fold_ascii(t.lower())
+    if stem == "icu":
+        # standard + ICUNormalizer2Filter defaults (nfkc_cf: NFKC +
+        # full case folding + default-ignorable removal); the chain's
+        # lowercase is subsumed by casefold
+        from lucene_spark.analysis.icu import icu_normalize
+
+        return lambda t: icu_normalize(t) or None
     from lucene_spark.analysis.porter import porter_stem
 
     if stem in (True, "porter"):

@@ -336,6 +336,35 @@ def ascii_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Sea
     return _CACHE[key]
 
 
+def icu_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """ICUNormalizer2Filter (nfkc_cf) analyzer over fullwidth-UPPERCASE
+    translated text: every [a-z0-9] becomes its fullwidth uppercase
+    form (Ａ-Ｚ／０-９ — still Unicode letters/digits, so token
+    boundaries never move) and NFKC + case folding restores the
+    original token stream exactly → the standard tscore oracle applies
+    verbatim (the ascii-gate bijection pattern, exercising BOTH the
+    compatibility-normalization and case-folding legs). Reference:
+    ICUNormalizer2Filter.java defaults."""
+    key = ("icu", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gateicu_{ENGINE_VERSION}/{name}"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        cfg = IndexConfig(docs_per_chunk=128, term_buckets=4, analyzer="icu")
+        src = "abcdefghijklmnopqrstuvwxyz0123456789"
+        dst = "".join(chr(0xFF21 + i) for i in range(26)) + "".join(
+            chr(0xFF10 + i) for i in range(10)
+        )
+        corpus = corpus_df(spark, sf_dir).drop("title").withColumn(
+            "content", F.translate(F.col("content"), src, dst)
+        )
+        IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 def _cjk_words(text: str) -> list:
     """One doc's engine token stream under the katakana translation +
     marker — shared by the corpus transform, the vocabulary
@@ -1071,6 +1100,11 @@ def queries() -> dict:
     # the standard stream (query-side analysis through the same chain)
     Q["ft_ascii_top10"] = lambda spark, sf: _hits_df(
         spark, ascii_gate_index(spark, sf)[1].search("táblé", k=10)
+    )
+    # ICU nfkc_cf: the fullwidth-UPPERCASE query term normalizes to
+    # 'table' through the same chain (width compat + case folding)
+    Q["ft_icu_top10"] = lambda spark, sf: _hits_df(
+        spark, icu_gate_index(spark, sf)[1].search("ＴＡＢＬＥ", k=10)
     )
     # kuromoji-role segmentation: the translated corpus (see
     # cjk_gate_index) bijects to the standard stream, so BM25 over the
@@ -3200,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
     # folding/char-filter bijections: token stream identical to the raw
     # corpus, so the standard tscore oracle applies verbatim
     O["ft_ascii_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    O["ft_icu_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     # cjk gate: token-stream bijection (see cjk_gate_index) → the
     # standard term/phrase oracles apply verbatim
     O["ft_cjk_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
