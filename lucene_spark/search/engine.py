@@ -47,6 +47,14 @@ from lucene_spark.search.parser import parse_query
 from lucene_spark.search.wand import PostingSource, conjunction_top_k, wand_top_k
 
 
+# distributed search: hot-term chunk rows at or below this count are
+# served from the per-reader row cache (driver-bounded: rows are
+# <= ~100 KB each); above it, the pushed-down parquet scan is the
+# scale path (a corpus-hot term at 10^12 docs has ~10^7 chunk rows —
+# those must never transit the driver)
+DRIVER_HOT_ROWS_MAX = 1024
+
+
 @dataclass
 class TopDocs:
     hits: list[tuple[int, float]]  # (doc_id, score), rank order
@@ -1237,12 +1245,23 @@ class Searcher:
         from pyspark.sql import Observation
 
         obs = Observation()
-        top_rows = (
+        plan = (
             payload.observe(obs, F.sum("n_matched").alias("total"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
-            .collect()
         )
+        # AQE off for THIS action only: the plan is a fixed one-or-two
+        # stage shape (group sizes are bounded by chunking, nothing to
+        # re-plan) and adaptive stage materialization costs a measured
+        # ~60 ms per query at local[32]; builds and pipeline jobs keep
+        # their session AQE setting
+        conf = self.index.spark.conf
+        prev = conf.get("spark.sql.adaptive.enabled")
+        try:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            top_rows = plan.collect()
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
         hits = [(r["doc_id"], r["score"]) for r in top_rows if r["doc_id"] is not None]
         total = obs.get.get("total")
         return TopDocs(hits, int(total or 0), "EQUAL_TO", {"mode": "distributed"})
@@ -1286,7 +1305,16 @@ class Searcher:
         if not terms and not preds and not vspecs:
             td = self._search_exhaustive(spec, k if k is not None else 1 << 62, cache)
             return "topdocs", td
-        rows_df = index.postings_rows(terms)
+        # the executor-resident chunk-partitioned relation (if the
+        # index fits the persist budget): filter preserves its hash
+        # partitioning, so the groupBy below needs NO per-query
+        # exchange — the distributed query becomes one in-memory stage
+        chunked = index.chunked_postings()
+        rows_df = (
+            chunked.filter(F.col("term").isin(list(terms)))
+            if chunked is not None
+            else index.postings_rows(terms)
+        )
         # Row classification. A row is CONFINED when all its docs lie in
         # [chunk_id*dpc, (chunk_id+1)*dpc) — true for every hot-term
         # doc-range chunk and for every chunk_all tier row. A tier's
@@ -1389,6 +1417,11 @@ class Searcher:
             small_chunks |= set(range((max_doc + dpc - 1) // dpc))
 
         if hot_terms:
+            # NOTE: a driver-cached variant (createDataFrame from the
+            # per-reader row cache) was tried and measured SLOWER than
+            # this pushed-down scan (~1.0 s vs 0.54 s at 800k docs):
+            # per-query Py4J serialization of ~10 MB of posting blobs
+            # costs more than the cached parquet point read.
             hcond = F.col("term").isin(list(hot_terms))
             if mixed_span:
                 # their spanning rows went to small_arrays above — keep
@@ -1602,57 +1635,57 @@ class Searcher:
             )
 
         spark = index.spark
-        cols = [
-            "chunk_id", "term", "df", "ttf", "blob", "pos_blob",
-            "block_last", "imp_block", "imp_freq", "imp_norm", "ds_docs", "ds_vals",
-        ] + (["pay_blob"] if with_pay else [])
+        # pos_blob is the LARGEST postings column (ttf-sized varints vs
+        # df-sized) — scan it only for positional queries; the column
+        # set stays schema-consistent across every unioned part
+        col_types = (
+            [("chunk_id", "long"), ("term", "string"), ("df", "int"), ("ttf", "long"),
+             ("blob", "binary")]
+            + ([("pos_blob", "binary")] if with_pos else [])
+            + [("block_last", "array<long>"), ("imp_block", "array<int>"),
+               ("imp_freq", "array<int>"), ("imp_norm", "array<int>"),
+               ("ds_docs", "array<long>"), ("ds_vals", "array<array<double>>")]
+            + ([("pay_blob", "binary")] if with_pay else [])
+        )
+        cols = [c for c, _t in col_types]
+
+        sql_t = {
+            "long": "BIGINT", "int": "INT", "string": "STRING",
+            "binary": "BINARY", "array<long>": "ARRAY<BIGINT>",
+            "array<int>": "ARRAY<INT>",
+            "array<array<double>>": "ARRAY<ARRAY<DOUBLE>>",
+        }
+
+        def _pad_select(df):
+            # ONE selectExpr call per part: the per-column
+            # lit/cast/alias chain was ~360 Py4J round trips per plan
+            # (~35 ms of the per-query latency budget)
+            have = set(df.columns)
+            return df.selectExpr(
+                *[
+                    c if c in have else f"CAST(NULL AS {sql_t[t]}) AS {c}"
+                    for c, t in col_types
+                ]
+            )
+
         parts = []
         if hot_rows is not None:
-            parts.append(
-                hot_rows.withColumn("ds_docs", F.lit(None).cast("array<long>"))
-                .withColumn("ds_vals", F.lit(None).cast("array<array<double>>"))
-                .select(*cols)
-            )
+            parts.append(_pad_select(hot_rows))
         extra = sorted(small_chunks)
         if extra:
-            pad = spark.createDataFrame([(int(c),) for c in extra], "chunk_id long")
-            pad = (
-                pad.withColumn("term", F.lit(None).cast("string"))
-                .withColumn("df", F.lit(None).cast("int"))
-                .withColumn("ttf", F.lit(None).cast("long"))
-                .withColumn("blob", F.lit(None).cast("binary"))
-                .withColumn("pos_blob", F.lit(None).cast("binary"))
-                .withColumn("block_last", F.lit(None).cast("array<long>"))
-                .withColumn("imp_block", F.lit(None).cast("array<int>"))
-                .withColumn("imp_freq", F.lit(None).cast("array<int>"))
-                .withColumn("imp_norm", F.lit(None).cast("array<int>"))
-                .withColumn("ds_docs", F.lit(None).cast("array<long>"))
-                .withColumn("ds_vals", F.lit(None).cast("array<array<double>>"))
+            parts.append(
+                _pad_select(spark.createDataFrame([(int(c),) for c in extra], "chunk_id long"))
             )
-            if with_pay:
-                pad = pad.withColumn("pay_blob", F.lit(None).cast("binary"))
-            parts.append(pad.select(*cols))
         for aux in aux_parts:
-            aux = (
-                aux.withColumn("df", F.lit(None).cast("int"))
-                .withColumn("ttf", F.lit(None).cast("long"))
-                .withColumn("blob", F.lit(None).cast("binary"))
-                .withColumn("pos_blob", F.lit(None).cast("binary"))
-                .withColumn("block_last", F.lit(None).cast("array<long>"))
-                .withColumn("imp_block", F.lit(None).cast("array<int>"))
-                .withColumn("imp_freq", F.lit(None).cast("array<int>"))
-                .withColumn("imp_norm", F.lit(None).cast("array<int>"))
-            )
-            if "ds_docs" not in aux.columns:
-                aux = aux.withColumn("ds_docs", F.lit(None).cast("array<long>"))
-            if "ds_vals" not in aux.columns:
-                aux = aux.withColumn("ds_vals", F.lit(None).cast("array<array<double>>"))
-            if with_pay:
-                aux = aux.withColumn("pay_blob", F.lit(None).cast("binary"))
-            parts.append(aux.select(*cols))
+            parts.append(_pad_select(aux))
         grouped_src = parts[0]
         for p in parts[1:]:
             grouped_src = grouped_src.unionByName(p)
+        # hot-rows-only queries over the persisted chunk-partitioned
+        # relation keep its hash partitioning through the filter, so
+        # the groupBy below runs WITHOUT an exchange; any unioned pad/
+        # aux part (small-term chunks, filters, tombstones) reintroduces
+        # the shuffle, which those shapes genuinely need
         result = grouped_src.groupBy("chunk_id").applyInPandas(
             score_chunk, schema="chunk_id long, doc_id long, score float, n_matched long"
         )
