@@ -227,6 +227,41 @@ def main() -> None:
     _c4(raw_docs.withColumn("text", F.col("text"))).count()
     pipe["tx_c4"] = round(time.time() - t0, 2)
 
+    # HNSW graph build throughput (round-5 tracked metric): the sf
+    # embeddings replicated to 50k deterministic vectors, 8 shards —
+    # same construction bench_hnsw.py A/Bs, kept small enough for the
+    # per-round budget
+    import shutil as _sh
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_n = emb.count()
+    n_vec = 50_000
+    reps = -(-n_vec // base_n)
+    hsrc = (
+        emb.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .select(
+            (F.col("vec_id") + F.col("r") * base_n).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> x + 0.01 * sin(CAST(vec_id AS DOUBLE)"
+                " * 0.73 + i * 1.31 + r * 2.17))"
+            ).alias("embedding"),
+        )
+        .filter(F.col("vec_id") < n_vec)
+        .repartition(32)
+    )
+    hsrc_path = "/tmp/lucene_spark_bench/hnsw_bench_src"
+    if not os.path.exists(f"{hsrc_path}/_SUCCESS"):
+        hsrc.write.mode("overwrite").parquet(hsrc_path)
+    from lucene_spark.pipeline.hnsw import build_hnsw as _bh
+
+    hout = "/tmp/lucene_spark_bench/hnsw_bench_graph"
+    _sh.rmtree(hout, ignore_errors=True)
+    t0 = time.time()
+    _bh(spark.read.parquet(hsrc_path), hout, n_shards=8)
+    hnsw_sec = time.time() - t0
+    pipe["ann_hnsw_build_50k"] = round(hnsw_sec, 2)
+    _sh.rmtree(hout, ignore_errors=True)
+
     total = time.time() - t_all
     print(
         json.dumps(
@@ -243,6 +278,7 @@ def main() -> None:
                 "bulk_n_docs": bulk_metrics["docs"],
                 "bulk_build_sec": round(bulk_sec, 2),
                 "bulk_docs_per_sec": round(bulk_metrics["docs"] / bulk_sec, 1),
+                "hnsw_build_vectors_per_sec": round(n_vec / hnsw_sec),
                 "query_p50_sec": round(statistics.median(lat.values()), 4),
             }
         )

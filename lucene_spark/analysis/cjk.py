@@ -187,12 +187,24 @@ _MAX_UNKNOWN = 255
 
 
 @lru_cache(maxsize=64)
-def _prefix_dict(user_words: tuple = ()):
+def _prefix_dict(user_words: tuple = (), ext: bool = False):
     """first-char -> [(surface, pos, cost)] sorted longest-first, plus
     the full surface set (the TokenInfoDictionary prefix-lookup role;
     ``user_words`` are UserDictionary noun entries, cost low enough to
-    win over decomposition, matching UserDictionary's cost contract)."""
+    win over decomposition, matching UserDictionary's cost contract).
+    ``ext`` merges the opt-in extended lexicon
+    (:mod:`lucene_spark.analysis.cjk_dict_ext`) — duplicates collapse
+    to the cheaper cost so fixture goldens stay pinned."""
     entries = list(_SYSTEM_DICT) + [(w, "noun", 2000) for w in user_words]
+    if ext:
+        from lucene_spark.analysis.cjk_dict_ext import EXTENDED_WORDS
+
+        seen = {(surf, pos): cost for surf, pos, cost in entries}
+        for surf, pos, cost in EXTENDED_WORDS:
+            k = (surf, pos)
+            if k not in seen or cost < seen[k]:
+                seen[k] = cost
+        entries = [(surf, pos, cost) for (surf, pos), cost in seen.items()]
     by_first: dict[str, list] = {}
     for surf, pos, cost in entries:
         by_first.setdefault(surf[0], []).append((surf, pos, cost))
@@ -215,7 +227,9 @@ def _search_penalty(surface: str, mode: str) -> int:
     return 0
 
 
-def _viterbi(run: str, mode: str, user_words: tuple) -> list[tuple[str, int, int, str]]:
+def _viterbi(
+    run: str, mode: str, user_words: tuple, ext: bool = False
+) -> list[tuple[str, int, int, str]]:
     """Best-path lattice walk over ONE same-script run. Returns
     [(surface, start, end, pos_tag)] covering the run. Arc generation
     follows ViterbiNBest.processUnknownWord (:120-170): dictionary
@@ -223,7 +237,7 @@ def _viterbi(run: str, mode: str, user_words: tuple) -> list[tuple[str, int, int
     matched or the character class is invoke; grouping classes emit
     one arc spanning the same-class/punct-parity prefix run.
     Deterministic tie-break: (cost, -length, surface)."""
-    by_first, _ = _prefix_dict(user_words)
+    by_first, _ = _prefix_dict(user_words, ext)
     n = len(run)
     INF = float("inf")
     # best[i] = (cost, arc) reaching position i; arc = (start, surface, pos)
@@ -288,8 +302,8 @@ def _viterbi(run: str, mode: str, user_words: tuple) -> list[tuple[str, int, int
 
 
 @lru_cache(maxsize=50_000)
-def _segment_run(run: str, mode: str, user_words: tuple) -> tuple:
-    return tuple(_viterbi(run, mode, user_words))
+def _segment_run(run: str, mode: str, user_words: tuple, ext: bool = False) -> tuple:
+    return tuple(_viterbi(run, mode, user_words, ext))
 
 
 def segment(
@@ -298,6 +312,7 @@ def segment(
     user_words: tuple = (),
     discard_punct: bool = True,
     compound_synonyms: bool = False,
+    ext: bool = False,
 ) -> list[tuple[str, int, int, int, int]]:
     """Segment CJK ``text`` → [(surface, start, end, pos_inc,
     pos_length)]. Non-CJK characters are treated as run breaks (the
@@ -311,13 +326,13 @@ def segment(
     is emitted after the first sub-token with posInc=0 and posLength =
     sub-token count — the stream shape of the reference's
     testSearchMode golden."""
-    _, surfaces = _prefix_dict(user_words)
+    _, surfaces = _prefix_dict(user_words, ext)
     out: list[tuple[str, int, int, int, int]] = []
     for m in _CJK_RUN_RE.finditer(text):
         run, off = m.group(), m.start()
         toks = [
             (surf, off + s, off + e, pos)
-            for surf, s, e, pos in _segment_run(run, mode, user_words)
+            for surf, s, e, pos in _segment_run(run, mode, user_words, ext)
         ]
         kept = [t for t in toks if not (discard_punct and t[3] == "punct")]
         i = 0
@@ -354,14 +369,14 @@ def is_cjk_run(token: str) -> bool:
 
 
 @lru_cache(maxsize=64)
-def make_segmenter(user_words: tuple = (), mode: str = "normal"):
+def make_segmenter(user_words: tuple = (), mode: str = "normal", ext: bool = False):
     """Resolve the dictionary ONCE and return ``token → parts`` with a
     persistent per-closure run memo — the analyzer hot path. Keying a
     global per-run lru_cache on the user_words tuple would re-hash the
     whole vocabulary per token (tuples do not cache their hash); this
     factory pays that hash once per tokenize batch and the memo hits
     on plain string keys."""
-    _prefix_dict(user_words)  # warm the dictionary cache
+    _prefix_dict(user_words, ext)  # warm the dictionary cache
     memo: dict[str, list[str]] = {}
 
     def seg(token: str) -> list[str]:
@@ -370,7 +385,7 @@ def make_segmenter(user_words: tuple = (), mode: str = "normal"):
         got = memo.get(token)
         if got is None:
             got = memo[token] = [
-                surf for surf, _s, _e, _pos in _viterbi(token, mode, user_words)
+                surf for surf, _s, _e, _pos in _viterbi(token, mode, user_words, ext)
                 if not (_pos == "punct")
             ]
             if len(memo) > 100_000:
@@ -381,10 +396,10 @@ def make_segmenter(user_words: tuple = (), mode: str = "normal"):
 
 
 @lru_cache(maxsize=64)
-def make_segmenter_spans(user_words: tuple = (), mode: str = "normal"):
+def make_segmenter_spans(user_words: tuple = (), mode: str = "normal", ext: bool = False):
     """Offsets variant of :func:`make_segmenter` — token → [(part,
     rel_start, rel_end)] with the same closure-resolved dictionary."""
-    _prefix_dict(user_words)
+    _prefix_dict(user_words, ext)
     memo: dict[str, list] = {}
 
     def seg(token: str) -> list:
@@ -394,7 +409,7 @@ def make_segmenter_spans(user_words: tuple = (), mode: str = "normal"):
         if got is None:
             got = memo[token] = [
                 (surf, s, e)
-                for surf, s, e, _pos in _viterbi(token, mode, user_words)
+                for surf, s, e, _pos in _viterbi(token, mode, user_words, ext)
                 if not (_pos == "punct")
             ]
             if len(memo) > 100_000:
@@ -423,10 +438,10 @@ def cjk_parts_spans(
     return make_segmenter_spans(user_words, mode)(token)
 
 
-def compound_surfaces(user_words: tuple = ()) -> set:
+def compound_surfaces(user_words: tuple = (), ext: bool = False) -> set:
     """The dictionary surface set for :func:`compound_stream` —
     resolve once per analyzer (the per-row tuple hash is avoidable)."""
-    return _prefix_dict(user_words)[1]
+    return _prefix_dict(user_words, ext)[1]
 
 
 def compound_stream(toks, poss, user_words: tuple = (), starts=None, ends=None, surfaces=None):

@@ -168,7 +168,13 @@ def _cjk_user_words(stem: str) -> tuple:
 
 
 def _cjk_mode(stem: str) -> str:
-    return "search" if stem.partition(":")[0] == "cjk_search" else "normal"
+    return "search" if stem.partition(":")[0].startswith("cjk_search") else "normal"
+
+
+def _cjk_ext(stem: str) -> bool:
+    """"cjk_ext" / "cjk_search_ext": the opt-in extended lexicon
+    (analysis.cjk_dict_ext) joins the fixture dictionary."""
+    return stem.partition(":")[0].endswith("_ext")
 
 
 def _ko_decompound(stem: str) -> str:
@@ -189,7 +195,7 @@ def _expander(stem):
     if isinstance(stem, str) and stem.startswith("cjk"):
         from lucene_spark.analysis.cjk import make_segmenter
 
-        return make_segmenter(_cjk_user_words(stem), _cjk_mode(stem))
+        return make_segmenter(_cjk_user_words(stem), _cjk_mode(stem), _cjk_ext(stem))
     if isinstance(stem, str) and stem.partition(":")[0] in ("ko", "ko_none"):
         from lucene_spark.analysis.korean import make_segmenter_ko
 
@@ -206,7 +212,7 @@ def _expander_spans(stem):
     if isinstance(stem, str) and stem.startswith("cjk"):
         from lucene_spark.analysis.cjk import make_segmenter_spans
 
-        return make_segmenter_spans(_cjk_user_words(stem), _cjk_mode(stem))
+        return make_segmenter_spans(_cjk_user_words(stem), _cjk_mode(stem), _cjk_ext(stem))
     if isinstance(stem, str) and stem.partition(":")[0] in ("ko", "ko_none"):
         from lucene_spark.analysis.korean import make_segmenter_ko_spans
 

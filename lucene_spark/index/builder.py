@@ -528,10 +528,11 @@ def _stacker_of(cfg):
         # part's position (the SynonymGraph+FlattenGraph index-time
         # approximation — posLength squashes)
         from lucene_spark.analysis.cjk import compound_stream, compound_surfaces
-        from lucene_spark.analysis.tokenizer import _cjk_user_words
+        from lucene_spark.analysis.tokenizer import _cjk_ext, _cjk_user_words
 
         uw = _cjk_user_words(cfg.analyzer)
-        surf = compound_surfaces(uw)  # resolved once, not per row
+        # resolved once, not per row (extended lexicon honored)
+        surf = compound_surfaces(uw, _cjk_ext(cfg.analyzer))
 
         def cjk_stack(toks, poss, sts=None, ens=None):
             return compound_stream(toks, poss, starts=sts, ends=ens, surfaces=surf)
