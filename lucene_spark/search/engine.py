@@ -1305,16 +1305,17 @@ class Searcher:
         if not terms and not preds and not vspecs:
             td = self._search_exhaustive(spec, k if k is not None else 1 << 62, cache)
             return "topdocs", td
-        # the executor-resident chunk-partitioned relation (if the
-        # index fits the persist budget): filter preserves its hash
-        # partitioning, so the groupBy below needs NO per-query
-        # exchange — the distributed query becomes one in-memory stage
-        chunked = index.chunked_postings()
-        rows_df = (
-            chunked.filter(F.col("term").isin(list(terms)))
-            if chunked is not None
-            else index.postings_rows(terms)
-        )
+        def rows_df_of(ts):
+            # the executor-resident chunk-partitioned relation (if the
+            # index fits the persist budget): filter preserves its hash
+            # partitioning, so the groupBy below needs NO per-query
+            # exchange — the distributed query becomes one in-memory
+            # stage. Resolved lazily so all-small-term queries (the
+            # driver fallback) never pay the one-time persist.
+            chunked = index.chunked_postings()
+            if chunked is not None:
+                return chunked.filter(F.col("term").isin(list(ts)))
+            return index.postings_rows(ts)
         # Row classification. A row is CONFINED when all its docs lie in
         # [chunk_id*dpc, (chunk_id+1)*dpc) — true for every hot-term
         # doc-range chunk and for every chunk_all tier row. A tier's
@@ -1430,7 +1431,7 @@ class Searcher:
                 hcond = hcond & ~F.concat_ws(
                     "\x00", F.col("term"), F.col("tier").cast("string")
                 ).isin(pairs)
-            hot_rows = rows_df.filter(hcond)
+            hot_rows = rows_df_of(terms).filter(hcond)
         else:
             hot_rows = None
 

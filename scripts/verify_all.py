@@ -9,6 +9,7 @@ complete local green signal.
 Usage:
   python scripts/verify_all.py [--sf-dir /root/testdata/sf0.01]
                                [--with-scaling] [--skip-pytest]
+                               [--ab-repo /path/to/other/checkout]
 Exit 0 iff everything that ran is green.
 """
 
@@ -36,6 +37,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--with-scaling", action="store_true")
     ap.add_argument("--skip-pytest", action="store_true")
+    ap.add_argument("--ab-repo", default=None, help="run the interleaved positional A/B vs this checkout")
     args = ap.parse_args()
     summary: dict = {}
     ok = True
@@ -75,6 +77,29 @@ def main() -> int:
         summary["scaling"] = json.loads(line[-1]) if line else {"rc": rc}
         summary["scaling"]["rc"] = rc
         ok &= rc == 0
+
+    if args.ab_repo:
+        # interleaved positional A/B vs another checkout (the round-5
+        # regression-hunt harness as a standing verification option):
+        # HEAD t1 / ref t1 / ref t2 / HEAD t2, 30-run medians
+        trials = []
+        for repo, label in (
+            (str(REPO), "head_t1"),
+            (args.ab_repo, "ref_t1"),
+            (args.ab_repo, "ref_t2"),
+            (str(REPO), "head_t2"),
+        ):
+            rc, txt = run(
+                [
+                    sys.executable, "scripts/ab_positional.py",
+                    "--repo", repo, "--label", label, "--reps", "30",
+                ],
+                timeout=1800,
+            )
+            line = [l for l in txt.splitlines() if l.startswith("{")]
+            trials.append(json.loads(line[-1]) if line else {"label": label, "rc": rc})
+            ok &= rc == 0
+        summary["positional_ab"] = trials
 
     summary["ok"] = ok
     print(json.dumps(summary))
