@@ -333,6 +333,104 @@ def reading_form(token: str) -> str:
 
 
 @lru_cache(maxsize=64)
+def mixed_stack_maps(user_words: tuple = ()):
+    """Lookup structures for the index-time MIXED stacker (the
+    DecompoundMode.MIXED stream as a stacked posInc-0 stage over the
+    DISCARD parts, the cjk_search compound_stream pattern):
+
+    - ``compounds``: surface set of COMPOUND entries whose parts
+      concatenate to the surface (adjacent-offset spans re-join);
+    - ``inflects``: {(part surfaces...): original surface} for INFLECT
+      entries — contracted forms, recognizable in the part stream by
+      consecutive parts sharing one identical (start, end) span."""
+    entries = list(_SYSTEM_DICT) + [_parse_user(w) for w in user_words]
+    compounds = set()
+    inflects: dict[tuple, str] = {}
+    for surf, _tag, _cost, typ, dec in entries:
+        if typ == COMPOUND and "".join(p for p, _t in dec) == surf:
+            compounds.add(surf)
+        elif typ == INFLECT and dec:
+            inflects[tuple(p for p, _t in dec)] = surf
+    return compounds, inflects
+
+
+def mixed_stream(toks, poss, user_words: tuple = (), starts=None, ends=None, maps=None):
+    """DecompoundMode.MIXED as a stacked stage: over the DISCARD part
+    stream, emit the original COMPOUND surface (adjacent offsets
+    re-joining to a dictionary compound) or INFLECT surface
+    (consecutive parts sharing one identical span, matching a
+    dictionary decomposition) as a posInc-0 overlap at the first
+    part's position. Returns (tokens, positions, overlaps[, starts,
+    ends]) — the _stacker_of contract shared with cjk's
+    compound_stream."""
+    if maps is None:
+        maps = mixed_stack_maps(user_words)
+    compounds, inflects = maps
+    out_t, out_p, out_o = [], [], []
+    out_s: list | None = [] if starts is not None else None
+    out_e: list | None = [] if starts is not None else None
+    n = len(toks)
+    for i in range(n):
+        out_t.append(toks[i])
+        out_p.append(poss[i])
+        out_o.append(False)
+        if out_s is not None:
+            out_s.append(starts[i])
+            out_e.append(ends[i])
+        # compound: contiguous positions AND (when offsets are known)
+        # contiguous offsets re-join to a dictionary compound surface
+        acc = toks[i]
+        best = None
+        j = i + 1
+        while (
+            j < n
+            and poss[j] == poss[j - 1] + 1
+            and (starts is None or starts[j] == ends[j - 1])
+        ):
+            acc += toks[j]
+            if acc in compounds:
+                best = (acc, j)
+            j += 1
+        if best is not None:
+            out_t.append(best[0])
+            out_p.append(poss[i])
+            out_o.append(True)
+            if out_s is not None:
+                out_s.append(starts[i])
+                out_e.append(ends[best[1]])
+            continue
+        # inflect: consecutive parts covering ONE identical span (when
+        # offsets are tracked); offsets-free streams fall back to
+        # position adjacency, the same documented approximation as the
+        # compound branch above
+        if inflects:
+            j = i + 1
+            seq = [toks[i]]
+            while (
+                j < n
+                and poss[j] == poss[j - 1] + 1
+                and (
+                    starts is None
+                    or (starts[j] == starts[i] and ends[j] == ends[i])
+                )
+            ):
+                seq.append(toks[j])
+                surf = inflects.get(tuple(seq))
+                if surf is not None:
+                    out_t.append(surf)
+                    out_p.append(poss[i])
+                    out_o.append(True)
+                    if out_s is not None:
+                        out_s.append(starts[i])
+                        out_e.append(ends[i])
+                    break
+                j += 1
+    if out_s is not None:
+        return out_t, out_p, out_o, out_s, out_e
+    return out_t, out_p, out_o
+
+
+@lru_cache(maxsize=64)
 def make_segmenter_ko(user_words: tuple = (), decompound: str = "discard"):
     """token → [parts] for the analyzer's 1:N expander hook (the
     cjk make_segmenter contract): Korean-bearing tokens run the

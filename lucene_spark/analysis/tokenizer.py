@@ -179,9 +179,10 @@ def _cjk_ext(stem: str) -> bool:
 
 def _ko_decompound(stem: str) -> str:
     """"ko" → discard (the reference's DEFAULT_DECOMPOUND); "ko_none"
-    keeps compounds whole. MIXED emits overlapping synonyms and is a
-    stacked-stage concern (the cjk_search pattern), not a linear
-    expander mode."""
+    keeps compounds whole; "ko_mixed" expands DISCARD parts and the
+    index-time STACKED stage re-adds the original surfaces posInc-0
+    (the cjk_search compound_stream pattern — see builder._stacker_of
+    + analysis.korean.mixed_stream)."""
     return "none" if stem.partition(":")[0] == "ko_none" else "discard"
 
 
@@ -196,7 +197,7 @@ def _expander(stem):
         from lucene_spark.analysis.cjk import make_segmenter
 
         return make_segmenter(_cjk_user_words(stem), _cjk_mode(stem), _cjk_ext(stem))
-    if isinstance(stem, str) and stem.partition(":")[0] in ("ko", "ko_none"):
+    if isinstance(stem, str) and stem.partition(":")[0] in ("ko", "ko_none", "ko_mixed"):
         from lucene_spark.analysis.korean import make_segmenter_ko
 
         return make_segmenter_ko(_cjk_user_words(stem), _ko_decompound(stem))
@@ -213,7 +214,7 @@ def _expander_spans(stem):
         from lucene_spark.analysis.cjk import make_segmenter_spans
 
         return make_segmenter_spans(_cjk_user_words(stem), _cjk_mode(stem), _cjk_ext(stem))
-    if isinstance(stem, str) and stem.partition(":")[0] in ("ko", "ko_none"):
+    if isinstance(stem, str) and stem.partition(":")[0] in ("ko", "ko_none", "ko_mixed"):
         from lucene_spark.analysis.korean import make_segmenter_ko_spans
 
         return make_segmenter_ko_spans(_cjk_user_words(stem), _ko_decompound(stem))
@@ -247,7 +248,7 @@ def _tokenizer_of(stem, max_token_length: int = MAX_TOKEN_LENGTH):
         return _KW_RE, False, _NO_MAX
     if isinstance(stem, str) and stem.startswith("cjk"):
         return _CJK_TOKEN_RE, True, max_token_length
-    if isinstance(stem, str) and stem.partition(":")[0] in ("ko", "ko_none"):
+    if isinstance(stem, str) and stem.partition(":")[0] in ("ko", "ko_none", "ko_mixed"):
         return _KO_TOKEN_RE, True, max_token_length
     return _TOKEN_RE, True, max_token_length
 

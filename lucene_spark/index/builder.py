@@ -501,6 +501,9 @@ def _stacker_of(cfg):
     cjk_search = (
         isinstance(cfg.analyzer, str) and cfg.analyzer.startswith("cjk_search")
     ) or None
+    ko_mixed = (
+        isinstance(cfg.analyzer, str) and cfg.analyzer.partition(":")[0] == "ko_mixed"
+    ) or None
     n_stages = sum(
         1
         for x in (
@@ -511,6 +514,7 @@ def _stacker_of(cfg):
             cfg.stem_repeat or None,
             tuple(cfg.synonyms) or None,
             cjk_search,
+            ko_mixed,
         )
         if x is not None
     )
@@ -538,6 +542,19 @@ def _stacker_of(cfg):
             return compound_stream(toks, poss, starts=sts, ends=ens, surfaces=surf)
 
         return cjk_stack
+    if ko_mixed:
+        # KoreanTokenizer DecompoundMode.MIXED: over the DISCARD part
+        # stream, the original COMPOUND/INFLECT surfaces stack
+        # posInc-0 at the first part's position (DecompoundToken role)
+        from lucene_spark.analysis.korean import mixed_stack_maps, mixed_stream
+        from lucene_spark.analysis.tokenizer import _cjk_user_words
+
+        maps = mixed_stack_maps(_cjk_user_words(cfg.analyzer))
+
+        def ko_stack(toks, poss, sts=None, ens=None):
+            return mixed_stream(toks, poss, starts=sts, ends=ens, maps=maps)
+
+        return ko_stack
     from lucene_spark.analysis.shingles import (
         build_synonym_map,
         common_grams_stream,

@@ -190,3 +190,78 @@ class TestAnalyzerHook:
         seg = make_segmenter_ko()
         a = seg("동계올림픽대회")
         assert a == seg("동계올림픽대회") == ["동계", "올림픽", "대회"]
+
+
+class TestMixedIndex:
+    """DecompoundMode.MIXED as the index-time stacked stage
+    (analyzer="ko_mixed"): original COMPOUND/INFLECT surfaces stack
+    posInc-0 over the DISCARD parts — both the compound and its parts
+    match, mirroring the reference's analyzerDecompoundKeep streams."""
+
+    def test_mixed_stream_shapes(self):
+        from lucene_spark.analysis.korean import mixed_stream, segment
+
+        t = segment("가락지나물은", decompound="discard")
+        toks, sts, ens = [x[0] for x in t], [x[1] for x in t], [x[2] for x in t]
+        got = mixed_stream(toks, list(range(len(t))), starts=sts, ends=ens)
+        assert got == (
+            ["가락지", "가락지나물", "나물", "은"],
+            [0, 0, 1, 2],
+            [False, True, False, False],
+            [0, 0, 3, 5],
+            [3, 5, 5, 6],
+        )
+        t = segment("감싸여", decompound="discard")
+        toks, sts, ens = [x[0] for x in t], [x[1] for x in t], [x[2] for x in t]
+        got = mixed_stream(toks, list(range(len(t))), starts=sts, ends=ens)
+        assert got == (
+            ["감싸이", "감싸여", "어"], [0, 0, 1], [False, True, False], [0, 0, 0], [3, 3, 3]
+        )
+        # offset gap (dropped punct) blocks the compound re-join
+        got = mixed_stream(["가락지", "나물"], [0, 1], starts=[0, 4], ends=[3, 6])
+        assert got[0] == ["가락지", "나물"] and not any(got[2])
+
+    def test_mixed_index_matches_compound_and_parts(self, spark, tmp_path):
+        import pandas as pd
+
+        from lucene_spark.index.builder import IndexBuilder, IndexConfig
+        from lucene_spark.index.reader import SearchIndex
+        from lucene_spark.search import ast as A
+        from lucene_spark.search.engine import Searcher
+
+        docs = ["가락지나물은 한국", "나물 화학", "감싸여 언어", "한국의 정부"]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(docs)),
+                "repo": "r",
+                "path": [str(i) for i in range(len(docs))],
+                "commit": "c",
+                "lang": "ko",
+                "content": docs,
+            }
+        )
+        d = str(tmp_path / "komix")
+        IndexBuilder(
+            spark, IndexConfig(docs_per_chunk=4, term_buckets=2, positions=True, analyzer="ko_mixed")
+        ).build(spark.createDataFrame(pdf), d, assign_ids=False)
+        ix = SearchIndex(spark, d)
+        s = Searcher(ix)
+        hits = lambda q: sorted(h[0] for h in s.search(q, k=10).hits)
+        # the ORIGINAL surfaces are real postings (stacked posInc-0)
+        stats = ix.term_stats(["가락지나물", "감싸여", "가락지", "나물", "감싸이"])
+        assert stats["가락지나물"][0] == 1  # compound: df 1 (doc 0 only)
+        assert stats["감싸여"][0] == 1
+        assert stats["가락지"][0] == 1 and stats["감싸이"][0] == 1
+        assert stats["나물"][0] == 2
+        # query-side analysis expands the compound through the same
+        # chain (analyzeMultiBoolean), so both docs match — but doc 0,
+        # holding the stacked compound AND both parts, ranks first
+        td = s.search(A.TermQuery("가락지나물"), k=10)
+        assert sorted(h[0] for h in td.hits) == [0, 1]
+        assert td.hits[0][0] == 0
+        assert hits(A.TermQuery("가락지")) == [0]
+        assert hits(A.TermQuery("감싸이")) == [2]
+        # the stacked compound sits AT the first part's position:
+        # span [가락지나물 .. 은] within the raw positions matches doc 0
+        ctx_hits = s.search(A.SpanNearQuery(("가락지나물", "은"), slop=2, in_order=True), k=10)
+        assert sorted(h[0] for h in ctx_hits.hits) == [0]
