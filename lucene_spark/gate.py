@@ -1194,6 +1194,32 @@ def queries() -> dict:
         )
 
     Q["ft_geosort_top5"] = _geosort
+    # spatial3d role: GeoStandardCircle membership (cutoffAngle =
+    # radius / PlanetModel.meanRadius) and GeoConvexPolygon plane
+    # sidedness — both pure Catalyst trig predicates
+    Q["ft_geo3d_circle_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(
+            spark, sf,
+            A.BooleanQuery((
+                (A.Occur.MUST, A.MatchAllDocsQuery()),
+                (A.Occur.FILTER, A.Geo3DDistanceQuery("lat", "lon", 10.0, 20.0, 4_000_000.0, model="wgs84")),
+            )),
+            k=ALL_K,
+        ),
+    )
+    _G3D_RING = ((0.001, 0.001), (0.001, 40.001), (35.001, 40.001), (35.001, 0.001))
+    Q["ft_geo3d_poly_ids"] = lambda spark, sf: _ids_df(
+        spark,
+        _search(
+            spark, sf,
+            A.BooleanQuery((
+                (A.Occur.MUST, A.MatchAllDocsQuery()),
+                (A.Occur.FILTER, A.Geo3DPolygonQuery("lat", "lon", _G3D_RING)),
+            )),
+            k=ALL_K,
+        ),
+    )
     # LatLonPoint.newPolygonQuery: pentagon shell with a triangular hole
     _POLY_SHELL = ((-10.001, -50.001), (40.001, -60.001), (55.001, 10.001), (20.001, 60.001), (-30.001, 20.001))
     _POLY_HOLE = ((0.001, -20.001), (15.001, -25.001), (10.001, 5.001))
@@ -3459,6 +3485,25 @@ def oracle_sql() -> dict[str, str]:
         "((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "
         "SELECT doc_id FROM coords WHERE (" + _rc("lat", "lon", _POLY_SHELL) + ") "
         "AND NOT (" + _rc("lat", "lon", _POLY_HOLE) + ") ORDER BY doc_id"
+    )
+    from lucene_spark.search import ast as _A3
+    from lucene_spark.search.spatial3d import circle_sql as _c3sql
+    from lucene_spark.search.spatial3d import polygon_sql as _p3sql
+
+    _G3D_RING = ((0.001, 0.001), (0.001, 40.001), (35.001, 40.001), (35.001, 0.001))
+    O["ft_geo3d_circle_ids"] = (
+        "WITH coords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, "
+        "((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "
+        "SELECT doc_id FROM coords WHERE "
+        + _c3sql(_A3.Geo3DDistanceQuery("lat", "lon", 10.0, 20.0, 4_000_000.0, model="wgs84"))
+        + " ORDER BY doc_id"
+    )
+    O["ft_geo3d_poly_ids"] = (
+        "WITH coords AS (SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, "
+        "((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents) "
+        "SELECT doc_id FROM coords WHERE "
+        + _p3sql(_A3.Geo3DPolygonQuery("lat", "lon", _G3D_RING))
+        + " ORDER BY doc_id"
     )
     O["ft_geosort_top5"] = (
         base_ctes()

@@ -287,6 +287,39 @@ class GeoPolygonQuery(Query):
 
 
 @dataclass(frozen=True)
+class Geo3DDistanceQuery(Query):
+    """Geo3DPoint.newDistanceQuery (spatial3d Geo3DPoint.java): docs
+    whose point lies within the GeoStandardCircle of cutoffAngle =
+    radius_m / PlanetModel.meanRadius around (lat, lon) —
+    central-angle membership over the direction vectors
+    (GeoStandardCircle.java:24-64). ``model``: "sphere" | "wgs84"
+    (PlanetModel.java:33-35). Spark disposition: latitude-band
+    pushdown + an exact dot-product test in Catalyst trig; constant
+    score."""
+
+    lat_field: str
+    lon_field: str
+    lat: float
+    lon: float
+    radius_m: float
+    model: str = "wgs84"
+
+
+@dataclass(frozen=True)
+class Geo3DPolygonQuery(Query):
+    """Geo3DPoint.newShapeQuery over a GeoConvexPolygon
+    (spatial3d geom/GeoConvexPolygon.java): membership by sidedness
+    against each edge's great-circle plane (normals are query-time
+    constants). Documented subset: convex, non-dateline-crossing
+    rings. Spark disposition: vertex-bbox pushdown + AND of per-edge
+    plane dot products in Catalyst trig; constant score."""
+
+    lat_field: str
+    lon_field: str
+    points: tuple  # ((lat, lon), ...) convex ring, open or closed
+
+
+@dataclass(frozen=True)
 class ShapeBoxQuery(Query):
     """LatLonShape.newBoxQuery (LatLonShapeBoundingBoxQuery.java;
     ShapeField.QueryRelation, ShapeField.java:121-127): docs whose

@@ -154,6 +154,16 @@ class Searcher:
 
             key = ("geopoly", q.lat_field, q.lon_field, q.points, q.holes)
             return key, polygon_condition(q)
+        if isinstance(q, A.Geo3DDistanceQuery):
+            from lucene_spark.search.spatial3d import circle_condition
+
+            key = ("geo3dcircle", q.lat_field, q.lon_field, q.lat, q.lon, q.radius_m, q.model)
+            return key, circle_condition(q)
+        if isinstance(q, A.Geo3DPolygonQuery):
+            from lucene_spark.search.spatial3d import convex_polygon_condition
+
+            key = ("geo3dpoly", q.lat_field, q.lon_field, q.points)
+            return key, convex_polygon_condition(q)
         if isinstance(q, A.ShapeBoxQuery):
             from lucene_spark.search.shapes import shape_box_condition
 
@@ -570,6 +580,7 @@ class Searcher:
             q,
             (A.FieldRangeQuery, A.FieldValueQuery, A.FieldExistsQuery, A.RangeFieldQuery, A.FieldInSetQuery,
              A.MultiRangeQuery, A.GeoBoxQuery, A.GeoDistanceQuery, A.GeoPolygonQuery,
+             A.Geo3DDistanceQuery, A.Geo3DPolygonQuery,
              A.ShapeBoxQuery, A.ShapePolygonQuery, A.ShapePointQuery, A.ShapeLineQuery),
         ):
             # PointRangeQuery / StringField equality = pushed-down
