@@ -93,6 +93,12 @@ class Searcher:
         # field predicates lazy; the ids never land on the driver)
         self._pred_conds: dict[tuple, object] = {}
         self._fieldcond_memo: dict = {}
+        # (rewritten query, k) → chunked scoring plan DataFrame for
+        # distributed mode: the plan is a pure function of the query
+        # within a reader's lifetime (stats, deletes, docsets all
+        # immutable per the DirectoryReader contract), and rebuilding
+        # it cost ~95 ms of Py4J round trips per repeat query
+        self._dist_plan_cache: dict = {}
         # PredValueScoreQuery key → (Catalyst cond, [value Columns])
         # (feature / distance-feature queries, same lazy contract)
         self._val_conds: dict[tuple, tuple] = {}
@@ -682,7 +688,7 @@ class Searcher:
             return TopDocs([], 0, "EQUAL_TO", {})
         cache = self._norm_caches(stats)
         if mode == "distributed":
-            return self._search_distributed(spec, k, cache)
+            return self._search_distributed(spec, k, cache, plan_key=q)
         if self._is_pure_term_disjunction(spec):
             return self._search_wand(spec, k, cache, rows)
         if self._is_term_must_tree(spec):
@@ -1231,7 +1237,7 @@ class Searcher:
 
     # ---- distributed execution ----------------------------------------------
 
-    def _search_distributed(self, spec, k: int, cache) -> TopDocs:
+    def _search_distributed(self, spec, k: int, cache, plan_key=None) -> TopDocs:
         """Leaf-parallel search: one applyInPandas group per doc-range
         chunk of the hot terms; small-term arrays ride along broadcast
         (they are ≤ docs_per_chunk entries each by construction).
@@ -1244,9 +1250,22 @@ class Searcher:
         per-chunk (purged/gappy index)."""
         import pyspark.sql.functions as F
 
-        kind, payload = self._distributed_plan(spec, k, cache)
-        if kind == "topdocs":
-            return payload
+        ck = None
+        payload = None
+        if plan_key is not None:
+            try:
+                ck = (plan_key, k)
+                payload = self._dist_plan_cache.get(ck)
+            except TypeError:  # unhashable query shape: skip caching
+                ck = None
+        if payload is None:
+            kind, payload = self._distributed_plan(spec, k, cache)
+            if kind == "topdocs":
+                return payload
+            if ck is not None:
+                self._dist_plan_cache[ck] = payload
+                while len(self._dist_plan_cache) > 64:
+                    self._dist_plan_cache.pop(next(iter(self._dist_plan_cache)))
         # ONE action: the global merge is a TakeOrderedAndProject
         # (TopDocs.merge role) and the total rides an Observation over
         # the per-chunk COUNT rows (doc_id NULL, score NULL, n_matched
