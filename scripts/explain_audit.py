@@ -423,6 +423,42 @@ def main() -> None:
     )
     sections.append(("Naive Bayes batch classification", plan))
 
+    # 12 (round 5). geo3d predicates: the coarse phase (lat band /
+    # vertex bbox) is PUSHED to the docs-table parquet scan; the exact
+    # phase is pure Catalyst trig (no Python stage in the plan)
+    g3 = index.docs.filter(
+        __import__("lucene_spark.search.spatial3d", fromlist=["circle_condition"]).circle_condition(
+            A.Geo3DDistanceQuery("lat", "lon", 10.0, 20.0, 4_000_000.0)
+        )
+    ) if "lat" in index.docs.columns else None
+    if g3 is not None:
+        plan = _capture(g3.select("doc_id"))
+        check("geo3d circle: lat band pushed to scan", plan, r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(lat")
+        check_absent("geo3d circle: no Python stage", plan, r"EvalPython")
+        sections.append(("Geo3D circle membership (spatial3d role)", plan))
+
+    # 13 (round 5). distributed hot-path plan over the PERSISTED chunk
+    # relation: the only Exchange in the final plan is the one-time
+    # repartition INSIDE the cached InMemoryRelation — the per-query
+    # stage is scan→filter→sort→FlatMapGroupsInPandas with no new
+    # exchange, and the merge is TakeOrderedAndProject
+    hot_terms_present = index.chunked_postings() is not None
+    if hot_terms_present:
+        spec, cache = searcher._prepared_spec(A.TermQuery("table"))
+        kind, payload = searcher._distributed_plan(spec, 10, cache)
+        if kind == "df":
+            plan = _capture(payload.orderBy(F.desc("score")).limit(10))
+            mem_split = plan.split("InMemoryRelation", 1)
+            pre = mem_split[0]
+            check("dist hot path reads the cached chunk relation", plan, r"InMemoryTableScan")
+            CHECKS.append(
+                ("dist hot path: no per-query exchange outside the cached relation",
+                 "no Exchange before InMemoryRelation in the formatted plan",
+                 "Exchange" not in pre)
+            )
+            check("dist hot-path merge is TakeOrderedAndProject", plan, r"TakeOrderedAndProject")
+            sections.append(("Distributed hot path over persisted chunk relation", plan))
+
     out = Path(__file__).resolve().parent.parent / "PLANS.md"
     with open(out, "w") as fh:
         fh.write("# PLANS — physical-plan audit (scripts/explain_audit.py)\n\n")
