@@ -88,6 +88,15 @@ _KO_TOKEN_RE = re.compile(
     rf"[^\s]{{0,64}}[{_KO_CLASS}][^\s]{{0,190}}|{_RUN_NOCJK}(?:{_JOINER_NOCJK}{_RUN_NOCJK})*"
 )
 
+# ---- the "zh" analyzer's tokenizer stage (smartcn role) -------------------
+# same chunking idea: a whitespace-free chunk containing hanzi becomes
+# one raw token for the HHMM-role lattice; everything else keeps the
+# standard grammar (with porter applied by the zh expander itself)
+_ZH_CLASS = "一-鿿㐀-䶿豈-﫿\U00020000-\U0002FFFF"
+_ZH_TOKEN_RE = re.compile(
+    rf"[^\s]{{0,64}}[{_ZH_CLASS}][^\s]{{0,190}}|{_RUN_NOCJK}(?:{_JOINER_NOCJK}{_RUN_NOCJK})*"
+)
+
 
 def _raw_tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
@@ -201,6 +210,10 @@ def _expander(stem):
         from lucene_spark.analysis.korean import make_segmenter_ko
 
         return make_segmenter_ko(_cjk_user_words(stem), _ko_decompound(stem))
+    if isinstance(stem, str) and stem.partition(":")[0] == "zh":
+        from lucene_spark.analysis.chinese import make_segmenter_zh
+
+        return make_segmenter_zh(_cjk_user_words(stem))
     return None
 
 
@@ -218,6 +231,10 @@ def _expander_spans(stem):
         from lucene_spark.analysis.korean import make_segmenter_ko_spans
 
         return make_segmenter_ko_spans(_cjk_user_words(stem), _ko_decompound(stem))
+    if isinstance(stem, str) and stem.partition(":")[0] == "zh":
+        from lucene_spark.analysis.chinese import make_segmenter_zh_spans
+
+        return make_segmenter_zh_spans(_cjk_user_words(stem))
     return None
 
 
@@ -250,6 +267,8 @@ def _tokenizer_of(stem, max_token_length: int = MAX_TOKEN_LENGTH):
         return _CJK_TOKEN_RE, True, max_token_length
     if isinstance(stem, str) and stem.partition(":")[0] in ("ko", "ko_none", "ko_mixed"):
         return _KO_TOKEN_RE, True, max_token_length
+    if isinstance(stem, str) and stem.partition(":")[0] == "zh":
+        return _ZH_TOKEN_RE, True, max_token_length
     return _TOKEN_RE, True, max_token_length
 
 

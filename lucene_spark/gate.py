@@ -513,6 +513,116 @@ def _ko_words(text: str) -> list[str]:
     return [w.translate(_KO_TR) + "힣" for w in tokenize(text or "")]
 
 
+_ZH_TR = str.maketrans(
+    # a-z + 0-9 + _' → distinct hanzi DISJOINT from every fixture
+    # word's characters (no system arc can cross a word code); the 齉
+    # marker keeps the code prefix-free (the _CJK_TR/_KO_TR pattern)
+    "abcdefghijklmnopqrstuvwxyz0123456789_'",
+    "山水火木金土石田口目耳手足车马鱼鸟花草竹米贝言虫雨云风空海门户瓦甘玉白皮豆走",
+)
+
+
+def _zh_term(word: str) -> str:
+    return word.translate(_ZH_TR) + "齉"
+
+
+def _zh_words(text: str) -> list[str]:
+    from lucene_spark.analysis import tokenize
+
+    return [w.translate(_ZH_TR) + "齉" for w in tokenize(text or "")]
+
+
+def zh_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
+    """smartcn-role "zh" analyzer gate — the ko/cjk bijection on the
+    HHMM-role lattice: prefix-free hanzi word codes, user dictionary =
+    the translated vocabulary, unspaced ≤250-char runs; the lattice
+    recovers exactly the original token boundaries, so the standard
+    term/phrase oracles apply verbatim. Segmentation-semantics parity
+    is pinned separately in tests/test_chinese.py; this gate proves
+    the ANALYZER INTEGRATION (tokenizer stage, expander, positions)."""
+    key = ("zh", os.path.abspath(sf_dir))
+    if key in _CACHE:
+        return _CACHE[key]
+    from pyspark.sql.functions import pandas_udf
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/lucene_spark_gatezh_{ENGINE_VERSION}/{name}"
+
+    @pandas_udf("string")
+    def _zhify(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            words = _zh_words(t)
+            lines: list[str] = []
+            cur: list[str] = []
+            ln = 0
+            for w in words:
+                if ln + len(w) > 250 and cur:
+                    lines.append("".join(cur))
+                    cur, ln = [], 0
+                cur.append(w)
+                ln += len(w)
+            if cur:
+                lines.append("".join(cur))
+            out.append(" ".join(lines))
+        return pd.Series(out)
+
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        base = corpus_df(spark, sf_dir).drop("title")
+
+        @pandas_udf("array<string>")
+        def _tok(texts):
+            import pandas as pd
+
+            return pd.Series([_zh_words(t) for t in texts])
+
+        vocab = sorted(
+            {
+                r["w"]
+                for r in base.select(
+                    F.explode(_tok(F.col("content"))).alias("w")
+                ).distinct().collect()
+            }
+        )
+        analyzer = "zh:" + ",".join(vocab)
+        cfg = IndexConfig(
+            docs_per_chunk=128, term_buckets=4, positions=True, analyzer=analyzer
+        )
+        corpus = base.withColumn("content", _zhify(F.col("content")))
+        from lucene_spark.analysis.chinese import make_segmenter_zh
+
+        seg = make_segmenter_zh(tuple(vocab))
+
+        @pandas_udf("boolean")
+        def _bijects(orig, zh):
+            import pandas as pd
+
+            out = []
+            for o, c in zip(orig, zh):
+                want = _zh_words(o)
+                got = [p for tok in (c or "").split(" ") for p in seg(tok)]
+                out.append(got == want)
+            return pd.Series(out)
+
+        chk = (
+            base.select("doc_id", F.col("content").alias("_orig"))
+            .join(corpus.select("doc_id", "content"), "doc_id")
+            .filter(~_bijects(F.col("_orig"), F.col("content")))
+            .count()
+        )
+        if chk:
+            raise AssertionError(
+                f"zh gate bijection broken for {chk} docs — the corpus grew "
+                "token shapes the hanzi translation does not cover"
+            )
+        IndexBuilder(spark, cfg).build(corpus, idx_dir, assign_ids=False)
+    index = SearchIndex(spark, idx_dir)
+    _CACHE[key] = (index, Searcher(index))
+    return _CACHE[key]
+
+
 def ko_gate_index(spark: SparkSession, sf_dir: str) -> tuple[SearchIndex, Searcher]:
     """nori-role "ko" analyzer gate — the cjk_gate_index bijection
     construction on the Korean lattice: every standard token
@@ -1130,6 +1240,16 @@ def queries() -> dict:
         spark,
         ko_gate_index(spark, sf)[1].search(
             A.PhraseQuery((_ko_term("table"), _ko_term("hash"))), k=10
+        ),
+    )
+    # smartcn-role segmentation, same bijection proof
+    Q["ft_zh_top10"] = lambda spark, sf: _hits_df(
+        spark, zh_gate_index(spark, sf)[1].search(A.TermQuery(_zh_term("table")), k=10)
+    )
+    Q["ft_zh_phrase_top10"] = lambda spark, sf: _hits_df(
+        spark,
+        zh_gate_index(spark, sf)[1].search(
+            A.PhraseQuery((_zh_term("table"), _zh_term("hash"))), k=10
         ),
     )
     # html_strip char filter: tag-wrapped corpus tokenizes identically
@@ -3267,6 +3387,7 @@ def oracle_sql() -> dict[str, str]:
     # ko gate: token-stream bijection (see ko_gate_index) → the
     # standard term/phrase oracles apply verbatim
     O["ft_ko_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
+    O["ft_zh_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     O["ft_html_top10"] = topk_sql("SELECT doc_id, s FROM tscore WHERE term = 'table'")
     # edge-ngram (1..4): tf('tab') = tokens with len>=3 and prefix
     # 'tab'; norms = unigram dl; avgdl = Σ min(len(token),4) / n
@@ -3872,6 +3993,7 @@ def oracle_sql() -> dict[str, str]:
     O["ft_codephrase_top10"] = O["ft_phrase_top10"]
     O["ft_cjk_phrase_top10"] = O["ft_phrase_top10"]
     O["ft_ko_phrase_top10"] = O["ft_phrase_top10"]
+    O["ft_zh_phrase_top10"] = O["ft_phrase_top10"]
     # 2-term sloppy phrase ("table hash"~3): the reference pq traversal
     # (SloppyPhraseMatcher.java:162-205) reduces, for two distinct
     # terms, to an alternating cross-list successor chain over the
